@@ -1,0 +1,178 @@
+"""Exact-geometry kernels: vectorized numpy, no geometry library.
+
+These are the "refine" half of the engine's two-phase spatial joins
+(the prune half is the tile grid in tiles.py). They run inside
+Arrow-batched pandas UDFs — numpy array code over whole batches, never
+per-row Python.
+
+Semantics reproduced from the reference's PostGIS usage (SURVEY.md
+§2.8): ST_Intersects/ST_Contains for point-vs-polygon (J1-J8),
+ST_ConvexHull + ST_LongestLine + ST_Length(geography) for the street
+importance formula (A4, export_json_dept_voies_rapprochees.sql:64),
+ST_Extent for bboxes (A8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Even-odd ray-casting PIP, vectorized over points.
+
+    ``verts`` is an (n, 2) float array of the polygon ring (closed or
+    open — closure is implied). Boundary behaviour is the standard
+    even-odd rule; callers that need ST_Intersects' boundary-inclusive
+    semantics should buffer predicates (the synthetic fixtures never
+    place points exactly on edges).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    v = np.asarray(verts, dtype=np.float64)
+    if len(v) and (v[0] == v[-1]).all():
+        v = v[:-1]
+    x1, y1 = v[:, 0], v[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    # (points, edges) broadcast
+    pyc = py[:, None]
+    pxc = px[:, None]
+    crosses = (y1[None, :] > pyc) != (y2[None, :] > pyc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1)[None, :] * (pyc - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
+    hits = crosses & (pxc < xint)
+    return hits.sum(axis=1) % 2 == 1
+
+
+def polygon_bbox(verts: np.ndarray):
+    v = np.asarray(verts, dtype=np.float64)
+    return float(v[:, 0].min()), float(v[:, 1].min()), float(v[:, 0].max()), float(v[:, 1].max())
+
+
+def _segments_intersect_box(x1, y1, x2, y2, bxmin, bymin, bxmax, bymax) -> np.ndarray:
+    """For each segment, does it intersect the axis-aligned box?
+
+    Liang–Barsky clip test, vectorized over segments.
+    """
+    dx = x2 - x1
+    dy = y2 - y1
+    shape = np.broadcast_shapes(x1.shape, np.shape(bxmin))
+    t0 = np.zeros(shape)
+    t1 = np.ones(shape)
+    ok = np.ones(shape, dtype=bool)
+    for p, q in (
+        (-dx, x1 - bxmin),
+        (dx, bxmax - x1),
+        (-dy, y1 - bymin),
+        (dy, bymax - y1),
+    ):
+        parallel = p == 0
+        # parallel and outside -> no intersection
+        ok &= ~(parallel & (q < 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(parallel, 0.0, q / np.where(p == 0, 1.0, p))
+        ent = (~parallel) & (p < 0)
+        ext = (~parallel) & (p > 0)
+        t0 = np.where(ent, np.maximum(t0, r), t0)
+        t1 = np.where(ext, np.minimum(t1, r), t1)
+    return ok & (t0 <= t1)
+
+
+def cover_polygon(verts: np.ndarray, z: int):
+    """Cell cover of a polygon on the slippy grid at zoom ``z``.
+
+    Returns (tx, ty, interior) int/bool arrays. ``interior`` cells lie
+    entirely inside the polygon (points there skip the exact PIP
+    refine); the rest are boundary cells that need refinement. This is
+    the raster half of the raster<->vector commune-grid stage (the
+    reference's tile->INSEE assignment, bano/models.py:330-360,
+    generalized to any zoom).
+    """
+    from . import tiles
+
+    v = np.asarray(verts, dtype=np.float64)
+    xmin, ymin, xmax, ymax = polygon_bbox(v)
+    s = tiles.cell_size(z)
+    tx0 = int(np.floor((xmin - tiles.ORIGIN) / s))
+    tx1 = int(np.floor((xmax - tiles.ORIGIN) / s))
+    ty0 = int(np.floor((-tiles.ORIGIN - ymax) / s))
+    ty1 = int(np.floor((-tiles.ORIGIN - ymin) / s))
+    txs = np.arange(tx0, tx1 + 1, dtype=np.int64)
+    tys = np.arange(ty0, ty1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(txs, tys, indexing="ij")
+    gx = gx.ravel()
+    gy = gy.ravel()
+    bxmin = tiles.ORIGIN + s * gx
+    bxmax = tiles.ORIGIN + s * (gx + 1)
+    bymax = -tiles.ORIGIN - s * gy
+    bymin = -tiles.ORIGIN - s * (gy + 1)
+
+    # corner containment (4 PIP calls over all tiles at once)
+    c_in = np.ones(gx.shape, dtype=bool)
+    n_in = np.zeros(gx.shape, dtype=np.int64)
+    for cx, cy in ((bxmin, bymin), (bxmin, bymax), (bxmax, bymin), (bxmax, bymax)):
+        inside = points_in_polygon(cx, cy, v)
+        c_in &= inside
+        n_in += inside
+
+    # does any polygon edge cross the tile box? (edges x tiles)
+    vv = v if not (len(v) and (v[0] == v[-1]).all()) else v[:-1]
+    ex1, ey1 = vv[:, 0], vv[:, 1]
+    ex2, ey2 = np.roll(ex1, -1), np.roll(ey1, -1)
+    crossed = np.zeros(gx.shape, dtype=bool)
+    # chunk tiles to bound memory at (edges x chunk)
+    chunk = max(1, 4_000_000 // max(len(ex1), 1))
+    for i in range(0, len(gx), chunk):
+        sl = slice(i, i + chunk)
+        hit = _segments_intersect_box(
+            ex1[:, None], ey1[:, None], ex2[:, None], ey2[:, None],
+            bxmin[None, sl], bymin[None, sl], bxmax[None, sl], bymax[None, sl],
+        )
+        crossed[sl] = hit.any(axis=0)
+
+    interior = c_in & ~crossed
+    keep = crossed | (n_in > 0)
+    keep |= interior
+    return gx[keep], gy[keep], interior[keep]
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain. Returns hull vertices CCW, (h, 2)."""
+    p = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    if len(p) <= 2:
+        return p
+    # lexicographic sort already done by np.unique
+    def half(points):
+        out = []
+        for q in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], q - out[-2]) <= 0:
+                out.pop()
+            out.append(q)
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters (geography-length stand-in for
+    ST_Length(geography) in the importance formula, A4)."""
+    r = 6371008.8
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dphi = p2 - p1
+    dlmb = np.radians(lon2) - np.radians(lon1)
+    a = np.sin(dphi / 2.0) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlmb / 2.0) ** 2
+    return 2.0 * r * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def hull_longest_line_m(lons: np.ndarray, lats: np.ndarray) -> float:
+    """max geodesic distance between convex-hull vertices — reproduces
+    st_length(st_longestline(...)::geography) over collected street
+    points (export_json_dept_voies_rapprochees.sql:64)."""
+    pts = np.column_stack([lons, lats])
+    h = convex_hull(pts)
+    if len(h) < 2:
+        return 0.0
+    i, j = np.triu_indices(len(h), k=1)
+    d = haversine_m(h[i, 0], h[i, 1], h[j, 0], h[j, 1])
+    return float(d.max()) if len(d) else 0.0

@@ -1,0 +1,134 @@
+"""Web-Mercator slippy-tile grid — the engine's spatial cell index.
+
+The reference uses exactly this grid for its incremental-update path:
+imposm emits expired z16 tiles and `bano/models.py:305-313` converts
+z/x/y to EPSG:3857 boxes with
+
+    xmin = -20037508.34 + (40075016.68 / 2^z) * x
+    ymax =  20037508.34 - (40075016.68 / 2^z) * y
+
+We adopt the same constants and make the grid the *primary* spatial
+index (the role H3/S2 would play): every point gets a (z, x, y) cell,
+polygons get exploded cell covers, and spatial joins become cell
+equi-joins with an exact refine step. Everything here is pure Column
+arithmetic — it stays inside whole-stage codegen, shuffles hash well,
+and is reproducible bit-for-bit in any SQL engine (the DuckDB oracle
+uses the same formulas).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# EPSG:3857 world bounds as the reference writes them (models.py:309-313).
+ORIGIN = -20037508.34
+WORLD = 40075016.68
+DEFAULT_ZOOM = 16  # reference expiry zoom: cron_osm.sh:22
+
+_R = 6378137.0  # spherical-Mercator radius (public constant)
+
+
+def cell_size(z: int) -> float:
+    return WORLD / (2**z)
+
+
+# ---------------------------------------------------------------------------
+# Column expressions (hot path — no UDFs)
+# ---------------------------------------------------------------------------
+
+def tile_x(x_3857: Column, z: int) -> Column:
+    """Tile column index of an EPSG:3857 x coordinate."""
+    return F.floor((x_3857 - F.lit(ORIGIN)) / F.lit(cell_size(z))).cast("bigint")
+
+
+def tile_y(y_3857: Column, z: int) -> Column:
+    """Tile row index (slippy convention: y grows southward)."""
+    return F.floor((F.lit(-ORIGIN) - y_3857) / F.lit(cell_size(z))).cast("bigint")
+
+
+def cell_id(x_3857: Column, y_3857: Column, z: int) -> Column:
+    """Single 64-bit cell key: (tx << z_bits) | ty. Cheap to shuffle on."""
+    return (tile_x(x_3857, z) * F.lit(2 ** (z + 1)) + tile_y(y_3857, z)).cast("bigint")
+
+
+def tile_bounds_cols(z: Column | int, x: Column, y: Column):
+    """(xmin, ymin, xmax, ymax) EPSG:3857 box of tile z/x/y.
+
+    Bit-identical to the reference's Tile math (models.py:309-313).
+    """
+    zc = F.lit(z) if isinstance(z, int) else z
+    size = F.lit(WORLD) / F.pow(F.lit(2.0), zc.cast("double"))
+    xmin = F.lit(ORIGIN) + size * x
+    xmax = F.lit(ORIGIN) + size * (x + F.lit(1))
+    ymin = F.lit(-ORIGIN) - size * (y + F.lit(1))
+    ymax = F.lit(-ORIGIN) - size * y
+    return xmin, ymin, xmax, ymax
+
+
+def lonlat_to_mercator(lon: Column, lat: Column):
+    """EPSG:4326 -> EPSG:3857 (spherical Mercator), column arithmetic."""
+    x = F.lit(_R) * F.radians(lon)
+    y = F.lit(_R) * F.log(F.tan(F.lit(math.pi / 4.0) + F.radians(lat) / F.lit(2.0)))
+    return x, y
+
+
+def mercator_to_lonlat(x: Column, y: Column):
+    lon = F.degrees(x / F.lit(_R))
+    lat = F.degrees(F.lit(2.0) * F.atan(F.exp(y / F.lit(_R))) - F.lit(math.pi / 2.0))
+    return lon, lat
+
+
+def quadkey(tx: Column, ty: Column, z: int) -> Column:
+    """Bing-style quadkey string — a Z-order key usable for range pruning
+    and Iceberg sort orders (prefix = parent tile)."""
+    digits = []
+    for i in range(z, 0, -1):
+        mask = F.lit(2 ** (i - 1))
+        bx = F.when((tx.bitwiseAND(mask)) != 0, 1).otherwise(0)
+        by = F.when((ty.bitwiseAND(mask)) != 0, 2).otherwise(0)
+        digits.append((bx + by).cast("string"))
+    return F.concat(*digits)
+
+
+def k_ring_offsets(k: int) -> list[tuple[int, int]]:
+    """Square k-ring neighbourhood offsets (Chebyshev distance <= k)."""
+    return [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+
+
+def with_k_ring(df, tx_col: str, ty_col: str, k: int, out_tx: str = "ring_tx",
+                out_ty: str = "ring_ty"):
+    """Explode each row to its (2k+1)^2 neighbouring cells.
+
+    Used by the kNN name-match join: candidates are pairs sharing a ring
+    cell, so the expensive Levenshtein only runs inside neighbourhoods.
+    """
+    offsets = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+          for dx, dy in k_ring_offsets(k)]
+    )
+    df = df.withColumn("_off", F.explode(offsets))
+    return (
+        df.withColumn(out_tx, F.col(tx_col) + F.col("_off.dx"))
+        .withColumn(out_ty, F.col(ty_col) + F.col("_off.dy"))
+        .drop("_off")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Plain-python twins (used by the synthetic generator and in tests)
+# ---------------------------------------------------------------------------
+
+def py_tile_x(x: float, z: int) -> int:
+    return math.floor((x - ORIGIN) / cell_size(z))
+
+
+def py_tile_y(y: float, z: int) -> int:
+    return math.floor((-ORIGIN - y) / cell_size(z))
+
+
+def py_tile_bounds(z: int, x: int, y: int):
+    s = cell_size(z)
+    return (ORIGIN + s * x, -ORIGIN - s * (y + 1), ORIGIN + s * (x + 1), -ORIGIN - s * y)

@@ -1,0 +1,146 @@
+"""Cell-bucketed point-in-polygon join — the engine's workhorse.
+
+Replaces the reference's per-commune GIST spatial joins
+(`bano/sql/hsnr_insee_nocache.sql:19-24` and friends, SURVEY.md J1-J8)
+with a two-phase distributed plan:
+
+  prune:  polygons -> exploded slippy-cell cover (interior vs boundary
+          cells); points -> cell id; equi-join on the cell. The join is
+          broadcast when the cover is small (the usual case: covers are
+          a few cells per polygon at a well-chosen zoom), otherwise a
+          shuffled hash join, optionally salted for hot cells
+          (Paris-effect skew).
+  refine: only candidates on *boundary* cells run the exact numpy
+          ray-casting kernel inside an Arrow-batched UDF; interior-cell
+          candidates are already exact.
+
+At 100 TB this matters: the prune join shuffles only (cell, point)
+pairs, the refine step touches the small boundary fraction, and no
+geometry code runs on interior points at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..geo import geometry, tiles
+
+
+def polygon_cover(polygons: DataFrame, zoom: int, id_col: str = "poly_id",
+                  verts_col: str = "verts") -> DataFrame:
+    """Distributed polygon -> (id, tx, ty, interior) cell cover.
+
+    Runs the numpy rasterizer per polygon inside mapInPandas, so covers
+    of millions of polygons scale horizontally.
+    """
+    out_schema = T.StructType([
+        T.StructField(id_col, polygons.schema[id_col].dataType),
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("interior", T.BooleanType()),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, txs, tys, ints = [], [], [], []
+            for pid, verts in zip(pdf[id_col], pdf[verts_col]):
+                v = np.array([list(p) for p in verts], dtype=np.float64)
+                gx, gy, interior = geometry.cover_polygon(v, zoom)
+                ids.extend([pid] * len(gx))
+                txs.append(gx)
+                tys.append(gy)
+                ints.append(interior)
+            if not txs:
+                yield pd.DataFrame({id_col: [], "tx": [], "ty": [], "interior": []})
+                continue
+            yield pd.DataFrame({
+                id_col: ids,
+                "tx": np.concatenate(txs),
+                "ty": np.concatenate(tys),
+                "interior": np.concatenate(ints),
+            })
+
+    return polygons.select(id_col, verts_col).mapInPandas(gen, out_schema)
+
+
+def spatial_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    *,
+    x: str = "x",
+    y: str = "y",
+    id_col: str = "poly_id",
+    verts_col: str = "verts",
+    zoom: int = 10,
+    broadcast: bool | None = None,
+    salt: int | None = None,
+) -> DataFrame:
+    """Inner join of points to containing polygons.
+
+    Returns the point columns plus all polygon columns except the ring.
+    ``broadcast=None`` auto-chooses: broadcast the cover + a vertex dict
+    when the polygon side is small (the 35k-commune case nationally),
+    shuffle otherwise. ``salt`` replicates the cover N ways and spreads
+    hot cells' points across N shuffle partitions — output-invariant.
+    """
+    spark = points.sparkSession
+    cover = polygon_cover(polygons, zoom, id_col, verts_col)
+
+    pts = points.withColumn("_tx", tiles.tile_x(F.col(x), zoom)).withColumn(
+        "_ty", tiles.tile_y(F.col(y), zoom)
+    )
+
+    if broadcast is None:
+        broadcast = polygons.count() <= 100_000
+
+    if broadcast:
+        cover_j = F.broadcast(cover.withColumnRenamed("tx", "_tx").withColumnRenamed("ty", "_ty"))
+        cand = pts.join(cover_j, ["_tx", "_ty"])
+    else:
+        cov = cover.withColumnRenamed("tx", "_tx").withColumnRenamed("ty", "_ty")
+        if salt and salt > 1:
+            salts = F.array(*[F.lit(i) for i in range(salt)])
+            cov = cov.withColumn("_salt", F.explode(salts))
+            pts = pts.withColumn(
+                "_salt", F.pmod(F.xxhash64(F.col(x), F.col(y)), F.lit(salt)).cast("int")
+            )
+            cand = pts.join(cov, ["_tx", "_ty", "_salt"]).drop("_salt")
+        else:
+            cand = pts.join(cov, ["_tx", "_ty"])
+
+    # exact refine on boundary cells only
+    easy = cand.filter(F.col("interior")).drop("interior", "_tx", "_ty")
+    hard = cand.filter(~F.col("interior")).drop("interior", "_tx", "_ty")
+
+    vert_map = {
+        r[0]: np.array([list(p) for p in r[1]], dtype=np.float64)
+        for r in polygons.select(id_col, verts_col).collect()
+    }
+    bc = spark.sparkContext.broadcast(vert_map)
+    schema = hard.schema
+
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf[x].to_numpy(dtype=np.float64)
+            py = pdf[y].to_numpy(dtype=np.float64)
+            for pid in pdf[id_col].unique():
+                m = (pdf[id_col] == pid).to_numpy()
+                keep[m] = geometry.points_in_polygon(px[m], py[m], bc.value[pid])
+            yield pdf[keep]
+
+    refined = hard.mapInPandas(refine, schema)
+    out = easy.unionByName(refined)
+    poly_attrs = [c for c in polygons.columns if c not in (verts_col,)]
+    attrs = polygons.select(*poly_attrs)
+    # cover rows already carry only the id; re-attach remaining attributes
+    extra = [c for c in poly_attrs if c != id_col]
+    if extra:
+        out = out.join(F.broadcast(attrs) if broadcast else attrs, id_col)
+    return out

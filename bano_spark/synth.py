@@ -1,0 +1,161 @@
+"""Deterministic synthetic geography + point derivation.
+
+Per FIXTURES.md ("Synthetic geography"): a seeded grid of communes in
+two fake departements plus one Paris-like commune made of 9
+arrondissements (admin_level 9) drawing ~37% of all points — the skew
+case. Everything lives natively in EPSG:3857 meters and every derived
+value is produced by integer arithmetic followed by exact double
+conversions, so the Spark pipeline and the DuckDB oracle compute
+bit-identical coordinates from the same table (`events`).
+
+The same constants emit both the Spark DataFrames and the oracle SQL
+text — one source of truth, zero drift.
+
+Commune layout (x strips, all sharing one y band):
+
+    01001..01005   dept 01, admin_level 8, slots 0..4
+    02001..02005   dept 02, admin_level 8, slots 5..9  (02005 is 'IMAG')
+    75056          level 8 umbrella over slots 10..18 (excluded from
+                   tiling per the reference's NOT IN list,
+                   bano/models.py:346)
+    75101..75109   level 9 arrondissements, slots 10..18
+    02099          level 8, off-grid commune that receives no points
+"""
+
+from __future__ import annotations
+
+REG0 = 1000003.0  # x origin (odd offset: keeps edges off tile boundaries)
+REGY0 = 2000003.0  # y origin of the point band
+CY0 = REGY0 - 3.0  # commune band ymin
+CY1 = REGY0 + 9503.0  # commune band ymax
+W = 10000.0  # commune strip width
+PARIS0 = REG0 + 10 * W
+
+# (insee_com, dept, admin_level, xmin, ymin, xmax, ymax, format_cadastre)
+COMMUNES: list[tuple[str, str, int, float, float, float, float, str]] = (
+    [
+        (f"0100{i + 1}", "01", 8, REG0 + i * W, CY0, REG0 + (i + 1) * W, CY1, "VECT")
+        for i in range(5)
+    ]
+    + [
+        (f"0200{i + 1}", "02", 8, REG0 + (5 + i) * W, CY0, REG0 + (6 + i) * W, CY1,
+         "IMAG" if i == 4 else "VECT")
+        for i in range(5)
+    ]
+    + [("75056", "75", 8, PARIS0, CY0, PARIS0 + 9 * W, CY1, "VECT")]
+    + [
+        (f"7510{i + 1}", "75", 9, PARIS0 + i * W, CY0, PARIS0 + (i + 1) * W, CY1, "VECT")
+        for i in range(9)
+    ]
+    + [("02099", "02", 8, REG0 - 2 * W, CY0, REG0 - W, CY1, "VECT")]
+)
+
+# Nested postal polygons; `area_rank` is derived from area (smallest wins,
+# replacing the reference's insertion-order serial id — SURVEY.md §4).
+# (code_postal, xmin, ymin, xmax, ymax)
+POSTAL: list[tuple[str, float, float, float, float]] = [
+    ("01000", REG0, CY0, REG0 + 3 * W, CY1),
+    ("01210", REG0 + 12000.0, REGY0 + 1000.0, REG0 + 15000.0, REGY0 + 4000.0),
+    ("02000", REG0 + 5 * W, CY0, REG0 + 10 * W, CY1),
+    ("75000", PARIS0, CY0, PARIS0 + 9 * W, CY1),
+]
+
+# Street-name vocabulary used by name-derivation queries: raw -> the
+# reference normalize() output (goldens checked in tests/test_normalize.py).
+STREETS: list[tuple[str, str]] = [
+    ("Boulevard de Sébastopol", "BD SEBASTOPOL"),
+    ("Rue du Général Leclerc", "RUE GAL LECLERC"),
+    ("Avenue des Champs-Élysées", "AV CHAMPS ELYSEES"),
+    ("Place de l'Église", "PL EGLISE"),
+    ("Impasse du 8 Mai 1945", "IMP HUIT MAI UNNEUFQUATRECINQ"),
+    ("Chemin de la Fontaine", "CHE FONTAINE"),
+    ("Route Nationale 7", "RTE NATIONALE SEPT"),
+    ("Allée des Acacias", "ALL ACACIAS"),
+    ("Grande Rue", "GR RUE"),
+    ("Quai Saint-Vincent", "QUAI ST VINCENT"),
+    ("Rue du Docteur Schweitzer", "RUE DOC SCHWEITZER"),
+    ("Square Louis XIV", "SQ LOUIS UNQUATRE"),
+]
+
+
+def _ii(v: float) -> str:
+    """Exact SQL literal for our integer-valued doubles."""
+    return repr(v)
+
+
+def communes_values_sql() -> str:
+    rows = ",\n    ".join(
+        f"('{c[0]}','{c[1]}',{c[2]},{_ii(c[3])},{_ii(c[4])},{_ii(c[5])},{_ii(c[6])},'{c[7]}')"
+        for c in COMMUNES
+    )
+    return (
+        "(VALUES\n    " + rows +
+        ") AS c(insee_com, dept, admin_level, xmin, ymin, xmax, ymax, format_cadastre)"
+    )
+
+
+def postal_values_sql() -> str:
+    rows = ",\n    ".join(
+        f"('{p[0]}',{_ii(p[1])},{_ii(p[2])},{_ii(p[3])},{_ii(p[4])})" for p in POSTAL
+    )
+    return "(VALUES\n    " + rows + ") AS pp(code_postal, xmin, ymin, xmax, ymax)"
+
+
+def points_select_sql(dialect: str, events: str = "events") -> str:
+    """SELECT deriving one deterministic EPSG:3857 point per event row.
+
+    Identical integer arithmetic in Spark SQL and DuckDB; the only
+    dialect difference is the integer-division operator.
+    """
+    d = " div " if dialect == "spark" else " // "
+    return f"""
+SELECT event_id,
+       CASE WHEN u % 16 < 10
+            THEN {REG0!r} + (u % 16) * {W!r}
+            ELSE {PARIS0!r} + ((u{d}16) % 9) * {W!r}
+       END + ((u{d}144) % 9000) + 0.5 AS x,
+       {REGY0!r} + ((u{d}1296000) % 9000) + 0.25 AS y
+FROM (SELECT event_id, (event_id * 2654435761) % 2147483648 AS u FROM {events})
+"""
+
+
+def communes_df(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("insee_com", T.StringType()),
+        T.StructField("dept", T.StringType()),
+        T.StructField("admin_level", T.IntegerType()),
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+        T.StructField("format_cadastre", T.StringType()),
+    ])
+    return spark.createDataFrame([tuple(c) for c in COMMUNES], schema)
+
+
+def commune_polygons_df(spark):
+    """Communes as generic polygons (closed rings) for the spatial-join
+    engine path — rectangles here, but the engine treats them as
+    arbitrary rings."""
+    from pyspark.sql import types as T
+
+    rows = []
+    for c in COMMUNES:
+        insee, dept, lvl, x0, y0, x1, y1, fmt = c
+        ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        rows.append((insee, dept, lvl, ring))
+    schema = T.StructType([
+        T.StructField("insee_com", T.StringType()),
+        T.StructField("dept", T.StringType()),
+        T.StructField("admin_level", T.IntegerType()),
+        T.StructField("verts", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def points_df(spark, sf_dir: str):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.createOrReplaceTempView("events")
+    return spark.sql(points_select_sql("spark"))
