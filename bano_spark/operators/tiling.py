@@ -1,0 +1,87 @@
+"""Tile-expiry -> commune assignment (the reference's incremental path).
+
+Reproduces `bano/models.py:305-360` + `update_manager.py:26-33`:
+expired z16 tiles (text lines ``z/x/y``) are converted to EPSG:3857
+boxes and spatially matched to commune polygons, with the reference's
+admin-level special-casing: level-8 communes except the three
+arrondissement cities ('13055','69123','75056'), UNION level-9 polygons
+whose INSEE matches the arrondissement patterns 132__/6938_/751__.
+
+Spark-first design: instead of a geometry join, commune polygons are
+rasterized once onto the z16 grid (polygon_cover) and the "join" is a
+cell equi-join tile(x,y) = cover(x,y) — the raster<->vector stage of
+the north rule. The cover is tiny relative to the data (bounded by
+commune area / tile area) and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..geo import tiles
+from .pip_join import polygon_cover
+
+EXCLUDED_LEVEL8 = ("13055", "69123", "75056")  # models.py:346
+ARRONDISSEMENT_PATTERNS = ("132__", "6938_", "751__")  # models.py:355-357
+
+
+def parse_tile_lines(df: DataFrame, col: str = "value") -> DataFrame:
+    """Text lines ``z/x/y`` -> (z, x, y) ints (models.py:322-325)."""
+    p = F.split(F.col(col), "/")
+    return df.select(
+        p.getItem(0).cast("int").alias("z"),
+        p.getItem(1).cast("bigint").alias("x"),
+        p.getItem(2).cast("bigint").alias("y"),
+    )
+
+
+def tile_boxes(df: DataFrame) -> DataFrame:
+    """Attach the EPSG:3857 box of each z/x/y tile, with the reference's
+    int truncation of box coordinates (models.py:328 uses int(xmin);
+    our region is in the positive quadrant so floor == int)."""
+    xmin, ymin, xmax, ymax = tiles.tile_bounds_cols(F.col("z"), F.col("x"), F.col("y"))
+    return df.select(
+        "z", "x", "y",
+        F.floor(xmin).cast("double").alias("xmin"),
+        F.floor(ymin).cast("double").alias("ymin"),
+        F.floor(xmax).cast("double").alias("xmax"),
+        F.floor(ymax).cast("double").alias("ymax"),
+    )
+
+
+def eligible_communes(communes: DataFrame, insee: str = "insee_com",
+                      level: str = "admin_level") -> DataFrame:
+    """The reference's level-8-minus-cities ∪ level-9-arrondissements
+    commune universe for tile assignment (models.py:339-359)."""
+    lvl8 = (
+        (F.col(level) == 8)
+        & ~F.col(insee).isin(*EXCLUDED_LEVEL8)
+        & (F.coalesce(F.col(insee), F.lit("")) != "")
+    )
+    lvl9 = (F.col(level) == 9) & (
+        F.col(insee).like(ARRONDISSEMENT_PATTERNS[0])
+        | F.col(insee).like(ARRONDISSEMENT_PATTERNS[1])
+        | F.col(insee).like(ARRONDISSEMENT_PATTERNS[2])
+    )
+    return communes.filter(lvl8 | lvl9)
+
+
+def expired_tiles_to_insee(tiles_df: DataFrame, commune_polys: DataFrame,
+                           zoom: int = tiles.DEFAULT_ZOOM,
+                           insee: str = "insee_com") -> DataFrame:
+    """Distinct sorted INSEE list of communes touched by expired tiles.
+
+    ``tiles_df`` has (z, x, y) at ``zoom``; ``commune_polys`` has
+    (insee_com, admin_level, verts). Equi-join on the rasterized cover —
+    no geometry code in the join itself.
+    """
+    polys = eligible_communes(commune_polys, insee)
+    cover = polygon_cover(polys, zoom, id_col=insee)  # (insee, tx, ty, interior)
+    out = (
+        tiles_df.filter(F.col("z") == zoom)
+        .join(F.broadcast(cover), (F.col("x") == F.col("tx")) & (F.col("y") == F.col("ty")))
+        .select(insee)
+        .distinct()
+        .orderBy(insee)
+    )
+    return out
