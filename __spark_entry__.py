@@ -263,6 +263,549 @@ def q_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q07 — full multi-source conciliation (J9/W3/A1/C3/F6): the reference's
+# export_csv_dept.sql as a DataFrame pipeline vs a literal SQL mirror.
+# The derived cumul_adresses input makes every attribute a function of
+# the join key (fantoir, num, source) so duplicates are exact and the
+# dedup window is deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+def _street_sql(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {expr} % {len(synth.STREETS)} = {i} THEN '{s[0].replace(chr(39), chr(39)*2)}'"
+        for i, s in enumerate(synth.STREETS))
+    return f"CASE {whens} END"
+
+
+def _cumul_cte(cast: str) -> str:
+    """Derived cumul_adresses rows from `orders` — identical text for
+    Spark SQL and DuckDB except the string cast type name."""
+    insee = "CASE " + " ".join(
+        f"WHEN o_custkey % 10 = {i} THEN '{synth.COMMUNES[i][0]}'" for i in range(10)
+    ) + " END"
+    numero = _num_case("nidx")
+    return f"""
+base AS (
+  SELECT o_orderkey, o_custkey,
+         {insee} AS insee_com,
+         o_custkey % 40 AS k1,
+         o_orderkey % {len(_NUMS)} AS nidx,
+         o_orderkey % 3 AS sidx
+  FROM orders
+),
+cumul AS (
+  SELECT insee_com,
+         substring(insee_com, 1, 2) AS dept,
+         CASE WHEN o_orderkey % 23 = 0 THEN NULL
+              ELSE insee_com || lpad(CAST(k1 AS {cast}), 4, '0') END AS fantoir,
+         CASE sidx WHEN 0 THEN 'OSM' WHEN 1 THEN 'BAL' ELSE 'BAN' END AS source,
+         {numero} AS numero,
+         CASE WHEN (k1 + nidx) % 11 = 0 THEN NULL
+              ELSE {_street_sql('(k1 + nidx + sidx)')} END AS voie_osm,
+         CASE (k1 + nidx + sidx) % 4
+              WHEN 0 THEN 'Voie Autre ' || CAST(k1 AS {cast})
+              WHEN 1 THEN ''
+              WHEN 2 THEN NULL
+              ELSE {_street_sql('(k1 + nidx + sidx)')} END AS voie_autre,
+         CASE WHEN k1 % 3 = 0 THEN NULL
+              ELSE '0' || CAST(1000 + k1 AS {cast}) END AS code_postal,
+         CASE WHEN sidx != 0 AND o_orderkey % 17 = 0 THEN 0.0
+              ELSE 1000.0 + k1 * 16.0 + nidx + sidx * 0.25 END AS lon,
+         CASE WHEN sidx != 0 AND o_orderkey % 19 = 0 THEN 0.0
+              ELSE 2000.0 + k1 * 16.0 + nidx + sidx * 0.25 END AS lat
+  FROM base
+)"""
+
+
+def _canon_sql(col: str) -> str:
+    return ("replace(replace(replace(replace(replace(replace(replace(replace("
+            f"regexp_replace(upper({col}), '^0*', ''),"
+            "'BIS','B'),'TER','T'),'QUATER','Q'),'QUAT','Q'),' ',''),"
+            "'à','-'),';',','),'\"','')")
+
+
+_Q07_ORACLE = f"""
+WITH {_cumul_cte('VARCHAR')},
+u AS (SELECT insee_com, fantoir, {_canon_sql('numero')} AS num
+      FROM cumul WHERE fantoir IS NOT NULL GROUP BY 1, 2, 3),
+o AS (SELECT *, {_canon_sql('numero')} AS num FROM cumul WHERE source = 'OSM'),
+od AS (SELECT *, {_canon_sql('numero')} AS num FROM cumul
+       WHERE source = 'BAL' AND lon != 0 AND lat != 0),
+c AS (SELECT *, {_canon_sql('numero')} AS num FROM cumul
+      WHERE source = 'BAN' AND lon != 0 AND lat != 0),
+res AS (
+  SELECT u.fantoir || '-' || u.num AS id,
+         upper(replace(coalesce(o.numero, od.numero, c.numero), ' ', '')) AS numero,
+         replace(replace(replace(
+           coalesce(replace(o.voie_osm, '’', chr(39)), replace(od.voie_osm, '’', chr(39)),
+                    replace(c.voie_osm, '’', chr(39)), od.voie_autre, c.voie_autre),
+           '"', chr(39)), ', ', ' '), ',', ' ') AS voie,
+         coalesce(o.code_postal, c.code_postal) AS code_post,
+         CAST(NULL AS VARCHAR) AS ville,
+         CASE WHEN u.num = o.num THEN 'OSM'
+              WHEN u.num = od.num AND od.voie_osm != od.voie_autre
+                   AND od.voie_osm IS NOT NULL THEN 'O+O'
+              WHEN u.num = od.num THEN 'OD'
+              WHEN c.voie_osm != '' THEN 'C+O'
+              ELSE 'CAD' END AS source,
+         coalesce(o.lat, od.lat, c.lat) AS lat,
+         coalesce(o.lon, od.lon, c.lon) AS lon
+  FROM u
+  LEFT JOIN o ON u.num = o.num AND u.fantoir = o.fantoir
+  LEFT JOIN od ON od.num = u.num AND od.fantoir = u.fantoir
+  LEFT JOIN c ON c.num = u.num AND c.fantoir = u.fantoir
+  WHERE u.num > '0'
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY numero) AS seq
+  FROM res
+  WHERE lat IS NOT NULL AND lon IS NOT NULL
+    AND regexp_matches(numero, '^[0-9]{{1,4}}( ?[A-Z]?.*)?')
+    AND numero != '99999'
+    AND NOT regexp_matches(numero, '.[0-9 .-]{{9,}}')
+)
+SELECT id, numero, voie, code_post, ville, source, lat, lon
+FROM ranked WHERE seq = 1 ORDER BY id
+"""
+
+
+@register("conciliation_export", _Q07_ORACLE)
+def q_conciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    cumul = spark.sql("WITH " + _cumul_cte("STRING") + " SELECT * FROM cumul")
+    return conc.conciliate(cumul)
+
+
+# ---------------------------------------------------------------------------
+# q08 — kNN name match within cell k-ring (north-rule generalization of J11)
+# ---------------------------------------------------------------------------
+
+_KZ = 13
+_KCELL = tiles.cell_size(_KZ)
+_NORM_CASE_STREETS = [s[1] for s in synth.STREETS]
+
+
+def _norm_street_case(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {expr} % {len(_NORM_CASE_STREETS)} = {i} THEN '{n}'"
+        for i, n in enumerate(_NORM_CASE_STREETS))
+    return f"CASE {whens} END"
+
+
+_Q08_ORACLE = f"""
+WITH lpts AS ({synth.points_select_sql('duckdb', 'events', 'event_id', 0)}),
+rpts AS ({synth.points_select_sql('duckdb', 'supplier', 's_suppkey', 7)}),
+l AS (
+  SELECT event_id,
+         CAST(floor((x - ({tiles.ORIGIN!r})) / {_KCELL!r}) AS BIGINT) AS tx,
+         CAST(floor(({-tiles.ORIGIN!r} - y) / {_KCELL!r}) AS BIGINT) AS ty,
+         {_norm_street_case('event_id')} ||
+           CASE WHEN event_id % 5 = 0 THEN ' X' ELSE '' END AS name_norm
+  FROM lpts
+),
+r AS (
+  SELECT s_suppkey,
+         CAST(floor((x - ({tiles.ORIGIN!r})) / {_KCELL!r}) AS BIGINT) AS tx,
+         CAST(floor(({-tiles.ORIGIN!r} - y) / {_KCELL!r}) AS BIGINT) AS ty,
+         {_norm_street_case('s_suppkey')} AS name_norm
+  FROM rpts
+)
+SELECT l.event_id, r.s_suppkey, levenshtein(l.name_norm, r.name_norm) AS lev
+FROM l JOIN r
+  ON abs(l.tx - r.tx) <= 1 AND abs(l.ty - r.ty) <= 1
+WHERE levenshtein(l.name_norm, r.name_norm) <= 2
+ORDER BY 1, 2
+"""
+
+
+@register("knn_name_match", _Q08_ORACLE)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.knn_join import knn_name_match
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    left = spark.sql(synth.points_select_sql("spark", "events", "event_id", 0)).withColumn(
+        "name_norm",
+        F.expr(_norm_street_case("event_id")
+               + " || CASE WHEN event_id % 5 = 0 THEN ' X' ELSE '' END"))
+    right = spark.sql(synth.points_select_sql("spark", "supplier", "s_suppkey", 7)).withColumn(
+        "name_norm", F.expr(_norm_street_case("s_suppkey")))
+    right = right.withColumnRenamed("name_norm", "r_name_norm")
+    m = knn_name_match(left, right, zoom=_KZ, k=1,
+                       left_name="name_norm", right_name="r_name_norm", max_dist=2)
+    return m.select("event_id", "s_suppkey", "lev").orderBy("event_id", "s_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# q09 — postal-polygon containment, smallest polygon wins (J7/W5)
+# ---------------------------------------------------------------------------
+
+_Q09_ORACLE = f"""
+WITH {_pts_cte('duckdb')},
+hits AS (
+  SELECT p.event_id, pp.code_postal,
+         (pp.xmax - pp.xmin) * (pp.ymax - pp.ymin) AS area
+  FROM pts p
+  JOIN {synth.postal_values_sql()}
+    ON p.x >= pp.xmin AND p.x < pp.xmax AND p.y >= pp.ymin AND p.y < pp.ymax
+)
+SELECT event_id, code_postal
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                   ORDER BY area, code_postal) AS rnk FROM hits)
+WHERE rnk = 1
+ORDER BY event_id
+"""
+
+
+@register("postal_smallest_polygon", _Q09_ORACLE)
+def q_postal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _spark_points(spark, sf_dir)
+    pp = synth.postal_polygons_df(spark)
+    hits = spatial_join(pts, pp, id_col="code_postal", zoom=12)
+    w = Window.partitionBy("event_id").orderBy("area", "code_postal")
+    return (
+        hits.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("event_id", "code_postal")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — per-commune bbox aggregate (A8: ST_Extent GROUP BY insee)
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+WITH {_pts_cte('duckdb')}
+SELECT c.insee_com,
+       min(p.x) AS bxmin, min(p.y) AS bymin, max(p.x) AS bxmax, max(p.y) AS bymax
+FROM pts p
+JOIN {synth.communes_values_sql()}
+  ON p.x >= c.xmin AND p.x < c.xmax AND p.y >= c.ymin AND p.y < c.ymax
+WHERE c.admin_level = 8
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("bbox_per_commune", _Q10_ORACLE)
+def q_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _spark_points(spark, sf_dir)
+    polys = synth.commune_polygons_df(spark).filter(F.col("admin_level") == 8)
+    joined = spatial_join(pts, polys, id_col="insee_com", zoom=12)
+    return (
+        joined.groupBy("insee_com")
+        .agg(F.min("x").alias("bxmin"), F.min("y").alias("bymin"),
+             F.max("x").alias("bxmax"), F.max("y").alias("bymax"))
+        .orderBy("insee_com")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — departement from INSEE (C9) incl. overseas 97x rule
+# ---------------------------------------------------------------------------
+
+_INSEES = ["01001", "02005", "75056", "97123", "97411", "13055", "2A004", "69123"]
+_INSEE_CASE = "CASE " + " ".join(
+    f"WHEN c_custkey % {len(_INSEES)} = {i} THEN '{v}'" for i, v in enumerate(_INSEES)
+) + " END"
+
+_Q11_ORACLE = f"""
+SELECT c_custkey, insee,
+       CASE WHEN substr(insee, 1, 2) = '97' THEN substr(insee, 1, 3)
+            ELSE substr(insee, 1, 2) END AS dept
+FROM (SELECT c_custkey, {_INSEE_CASE} AS insee FROM customer)
+ORDER BY c_custkey
+"""
+
+
+@register("dept_from_insee", _Q11_ORACLE)
+def q_dept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.functions.codes import dept_from_insee
+
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        cust.select("c_custkey", F.expr(_INSEE_CASE).alias("insee"))
+        .withColumn("dept", dept_from_insee(F.col("insee")))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — commune importance score (M1; PG log == log10)
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT c_custkey,
+       greatest(0.075, round(log10((1 + c_custkey % 5)
+                + log10(((c_custkey * 37) % 100000) + 1) / 3), 4)) AS importance
+FROM customer ORDER BY c_custkey
+"""
+
+
+@register("importance_commune", _Q12_ORACLE)
+def q_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    adm = (F.lit(1) + F.col("c_custkey") % 5).cast("double")
+    pop = ((F.col("c_custkey") * 37) % 100000).cast("double")
+    imp = F.greatest(F.lit(0.075), F.round(F.log10(adm + F.log10(pop + 1) / 3), 4))
+    return cust.select("c_custkey", imp.alias("importance")).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q13 — FANTOIR fixed-width parse (S6/C13), reference substr offsets
+# ---------------------------------------------------------------------------
+
+def _fantoir_line_sql(cast: str) -> str:
+    """Raw fixed-width line built from orders (positions per
+    load_fantoir.sql; mirrors sources.fantoir.fantoir_raw_line_expr)."""
+    insee = "CASE " + " ".join(
+        f"WHEN o_custkey % 10 = {i} THEN '{synth.COMMUNES[i][0]}'" for i in range(10)
+    ) + " END"
+    return f"""
+SELECT substr(insee, 1, 2) || '0' || substr(insee, 3, 3)
+    || lpad(CAST(o_orderkey % 50 AS {cast}), 4, '0')
+    || CAST(o_orderkey % 10 AS {cast})
+    || rpad(CASE o_orderkey % 4 WHEN 0 THEN 'RUE' WHEN 1 THEN 'BD'
+            WHEN 2 THEN 'AV' ELSE 'CHE' END, 4, ' ')
+    || rpad('LIBELLE ' || CAST(o_custkey % 97 AS {cast}), 26, ' ')
+    || rpad('', 7, ' ') || 'N' || ' ' || '0' || ' ' || rpad('', 7, ' ')
+    || lpad('0', 7, '0') || lpad('0', 7, '0')
+    || (CASE WHEN o_orderkey % 11 = 0 THEN 'O' ELSE ' ' END)
+    || rpad('', 7, '0') || '1987001' || rpad('', 15, ' ') || 'A1B2C'
+    || (CASE o_orderkey % 3 WHEN 0 THEN '1' WHEN 1 THEN '3' ELSE 'B' END)
+    || (CASE WHEN o_orderkey % 2 = 0 THEN '1' ELSE '0' END)
+    || '  ' || rpad('MOT', 8, ' ') AS raw
+FROM (SELECT o_orderkey, o_custkey, {insee} AS insee FROM orders)
+"""
+
+
+_Q13_ORACLE = f"""
+WITH lines AS ({_fantoir_line_sql('VARCHAR')})
+SELECT CASE WHEN substr(raw,1,2) = '97' THEN substr(raw,1,2) || substr(raw,4,1)
+            ELSE substr(raw,1,2) END AS code_dept,
+       substr(raw,1,2) || substr(raw,4,3) AS code_insee,
+       substr(raw,7,4) AS id_voie,
+       substr(raw,1,2) || substr(raw,4,3) || substr(raw,7,4) AS fantoir,
+       substr(raw,1,2) || substr(raw,4,3) || substr(raw,7,4) || substr(raw,11,1) AS fantoir10,
+       substr(raw,11,1) AS cle_rivoli,
+       rtrim(substr(raw,12,4)) AS nature_voie,
+       rtrim(substr(raw,16,26)) AS libelle_voie,
+       substr(raw,109,1) AS type_voie,
+       substr(raw,74,1) AS caractere_annul,
+       substr(raw,110,1) AS ld_bati,
+       CAST(substr(raw,60,7) AS INTEGER) AS pop_a_part
+FROM lines
+WHERE NOT raw LIKE '______ %' AND NOT raw LIKE '___ %'
+"""
+
+
+@register("fantoir_fixed_width", _Q13_ORACLE)
+def q_fantoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.sources.fantoir import parse_fantoir
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    lines = spark.sql(_fantoir_line_sql("STRING"))
+    return parse_fantoir(lines).select(
+        "code_dept", "code_insee", "id_voie", "fantoir", "fantoir10", "cle_rivoli",
+        "nature_voie", "libelle_voie", "type_voie", "caractere_annul", "ld_bati",
+        "pop_a_part")
+
+
+# ---------------------------------------------------------------------------
+# q14 — ordered string_agg (A3: reproducing the exact aggregation order)
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT insee_com, string_agg(val, '#' ORDER BY val) AS numeros
+FROM (
+  SELECT CASE {' '.join(f"WHEN o_custkey % 10 = {i} THEN '{synth.COMMUNES[i][0]}'" for i in range(10))} END AS insee_com,
+         lpad(CAST((o_orderkey * 7) % 997 AS VARCHAR), 4, '0') || '$'
+           || CAST(o_orderkey % 100 AS VARCHAR) AS val
+  FROM orders
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("string_agg_ordered", _Q14_ORACLE)
+def q_stragg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    insee = F.expr("CASE " + " ".join(
+        f"WHEN o_custkey % 10 = {i} THEN '{synth.COMMUNES[i][0]}'" for i in range(10)
+    ) + " END")
+    val = F.concat(
+        F.lpad(((F.col("o_orderkey") * 7) % 997).cast("string"), 4, "0"),
+        F.lit("$"), (F.col("o_orderkey") % 100).cast("string"))
+    return (
+        orders.select(insee.alias("insee_com"), val.alias("val"))
+        .groupBy("insee_com")
+        .agg(F.concat_ws("#", F.sort_array(F.collect_list("val"))).alias("numeros"))
+        .orderBy("insee_com")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — adm_weight (A9: max over unioned admin levels)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+SELECT insee_key, max(statut) AS adm_weight FROM (
+  SELECT n_nationkey AS insee_key, 1 AS statut FROM nation
+  UNION ALL SELECT n_nationkey, 2 FROM nation WHERE n_nationkey % 2 = 0
+  UNION ALL SELECT n_nationkey, 3 FROM nation WHERE n_nationkey % 3 = 0
+  UNION ALL SELECT n_nationkey, 4 FROM nation WHERE n_nationkey % 5 = 0
+  UNION ALL SELECT n_nationkey, 5 FROM nation WHERE n_nationkey % 7 = 0
+) GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("adm_weight", _Q15_ORACLE)
+def q_adm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _read(spark, sf_dir, "nation")
+    branches = [n.select(F.col("n_nationkey").alias("insee_key"), F.lit(1).alias("statut"))]
+    for lvl, mod in ((2, 2), (3, 3), (4, 5), (5, 7)):
+        branches.append(
+            n.filter(F.col("n_nationkey") % mod == 0)
+            .select(F.col("n_nationkey").alias("insee_key"), F.lit(lvl).alias("statut")))
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionByName(b)
+    return u.groupBy("insee_key").agg(F.max("statut").alias("adm_weight")).orderBy("insee_key")
+
+
+# ---------------------------------------------------------------------------
+# q16 — rep_b_as_bis (U4: EXCEPT-with-distinct set logic)
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+WITH ban AS (
+  SELECT 'F' || CAST(l_orderkey AS VARCHAR) AS id_fantoir,
+         CAST(l_linenumber % 3 AS VARCHAR) AS numero,
+         CASE l_suppkey % 5 WHEN 0 THEN 'a' WHEN 1 THEN 'b' WHEN 2 THEN 'c'
+              WHEN 3 THEN 'd' ELSE '' END AS rep
+  FROM lineitem
+)
+SELECT id_fantoir, numero FROM ban WHERE rep = 'b'
+EXCEPT
+SELECT id_fantoir, numero FROM ban WHERE rep IN ('a', 'c', 'd')
+ORDER BY 1, 2
+"""
+
+
+@register("rep_b_as_bis", _Q16_ORACLE)
+def q_repbis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.ban import rep_b_as_bis
+
+    li = _read(spark, sf_dir, "lineitem")
+    rep = F.expr("CASE l_suppkey % 5 WHEN 0 THEN 'a' WHEN 1 THEN 'b' WHEN 2 THEN 'c'"
+                 " WHEN 3 THEN 'd' ELSE '' END")
+    ban = li.select(
+        F.concat(F.lit("F"), F.col("l_orderkey").cast("string")).alias("id_fantoir"),
+        (F.col("l_linenumber") % 3).cast("string").alias("numero"),
+        rep.alias("rep"))
+    return rep_b_as_bis(ban).orderBy("id_fantoir", "numero")
+
+
+# ---------------------------------------------------------------------------
+# q17 — source-priority window (W4: literal sort table + row_number)
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = f"""
+WITH {_cumul_cte('VARCHAR')},
+prio AS (SELECT * FROM (VALUES ('OSM', 1), ('BAL', 2), ('BAN', 3)) p(source, sortnum)),
+rows_p AS (
+  SELECT c.fantoir, {_canon_sql('c.numero')} AS num, c.source, p.sortnum
+  FROM cumul c JOIN prio p ON p.source = c.source
+  WHERE c.fantoir IS NOT NULL
+)
+SELECT fantoir, num, source AS best_source FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fantoir, num
+                               ORDER BY sortnum, source) AS rn
+  FROM (SELECT DISTINCT fantoir, num, source, sortnum FROM rows_p)
+) WHERE rn = 1
+ORDER BY fantoir, num
+"""
+
+
+@register("source_priority_window", _Q17_ORACLE)
+def q_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    cumul = spark.sql("WITH " + _cumul_cte("STRING") + " SELECT * FROM cumul")
+    prio = spark.createDataFrame([("OSM", 1), ("BAL", 2), ("BAN", 3)], ["source", "sortnum"])
+    rows_p = (
+        cumul.filter(F.col("fantoir").isNotNull())
+        .select("fantoir", conc.canonical_num(F.col("numero")).alias("num"), "source")
+        .join(F.broadcast(prio), "source")
+        .distinct()
+    )
+    w = Window.partitionBy("fantoir", "num").orderBy("sortnum", "source")
+    return (
+        rows_p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fantoir", "num", F.col("source").alias("best_source"))
+        .orderBy("fantoir", "num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — hamlet-suffix detection (A10)
+# ---------------------------------------------------------------------------
+
+_SUF_A = ["FLEURS", "LILAS", "ROSES", "PINS", "CHENES", "ORMES", "TILLEULS"]
+_SUF_H = ["LE CRES", "LA COTE", "BELLEVUE"]
+
+
+def _suffix_names_sql(cast: str) -> str:
+    insee = "CASE " + " ".join(
+        f"WHEN o_custkey % 4 = {i} THEN '{synth.COMMUNES[i][0]}'" for i in range(4)
+    ) + " END"
+    a = "CASE " + " ".join(
+        f"WHEN o_orderkey % {len(_SUF_A)} = {i} THEN '{w}'" for i, w in enumerate(_SUF_A)
+    ) + " END"
+    h = "CASE " + " ".join(
+        f"WHEN o_custkey % {len(_SUF_H)} = {i} THEN '{w}'" for i, w in enumerate(_SUF_H)
+    ) + " END"
+    return f"""
+SELECT {insee} AS insee_com,
+       CASE WHEN o_orderkey % 3 = 0
+            THEN 'RUE DES ' || {a} || ' ' || {h}
+            ELSE 'RUE ' || CAST(o_orderkey % 200 AS {cast}) || ' DES ' || {a}
+       END AS name
+FROM orders
+"""
+
+
+_Q18_ORACLE = f"""
+WITH names AS ({_suffix_names_sql('VARCHAR')}),
+d AS (SELECT DISTINCT insee_com, name FROM names),
+toks AS (SELECT insee_com, name, string_split(name, ' ') AS t FROM d),
+two AS (SELECT insee_com, t[-2] || ' ' || t[-1] AS suffixe FROM toks WHERE len(t) > 4),
+one AS (SELECT insee_com, t[-1] AS suffixe FROM toks WHERE len(t) > 3),
+freq2 AS (SELECT insee_com, suffixe, COUNT(*) AS n_names FROM two GROUP BY 1, 2),
+freq1 AS (SELECT insee_com, suffixe, COUNT(*) AS n_names FROM one GROUP BY 1, 2),
+sel2 AS (SELECT * FROM freq2 WHERE n_names > 5),
+mots AS (SELECT DISTINCT insee_com, unnest(string_split(suffixe, ' ')) AS mot FROM sel2),
+sel1 AS (
+  SELECT f.* FROM freq1 f
+  WHERE f.n_names > 5 AND NOT regexp_matches(f.suffixe, '^[0-9]+$')
+    AND NOT EXISTS (SELECT 1 FROM mots m
+                    WHERE m.insee_com = f.insee_com AND m.mot = f.suffixe)
+)
+SELECT * FROM sel2 UNION ALL SELECT * FROM sel1
+ORDER BY insee_com, suffixe
+"""
+
+
+@register("suffix_detection", _Q18_ORACLE)
+def q_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.suffixes import detect_suffixes
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    names = spark.sql(_suffix_names_sql("STRING"))
+    return detect_suffixes(names, name_col="name")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,137 @@
+"""Document deduplication for web-scale corpora.
+
+Beyond the reference's exact conciliation, a 10^12-page pipeline needs
+near-dup detection. All variants below are pure built-in column
+expressions (md5 / array ops inside whole-stage codegen) so they scale
+and — deliberately — reproduce bit-for-bit in any engine with md5:
+the DuckDB oracle verifies them.
+
+  exact:    md5(text) group-by, keep lowest id
+  minhash:  word-shingle -> per-seed min(md5(seed||shingle)) signature,
+            banded LSH; candidate pairs = equal band key
+  simhash:  per-bit majority vote of md5(token) bits
+  jaccard:  exact word-set jaccard on LSH candidate pairs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), TOKEN_SPLIT)
+
+
+def shingles_expr(text_col: str, n: int = 3) -> Column:
+    toks = f"split(trim(lower({text_col})), '{TOKEN_SPLIT}')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))) "
+        f"ELSE array(concat_ws(' ', {toks})) END"
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: keeper id (min), duplicate count."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n_hashes: int = 8, shingle_n: int = 3) -> DataFrame:
+    """(id, h0..h{n-1}) — per-seed minimum of md5(seed || shingle).
+
+    String-min minhash: md5 hex strings order uniformly, so min over
+    seeded hashes is a valid minwise sketch, and it is reproducible in
+    any SQL engine (no custom hash needed).
+    """
+    sh = shingles_expr(text_col, shingle_n).alias("sh")
+    d = docs.select(F.col(id_col), sh)
+    aggs = [
+        F.min(F.expr(f"array_min(transform(sh, s -> md5(concat('{i}|', s))))")).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    # array_min over the shingle array is per-row; the outer min is a no-op
+    # group (one row per id) kept for engine-shape symmetry with SQL.
+    return d.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8,
+                        band_size: int = 2) -> DataFrame:
+    """Banded LSH over a minhash signature: pairs sharing >=1 band."""
+    n_bands = n_hashes // band_size
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]).alias("key"),
+        )
+        for b in range(n_bands)
+    ])
+    exploded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n_hashes: int = 8, band_size: int = 2, shingle_n: int = 3) -> DataFrame:
+    return lsh_candidate_pairs(
+        minhash_signature(docs, text_col, id_col, n_hashes, shingle_n),
+        id_col, n_hashes, band_size)
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact distinct-word jaccard for candidate pairs."""
+    toksets = docs.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("toks"))
+    j = (
+        pairs.join(toksets.withColumnRenamed(id_col, "id_a").withColumnRenamed("toks", "ta"), "id_a")
+        .join(toksets.withColumnRenamed(id_col, "id_b").withColumnRenamed("toks", "tb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_union("ta", "tb")).cast("double")
+    return j.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+
+
+def simhash_bits(n_bits: int = 16, intdiv: str = " div "):
+    """SQL text exprs for an n-bit simhash vote over a ``tok`` column.
+
+    Bit j of token t = bit j of the first 4 hex digits of md5(t);
+    document bit j = majority vote over tokens. Pure SQL in both
+    engines (dialect only differs in the integer-division operator:
+    ' div ' for Spark, ' // ' for DuckDB)."""
+    assert n_bits <= 16
+    exprs = []
+    for j in range(n_bits):
+        digit = j // 4 + 1
+        bit = j % 4
+        v = f"(instr('0123456789abcdef', substr(md5(tok), {digit}, 1)) - 1)"
+        exprs.append(f"CASE WHEN ({v}{intdiv}{2 ** bit}) % 2 = 1 THEN 1 ELSE -1 END")
+    return exprs
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            n_bits: int = 16) -> DataFrame:
+    """(id, simhash bigint). Majority-vote bits from token md5s."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    votes = [F.sum(F.expr(e)).alias(f"v{j}") for j, e in enumerate(simhash_bits(n_bits))]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(n_bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))

@@ -1,0 +1,79 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring how you'd run ANN at 100 TB:
+  * brute-force cosine top-k — the exactness baseline; dot products as
+    built-in `aggregate(zip_with(...))` higher-order functions
+    (JVM-side, no Python), broadcast of the (small) query set.
+  * sign-LSH bucketed variant — deterministic hyperplane sign bits
+    bucket vectors; candidate pairs only join within a bucket, cutting
+    the quadratic pair space. The hyperplanes are derived from fixed
+    dimension differences so any SQL engine reproduces them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(F.expr(
+        f"aggregate({a}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(vecs: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:
+    """Top-k neighbours per query, cosine similarity, broadcast queries.
+    Ties break on neighbour id (deterministic)."""
+    j = vecs.join(F.broadcast(queries), F.col(id_col) != F.col(qid_col))
+    sim = F.round(cosine(vec_col, qvec_col), 4)
+    scored = j.select(F.col(qid_col), F.col(id_col), sim.alias("cos_sim"))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, id_col, "cos_sim", "rnk")
+    )
+
+
+def sign_lsh_bucket(vec_col: str, n_bits: int = 8) -> Column:
+    """Deterministic sign-LSH bucket: bit j = sign of
+    e[4j] + e[4j+1] - e[4j+2] - e[4j+3] (fixed sparse hyperplanes).
+    Identical arithmetic is expressible in plain SQL for the oracle."""
+    bucket = None
+    for j in range(n_bits):
+        s = (
+            F.element_at(F.col(vec_col), 4 * j + 1).cast("double")
+            + F.element_at(F.col(vec_col), 4 * j + 2).cast("double")
+            - F.element_at(F.col(vec_col), 4 * j + 3).cast("double")
+            - F.element_at(F.col(vec_col), 4 * j + 4).cast("double")
+        )
+        bit = F.when(s > 0, F.lit(2**j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("bigint")
+
+
+def lsh_near_dup_pairs(vecs: DataFrame, threshold: float = 0.9, n_bits: int = 8,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs: bucket join then exact cosine."""
+    b = vecs.select(F.col(id_col), F.col(vec_col),
+                    sign_lsh_bucket(vec_col, n_bits).alias("bucket"))
+    a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    pairs = a.join(c, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine("va", "vb"), 4)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

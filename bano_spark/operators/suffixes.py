@@ -1,0 +1,40 @@
+"""Hamlet-suffix detection (A10).
+
+Reproduces bano/pre_process_suffixe.py:47-81: over a commune's distinct
+street names, count trailing 1-word keys (names > 3 words) and trailing
+2-word keys (names > 4 words); keep keys seen > 5 times; 2-word keys
+win first and blacklist their words; 1-word keys must not be pure
+digits nor a blacklisted word.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def detect_suffixes(names: DataFrame, name_col: str = "name",
+                    group_col: str = "insee_com") -> DataFrame:
+    """-> (group_col, suffixe, n_names). Input rows are made distinct on
+    (group, name) first (the reference iterates dict keys)."""
+    d = names.select(group_col, name_col).distinct()
+    toks = F.split(F.col(name_col), " ")
+    n = F.size(toks)
+
+    two = d.filter(n > 4).select(
+        group_col,
+        F.concat_ws(" ", F.element_at(toks, -2), F.element_at(toks, -1)).alias("suffixe"),
+    )
+    one = d.filter(n > 3).select(group_col, F.element_at(toks, -1).alias("suffixe"))
+
+    freq2 = two.groupBy(group_col, "suffixe").agg(F.count(F.lit(1)).alias("n_names"))
+    freq1 = one.groupBy(group_col, "suffixe").agg(F.count(F.lit(1)).alias("n_names"))
+
+    sel2 = freq2.filter(F.col("n_names") > 5)
+    mots = sel2.select(group_col, F.explode(F.split("suffixe", " ")).alias("mot")).distinct()
+    sel1 = (
+        freq1.filter(F.col("n_names") > 5)
+        .filter(~F.col("suffixe").rlike("^[0-9]+$"))
+        .join(mots, on=[freq1[group_col] == mots[group_col],
+                        freq1["suffixe"] == mots["mot"]], how="left_anti")
+    )
+    return sel2.unionByName(sel1).orderBy(group_col, "suffixe")

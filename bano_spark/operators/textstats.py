@@ -1,0 +1,76 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure built-in column expressions (regexp + array ops in codegen) so
+a 10^12-document pass never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import tokens
+
+# tiny per-language stopword inventories (public common words)
+STOPWORDS = {
+    "fr": ["le", "la", "les", "de", "des", "du", "et", "un", "une", "est", "dans"],
+    "en": ["the", "of", "and", "to", "in", "is", "it", "that", "for", "was", "with"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por", "con"],
+}
+
+PUNCT_RE = r"[^.,;:!?]"
+
+
+def token_count(col: Column) -> Column:
+    t = F.split(F.trim(col), r"\s+")
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(t)).cast("bigint")
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(tokens(col)), words)).cast("bigint")
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax of distinct-stopword hits; ties and zero-hit -> 'und'.
+    Deterministic tie-break by language code order fr < en < es is made
+    explicit (strictly-greater comparisons in fixed order)."""
+    fr, en, es = (stopword_hits(col, l) for l in ("fr", "en", "es"))
+    best = F.greatest(fr, en, es)
+    return (
+        F.when(best == 0, "und")
+        .when(fr == best, "fr")
+        .when(en == best, "en")
+        .otherwise("es")
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band, punctuation
+    density, mean word length band. Deterministic arithmetic only."""
+    n_chars = F.length(col).cast("double")
+    n_punct = (n_chars - F.length(F.regexp_replace(col, r"[.,;:!?]", ""))).cast("double")
+    n_tok = token_count(col).cast("double")
+    mean_word = F.when(n_tok > 0, (n_chars / n_tok)).otherwise(F.lit(0.0))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 10000), 1.0).otherwise(0.0)
+    punct_ok = F.when(n_chars > 0, F.when(n_punct / n_chars <= 0.1, 1.0).otherwise(0.0)).otherwise(0.0)
+    word_ok = F.when((mean_word >= 3.0) & (mean_word <= 12.0), 1.0).otherwise(0.0)
+    return F.round((len_ok + punct_ok + word_ok) / F.lit(3.0), 6)
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token set (the classic 'fingerprint' dedup key)."""
+    return F.md5(F.concat_ws(" ", F.sort_array(F.array_distinct(tokens(col)))))
+
+
+def document_profile(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        lang_id(c).alias("pred_lang"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -101,21 +101,23 @@ def postal_values_sql() -> str:
     return "(VALUES\n    " + rows + ") AS pp(code_postal, xmin, ymin, xmax, ymax)"
 
 
-def points_select_sql(dialect: str, events: str = "events") -> str:
-    """SELECT deriving one deterministic EPSG:3857 point per event row.
+def points_select_sql(dialect: str, table: str = "events", id_col: str = "event_id",
+                      salt: int = 0) -> str:
+    """SELECT deriving one deterministic EPSG:3857 point per row of
+    ``table`` (keyed by ``id_col``; ``salt`` decorrelates derivations).
 
     Identical integer arithmetic in Spark SQL and DuckDB; the only
     dialect difference is the integer-division operator.
     """
     d = " div " if dialect == "spark" else " // "
     return f"""
-SELECT event_id,
+SELECT {id_col},
        CASE WHEN u % 16 < 10
             THEN {REG0!r} + (u % 16) * {W!r}
             ELSE {PARIS0!r} + ((u{d}16) % 9) * {W!r}
        END + ((u{d}144) % 9000) + 0.5 AS x,
        {REGY0!r} + ((u{d}1296000) % 9000) + 0.25 AS y
-FROM (SELECT event_id, (event_id * 2654435761) % 2147483648 AS u FROM {events})
+FROM (SELECT {id_col}, ({id_col} * 2654435761 + {salt}) % 2147483648 AS u FROM {table})
 """
 
 
@@ -150,6 +152,23 @@ def commune_polygons_df(spark):
         T.StructField("insee_com", T.StringType()),
         T.StructField("dept", T.StringType()),
         T.StructField("admin_level", T.IntegerType()),
+        T.StructField("verts", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def postal_polygons_df(spark):
+    """Postal polygons as generic rings + area column (smallest-wins
+    containment, W5 — area-ordered, SURVEY.md §4)."""
+    from pyspark.sql import types as T
+
+    rows = []
+    for cp, x0, y0, x1, y1 in POSTAL:
+        ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        rows.append((cp, (x1 - x0) * (y1 - y0), ring))
+    schema = T.StructType([
+        T.StructField("code_postal", T.StringType()),
+        T.StructField("area", T.DoubleType()),
         T.StructField("verts", T.ArrayType(T.ArrayType(T.DoubleType()))),
     ])
     return spark.createDataFrame(rows, schema)
