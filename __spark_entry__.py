@@ -806,6 +806,285 @@ def q_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q19-q23 — deduplication suite over `documents` (exact, minhash-LSH,
+# simhash, jaccard verify): training-data pipeline first-class ops
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_SHINGLES = (f"CASE WHEN len({_TOKS}) >= 3 THEN "
+             f"list_transform(generate_series(0, len({_TOKS}) - 3), "
+             f"i -> array_to_string(list_slice({_TOKS}, i + 1, i + 3), ' ')) "
+             f"ELSE [array_to_string({_TOKS}, ' ')] END")
+
+_Q19_ORACLE = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+@register("dedup_exact", _Q19_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+def _sig_cte() -> str:
+    mins = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS h{i}" for i in range(8))
+    return (f"sig AS (SELECT doc_id,\n         {mins}\n"
+            f"  FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents))")
+
+
+_Q20_ORACLE = f"""
+WITH {_sig_cte()}
+SELECT * FROM sig ORDER BY doc_id
+"""
+
+
+@register("minhash_signature", _Q20_ORACLE)
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import minhash_signature
+
+    return minhash_signature(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_Q21_ORACLE = f"""
+WITH {_sig_cte()},
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                          AND a.doc_id < b.doc_id
+ORDER BY 1, 2
+"""
+
+
+@register("minhash_lsh_pairs", _Q21_ORACLE)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_read(spark, sf_dir, "documents")).orderBy("id_a", "id_b")
+
+
+def _q22_oracle() -> str:
+    from bano_spark.operators.dedup import simhash_bits
+
+    votes = ",\n         ".join(
+        f"sum({e}) AS v{j}" for j, e in enumerate(simhash_bits(16, " // ")))
+    bits = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+votes AS (SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
+"""
+
+
+@register("simhash", _q22_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import simhash
+
+    return simhash(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_Q23_ORACLE = f"""
+WITH {_sig_cte()},
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                            AND a.doc_id < b.doc_id
+),
+toksets AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents)
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(ta.t, tb.t)) * 1.0
+             / len(list_distinct(ta.t || tb.t)), 6) AS jaccard
+FROM pairs p
+JOIN toksets ta ON ta.doc_id = p.id_a
+JOIN toksets tb ON tb.doc_id = p.id_b
+ORDER BY 1, 2
+"""
+
+
+@register("ngram_jaccard_pairs", _Q23_ORACLE)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import jaccard_pairs, minhash_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs)
+    return jaccard_pairs(docs, pairs).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q24-q25 — similarity search over embeddings (brute-force top-k + sign-LSH
+# near-dup): the ANN baseline + scale path
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+_DOT = ("list_sum(list_transform(generate_series(1, 64), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.q_vec[i] AS DOUBLE)))")
+_NORM_A = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))")
+_NORM_B = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(b.q_vec[i] AS DOUBLE) * CAST(b.q_vec[i] AS DOUBLE))))")
+
+_Q24_ORACLE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT b.q_id, a.vec_id,
+         round({_DOT} / ({_NORM_A} * {_NORM_B}), 4) AS cos_sim
+  FROM embeddings a JOIN q b ON a.vec_id != b.q_id
+)
+SELECT q_id, vec_id, cos_sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+ORDER BY q_id, rnk
+"""
+
+
+@register("ann_cosine_topk", _Q24_ORACLE)
+def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.similarity import brute_force_topk
+
+    vecs = _read(spark, sf_dir, "embeddings")
+    queries_df = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return brute_force_topk(vecs.select("vec_id", "embedding"), queries_df, k=5).orderBy(
+        "q_id", "rnk")
+
+
+def _bucket_sql(tbl: str) -> str:
+    terms = []
+    for j in range(8):
+        s = (f"(CAST({tbl}.embedding[{4 * j + 1}] AS DOUBLE)"
+             f" + CAST({tbl}.embedding[{4 * j + 2}] AS DOUBLE)"
+             f" - CAST({tbl}.embedding[{4 * j + 3}] AS DOUBLE)"
+             f" - CAST({tbl}.embedding[{4 * j + 4}] AS DOUBLE))")
+        terms.append(f"(CASE WHEN {s} > 0 THEN {2**j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_Q25_ORACLE = f"""
+WITH b AS (SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_sum(list_transform(generate_series(1, 64),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+       , 4) AS cos_sim
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(
+         list_sum(list_transform(generate_series(1, 64),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, 64),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+       , 4) >= 0.3
+ORDER BY 1, 2
+"""
+
+
+@register("lsh_near_dup_pairs", _Q25_ORACLE)
+def q_lsh_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.similarity import lsh_near_dup_pairs
+
+    vecs = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return lsh_near_dup_pairs(vecs, threshold=0.3, n_bits=8).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q26 — text-analysis profile: token count, lang-ID heuristic, quality
+# score, fingerprint (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+def _q26_oracle() -> str:
+    from bano_spark.operators.textstats import STOPWORDS
+
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return (f"len(list_intersect(list_distinct({_TOKS}), [{lst}]))")
+
+    ntok = (f"CASE WHEN trim(text) = '' THEN 0 "
+            f"ELSE len(string_split_regex(trim(text), '\\s+')) END")
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CAST({ntok} AS BIGINT) AS n_tokens,
+         {hits('fr')} AS fr, {hits('en')} AS en, {hits('es')} AS es,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+              AS DOUBLE) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN greatest(fr, en, es) = 0 THEN 'und'
+            WHEN fr = greatest(fr, en, es) THEN 'fr'
+            WHEN en = greatest(fr, en, es) THEN 'en'
+            ELSE 'es' END AS pred_lang,
+       round((
+         (CASE WHEN n_chars >= 50 AND n_chars <= 10000 THEN 1.0 ELSE 0.0 END)
+       + (CASE WHEN n_chars > 0 THEN
+              (CASE WHEN n_punct / n_chars <= 0.1 THEN 1.0 ELSE 0.0 END)
+          ELSE 0.0 END)
+       + (CASE WHEN n_tokens > 0
+               AND n_chars / n_tokens >= 3.0 AND n_chars / n_tokens <= 12.0
+               THEN 1.0 ELSE 0.0 END)
+       ) / 3.0, 6) AS quality,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+FROM s ORDER BY doc_id
+"""
+
+
+@register("text_profile", _q26_oracle())
+def q_textprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.textstats import document_profile
+
+    return document_profile(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q27 — hourly windowed event counts (streaming-equivalent batch agg;
+# the same plan runs under Structured Streaming with a watermark)
+# ---------------------------------------------------------------------------
+
+_Q27_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("windowed_event_counts", _Q27_ORACLE)
+def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

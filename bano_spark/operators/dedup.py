@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 TOKEN_SPLIT = r"\s+"
+# inside Spark SQL expr text, the backslash needs escaping once more
+TOKEN_SPLIT_SQL = r"\\s+"
 
 
 def tokens(col: Column) -> Column:
@@ -25,7 +27,7 @@ def tokens(col: Column) -> Column:
 
 
 def shingles_expr(text_col: str, n: int = 3) -> Column:
-    toks = f"split(trim(lower({text_col})), '{TOKEN_SPLIT}')"
+    toks = f"split(trim(lower({text_col})), '{TOKEN_SPLIT_SQL}')"
     return F.expr(
         f"CASE WHEN size({toks}) >= {n} THEN "
         f"transform(sequence(0, size({toks}) - {n}), "

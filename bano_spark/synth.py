@@ -112,11 +112,11 @@ def points_select_sql(dialect: str, table: str = "events", id_col: str = "event_
     d = " div " if dialect == "spark" else " // "
     return f"""
 SELECT {id_col},
-       CASE WHEN u % 16 < 10
+       CAST(CASE WHEN u % 16 < 10
             THEN {REG0!r} + (u % 16) * {W!r}
             ELSE {PARIS0!r} + ((u{d}16) % 9) * {W!r}
-       END + ((u{d}144) % 9000) + 0.5 AS x,
-       {REGY0!r} + ((u{d}1296000) % 9000) + 0.25 AS y
+       END + ((u{d}144) % 9000) + 0.5 AS DOUBLE) AS x,
+       CAST({REGY0!r} + ((u{d}1296000) % 9000) + 0.25 AS DOUBLE) AS y
 FROM (SELECT {id_col}, ({id_col} * 2654435761 + {salt}) % 2147483648 AS u FROM {table})
 """
 

@@ -1,0 +1,54 @@
+"""Checkpoint/lineage resumability + the tile-expiry streaming path."""
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from bano_spark import synth
+from bano_spark.geo import tiles
+from bano_spark.plans.lineage import CheckpointLog, resumable_partition_write
+from bano_spark.streaming.incremental import dirty_insee_batch, run_dirty_insee_stream
+
+
+def test_resumable_write_skips_done(spark, tmp_path):
+    log = CheckpointLog(spark, str(tmp_path / "log"))
+    out = str(tmp_path / "out")
+    df = spark.range(100).withColumn("dept", (F.col("id") % 4).cast("string"))
+
+    first = resumable_partition_write(df, out, "dept", log, "BAN", "load")
+    assert first == ["0", "1", "2", "3"]
+    # second run: everything already done -> no keys written
+    second = resumable_partition_write(df, out, "dept", log, "BAN", "load")
+    assert second == []
+    # partial resume: pretend dept 2 and 3 were never done
+    log2 = CheckpointLog(spark, str(tmp_path / "log2"))
+    log2.append([("BAN", "load", "0", 25, 0.0, 1.0, "x"),
+                 ("BAN", "load", "1", 25, 0.0, 1.0, "x")])
+    third = resumable_partition_write(df, out, "dept", log2, "BAN", "load")
+    assert third == ["2", "3"]
+    # output still complete
+    assert spark.read.parquet(out).count() == 100
+
+
+def _tile_lines(path: Path, coords):
+    path.mkdir(parents=True, exist_ok=True)
+    z = tiles.DEFAULT_ZOOM
+    (path / "a.tiles").write_text(
+        "".join(f"{z}/{tiles.py_tile_x(x, z)}/{tiles.py_tile_y(y, z)}\n"
+                for x, y in coords))
+
+
+def test_streaming_dirty_insee(spark, tmp_path):
+    feed = tmp_path / "feed"
+    # one tile in 01002, one in the 3rd Paris arrondissement
+    _tile_lines(feed, [(synth.REG0 + 15000.0, synth.REGY0 + 50.0),
+                       (synth.PARIS0 + 25000.0, synth.REGY0 + 50.0)])
+    communes = synth.commune_polygons_df(spark)
+    out = tmp_path / "dirty"
+    run_dirty_insee_stream(spark, str(feed), communes, str(out), str(tmp_path / "ck"))
+    got = sorted(r.insee_com for r in spark.read.parquet(str(out)).collect())
+    assert got == ["01002", "75103"]
+    # batch twin agrees
+    batch = sorted(r.insee_com for r in
+                   dirty_insee_batch(spark, str(feed), communes).collect())
+    assert batch == got

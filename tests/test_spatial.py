@@ -1,0 +1,79 @@
+"""Spatial join engine: generic (non-rectangular) polygons, broadcast vs
+shuffle paths, salting invariance, tiling special cases."""
+
+from pyspark.sql import functions as F, types as T
+
+from bano_spark import synth
+from bano_spark.geo import tiles
+from bano_spark.operators.pip_join import polygon_cover, spatial_join
+from bano_spark.operators.tiling import eligible_communes, expired_tiles_to_insee
+
+POLY_SCHEMA = T.StructType([
+    T.StructField("poly_id", T.StringType()),
+    T.StructField("verts", T.ArrayType(T.ArrayType(T.DoubleType()))),
+])
+
+
+def _triangle(spark):
+    # triangle inside the synthetic region
+    x0, y0 = synth.REG0, synth.REGY0
+    verts = [[x0, y0], [x0 + 8000.0, y0], [x0 + 4000.0, y0 + 8000.0], [x0, y0]]
+    return spark.createDataFrame([("tri", verts)], POLY_SCHEMA)
+
+
+def _pts(spark, n=2000):
+    return spark.sql(synth.points_select_sql("spark", f"(SELECT id AS event_id FROM range({n}))"))
+
+
+def test_triangle_join_matches_barycentric_truth(spark):
+    tri = _triangle(spark)
+    pts = _pts(spark)
+    got = spatial_join(pts, tri, id_col="poly_id", zoom=13)
+    rows = got.select("event_id", "x", "y").collect()
+    x0, y0 = synth.REG0, synth.REGY0
+    # ground truth: y < 2*(x-x0) and y < -2*(x-(x0+8000)) and y >= y0
+    truth = set()
+    for r in pts.collect():
+        dx, dy = r.x - x0, r.y - y0
+        if 0 <= dy and dy < 2 * dx and dy < -2 * (dx - 8000):
+            truth.add(r.event_id)
+    assert {r.event_id for r in rows} == truth
+
+
+def test_salted_join_same_result(spark):
+    tri = _triangle(spark)
+    pts = _pts(spark, 1000)
+    plain = spatial_join(pts, tri, id_col="poly_id", zoom=13, broadcast=True)
+    salted = spatial_join(pts, tri, id_col="poly_id", zoom=13, broadcast=False, salt=4)
+    assert sorted(r.event_id for r in plain.collect()) == sorted(
+        r.event_id for r in salted.collect())
+
+
+def test_polygon_cover_distributed(spark):
+    polys = synth.commune_polygons_df(spark).withColumnRenamed("insee_com", "poly_id")
+    cov = polygon_cover(polys.select("poly_id", "verts"), 12)
+    per = {r["poly_id"]: r["n"] for r in cov.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # commune strips are ~10km wide; z12 cells are ~9.8km -> small covers
+    # (the 90km-wide Paris umbrella polygon has the largest cover)
+    assert all(1 <= n <= 40 for n in per.values())
+    assert per["75056"] == max(per.values())
+
+
+def test_tiling_excludes_paris_umbrella(spark):
+    communes = synth.commune_polygons_df(spark)
+    elig = {r.insee_com for r in eligible_communes(communes).select("insee_com").collect()}
+    assert "75056" not in elig
+    assert "75101" in elig and "01001" in elig
+
+
+def test_expired_tiles_empty_commune_absent(spark):
+    # tiles covering only commune 01001
+    x0 = synth.REG0 + 100.0
+    y0 = synth.REGY0 + 100.0
+    z = tiles.DEFAULT_ZOOM
+    t = spark.createDataFrame(
+        [(z, tiles.py_tile_x(x0, z), tiles.py_tile_y(y0, z))], ["z", "x", "y"])
+    got = [r.insee_com for r in
+           expired_tiles_to_insee(t, synth.commune_polygons_df(spark), z).collect()]
+    assert got == ["01001"]
