@@ -288,7 +288,7 @@ def _cumul_cte(cast: str) -> str:
 base AS (
   SELECT o_orderkey, o_custkey,
          {insee} AS insee_com,
-         o_custkey % 40 AS k1,
+         o_custkey % 4000 AS k1,
          o_orderkey % {len(_NUMS)} AS nidx,
          o_orderkey % 3 AS sidx
   FROM orders
@@ -1081,6 +1081,215 @@ def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
         .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q28 — street importance with convex-hull geodesic metrics (A4/M2).
+# Points per street are collinear (same lat), so the oracle can compute
+# the hull longest-line with the same haversine formula in SQL.
+# ---------------------------------------------------------------------------
+
+_HAV = """
+2 * 6371008.8 * asin(sqrt(
+    pow(sin(radians(maxlat - minlat) / 2), 2)
+  + cos(radians(minlat)) * cos(radians(maxlat))
+  * pow(sin(radians(maxlon - minlon) / 2), 2)))
+"""
+
+_Q28_ORACLE = f"""
+WITH pts AS (
+  SELECT l_orderkey % 200 AS street_id,
+         2.0 + (l_orderkey % 200) * 0.01 + l_linenumber * 0.001 AS lon,
+         45.0 + (l_orderkey % 7) * 0.0 AS lat
+  FROM lineitem
+),
+m AS (
+  SELECT street_id, count(*) AS nb_points,
+         min(lon) AS minlon, max(lon) AS maxlon,
+         min(lat) AS minlat, max(lat) AS maxlat
+  FROM pts GROUP BY 1
+),
+h AS (
+  SELECT street_id, nb_points,
+         CASE WHEN maxlon = minlon THEN 0.0 ELSE {_HAV} END AS hull_m
+  FROM m
+)
+SELECT street_id, nb_points, round(hull_m, 4) AS hull_longest_m,
+       round(log10((1 + street_id % 5)
+                   + log10(((street_id * 37) % 100000) + 1) / 3)
+           * log10(1 + log10(nb_points + 1) + log10(hull_m + 1)
+                   + log10(CASE street_id % 4 WHEN 0 THEN 4.0 WHEN 1 THEN 3.0
+                           WHEN 2 THEN 2.0 ELSE 1.0 END)), 4) AS importance
+FROM h ORDER BY street_id
+"""
+
+
+@register("street_importance_hull", _Q28_ORACLE)
+def q_street_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.importance import hull_metrics
+
+    li = _read(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_orderkey") % 200).alias("street_id"),
+        (F.lit(2.0) + (F.col("l_orderkey") % 200) * 0.01
+         + F.col("l_linenumber") * 0.001).alias("lon"),
+        (F.lit(45.0) + (F.col("l_orderkey") % 7) * 0.0).alias("lat"),
+    )
+    m = hull_metrics(pts, ["street_id"], lon="lon", lat="lat")
+    adm = (1 + F.col("street_id") % 5).cast("double")
+    pop = ((F.col("street_id") * 37) % 100000).cast("double")
+    w = (
+        F.when(F.col("street_id") % 4 == 0, 4.0)
+        .when(F.col("street_id") % 4 == 1, 3.0)
+        .when(F.col("street_id") % 4 == 2, 2.0)
+        .otherwise(1.0)
+    )
+    imp = F.round(
+        F.log10(adm + F.log10(pop + 1) / 3)
+        * F.log10(1 + F.log10(F.col("nb_points") + 1)
+                  + F.log10(F.col("hull_longest_m") + 1) + F.log10(w)), 4)
+    return m.select(
+        "street_id", "nb_points",
+        F.round("hull_longest_m", 4).alias("hull_longest_m"),
+        imp.alias("importance"),
+    ).orderBy("street_id")
+
+
+# ---------------------------------------------------------------------------
+# q29 — BAN pseudo-FANTOIR codes for unmatched names (C10/J17)
+# ---------------------------------------------------------------------------
+
+_Q29_ORACLE = f"""
+WITH names AS (
+  SELECT DISTINCT
+      CASE {' '.join(f"WHEN o_custkey % 10 = {i} THEN '{synth.COMMUNES[i][0]}'" for i in range(10))} END AS insee_com,
+      {_norm_street_case('o_orderkey')} || ' ' || CAST(o_orderkey % 37 AS VARCHAR) AS name_norm
+  FROM orders
+)
+SELECT insee_com, name_norm, rank_i,
+       insee_com || 'b' || rpad(CAST(rank_i AS VARCHAR), 4, 'b') AS pseudo_fantoir
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY insee_com ORDER BY name_norm) AS rank_i
+      FROM names)
+ORDER BY insee_com, name_norm
+"""
+
+
+@register("ban_pseudo_fantoir", _Q29_ORACLE)
+def q_pseudo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.places import ban_pseudo_fantoir
+
+    orders = _read(spark, sf_dir, "orders")
+    insee = F.expr("CASE " + " ".join(
+        f"WHEN o_custkey % 10 = {i} THEN '{synth.COMMUNES[i][0]}'" for i in range(10)
+    ) + " END")
+    names = orders.select(
+        insee.alias("insee_com"),
+        F.concat(F.expr(_norm_street_case("o_orderkey")), F.lit(" "),
+                 (F.col("o_orderkey") % 37).cast("string")).alias("name_norm"))
+    return ban_pseudo_fantoir(names).orderBy("insee_com", "name_norm")
+
+
+# ---------------------------------------------------------------------------
+# q30 — place 3-way match with name fallback (J12)
+# ---------------------------------------------------------------------------
+
+def _place_fantoir_cte(cast: str) -> str:
+    insee = "CASE " + " ".join(
+        f"WHEN p_partkey % 10 = {i} THEN '{synth.COMMUNES[i][0]}'" for i in range(10)
+    ) + " END"
+    return f"""
+freg AS (
+  SELECT {insee} AS insee_com,
+         {insee} || lpad(CAST(p_partkey % 500 AS {cast}), 4, '0') || 'X' AS fantoir10,
+         {_norm_street_case('p_partkey')} AS name_norm,
+         'LIB ' || CAST(p_partkey % 500 AS {cast}) AS libelle
+  FROM part
+)"""
+
+
+def _place_osm_cte(cast: str) -> str:
+    insee = "CASE " + " ".join(
+        f"WHEN s_suppkey % 10 = {i} THEN '{synth.COMMUNES[i][0]}'" for i in range(10)
+    ) + " END"
+    return f"""
+osmp AS (
+  SELECT {insee} AS insee_com,
+         CASE WHEN s_suppkey % 3 = 0
+              THEN {insee} || lpad(CAST(s_suppkey % 500 AS {cast}), 4, '0') || 'X'
+              ELSE NULL END AS fantoir,
+         CASE WHEN s_suppkey % 7 = 0 THEN 'NOM INTROUVABLE ' || CAST(s_suppkey AS {cast})
+              ELSE {_norm_street_case('s_suppkey')} END AS name_norm,
+         'Raw ' || CAST(s_suppkey AS {cast}) AS name_raw
+  FROM supplier
+)"""
+
+
+_Q30_ORACLE = f"""
+WITH {_place_fantoir_cte('VARCHAR')},
+{_place_osm_cte('VARCHAR')},
+by_name AS (
+  SELECT insee_com AS fn_insee, fantoir10 AS fn_code, name_norm AS fn_name,
+         libelle AS fn_libelle
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY insee_com, name_norm
+                                     ORDER BY fantoir10) AS r FROM freg)
+  WHERE r = 1
+)
+SELECT o.insee_com, o.name_raw, o.name_norm,
+       coalesce(fc.fantoir10, fn.fn_code) AS fantoir10,
+       coalesce(fc.libelle, fn.fn_libelle) AS libelle_fantoir,
+       CASE WHEN fc.fantoir10 IS NOT NULL THEN 'code'
+            WHEN fn.fn_code IS NOT NULL THEN 'name'
+            ELSE 'new' END AS match_kind
+FROM osmp o
+LEFT JOIN freg fc ON o.insee_com = fc.insee_com AND o.fantoir = fc.fantoir10
+LEFT JOIN by_name fn ON o.insee_com = fn.fn_insee AND o.name_norm = fn.fn_name
+ORDER BY o.insee_com, o.name_raw
+"""
+
+
+@register("place_match", _Q30_ORACLE)
+def q_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.places import match_places
+
+    _read(spark, sf_dir, "part").createOrReplaceTempView("part")
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    freg = spark.sql("WITH " + _place_fantoir_cte("STRING") + " SELECT * FROM freg")
+    osmp = spark.sql("WITH " + _place_osm_cte("STRING") + " SELECT * FROM osmp")
+    return match_places(osmp, freg).orderBy("insee_com", "name_raw")
+
+
+# ---------------------------------------------------------------------------
+# q31 — format_toponyme display casing (C2), goldens from the reference
+# ---------------------------------------------------------------------------
+
+def _topo_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} % {len(synth.TOPONYMES)} = {i} THEN '{t.replace(chr(39), chr(39)*2)}'"
+        for i, t in enumerate(synth.TOPONYMES))
+    return f"CASE {whens} END"
+
+
+_Q31_ORACLE = f"""
+SELECT c_custkey,
+       {_street_case('c_custkey', 1)} AS nom_norm,
+       {_topo_case('c_custkey')} AS toponyme
+FROM customer ORDER BY c_custkey
+"""
+
+
+@register("format_toponyme", _Q31_ORACLE)
+def q_toponyme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.functions.normalize import format_toponyme_udf
+
+    cust = _read(spark, sf_dir, "customer")
+    norm = F.element_at(
+        F.array(*[F.lit(s[1]) for s in synth.STREETS]),
+        (F.col("c_custkey") % len(synth.STREETS)).cast("int") + 1)
+    return (
+        cust.select("c_custkey", norm.alias("nom_norm"))
+        .withColumn("toponyme", format_toponyme_udf(F.col("nom_norm")))
+        .orderBy("c_custkey")
     )
 
 

@@ -87,7 +87,6 @@ def spatial_join(
     hot cells' points across N shuffle partitions — output-invariant.
     """
     spark = points.sparkSession
-    cover = polygon_cover(polygons, zoom, id_col, verts_col)
 
     pts = points.withColumn("_tx", tiles.tile_x(F.col(x), zoom)).withColumn(
         "_ty", tiles.tile_y(F.col(y), zoom)
@@ -95,6 +94,29 @@ def spatial_join(
 
     if broadcast is None:
         broadcast = polygons.count() <= 100_000
+
+    vert_map: dict | None = None
+    if broadcast:
+        # one collect serves both the cover (computed driver-side — no
+        # extra distributed job) and the refine vertex dict
+        vert_map = {
+            r[0]: np.array([list(p) for p in r[1]], dtype=np.float64)
+            for r in polygons.select(id_col, verts_col).collect()
+        }
+        rows = []
+        for pid, v in vert_map.items():
+            gx, gy, interior = geometry.cover_polygon(v, zoom)
+            rows.extend(zip([pid] * len(gx), gx.tolist(), gy.tolist(),
+                            interior.tolist()))
+        cover = spark.createDataFrame(
+            rows, T.StructType([
+                T.StructField(id_col, polygons.schema[id_col].dataType),
+                T.StructField("tx", T.LongType()),
+                T.StructField("ty", T.LongType()),
+                T.StructField("interior", T.BooleanType()),
+            ]))
+    else:
+        cover = polygon_cover(polygons, zoom, id_col, verts_col)
 
     if broadcast:
         cover_j = F.broadcast(cover.withColumnRenamed("tx", "_tx").withColumnRenamed("ty", "_ty"))
@@ -111,32 +133,55 @@ def spatial_join(
         else:
             cand = pts.join(cov, ["_tx", "_ty"])
 
-    # exact refine on boundary cells only
-    easy = cand.filter(F.col("interior")).drop("interior", "_tx", "_ty")
-    hard = cand.filter(~F.col("interior")).drop("interior", "_tx", "_ty")
+    # Single mapInArrow pass over ALL candidates: interior-cell rows pass
+    # straight through (no geometry code), boundary-cell rows get the
+    # exact numpy PIP. One pass — no easy/hard union, which would scan
+    # the (possibly expensive) upstream twice. Arrow-native: only
+    # x/y/id/interior are touched as numpy; payload columns remain Arrow
+    # buffers end-to-end (pandas object-string round trips stop scaling
+    # around 8 python workers; Arrow filtering doesn't).
+    cand = cand.drop("_tx", "_ty")
+    out_cols = [c for c in cand.columns if c not in ("interior", verts_col)]
+    schema = cand.select(*out_cols).schema
 
-    vert_map = {
-        r[0]: np.array([list(p) for p in r[1]], dtype=np.float64)
-        for r in polygons.select(id_col, verts_col).collect()
-    }
-    bc = spark.sparkContext.broadcast(vert_map)
-    schema = hard.schema
+    if broadcast:
+        bc = spark.sparkContext.broadcast(vert_map)
+        refine_input = cand
+
+        def ring_of(b, pid, _first):
+            return bc.value[pid]
+    else:
+        # large polygon side: never collect to the driver — carry the ring
+        # through the shuffled join and read it per batch-group
+        refine_input = cand.join(polygons.select(id_col, verts_col), id_col)
+
+        def ring_of(b, pid, first):
+            v = b.column(verts_col)[first].as_py()
+            return np.array([list(p) for p in v], dtype=np.float64)
 
     def refine(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            px = pdf[x].to_numpy(dtype=np.float64)
-            py = pdf[y].to_numpy(dtype=np.float64)
-            for pid in pdf[id_col].unique():
-                m = (pdf[id_col] == pid).to_numpy()
-                keep[m] = geometry.points_in_polygon(px[m], py[m], bc.value[pid])
-            yield pdf[keep]
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    refined = hard.mapInPandas(refine, schema)
-    out = easy.unionByName(refined)
+        for b in batches:
+            if b.num_rows == 0:
+                yield b.select(out_cols)
+                continue
+            keep = b.column("interior").to_numpy(zero_copy_only=False).copy()
+            hard_m = ~keep
+            if hard_m.any():
+                px = b.column(x).to_numpy(zero_copy_only=False)
+                py = b.column(y).to_numpy(zero_copy_only=False)
+                ids = b.column(id_col)
+                hard_ids = pc.unique(pc.filter(ids, pa.array(hard_m))).to_pylist()
+                for pid in hard_ids:
+                    m = pc.equal(ids, pid).to_numpy(zero_copy_only=False) & hard_m
+                    first = int(np.flatnonzero(m)[0])
+                    keep[m] = geometry.points_in_polygon(
+                        px[m], py[m], ring_of(b, pid, first))
+            yield b.filter(pa.array(keep)).select(out_cols)
+
+    out = refine_input.mapInArrow(refine, schema)
     poly_attrs = [c for c in polygons.columns if c not in (verts_col,)]
     attrs = polygons.select(*poly_attrs)
     # cover rows already carry only the id; re-attach remaining attributes

@@ -36,7 +36,10 @@ def get_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap — size it to the
+        # thread count or GC dominates string-heavy stages at high core counts
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", f"{min(48, max(8, 2 * n))}g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

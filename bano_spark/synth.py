@@ -78,6 +78,16 @@ STREETS: list[tuple[str, str]] = [
 ]
 
 
+# format_toponyme(normalize(raw)) goldens for STREETS, generated from the
+# reference implementation (bano/helpers.py:24-76) — display-casing parity
+TOPONYMES: list[str] = [
+    "Bd Sebastopol", "Rue Gal Leclerc", "Av Champs Elysees", "Pl Église",
+    "Imp Huit Mai Unneufquatrecinq", "Che Fontaine", "Rte Nationale Sept",
+    "All Acacias", "Gr Rue", "Quai St Vincent", "Rue Doc Schweitzer",
+    "Sq Louis Unquatre",
+]
+
+
 def _ii(v: float) -> str:
     """Exact SQL literal for our integer-valued doubles."""
     return repr(v)

@@ -1,0 +1,107 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the north-rule
+pages pipeline (synthesize pages -> extract records -> cell-bucketed
+PIP join -> z16 tile assignment) whose throughput is the BASELINE.json
+metric. Prints ONE JSON line.
+
+Scaling evidence (N vs 4N cores) is produced by
+tools/bench_scaling.py and recorded in BENCH.md / BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pip_count_per_commune",
+    "tile_assignment_counts",
+    "expired_tiles_to_insee",
+    "conciliation_export",
+    "knn_name_match",
+    "postal_smallest_polygon",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ann_cosine_topk",
+    "text_profile",
+    "windowed_event_counts",
+]
+
+
+def pages_pipeline(spark, n_pages: int) -> int:
+    """The north-rule job: pages -> extract -> PIP -> tiles."""
+    from pyspark.sql import functions as F
+
+    from bano_spark import synth
+    from bano_spark.geo import tiles
+    from bano_spark.operators.pip_join import spatial_join
+    from bano_spark.sources import pages as P
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pg = P.synth_pages_sql(spark, n_pages, partitions=cpus * 2)
+    recs = P.extract_records(pg)
+    # polygons carry insee_com; rename to avoid clashing with the record column
+    polys = (synth.commune_polygons_df(spark)
+             .filter(F.col("admin_level") == 8)
+             .withColumnRenamed("insee_com", "poly_insee"))
+    joined = spatial_join(recs.drop("insee_com"), polys, x="x", y="y",
+                          id_col="poly_insee", verts_col="verts", zoom=15,
+                          broadcast=True)
+    tiled = joined.select(
+        "poly_insee",
+        tiles.tile_x(F.col("x"), tiles.DEFAULT_ZOOM).alias("tx"),
+        tiles.tile_y(F.col("y"), tiles.DEFAULT_ZOOM).alias("ty"),
+    )
+    out = tiled.groupBy("poly_insee").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("tx", "ty").alias("n_tiles"))
+    return out.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+
+    import __spark_entry__ as E
+    from bano_spark.session import get_session
+
+    spark = get_session("bench", cpus=cpus, shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pages_pipeline(spark, n_pages)
+    pages_sec = time.time() - t0
+    timings["pages_pipeline"] = round(pages_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / pages_sec, 1),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,15 @@ def test_pages_deterministic(spark):
     assert [bytes(r.html) for r in a] == [bytes(r.html) for r in b]
 
 
+def test_sql_generator_identical_to_pandas(spark):
+    a = P.synth_pages(spark, 300, partitions=3).orderBy("url").collect()
+    b = P.synth_pages_sql(spark, 300, partitions=5).orderBy("url").collect()
+    assert [r.text for r in a] == [r.text for r in b]
+    assert [bytes(r.html) for r in a] == [bytes(r.html) for r in b]
+    assert [r.warc_ts for r in a] == [r.warc_ts for r in b]
+    assert [(r.url, r.lang) for r in a] == [(r.url, r.lang) for r in b]
+
+
 def test_records_land_in_communes(spark):
     pg = P.synth_pages(spark, 400, partitions=4)
     recs = P.extract_records(pg)
