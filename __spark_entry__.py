@@ -1294,6 +1294,260 @@ def q_toponyme(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q32 — LEFT OUTER spatial join with hamlet-suffix zones (J5/A7)
+# ---------------------------------------------------------------------------
+
+_SUF_BUF = 400.0
+
+
+def _hameau_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} % {len(_SUF_H)} = {i} THEN '{h}'" for i, h in enumerate(_SUF_H))
+    return f"CASE {whens} END"
+
+
+_Q32_ORACLE = f"""
+WITH lpts AS ({synth.points_select_sql('duckdb', 'events', 'event_id', 0)}),
+hp AS ({synth.points_select_sql('duckdb', 'supplier', 's_suppkey', 7)}),
+boxes AS (
+  SELECT s_suppkey AS box_id, {_hameau_case('s_suppkey')} AS hameau,
+         x - {_SUF_BUF!r} AS bxmin, x + {_SUF_BUF!r} AS bxmax,
+         y - {_SUF_BUF!r} AS bymin, y + {_SUF_BUF!r} AS bymax
+  FROM hp
+)
+SELECT p.event_id, b.box_id, b.hameau
+FROM lpts p
+LEFT JOIN boxes b
+  ON p.x >= b.bxmin AND p.x < b.bxmax AND p.y >= b.bymin AND p.y < b.bymax
+ORDER BY 1, 2
+"""
+
+
+@register("suffix_zone_left_join", _Q32_ORACLE)
+def q_suffix_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.pip_join import spatial_join_left
+    from bano_spark.operators.suffixes import build_suffix_zones
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    pts = spark.sql(synth.points_select_sql("spark", "events", "event_id", 0))
+    hp = spark.sql(synth.points_select_sql("spark", "supplier", "s_suppkey", 7)).withColumn(
+        "hameau", F.expr(_hameau_case("s_suppkey")))
+    zones = build_suffix_zones(
+        hp.withColumnRenamed("s_suppkey", "box_id"), _SUF_BUF,
+        group_cols=("box_id", "hameau"))
+    ring = F.array(
+        F.array("bxmin", "bymin"), F.array("bxmax", "bymin"),
+        F.array("bxmax", "bymax"), F.array("bxmin", "bymax"),
+        F.array("bxmin", "bymin"))
+    polys = zones.select("box_id", "hameau", ring.alias("verts"))
+    out = spatial_join_left(pts, polys, point_key="event_id",
+                            id_col="box_id", zoom=14)
+    return out.select("event_id", "box_id", "hameau").orderBy("event_id", "box_id")
+
+
+# ---------------------------------------------------------------------------
+# q33 — FANTOIR label dedup window (W1)
+# ---------------------------------------------------------------------------
+
+_Q33_ORACLE = """
+WITH fv AS (
+  SELECT 'LBL' || CAST(o_custkey % 300 AS VARCHAR) AS label,
+         CAST(o_orderkey % 4 AS VARCHAR) AS type_voie,
+         lpad(CAST(o_orderkey % 97 AS VARCHAR), 4, '0') AS id_voie,
+         CAST(o_orderkey % 10 AS VARCHAR) AS cle_rivoli
+  FROM orders
+)
+SELECT label, type_voie, id_voie, cle_rivoli FROM (
+  SELECT *, RANK() OVER (PARTITION BY label
+                         ORDER BY type_voie, id_voie, cle_rivoli) AS rang
+  FROM fv
+) WHERE rang = 1
+ORDER BY label, type_voie, id_voie, cle_rivoli
+"""
+
+
+@register("fantoir_label_dedup", _Q33_ORACLE)
+def q_label_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    fv = orders.select(
+        F.concat(F.lit("LBL"), (F.col("o_custkey") % 300).cast("string")).alias("label"),
+        (F.col("o_orderkey") % 4).cast("string").alias("type_voie"),
+        F.lpad((F.col("o_orderkey") % 97).cast("string"), 4, "0").alias("id_voie"),
+        (F.col("o_orderkey") % 10).cast("string").alias("cle_rivoli"))
+    w = Window.partitionBy("label").orderBy("type_voie", "id_voie", "cle_rivoli")
+    return (
+        fv.withColumn("rang", F.rank().over(w)).filter(F.col("rang") == 1)
+        .select("label", "type_voie", "id_voie", "cle_rivoli")
+        .orderBy("label", "type_voie", "id_voie", "cle_rivoli")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — highway-type bitmask rollup (M4: sum of 2^type_index)
+# ---------------------------------------------------------------------------
+
+_HIGHWAY_TYPES = ["steps", "path", "cycleway", "footway", "pedestrian", "track",
+                  "service", "road", "living_street", "residential", "unclassified",
+                  "tertiary", "secondary", "primary", "trunk", "motorway"]
+
+
+_Q34_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT l_orderkey % 500 AS street_id,
+         CAST(l_suppkey % {len(_HIGHWAY_TYPES)} AS INTEGER) AS tidx
+  FROM lineitem
+)
+SELECT street_id, CAST(sum(CAST(pow(2, tidx) AS BIGINT)) AS BIGINT) AS highway_index
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("highway_bitmask", _Q34_ORACLE)
+def q_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    h = li.select(
+        (F.col("l_orderkey") % 500).alias("street_id"),
+        (F.col("l_suppkey") % len(_HIGHWAY_TYPES)).cast("int").alias("tidx"),
+    ).distinct()
+    return (
+        h.groupBy("street_id")
+        .agg(F.sum(F.pow(F.lit(2), F.col("tidx")).cast("bigint")).cast("bigint")
+             .alias("highway_index"))
+        .orderBy("street_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — append_suffixe (C5), reference quirks; goldens via bounded vocab
+# ---------------------------------------------------------------------------
+
+_APPEND_CASES = [
+    ("Rue des Fleurs", "Le Cres", "Rue des Fleurs Le Cres"),
+    ("Rue des Fleurs Le Cres", "Le Cres", "Rue des Fleurs Le Cres"),
+    ("Rue X", "", "Rue X"),
+    ("Chemin du Moulin", "Bellevue", "Chemin du Moulin Bellevue"),
+    ("Rue LE CRES", "Le Cres", "Rue LE CRES Le Cres"),
+    ("Grand Rue", "La Cote Saint Andre Du Haut",
+     "Grand Rue La Cote Saint Andre Du Haut"),
+    ("Rue des Fleurs le cres", "Le Cres", "Rue des Fleurs le cres Le Cres"),
+    ("Av", "Bellevue", "Av Bellevue"),
+]
+
+
+def _case_of(col: str, idx: int) -> str:
+    whens = " ".join(
+        f"WHEN {col} % {len(_APPEND_CASES)} = {i} THEN '{c[idx]}'"
+        for i, c in enumerate(_APPEND_CASES))
+    return f"CASE {whens} END"
+
+
+_Q35_ORACLE = f"""
+SELECT c_custkey, {_case_of('c_custkey', 0)} AS name,
+       {_case_of('c_custkey', 1)} AS suffixe,
+       {_case_of('c_custkey', 2)} AS appended
+FROM customer ORDER BY c_custkey
+"""
+
+
+@register("append_suffixe", _Q35_ORACLE)
+def q_append_suffixe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.functions.normalize import append_suffixe_udf
+
+    cust = _read(spark, sf_dir, "customer")
+    name = F.element_at(F.array(*[F.lit(c[0]) for c in _APPEND_CASES]),
+                        (F.col("c_custkey") % len(_APPEND_CASES)).cast("int") + 1)
+    suf = F.element_at(F.array(*[F.lit(c[1]) for c in _APPEND_CASES]),
+                       (F.col("c_custkey") % len(_APPEND_CASES)).cast("int") + 1)
+    return (
+        cust.select("c_custkey", name.alias("name"), suf.alias("suffixe"))
+        .withColumn("appended", append_suffixe_udf(F.col("name"), F.col("suffixe")))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — commune-list derivation anti-join (F8: drop COMD + arrondissement
+# parents)
+# ---------------------------------------------------------------------------
+
+_Q36_ORACLE = """
+WITH cog AS (
+  SELECT c_custkey AS com,
+         CASE c_custkey % 4 WHEN 0 THEN 'COM' WHEN 1 THEN 'COM'
+              WHEN 2 THEN 'ARM' ELSE 'COMD' END AS typecom,
+         CASE WHEN c_custkey % 4 = 2 THEN (c_custkey - 2) ELSE NULL END AS comparent
+  FROM customer
+)
+SELECT c.com FROM cog c
+WHERE c.typecom != 'COMD'
+  AND NOT EXISTS (SELECT 1 FROM cog a WHERE a.comparent = c.com)
+  AND c.typecom != 'ARM'
+ORDER BY 1
+"""
+
+
+@register("commune_list_antijoin", _Q36_ORACLE)
+def q_commune_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    cog = cust.select(
+        F.col("c_custkey").alias("com"),
+        F.expr("CASE c_custkey % 4 WHEN 0 THEN 'COM' WHEN 1 THEN 'COM'"
+               " WHEN 2 THEN 'ARM' ELSE 'COMD' END").alias("typecom"),
+        F.expr("CASE WHEN c_custkey % 4 = 2 THEN c_custkey - 2 ELSE NULL END")
+        .alias("comparent"))
+    parents = cog.filter(F.col("comparent").isNotNull()).select(
+        F.col("comparent").alias("com")).distinct()
+    return (
+        cog.filter((F.col("typecom") != "COMD") & (F.col("typecom") != "ARM"))
+        .join(parents, "com", "left_anti")
+        .select("com").orderBy("com")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — unmatched-name sets: EXCEPT then INTERSECT (U3/U5, J17)
+# ---------------------------------------------------------------------------
+
+_Q37_ORACLE = f"""
+WITH cumul_names AS (
+  SELECT DISTINCT {_norm_street_case('o_orderkey')} || ' '
+         || CAST(o_orderkey % 53 AS VARCHAR) AS name
+  FROM orders
+),
+fantoir_names AS (
+  SELECT DISTINCT {_norm_street_case('o_custkey')} || ' '
+         || CAST(o_custkey % 41 AS VARCHAR) AS name
+  FROM orders
+),
+ban_names AS (
+  SELECT DISTINCT {_norm_street_case('o_orderkey')} || ' '
+         || CAST(o_orderkey % 53 AS VARCHAR) AS name
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT name FROM (SELECT name FROM cumul_names EXCEPT SELECT name FROM fantoir_names)
+INTERSECT SELECT name FROM ban_names
+ORDER BY 1
+"""
+
+
+@register("unmatched_names_sets", _Q37_ORACLE)
+def q_name_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+
+    def names(col: str, mod: int, flt=None):
+        d = orders if flt is None else orders.filter(flt)
+        return d.select(
+            F.concat(F.expr(_norm_street_case(col)), F.lit(" "),
+                     (F.col(col) % mod).cast("string")).alias("name")).distinct()
+
+    cumul = names("o_orderkey", 53)
+    fant = names("o_custkey", 41)
+    ban = names("o_orderkey", 53, F.col("o_orderkey") % 2 == 0)
+    return cumul.subtract(fant).intersect(ban).orderBy("name")
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

@@ -103,6 +103,27 @@ def normalize_udf(s: pd.Series) -> pd.Series:
     return normalize_series(s)
 
 
+def append_suffixe_series(name: pd.Series, suffixe: pd.Series) -> pd.Series:
+    """C5 (bano/core.py:33-45), quirks preserved: the guard compares the
+    *normalized* name length against the *raw* suffix length, and the
+    endswith check is on raw strings."""
+    name = name.fillna("").astype(str)
+    suffixe = suffixe.fillna("").astype(str)
+    ln = normalize_series(name).str.len()
+    ls = suffixe.str.len()
+    has = suffixe != ""
+    tail_differs = pd.Series(
+        [n[-l:] != s if l else True for n, s, l in zip(name, suffixe, ls)],
+        index=name.index)
+    do_append = has & (((ln > ls) & tail_differs) | (ln <= ls))
+    return name.where(~do_append, name + " " + suffixe)
+
+
+@pandas_udf(StringType())
+def append_suffixe_udf(name: pd.Series, suffixe: pd.Series) -> pd.Series:
+    return append_suffixe_series(name, suffixe)
+
+
 def format_toponyme_series(s: pd.Series) -> pd.Series:
     """Display-casing of a toponym (helpers.py:24-76): accent restore of
     5 known words, capitalize each word, lowercase particles after the

@@ -189,3 +189,25 @@ def spatial_join(
     if extra:
         out = out.join(F.broadcast(attrs) if broadcast else attrs, id_col)
     return out
+
+
+def spatial_join_left(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_key: str,
+    **kwargs,
+) -> DataFrame:
+    """LEFT OUTER spatial join (J5 semantics: highways LEFT JOIN suffixe
+    ON ST_Intersects): matched rows come from the inner cell-bucketed
+    join; points with no containing polygon are kept once with null
+    polygon attributes. ``point_key`` must uniquely identify a point row."""
+    matched = spatial_join(points, polygons, **kwargs)
+    verts_col = kwargs.get("verts_col", "verts")
+    id_col = kwargs.get("id_col", "poly_id")
+    poly_attrs = [c for c in polygons.columns if c != verts_col]
+    unmatched = points.join(
+        matched.select(point_key).distinct(), point_key, "left_anti")
+    for c in poly_attrs:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(polygons.schema[c].dataType))
+    return matched.unionByName(unmatched.select(matched.columns))

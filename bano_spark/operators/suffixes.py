@@ -12,6 +12,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def build_suffix_zones(points: DataFrame, buffer_m: float, group_cols=("insee_com", "hameau"),
+                       x: str = "x", y: str = "y", max_per_street: int | None = None,
+                       street_col: str | None = None) -> DataFrame:
+    """A7: hamlet points -> buffered union zones.
+
+    The reference buffers <=2 points per street by 0.0003 deg and
+    ST_Unions them (pre_process_suffixe.py:25-45). Without a geometry
+    library the buffered discs become axis-aligned boxes and the union
+    stays an exploded box set — containment tests are 'point in any
+    box', which the cell-bucketed join handles exactly like polygons.
+    Returns one row per (group, box)."""
+    d = points
+    if max_per_street and street_col:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols, street_col).orderBy(x, y)
+        d = d.withColumn("_r", F.row_number().over(w)).filter(
+            F.col("_r") <= max_per_street).drop("_r")
+    return d.select(
+        *group_cols,
+        (F.col(x) - buffer_m).alias("bxmin"),
+        (F.col(x) + buffer_m).alias("bxmax"),
+        (F.col(y) - buffer_m).alias("bymin"),
+        (F.col(y) + buffer_m).alias("bymax"),
+    )
+
+
 def detect_suffixes(names: DataFrame, name_col: str = "name",
                     group_col: str = "insee_com") -> DataFrame:
     """-> (group_col, suffixe, n_names). Input rows are made distinct on
