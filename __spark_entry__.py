@@ -1548,6 +1548,16 @@ def q_name_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# wave-4 queries (remaining SURVEY §2 ops + training-pipeline extras)
+# ---------------------------------------------------------------------------
+
+from bano_spark import queries_wave4 as _w4  # noqa: E402
+
+_QUERIES.update(_w4.QUERIES)
+_ORACLES.update(_w4.ORACLES)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

@@ -129,3 +129,31 @@ def synth_media(spark, n: int, partitions: int = 8) -> DataFrame:
             })
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic fake media rows keyed by an existing id column (so
+    a SQL oracle can recompute header-derived metadata from the ids
+    alone). Same payload derivation as synth_media."""
+
+    def gen(batches):
+        for pdf in batches:
+            vals = pdf[id_col].to_numpy()
+            kinds = np.array(["image", "audio", "video"])[(vals % 3).astype(int)]
+            payloads = [
+                bytes([(int(i) * 7 + j) % 256 for j in range(32 + (int(i) % 5) * 64)])
+                for i in vals
+            ]
+            yield pd.DataFrame({
+                "media_id": vals,
+                "kind": kinds,
+                "payload": payloads,
+                "meta": [
+                    {"mime": f"{k}/x-fake", "n_bytes": len(p),
+                     "source_url": f"https://crawl.example/media/{int(i):08d}"}
+                    for k, p, i in zip(kinds, payloads, vals)
+                ],
+            })
+
+    return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        gen, MEDIA_SCHEMA)

@@ -77,3 +77,39 @@ def lsh_near_dup_pairs(vecs: DataFrame, threshold: float = 0.9, n_bits: int = 8,
         pairs.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_cell(vec_col: str, n_cells: int = 4) -> Column:
+    """IVF coarse quantizer, deterministic: cell j = argmax of the first
+    ``n_cells`` components (ties -> lowest j). Equivalent to nearest-
+    centroid assignment with axis-aligned unit centroids, and exactly
+    expressible in plain SQL for the oracle."""
+    comps = [F.element_at(F.col(vec_col), j + 1).cast("double")
+             for j in range(n_cells)]
+    best = F.greatest(*comps)
+    cell = F.when(comps[0] == best, F.lit(0))
+    for j in range(1, n_cells):
+        cell = cell.when(comps[j] == best, F.lit(j))
+    return cell.cast("int")
+
+
+def ivf_topk(vecs: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:
+    """IVF-bucketed ANN (nprobe=1): candidates share the query's coarse
+    cell, cutting the scanned fraction to ~1/n_cells. At cluster scale
+    the data side would be written bucketed by cell so the probe is a
+    partition-pruned scan; queries stay broadcast."""
+    v = vecs.select(F.col(id_col), F.col(vec_col),
+                    ivf_cell(vec_col, n_cells).alias("cell"))
+    q = queries.select(F.col(qid_col), F.col(qvec_col),
+                       ivf_cell(qvec_col, n_cells).alias("cell"))
+    j = v.join(F.broadcast(q), "cell").filter(F.col(id_col) != F.col(qid_col))
+    sim = F.round(cosine(vec_col, qvec_col), 4)
+    scored = j.select(F.col(qid_col), F.col(id_col), sim.alias("cos_sim"))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(qid_col, id_col, "cos_sim", "rnk")
+    )

@@ -74,3 +74,15 @@ def document_profile(docs: DataFrame, text_col: str = "text",
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+BPE_ISH_RE = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: letter runs, single digits, and single
+    non-alnum marks over the lowercased text (the GPT-2 pre-tokenizer
+    shape, simplified to a portable regex). Stays in codegen via
+    regexp_extract_all."""
+    lowered = F.lower(col)
+    return F.size(F.regexp_extract_all(lowered, F.lit(BPE_ISH_RE), F.lit(0))).cast("bigint")

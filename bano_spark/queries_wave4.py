@@ -1,0 +1,1191 @@
+"""Wave-4 driver queries: remaining SURVEY.md §2 operators + extra
+training-pipeline ops, each with a DuckDB oracle.
+
+Coverage in this wave: J4 J10 J13 J15, W2 W6 W7, A2 A5/A6 A11/A12/A13,
+U1, S3 S8 S11 S14, F5, C6 C7/C8 C11/C12, M3, plus IVF ANN, BPE-ish
+token counting, and multimodal metadata plumbing (deterministic fake
+decode whose header math a SQL oracle reproduces from the ids).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bano_spark import synth
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _insee_case(col: str, n: int = 10) -> str:
+    return "CASE " + " ".join(
+        f"WHEN {col} % {n} = {i} THEN '{synth.COMMUNES[i][0]}'" for i in range(n)
+    ) + " END"
+
+
+# ---------------------------------------------------------------------------
+# w01 — BAN rep expansion join (J10: b->bis via the U4 set, t->ter,
+# q->quater; bano/sql/ban_hsnr_nocache.sql:10-25)
+# ---------------------------------------------------------------------------
+
+_BAN_CTE = """
+ban AS (
+  SELECT 'F' || CAST(l_orderkey % 700 AS VARCHAR) AS id_fantoir,
+         CAST(l_linenumber % 3 AS VARCHAR) AS numero,
+         CASE l_suppkey % 6 WHEN 0 THEN 'a' WHEN 1 THEN 'b' WHEN 2 THEN 'c'
+              WHEN 3 THEN 'd' WHEN 4 THEN 't' ELSE 'q' END AS rep
+  FROM lineitem
+)"""
+
+_W01_ORACLE = f"""
+WITH {_BAN_CTE},
+bis AS (
+  SELECT id_fantoir, numero FROM ban WHERE rep = 'b'
+  EXCEPT
+  SELECT id_fantoir, numero FROM ban WHERE rep IN ('a', 'c', 'd')
+)
+SELECT DISTINCT b.id_fantoir, b.numero, b.rep,
+       CASE WHEN b.rep = 'b' AND s.numero IS NOT NULL THEN 'bis'
+            WHEN b.rep = 't' THEN 'ter'
+            WHEN b.rep = 'q' THEN 'quater'
+            ELSE b.rep END AS rep_expanded
+FROM ban b
+LEFT JOIN bis s ON b.id_fantoir = s.id_fantoir AND b.numero = s.numero
+ORDER BY 1, 2, 3
+"""
+
+
+@register("rep_expansion_join", _W01_ORACLE)
+def w_rep_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.ban import expand_rep, rep_b_as_bis
+
+    li = _read(spark, sf_dir, "lineitem")
+    rep = F.expr("CASE l_suppkey % 6 WHEN 0 THEN 'a' WHEN 1 THEN 'b' WHEN 2 THEN 'c'"
+                 " WHEN 3 THEN 'd' WHEN 4 THEN 't' ELSE 'q' END")
+    ban = li.select(
+        F.concat(F.lit("F"), (F.col("l_orderkey") % 700).cast("string")).alias("id_fantoir"),
+        (F.col("l_linenumber") % 3).cast("string").alias("numero"),
+        rep.alias("rep"))
+    out = expand_rep(ban, rep_b_as_bis(ban))
+    return out.select("id_fantoir", "numero", "rep", "rep_expanded").distinct() \
+        .orderBy("id_fantoir", "numero", "rep")
+
+
+# ---------------------------------------------------------------------------
+# w02 — COG enrichment joins (J15: broadcast equi-join chain over the
+# real dimension tables; export_json_dept_communes.sql:27-33)
+# ---------------------------------------------------------------------------
+
+_W02_ORACLE = """
+SELECT c.c_custkey, n.n_name AS dept_name, r.r_name AS region_name,
+       c.c_acctbal AS acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+ORDER BY c.c_custkey
+"""
+
+
+@register("cog_enrichment_join", _W02_ORACLE)
+def w_cog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", F.col("n_name").alias("dept_name"),
+                F.col("r_name").alias("region_name"),
+                F.col("c_acctbal").alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w03 — lieux-dits <-> FANTOIR left join on cleaned names (J13 + C7/C8:
+# quote hygiene + cascading whitespace collapse;
+# bano/sql/lieux_dits_post_process.sql:2-31)
+# ---------------------------------------------------------------------------
+
+def _ld_raw_cte(cast: str) -> str:
+    insee = _insee_case("p_partkey")
+    return f"""
+ld AS (
+  SELECT {insee} AS insee_com,
+         CASE p_partkey % 5
+              WHEN 0 THEN 'LES  "GRANDS"   PRES ' || CAST(p_partkey % 40 AS {cast})
+              WHEN 1 THEN ' LE  MOULIN  ' || CAST(p_partkey % 40 AS {cast})
+              WHEN 2 THEN 'BELLEVUE ' || CAST(p_partkey % 40 AS {cast})
+              WHEN 3 THEN 'LA "COTE" ' || CAST(p_partkey % 40 AS {cast})
+              ELSE 'LES PINS  ' || CAST(p_partkey % 40 AS {cast}) END AS nom_raw
+  FROM part
+)"""
+
+
+def _fant_ld_cte(cast: str) -> str:
+    insee = _insee_case("s_suppkey")
+    return f"""
+fant AS (
+  SELECT {insee} AS insee_com,
+         CASE s_suppkey % 5
+              WHEN 0 THEN 'LES GRANDS PRES ' || CAST(s_suppkey % 40 AS {cast})
+              WHEN 1 THEN 'LE MOULIN ' || CAST(s_suppkey % 40 AS {cast})
+              WHEN 2 THEN 'BELLEVUE ' || CAST(s_suppkey % 40 AS {cast})
+              WHEN 3 THEN 'LA COTE ' || CAST(s_suppkey % 40 AS {cast})
+              ELSE 'LES ORMES ' || CAST(s_suppkey % 40 AS {cast}) END AS libelle,
+         {insee} || lpad(CAST(s_suppkey % 1000 AS {cast}), 4, '0') AS fantoir,
+         CASE WHEN s_suppkey % 3 = 0 THEN '3' ELSE '1' END AS type_voie
+  FROM supplier
+)"""
+
+
+# the reference collapses whitespace by cascading fixed 2-space
+# replaces; trim + regexp fold reproduces the fixed point
+_CLEAN = ("trim(regexp_replace(replace({c}, '\"', ''), ' +', ' ', 'g'))")
+_CLEAN_SPARK = "trim(regexp_replace(replace({c}, '\"', ''), ' +', ' '))"
+
+_W03_ORACLE = f"""
+WITH {_ld_raw_cte('VARCHAR')},
+{_fant_ld_cte('VARCHAR')},
+fsel AS (
+  SELECT insee_com, libelle, min(fantoir) AS fantoir
+  FROM fant WHERE type_voie = '3'
+  GROUP BY 1, 2
+),
+cleaned AS (
+  SELECT DISTINCT insee_com, {_CLEAN.format(c='nom_raw')} AS nom FROM ld
+)
+SELECT c.insee_com, c.nom, f.fantoir
+FROM cleaned c
+LEFT JOIN fsel f ON c.insee_com = f.insee_com AND c.nom = f.libelle
+ORDER BY 1, 2
+"""
+
+
+@register("lieux_dits_match", _W03_ORACLE)
+def w_lieux_dits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _read(spark, sf_dir, "part").createOrReplaceTempView("part")
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    ld = spark.sql("WITH " + _ld_raw_cte("STRING") + " SELECT * FROM ld")
+    fant = spark.sql("WITH " + _fant_ld_cte("STRING") + " SELECT * FROM fant")
+    fsel = (fant.filter(F.col("type_voie") == "3")
+            .groupBy("insee_com", "libelle").agg(F.min("fantoir").alias("fantoir")))
+    cleaned = ld.select(
+        "insee_com",
+        F.expr(_CLEAN_SPARK.format(c="nom_raw")).alias("nom")).distinct()
+    return (
+        cleaned.join(
+            F.broadcast(fsel),
+            (cleaned.insee_com == fsel.insee_com) & (cleaned.nom == fsel.libelle),
+            "left")
+        .select(cleaned.insee_com, "nom", "fantoir")
+        .orderBy("insee_com", "nom")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w04 — abbreviation re-expansion (C6): our 37-step chain vs the oracle
+# running the reference cascade verbatim (both first-occurrence).
+# ---------------------------------------------------------------------------
+
+_ABBR_IN = ["IMP HUIT MAI", "BD SEBASTOPOL", "AV GAL LECLERC", "PL EGLISE",
+            "RTE NATIONALE SEPT", "ALL ACACIAS", "SQ LOUIS", "CHEM VERT",
+            "RUE ST VINCENT", "CRS MAL FOCH", 'RES "LES PINS"', "PL STE MARIE",
+            "VLA HTE PROVENCE", "RUE DU GAL DE GAULLE GAL X", "PAS DE L’OURS",
+            "GR RUE"]
+
+
+def _abbr_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} % {len(_ABBR_IN)} = {i} THEN '{s.replace(chr(39), chr(39) * 2)}'"
+        for i, s in enumerate(_ABBR_IN))
+    return f"CASE {whens} END"
+
+
+def _w04_oracle() -> str:
+    from bano_spark.functions.expand import PREFIX_EXPANSIONS, WORD_EXPANSIONS
+
+    e = f"({_abbr_case('c_custkey')})"
+    for a, full in PREFIX_EXPANSIONS:
+        e = f"regexp_replace({e}, '^{a} ', '{full} ')"
+    for a, full in WORD_EXPANSIONS:
+        e = f"regexp_replace({e}, ' {a} ', ' {full} ')"
+    e = f"replace(replace({e}, '\"', ''), '’', chr(39))"
+    return f"""
+SELECT c_custkey, {_abbr_case('c_custkey')} AS voie, {e} AS name
+FROM customer ORDER BY c_custkey
+"""
+
+
+@register("abbrev_expansion", _w04_oracle())
+def w_abbrev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.functions.expand import expand_abbrev
+
+    cust = _read(spark, sf_dir, "customer")
+    raw = F.element_at(F.array(*[F.lit(s) for s in _ABBR_IN]),
+                       (F.col("c_custkey") % len(_ABBR_IN)).cast("int") + 1)
+    return (
+        cust.select("c_custkey", raw.alias("voie"))
+        .withColumn("name", expand_abbrev(F.col("voie")))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w05 — hstore/tag-map access (C11/C12): MapType build + getItem +
+# postal coalesce order (bano/helpers.py:6-7)
+# ---------------------------------------------------------------------------
+
+_W05_ORACLE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 4 = 0 THEN '75001'
+            WHEN o_orderkey % 4 = 1 THEN '01210'
+            ELSE '' END AS code_postal,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'F' || CAST(o_orderkey % 89 AS VARCHAR)
+            ELSE NULL END AS tag_fantoir
+FROM orders ORDER BY o_orderkey
+"""
+
+
+@register("tag_map_access", _W05_ORACLE)
+def w_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    # build an hstore-like map with presence varying per row
+    entries = F.filter(
+        F.array(
+            F.when(F.col("o_orderkey") % 4 == 0,
+                   F.struct(F.lit("addr:postcode").alias("k"), F.lit("75001").alias("v"))),
+            F.when(F.col("o_orderkey") % 4 == 1,
+                   F.struct(F.lit("postal_code").alias("k"), F.lit("01210").alias("v"))),
+            F.when(F.col("o_orderkey") % 3 == 0,
+                   F.struct(F.lit("ref:FR:FANTOIR").alias("k"),
+                            F.concat(F.lit("F"), (F.col("o_orderkey") % 89)
+                                     .cast("string")).alias("v"))),
+        ),
+        lambda x: x.isNotNull())
+    tagged = orders.select("o_orderkey", F.map_from_entries(entries).alias("tags"))
+    cp = F.coalesce(F.col("tags").getItem("addr:postcode"),
+                    F.col("tags").getItem("postal_code"), F.lit(""))
+    return tagged.select(
+        "o_orderkey", cp.alias("code_postal"),
+        F.col("tags").getItem("ref:FR:FANTOIR").alias("tag_fantoir"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# w06 — place importance (M3: least/log10 with ld_bati damping;
+# export_json_dept_lieux_dits.sql:57)
+# ---------------------------------------------------------------------------
+
+_W06_ORACLE = """
+SELECT c_custkey,
+       least(0.05, round(log10((1 + c_custkey % 5)
+                 + log10(((c_custkey * 37) % 100000) + 1) / 3)
+             * (0.25 + 0.5 * (1 - coalesce(CASE c_custkey % 3 WHEN 0 THEN 0
+                                           WHEN 1 THEN 1 ELSE NULL END, 1))), 4))
+       AS importance
+FROM customer ORDER BY c_custkey
+"""
+
+
+@register("place_importance", _W06_ORACLE)
+def w_place_imp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    adm = (F.lit(1) + F.col("c_custkey") % 5).cast("double")
+    pop = ((F.col("c_custkey") * 37) % 100000).cast("double")
+    ld_bati = F.when(F.col("c_custkey") % 3 == 0, 0).when(
+        F.col("c_custkey") % 3 == 1, 1).otherwise(F.lit(None).cast("int"))
+    imp = F.least(
+        F.lit(0.05),
+        F.round(F.log10(adm + F.log10(pop + 1) / 3)
+                * (0.25 + 0.5 * (1 - F.coalesce(ld_bati, F.lit(1)))), 4))
+    return cust.select("c_custkey", imp.alias("importance")).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# w07 — postal code per commune (W6: rank over ligne_5, cp;
+# export_json_dept_communes.sql:4-13)
+# ---------------------------------------------------------------------------
+
+def _cp_rows_cte(cast: str) -> str:
+    insee = _insee_case("o_custkey")
+    return f"""
+cps AS (
+  SELECT {insee} AS insee,
+         '0' || CAST(1000 + o_orderkey % 37 AS {cast}) AS cp,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'L5 ' || CAST(o_orderkey % 7 AS {cast})
+              ELSE '' END AS ligne_5
+  FROM orders
+)"""
+
+
+# rank() keeps ties: dedup first, then RANK over (ligne_5, cp)
+_W07_ORACLE = f"""
+WITH {_cp_rows_cte('VARCHAR')},
+d AS (SELECT DISTINCT insee, cp, ligne_5 FROM cps)
+SELECT insee, cp, ligne_5 FROM (
+  SELECT *, RANK() OVER (PARTITION BY insee ORDER BY ligne_5, cp) AS rang FROM d
+) WHERE rang = 1
+ORDER BY insee, cp, ligne_5
+"""
+
+
+@register("postal_rank_commune", _W07_ORACLE)
+def w_postal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    d = spark.sql("WITH " + _cp_rows_cte("STRING") + " SELECT DISTINCT * FROM cps")
+    w = Window.partitionBy("insee").orderBy("ligne_5", "cp")
+    return (
+        d.withColumn("rang", F.rank().over(w)).filter(F.col("rang") == 1)
+        .select("insee", "cp", "ligne_5").orderBy("insee", "cp", "ligne_5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w08 — population rank (W7: RANK by admin_level per insee;
+# sql/update_table_infos_communes.sql:42)
+# ---------------------------------------------------------------------------
+
+_W08_ORACLE = f"""
+WITH rows_p AS (
+  SELECT {_insee_case('o_custkey')} AS insee,
+         CASE o_orderkey % 3 WHEN 0 THEN 8 WHEN 1 THEN 9 ELSE 10 END AS admin_level,
+         (o_orderkey * 13) % 100000 AS population
+  FROM orders
+),
+d AS (SELECT DISTINCT insee, admin_level, population FROM rows_p)
+SELECT insee, admin_level, population FROM (
+  SELECT *, RANK() OVER (PARTITION BY insee
+                         ORDER BY admin_level, population) AS rang FROM d
+) WHERE rang = 1
+ORDER BY insee
+"""
+
+
+@register("population_rank", _W08_ORACLE)
+def w_pop_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    rows_p = orders.select(
+        F.expr(_insee_case("o_custkey")).alias("insee"),
+        F.expr("CASE o_orderkey % 3 WHEN 0 THEN 8 WHEN 1 THEN 9 ELSE 10 END")
+        .alias("admin_level"),
+        ((F.col("o_orderkey") * 13) % 100000).alias("population")).distinct()
+    w = Window.partitionBy("insee").orderBy("admin_level", "population")
+    return (
+        rows_p.withColumn("rang", F.rank().over(w)).filter(F.col("rang") == 1)
+        .select("insee", "admin_level", "population").orderBy("insee")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w09 — batch stats rollup (A11/A12/A13: per-dept per-source sums +
+# France total; bano/sql/stats.sql:2-75)
+# ---------------------------------------------------------------------------
+
+_W09_ORACLE = f"""
+WITH batch AS (
+  SELECT substring({_insee_case('o_custkey')}, 1, 2) AS dept,
+         CASE o_orderkey % 3 WHEN 0 THEN 'BAN' WHEN 1 THEN 'OSM'
+              ELSE 'CADASTRE' END AS source,
+         o_orderkey % 500 AS nombre_adresses
+  FROM orders
+)
+SELECT dept, source, sum(nombre_adresses) AS total,
+       count(*) AS n_batches,
+       count(DISTINCT nombre_adresses) AS n_distinct
+FROM batch GROUP BY 1, 2
+UNION ALL
+SELECT 'FR' AS dept, source, sum(nombre_adresses), count(*),
+       count(DISTINCT nombre_adresses)
+FROM batch GROUP BY 2
+ORDER BY dept, source
+"""
+
+
+@register("batch_stats_rollup", _W09_ORACLE)
+def w_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    batch = orders.select(
+        F.substring(F.expr(_insee_case("o_custkey")), 1, 2).alias("dept"),
+        F.expr("CASE o_orderkey % 3 WHEN 0 THEN 'BAN' WHEN 1 THEN 'OSM'"
+               " ELSE 'CADASTRE' END").alias("source"),
+        (F.col("o_orderkey") % 500).alias("nombre_adresses"))
+    aggs = [F.sum("nombre_adresses").alias("total"),
+            F.count(F.lit(1)).alias("n_batches"),
+            F.countDistinct("nombre_adresses").alias("n_distinct")]
+    per_dept = batch.groupBy("dept", "source").agg(*aggs)
+    france = batch.groupBy("source").agg(*aggs).select(
+        F.lit("FR").alias("dept"), "source", "total", "n_batches", "n_distinct")
+    return per_dept.unionByName(france).orderBy("dept", "source")
+
+
+# ---------------------------------------------------------------------------
+# w10 — UNION-dedup of provenance branches (U1: UNION is load-bearing;
+# hsnr_insee_nocache.sql:25,40,56)
+# ---------------------------------------------------------------------------
+
+_W10_ORACLE = f"""
+WITH src AS (
+  SELECT o_orderkey % 2000 AS osm_id,
+         {_insee_case('(o_orderkey % 2000)')} AS insee,
+         'N ' || CAST((o_orderkey % 2000) % 53 AS VARCHAR) AS voie
+  FROM orders
+)
+SELECT osm_id, insee, voie, 1 AS provenance FROM src WHERE osm_id % 2 = 0
+UNION
+SELECT osm_id, insee, voie, 1 FROM src WHERE osm_id % 3 = 0
+UNION
+SELECT osm_id, insee, voie, 2 FROM src WHERE osm_id % 3 = 1
+ORDER BY osm_id, provenance
+"""
+
+
+@register("union_dedup_provenance", _W10_ORACLE)
+def w_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    src = orders.select(
+        (F.col("o_orderkey") % 2000).alias("osm_id"),
+        F.expr(_insee_case("(o_orderkey % 2000)")).alias("insee"),
+        F.concat(F.lit("N "), ((F.col("o_orderkey") % 2000) % 53).cast("string"))
+        .alias("voie"))
+    b1 = src.filter(F.col("osm_id") % 2 == 0).withColumn("provenance", F.lit(1))
+    b2 = src.filter(F.col("osm_id") % 3 == 0).withColumn("provenance", F.lit(1))
+    b3 = src.filter(F.col("osm_id") % 3 == 1).withColumn("provenance", F.lit(2))
+    return (
+        b1.unionByName(b2).unionByName(b3).dropDuplicates()
+        .orderBy("osm_id", "provenance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w11 — codes postaux raw-line parse (S8: string_to_array -> arr[n];
+# sql/create_and_load_codes_postaux.sql:14-25)
+# ---------------------------------------------------------------------------
+
+def _cp_line(cast: str) -> str:
+    insee = _insee_case("o_custkey")
+    return (f"{insee} || ';' || '0' || CAST(1000 + o_orderkey % 37 AS {cast})"
+            f" || ';LIGNE5 ' || CAST(o_orderkey % 7 AS {cast})"
+            f" || ';' || CAST(o_orderkey % 360 AS {cast})"
+            f" || ';' || CAST(o_orderkey % 180 AS {cast})")
+
+
+_W11_ORACLE = f"""
+WITH raw AS (SELECT o_orderkey, {_cp_line('VARCHAR')} AS line FROM orders)
+SELECT o_orderkey,
+       split_part(line, ';', 1) AS insee,
+       split_part(line, ';', 2) AS cp,
+       split_part(line, ';', 3) AS ligne_5,
+       CAST(split_part(line, ';', 4) AS DOUBLE) AS x,
+       CAST(split_part(line, ';', 5) AS DOUBLE) AS y
+FROM raw ORDER BY o_orderkey
+"""
+
+
+@register("codes_postaux_parse", _W11_ORACLE)
+def w_cp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    raw = spark.sql(f"SELECT o_orderkey, {_cp_line('STRING')} AS line FROM orders")
+    arr = F.split(F.col("line"), ";")
+    return raw.select(
+        "o_orderkey",
+        F.element_at(arr, 1).alias("insee"),
+        F.element_at(arr, 2).alias("cp"),
+        F.element_at(arr, 3).alias("ligne_5"),
+        F.element_at(arr, 4).cast("double").alias("x"),
+        F.element_at(arr, 5).cast("double").alias("y"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# w12 — expire-tiles line parse (S11: 'z/x/y' text -> ints;
+# bano/models.py:322-325)
+# ---------------------------------------------------------------------------
+
+_W12_ORACLE = """
+WITH raw AS (
+  SELECT '16/' || CAST(33000 + o_orderkey % 500 AS VARCHAR) || '/'
+         || CAST(22500 + o_custkey % 400 AS VARCHAR) AS value
+  FROM orders
+)
+SELECT DISTINCT CAST(split_part(value, '/', 1) AS INTEGER) AS z,
+       CAST(split_part(value, '/', 2) AS BIGINT) AS x,
+       CAST(split_part(value, '/', 3) AS BIGINT) AS y
+FROM raw ORDER BY z, x, y
+"""
+
+
+@register("expire_tiles_parse", _W12_ORACLE)
+def w_tile_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.tiling import parse_tile_lines
+
+    orders = _read(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.concat(F.lit("16/"), (33000 + F.col("o_orderkey") % 500).cast("string"),
+                 F.lit("/"), (22500 + F.col("o_custkey") % 400).cast("string"))
+        .alias("value"))
+    return parse_tile_lines(raw).distinct().orderBy("z", "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# w13 — NDJSON street-record export (S14: the reference's hand-built
+# byte layout; bano/export.py:160-176)
+# ---------------------------------------------------------------------------
+
+def _voie_rec_cte(cast: str) -> str:
+    insee = _insee_case("o_custkey")
+    return f"""
+recs AS (
+  SELECT DISTINCT
+         {insee} || lpad(CAST(o_orderkey % 800 AS {cast}), 4, '0') AS fantoir,
+         {insee} AS citycode,
+         'street' AS type,
+         'Rue ' || CAST(o_orderkey % 800 AS {cast}) AS name,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN '01210;01000'
+              ELSE '0' || CAST(1000 + o_orderkey % 37 AS {cast}) END AS postcode,
+         CAST(45 + o_orderkey % 4 AS {cast}) || '.' ||
+             lpad(CAST(o_orderkey % 999983 AS {cast}), 6, '0') AS lat,
+         CAST(2 + o_orderkey % 3 AS {cast}) || '.' ||
+             lpad(CAST(o_custkey % 999983 AS {cast}), 6, '0') AS lon,
+         'Ville ' || {insee} AS cityname,
+         'Dept ' || substring({insee}, 1, 2) AS departement,
+         'Region X' AS region,
+         CAST((o_orderkey % 800) % 97 AS {cast}) || '.0' AS importance
+  FROM orders
+)"""
+
+
+_W13_ORACLE = f"""
+WITH {_voie_rec_cte('VARCHAR')}
+SELECT '{{"id":"' || fantoir || '","citycode":"' || citycode
+    || '","type":"' || type || '","name":"' || name
+    || '","postcode":'
+    || CASE WHEN contains(postcode, ';')
+            THEN '["' || replace(postcode, ';', '", "') || '"]'
+            ELSE '"' || postcode || '"' END
+    || ',"lat":"' || lat || '","lon":"' || lon
+    || '","city":"' || cityname || '","departement":"' || departement
+    || '","region":"' || region || '","importance":' || importance
+    || '}}' AS line
+FROM recs ORDER BY line
+"""
+
+
+@register("ndjson_voie_export", _W13_ORACLE)
+def w_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.export import json_voie_line
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    recs = spark.sql("WITH " + _voie_rec_cte("STRING") + " SELECT * FROM recs")
+    return json_voie_line(recs, with_housenumbers=False).orderBy("line")
+
+
+# ---------------------------------------------------------------------------
+# w14 — cadastre destination filter (F5: isin allowlist + pseudo drop;
+# bano/models.py:87,92)
+# ---------------------------------------------------------------------------
+
+_W14_ORACLE = """
+WITH bal AS (
+  SELECT o_orderkey AS cle_interop,
+         CASE o_orderkey % 6 WHEN 0 THEN 'habitation' WHEN 1 THEN 'commerce'
+              WHEN 2 THEN 'industrie' WHEN 3 THEN 'tourisme'
+              WHEN 4 THEN 'dependance' ELSE 'annexe' END AS destination_principale,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'true' ELSE 'false' END AS pseudo_adresse
+  FROM orders
+)
+SELECT cle_interop, destination_principale FROM bal
+WHERE destination_principale IN ('habitation', 'commerce', 'industrie', 'tourisme')
+  AND pseudo_adresse != 'true'
+ORDER BY cle_interop
+"""
+
+
+@register("cadastre_destination_filter", _W14_ORACLE)
+def w_dest_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    bal = orders.select(
+        F.col("o_orderkey").alias("cle_interop"),
+        F.expr("CASE o_orderkey % 6 WHEN 0 THEN 'habitation' WHEN 1 THEN 'commerce'"
+               " WHEN 2 THEN 'industrie' WHEN 3 THEN 'tourisme'"
+               " WHEN 4 THEN 'dependance' ELSE 'annexe' END")
+        .alias("destination_principale"),
+        F.expr("CASE WHEN o_orderkey % 11 = 0 THEN 'true' ELSE 'false' END")
+        .alias("pseudo_adresse"))
+    return (
+        bal.filter(F.col("destination_principale").isin(
+            "habitation", "commerce", "industrie", "tourisme")
+            & (F.col("pseudo_adresse") != "true"))
+        .select("cle_interop", "destination_principale")
+        .orderBy("cle_interop")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w15 — min postal per commune (A2: MIN(cp) GROUP BY insee;
+# export_csv_dept.sql:15-19)
+# ---------------------------------------------------------------------------
+
+_W15_ORACLE = f"""
+WITH cps AS (
+  SELECT {_insee_case('o_custkey')} AS insee,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              ELSE '0' || CAST(1000 + o_orderkey % 37 AS VARCHAR) END AS cp
+  FROM orders
+)
+SELECT insee, min(cp) AS min_cp FROM cps GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("min_postal_per_commune", _W15_ORACLE)
+def w_min_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    cps = orders.select(
+        F.expr(_insee_case("o_custkey")).alias("insee"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("0"), (1000 + F.col("o_orderkey") % 37)
+                            .cast("string"))).alias("cp"))
+    return cps.groupBy("insee").agg(F.min("cp").alias("min_cp")).orderBy("insee")
+
+
+# ---------------------------------------------------------------------------
+# w16 — bbox-envelope variant join (J4: commune replaced by the
+# ST_Extent envelope of its points; hsnr_bbox_insee_nocache.sql:20,37)
+# ---------------------------------------------------------------------------
+
+_W16_ORACLE = f"""
+WITH apts AS ({synth.points_select_sql('duckdb', 'supplier', 's_suppkey', 7)}),
+bpts AS ({synth.points_select_sql('duckdb', 'events', 'event_id', 0)}),
+env AS (
+  SELECT c.insee_com,
+         min(p.x) AS xmin, min(p.y) AS ymin, max(p.x) AS xmax, max(p.y) AS ymax
+  FROM apts p
+  JOIN {synth.communes_values_sql()}
+    ON p.x >= c.xmin AND p.x < c.xmax AND p.y >= c.ymin AND p.y < c.ymax
+  WHERE c.admin_level = 8
+  GROUP BY 1
+)
+SELECT b.event_id, e.insee_com
+FROM bpts b
+JOIN env e ON b.x >= e.xmin AND b.x <= e.xmax AND b.y >= e.ymin AND b.y <= e.ymax
+ORDER BY 1, 2
+"""
+
+
+@register("bbox_envelope_join", _W16_ORACLE)
+def w_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.pip_join import spatial_join
+
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    apts = spark.sql(synth.points_select_sql("spark", "supplier", "s_suppkey", 7))
+    bpts = spark.sql(synth.points_select_sql("spark", "events", "event_id", 0))
+    polys = synth.commune_polygons_df(spark).filter(F.col("admin_level") == 8)
+    env = (
+        spatial_join(apts, polys, id_col="insee_com", zoom=12)
+        .groupBy("insee_com")
+        .agg(F.min("x").alias("exmin"), F.min("y").alias("eymin"),
+             F.max("x").alias("exmax"), F.max("y").alias("eymax"))
+    )
+    return (
+        bpts.join(F.broadcast(env),
+                  (F.col("x") >= F.col("exmin")) & (F.col("x") <= F.col("exmax"))
+                  & (F.col("y") >= F.col("eymin")) & (F.col("y") <= F.col("eymax")))
+        .select("event_id", "insee_com")
+        .orderBy("event_id", "insee_com")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w17 — street best-segment + centroid (W2/A5/A6:
+# point_par_rue_insee_nocache.sql:22,26-38)
+# ---------------------------------------------------------------------------
+
+_W17_ORACLE = """
+WITH segs AS (
+  SELECT DISTINCT l_orderkey % 300 AS street_id, l_linenumber AS seg_id,
+         CASE WHEN l_suppkey % 3 = 0 THEN 1 ELSE 0 END AS within
+  FROM lineitem
+),
+best AS (
+  SELECT street_id, seg_id, within FROM (
+    SELECT *, RANK() OVER (PARTITION BY street_id
+                           ORDER BY within DESC, seg_id) AS rang FROM segs
+  ) WHERE rang = 1
+),
+pts AS (
+  SELECT l_orderkey % 300 AS street_id,
+         2.0 + (l_orderkey % 300) * 0.01 + l_linenumber * 0.001 AS x,
+         45.0 + (l_orderkey % 300) * 0.005 AS y
+  FROM lineitem
+),
+cent AS (
+  SELECT street_id, (min(x) + max(x)) / 2 AS cx, (min(y) + max(y)) / 2 AS cy,
+         count(*) AS n_points
+  FROM pts GROUP BY 1
+)
+SELECT b.street_id, b.seg_id, b.within, c.cx, c.cy, c.n_points
+FROM best b JOIN cent c ON b.street_id = c.street_id
+ORDER BY b.street_id
+"""
+
+
+@register("point_par_rue", _W17_ORACLE)
+def w_point_par_rue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.streets import best_segment, street_centroid
+
+    li = _read(spark, sf_dir, "lineitem")
+    segs = li.select(
+        (F.col("l_orderkey") % 300).alias("street_id"),
+        F.col("l_linenumber").alias("seg_id"),
+        F.when(F.col("l_suppkey") % 3 == 0, 1).otherwise(0).alias("within"),
+    ).distinct()
+    best = best_segment(segs)
+    pts = li.select(
+        (F.col("l_orderkey") % 300).alias("street_id"),
+        (F.lit(2.0) + (F.col("l_orderkey") % 300) * 0.01
+         + F.col("l_linenumber") * 0.001).alias("x"),
+        (F.lit(45.0) + (F.col("l_orderkey") % 300) * 0.005).alias("y"))
+    cent = street_centroid(pts)
+    return (
+        best.join(cent, "street_id")
+        .select("street_id", "seg_id", "within", "cx", "cy", "n_points")
+        .orderBy("street_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w18 — IVF-bucketed ANN (nprobe=1 scale path for similarity search)
+# ---------------------------------------------------------------------------
+
+def _ivf_cell_sql(tbl: str, vec: str) -> str:
+    comps = [f"CAST({tbl}.{vec}[{j + 1}] AS DOUBLE)" for j in range(4)]
+    best = f"greatest({', '.join(comps)})"
+    whens = " ".join(f"WHEN {comps[j]} = {best} THEN {j}" for j in range(4))
+    return f"(CASE {whens} END)"
+
+
+_W18_DOT = ("list_sum(list_transform(generate_series(1, 64), "
+            "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE)))")
+_W18_NA = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))")
+_W18_NQ = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(q.q_vec[i] AS DOUBLE))))")
+
+_W18_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding, {_ivf_cell_sql('embeddings', 'embedding')} AS cell
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+             {_ivf_cell_sql('embeddings', 'embedding')} AS cell
+      FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, a.vec_id, round({_W18_DOT} / ({_W18_NA} * {_W18_NQ}), 4) AS cos_sim
+  FROM v a JOIN q ON a.cell = q.cell AND a.vec_id != q.q_id
+)
+SELECT q_id, vec_id, cos_sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+ORDER BY q_id, rnk
+"""
+
+
+@register("ivf_topk", _W18_ORACLE)
+def w_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.similarity import ivf_topk
+
+    vecs = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return ivf_topk(vecs, queries_df, k=5, n_cells=4).orderBy("q_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# w19 — BPE-ish token counting (training-pipeline op)
+# ---------------------------------------------------------------------------
+
+_W19_ORACLE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("bpe_token_count", _W19_ORACLE)
+def w_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.textstats import bpe_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# w20 — image metadata plumbing (multimodal: mapInPandas fake decode;
+# the oracle recomputes the header math from the ids)
+# ---------------------------------------------------------------------------
+
+_W20_ORACLE = """
+SELECT o_orderkey AS media_id,
+       CAST(16 + (o_orderkey * 7) % 256 AS INTEGER) AS width,
+       CAST(16 + (o_orderkey * 7 + 1) % 256 AS INTEGER) AS height,
+       CAST(1 + ((o_orderkey * 7 + 2) % 256) % 3 AS INTEGER) AS n_channels
+FROM orders WHERE o_orderkey % 3 = 0
+ORDER BY media_id
+"""
+
+
+@register("image_features_meta", _W20_ORACLE)
+def w_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.multimodal import image_features, media_from_ids
+
+    orders = _read(spark, sf_dir, "orders")
+    media = media_from_ids(orders.select(F.col("o_orderkey").alias("media_id")))
+    feats = image_features(media, fake=True)
+    return feats.select("media_id", "width", "height", "n_channels").orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# w21 — video frame-sampling plumbing (1-to-many mapInPandas; frame
+# counts derivable from the payload-length formula)
+# ---------------------------------------------------------------------------
+
+_W21_ORACLE = """
+WITH vids AS (
+  SELECT o_orderkey AS media_id,
+         CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE o_orderkey % 5 END AS n_frames
+  FROM orders WHERE o_orderkey % 3 = 2
+)
+SELECT media_id, CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled
+FROM vids ORDER BY media_id
+"""
+
+
+@register("video_frame_counts", _W21_ORACLE)
+def w_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.multimodal import media_from_ids, sample_frames
+
+    orders = _read(spark, sf_dir, "orders")
+    media = media_from_ids(orders.select(F.col("o_orderkey").alias("media_id")))
+    frames = sample_frames(media, every_n=2, fake=True)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled")).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# w22 — BAN CSV parse (S3: sep=';' with explicit schema;
+# bano/sources/ban.py:36-72)
+# ---------------------------------------------------------------------------
+
+def _ban_line(cast: str) -> str:
+    insee = _insee_case("o_custkey")
+    return (f"'ban_' || CAST(o_orderkey AS {cast})"
+            f" || ';' || CAST(o_orderkey % 120 AS {cast})"
+            f" || ';' || CASE o_orderkey % 4 WHEN 0 THEN 'bis' ELSE '' END"
+            f" || ';Rue ' || CAST(o_orderkey % 53 AS {cast})"
+            f" || ';0' || CAST(1000 + o_orderkey % 37 AS {cast})"
+            f" || ';' || {insee}"
+            f" || ';' || CAST(2 + o_orderkey % 3 AS {cast}) || '.5'"
+            f" || ';' || CAST(45 + o_orderkey % 4 AS {cast}) || '.25'")
+
+
+_W22_ORACLE = f"""
+WITH raw AS (SELECT {_ban_line('VARCHAR')} AS line FROM orders)
+SELECT split_part(line, ';', 1) AS id,
+       CAST(split_part(line, ';', 2) AS INTEGER) AS numero,
+       split_part(line, ';', 3) AS rep,
+       split_part(line, ';', 4) AS nom_voie,
+       split_part(line, ';', 5) AS code_postal,
+       split_part(line, ';', 6) AS code_insee,
+       CAST(split_part(line, ';', 7) AS DOUBLE) AS lon,
+       CAST(split_part(line, ';', 8) AS DOUBLE) AS lat
+FROM raw ORDER BY id
+"""
+
+
+@register("ban_csv_parse", _W22_ORACLE)
+def w_ban_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    raw = spark.sql(f"SELECT {_ban_line('STRING')} AS line FROM orders")
+    schema = ("id STRING, numero INT, rep STRING, nom_voie STRING, "
+              "code_postal STRING, code_insee STRING, lon DOUBLE, lat DOUBLE")
+    parsed = raw.select(
+        F.from_csv(F.col("line"), schema, {"sep": ";"}).alias("r")).select("r.*")
+    # COPY loads empty text fields as '' (not NULL) — match that
+    return parsed.withColumn("rep", F.coalesce(F.col("rep"), F.lit(""))).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# w23 — structured-streaming dirty-INSEE path (2.9: availableNow over a
+# tile-expiry feed -> distinct dirty communes). Not SQL-expressible
+# (stateful streaming sink) -> rows-only check; the batch twin
+# `expired_tiles_to_insee` is oracle-checked as q03.
+# ---------------------------------------------------------------------------
+
+@register("dirty_insee_stream")
+def w_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from bano_spark.geo import tiles as tl
+    from bano_spark.streaming.incremental import run_dirty_insee_stream
+
+    base = tempfile.mkdtemp(prefix="bano_stream_")
+    tiles_dir = os.path.join(base, "tiles")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(tiles_dir)
+    # deterministic expiry feed: the z16 tiles of the first 400 synth pts
+    pts = synth.points_df(spark, sf_dir).limit(400).collect()
+    cell = tl.cell_size(tl.DEFAULT_ZOOM)
+    with open(os.path.join(tiles_dir, "batch0.tiles"), "w") as f:
+        for r in pts:
+            tx = int((r.x - tl.ORIGIN) / cell)
+            ty = int((-tl.ORIGIN - r.y) / cell)
+            f.write(f"{tl.DEFAULT_ZOOM}/{tx}/{ty}\n")
+    run_dirty_insee_stream(spark, tiles_dir, synth.commune_polygons_df(spark),
+                           out_dir, ckpt)
+    out = spark.read.parquet(out_dir).orderBy("insee_com")
+    rows = out.collect()
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# w24 — validity predicates (F2/F3/F4: name len>=2, hsnr len<=11,
+# 10-char fantoir prefixed by the commune; bano/helpers.py:89-92,179-180)
+# ---------------------------------------------------------------------------
+
+_W24_ORACLE = f"""
+WITH rows_v AS (
+  SELECT o_orderkey,
+         {_insee_case('o_custkey')} AS insee,
+         CASE o_orderkey % 4 WHEN 0 THEN 'N' WHEN 1 THEN ''
+              ELSE 'Rue ' || CAST(o_orderkey % 9 AS VARCHAR) END AS name,
+         CASE WHEN o_orderkey % 5 = 0 THEN '123456789012'
+              ELSE CAST(o_orderkey % 400 AS VARCHAR) END AS hsnr,
+         CASE o_orderkey % 3
+              WHEN 0 THEN {_insee_case('o_custkey')}
+                          || lpad(CAST(o_orderkey % 97 AS VARCHAR), 4, '0') || 'X'
+              WHEN 1 THEN '9999' || lpad(CAST(o_orderkey % 97 AS VARCHAR), 5, '0') || 'Y'
+              ELSE 'SHORT' END AS fantoir
+  FROM orders
+)
+SELECT o_orderkey, insee, name, hsnr, fantoir
+FROM rows_v
+WHERE name IS NOT NULL AND length(name) >= 2
+  AND hsnr != '' AND length(hsnr) <= 11
+  AND length(fantoir) = 10 AND substring(fantoir, 1, 5) = insee
+ORDER BY o_orderkey
+"""
+
+
+@register("validity_filters", _W24_ORACLE)
+def w_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    rows_v = spark.sql(f"""
+      SELECT o_orderkey,
+             {_insee_case('o_custkey')} AS insee,
+             CASE o_orderkey % 4 WHEN 0 THEN 'N' WHEN 1 THEN ''
+                  ELSE 'Rue ' || CAST(o_orderkey % 9 AS STRING) END AS name,
+             CASE WHEN o_orderkey % 5 = 0 THEN '123456789012'
+                  ELSE CAST(o_orderkey % 400 AS STRING) END AS hsnr,
+             CASE o_orderkey % 3
+                  WHEN 0 THEN {_insee_case('o_custkey')}
+                              || lpad(CAST(o_orderkey % 97 AS STRING), 4, '0') || 'X'
+                  WHEN 1 THEN '9999' || lpad(CAST(o_orderkey % 97 AS STRING), 5, '0') || 'Y'
+                  ELSE 'SHORT' END AS fantoir
+      FROM orders""")
+    valid_name = F.col("name").isNotNull() & (F.length("name") >= 2)
+    valid_hsnr = (F.col("hsnr") != "") & (F.length("hsnr") <= 11)
+    valid_fant = (F.length("fantoir") == 10) & (
+        F.substring("fantoir", 1, 5) == F.col("insee"))
+    return rows_v.filter(valid_name & valid_hsnr & valid_fant).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# w25 — way-centroid-in-commune join (J2: ST_Centroid(way) first, then
+# the J1 PIP; hsnr_insee_nocache.sql:27-39). Ways here are 2-vertex
+# segments whose centroid is the midpoint — computed with a JVM
+# higher-order aggregate over the vertex array, never in Python.
+# ---------------------------------------------------------------------------
+
+_W25_ORACLE = f"""
+WITH base AS ({synth.points_select_sql('duckdb', 'events', 'event_id', 3)}),
+ways AS (
+  SELECT event_id AS way_id, x, y,
+         x + (event_id % 7) * 2.0 AS x2, y + (event_id % 5) * 2.0 AS y2
+  FROM base
+),
+cent AS (
+  SELECT way_id, (x + x2) / 2 AS cx, (y + y2) / 2 AS cy FROM ways
+)
+SELECT w.way_id, c.insee_com
+FROM cent w
+JOIN {synth.communes_values_sql()}
+  ON w.cx >= c.xmin AND w.cx < c.xmax AND w.cy >= c.ymin AND w.cy < c.ymax
+WHERE c.admin_level = 8
+ORDER BY 1, 2
+"""
+
+
+@register("way_centroid_join", _W25_ORACLE)
+def w_way_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.pip_join import spatial_join
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    base = spark.sql(synth.points_select_sql("spark", "events", "event_id", 3))
+    ways = base.select(
+        F.col("event_id").alias("way_id"),
+        F.array(
+            F.array(F.col("x"), F.col("y")),
+            F.array(F.col("x") + (F.col("event_id") % 7) * 2.0,
+                    F.col("y") + (F.col("event_id") % 5) * 2.0),
+        ).alias("way"))
+    # centroid via higher-order aggregate over the vertex array (JVM)
+    cent = ways.select(
+        "way_id",
+        F.expr("aggregate(way, CAST(0.0 AS DOUBLE), (a, v) -> a + v[0]) / size(way)")
+        .alias("cx"),
+        F.expr("aggregate(way, CAST(0.0 AS DOUBLE), (a, v) -> a + v[1]) / size(way)")
+        .alias("cy"))
+    polys = synth.commune_polygons_df(spark).filter(F.col("admin_level") == 8)
+    out = spatial_join(cent, polys, x="cx", y="cy", id_col="insee_com", zoom=12)
+    return out.select("way_id", "insee_com").orderBy("way_id", "insee_com")
+
+
+# ---------------------------------------------------------------------------
+# w26 — TTL (Turtle RDF) export (S15: bano/export.py:101-145 templated
+# record, incl. the arrondissement special case)
+# ---------------------------------------------------------------------------
+
+def _ttl_rows_cte(cast: str) -> str:
+    insee = "CASE " + " ".join(
+        f"WHEN o_custkey % 20 = {i} THEN '{synth.COMMUNES[i][0]}'" for i in range(20)
+    ) + " END"
+    return f"""
+rows_t AS (
+  SELECT DISTINCT
+         {insee} || lpad(CAST(o_orderkey % 300 AS {cast}), 4, '0') || '-'
+             || CAST(1 + o_orderkey % 40 AS {cast}) AS id,
+         CAST(1 + o_orderkey % 40 AS {cast}) AS numero,
+         'Rue ' || CAST(o_orderkey % 53 AS {cast}) AS voie,
+         '0' || CAST(1000 + o_orderkey % 37 AS {cast}) AS code_post,
+         'Ville ' || substring({insee}, 1, 2) AS ville,
+         CAST(45 + o_orderkey % 4 AS {cast}) || '.5' AS lat,
+         CAST(2 + o_orderkey % 3 AS {cast}) || '.25' AS lon
+  FROM orders
+)"""
+
+
+_W26_ORACLE = f"""
+WITH {_ttl_rows_cte('VARCHAR')}
+SELECT '<http://id.osmfr.org/bano/' || id || '>  a locn:Address , gn:Feature ;'
+  || chr(10) || 'locn:fullAddress "' || numero || ' ' || voie || ', '
+  || code_post || ' ' || ville || ', FRANCE";' || chr(10)
+  || 'locn:addressId "' || id || '" ;' || chr(10)
+  || 'locn:locatorDesignator "' || numero || '" ;' || chr(10)
+  || 'locn:thoroughfare "' || voie || '"@fr ;' || chr(10)
+  || 'locn:postalCode "' || code_post || '" ;' || chr(10)
+  || 'locn:locatorName "' || ville || '"@fr ;' || chr(10)
+  || 'locn:adminUnitL1 "FR" ;'
+  || CASE WHEN instr('13 69 75', substring(id, 1, 2)) > 0
+           AND ((CAST(substring(id, 1, 5) AS INTEGER) BETWEEN 13201 AND 13216)
+                OR (CAST(substring(id, 1, 5) AS INTEGER) BETWEEN 75101 AND 75120))
+      THEN 'locn:location <http://id.insee.fr/geo/arrondissementMunicipal/'
+           || substring(id, 1, 5) || '> ;'
+      ELSE 'locn:location <http://id.insee.fr/geo/commune/' || id || '[0:5]> ;'
+      END
+  || 'locn:geometry <geo:' || lat || ',' || lon || ';u=0;crs=wgs84> ;' || chr(10)
+  || 'locn:geometry [a geo:Point ; geo:lat "' || lat || '" ; geo:long "'
+  || lon || '" ] ;' || chr(10)
+  || 'locn:geometry [a gsp:Geometry; gsp:asWKT "POINT(' || lon || ' ' || lat
+  || ')"^^gsp:wktLiteral ] ;' || chr(10) || '.' AS line
+FROM rows_t ORDER BY line
+"""
+
+
+@register("ttl_export", _W26_ORACLE)
+def w_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.export import ttl_record
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    rows_t = spark.sql("WITH " + _ttl_rows_cte("STRING") + " SELECT * FROM rows_t")
+    return ttl_record(rows_t).orderBy("line")
+
+
+# ---------------------------------------------------------------------------
+# w27 — GeoJSON feature parse (S5: cadastre lieux-dits;
+# bano/sources/cadastre_json.py:47-62)
+# ---------------------------------------------------------------------------
+
+def _geojson_line(cast: str) -> str:
+    insee = _insee_case("o_custkey")
+    head = '\'{"type":"Feature","properties":{"nom":"LD \' '
+    mid = '|| \'","insee":"\' || ' + insee + (
+        ' || \'"},"geometry":{"type":"Polygon","coordinates":[[[\'')
+    tail = "|| ']]]}}'"
+    return (
+        head
+        + f"|| CAST(o_orderkey % 211 AS {cast}) "
+        + mid
+        + f" || CAST(2 + o_orderkey % 5 AS {cast}) || ',' "
+        + f"|| CAST(45 + o_orderkey % 3 AS {cast}) || '],['"
+        + f" || CAST(3 + o_orderkey % 5 AS {cast}) || ',' "
+        + f"|| CAST(45 + o_orderkey % 3 AS {cast}) || '],['"
+        + f" || CAST(3 + o_orderkey % 5 AS {cast}) || ',' "
+        + f"|| CAST(46 + o_orderkey % 3 AS {cast}) "
+        + tail
+    )
+
+
+_W27_ORACLE = f"""
+WITH raw AS (SELECT o_orderkey, {_geojson_line('VARCHAR')} AS line FROM orders)
+SELECT DISTINCT
+       json_extract_string(line, '$.properties.nom') AS nom,
+       json_extract_string(line, '$.properties.insee') AS insee_com,
+       CAST(json_extract(line, '$.geometry.coordinates[0][0][0]') AS DOUBLE) AS x0,
+       CAST(json_extract(line, '$.geometry.coordinates[0][0][1]') AS DOUBLE) AS y0,
+       CAST(json_array_length(line, '$.geometry.coordinates[0]') AS INTEGER) AS n_verts
+FROM raw ORDER BY nom, insee_com, x0, y0
+"""
+
+
+@register("geojson_parse", _W27_ORACLE)
+def w_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    raw = spark.sql(f"SELECT o_orderkey, {_geojson_line('STRING')} AS line FROM orders")
+    schema = ("STRUCT<type: STRING, properties: STRUCT<nom: STRING, insee: STRING>, "
+              "geometry: STRUCT<type: STRING, coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>>")
+    p = raw.select(F.from_json(F.col("line"), schema).alias("f"))
+    return p.select(
+        F.col("f.properties.nom").alias("nom"),
+        F.col("f.properties.insee").alias("insee_com"),
+        F.element_at(F.element_at(F.col("f.geometry.coordinates"), 1), 1)
+        .getItem(0).alias("x0"),
+        F.element_at(F.element_at(F.col("f.geometry.coordinates"), 1), 1)
+        .getItem(1).alias("y0"),
+        F.size(F.element_at(F.col("f.geometry.coordinates"), 1)).alias("n_verts"),
+    ).distinct().orderBy("nom", "insee_com", "x0", "y0")

@@ -1,0 +1,81 @@
+"""Wave-4 operator units: C6 expansion, IVF ANN, BPE tokens, streets,
+multimodal id-keyed media."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_expand_abbrev_goldens(spark):
+    from bano_spark.functions.expand import expand_abbrev
+
+    cases = [
+        ("IMP HUIT MAI", "Impasse HUIT MAI"),
+        ("AV GAL LECLERC", "Avenue Général LECLERC"),
+        ("RUE ST VINCENT", "RUE Saint VINCENT"),
+        ('RES "LES PINS"', "Résidence LES PINS"),
+        ("PL STE MARIE", "Place Sainte MARIE"),
+        # first-occurrence-only (PG regexp_replace without 'g')
+        ("RUE DU GAL DE GAULLE GAL X", "RUE DU Général DE GAULLE GAL X"),
+        ("PAS DE L’OURS", "Passage DE L'OURS"),
+        ("GR RUE", "GR RUE"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["voie"])
+    got = [r.out for r in
+           df.select(expand_abbrev(F.col("voie")).alias("out")).collect()]
+    assert got == [c[1] for c in cases]
+
+
+def test_ivf_matches_brute_force_within_cell(spark):
+    from bano_spark.operators.similarity import brute_force_topk, ivf_cell, ivf_topk
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(64)])
+            for i in range(40)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    ivf = ivf_topk(vecs, qs, k=3, n_cells=4).collect()
+    # every IVF hit must also be a brute-force hit *restricted to the
+    # query's cell* with identical similarity
+    cells = {r.vec_id: r.cell for r in vecs.select(
+        "vec_id", ivf_cell("embedding", 4).alias("cell")).collect()}
+    bf = brute_force_topk(vecs, qs, k=40).collect()
+    bf_sims = {(r.q_id, r.vec_id): r.cos_sim for r in bf}
+    for r in ivf:
+        assert cells[r.vec_id] == cells[r.q_id]
+        assert abs(bf_sims[(r.q_id, r.vec_id)] - r.cos_sim) < 1e-9
+
+
+def test_bpe_token_count(spark):
+    from bano_spark.operators.textstats import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("Hello, world 42!",), ("",), ("a-b",)], ["text"])
+    got = [r.n for r in df.select(
+        bpe_token_count(F.col("text")).alias("n")).collect()]
+    # hello , world 4 2 !  /  (empty)  /  a - b
+    assert got == [6, 0, 3]
+
+
+def test_best_segment_prefers_within(spark):
+    from bano_spark.operators.streets import best_segment
+
+    segs = spark.createDataFrame(
+        [(1, 10, 0), (1, 11, 1), (1, 12, 1), (2, 20, 0), (2, 21, 0)],
+        ["street_id", "seg_id", "within"])
+    got = {(r.street_id, r.seg_id) for r in best_segment(segs).collect()}
+    assert got == {(1, 11), (2, 20)}
+
+
+def test_media_from_ids_header_math(spark):
+    from bano_spark.operators.multimodal import image_features, media_from_ids
+
+    ids = spark.createDataFrame([(i,) for i in range(9)], ["media_id"])
+    feats = {r.media_id: r for r in
+             image_features(media_from_ids(ids), fake=True).collect()}
+    # only ids % 3 == 0 are images; header bytes are (id*7+j) % 256
+    assert set(feats) == {0, 3, 6}
+    for i in (0, 3, 6):
+        assert feats[i].width == 16 + (i * 7) % 256
+        assert feats[i].height == 16 + (i * 7 + 1) % 256
+        assert feats[i].n_channels == 1 + ((i * 7 + 2) % 256) % 3
