@@ -40,13 +40,25 @@ def cell_size(z: int) -> float:
 # ---------------------------------------------------------------------------
 
 def tile_x(x_3857: Column, z: int) -> Column:
-    """Tile column index of an EPSG:3857 x coordinate."""
-    return F.floor((x_3857 - F.lit(ORIGIN)) / F.lit(cell_size(z))).cast("bigint")
+    """Tile column index of an EPSG:3857 x coordinate.
+
+    Wrapped in coalesce(. , -1) to make the column NON-NULLABLE: when a
+    nullable tile index is used as an equi-join key, Catalyst pushes an
+    IsNotNull filter below the projection that computes it, re-inlining
+    the whole upstream expression tree per key (measured 10x slowdown on
+    the pages pipeline, where upstream is the page-text parse). -1 is
+    outside every real tile range (null coords never join anyway)."""
+    return F.coalesce(
+        F.floor((x_3857 - F.lit(ORIGIN)) / F.lit(cell_size(z))).cast("bigint"),
+        F.lit(-1).cast("bigint"))
 
 
 def tile_y(y_3857: Column, z: int) -> Column:
-    """Tile row index (slippy convention: y grows southward)."""
-    return F.floor((F.lit(-ORIGIN) - y_3857) / F.lit(cell_size(z))).cast("bigint")
+    """Tile row index (slippy convention: y grows southward).
+    Non-nullable like tile_x."""
+    return F.coalesce(
+        F.floor((F.lit(-ORIGIN) - y_3857) / F.lit(cell_size(z))).cast("bigint"),
+        F.lit(-1).cast("bigint"))
 
 
 def cell_id(x_3857: Column, y_3857: Column, z: int) -> Column:

@@ -77,6 +77,7 @@ def spatial_join(
     zoom: int = 10,
     broadcast: bool | None = None,
     salt: int | None = None,
+    split_refine: bool = False,
 ) -> DataFrame:
     """Inner join of points to containing polygons.
 
@@ -144,6 +145,31 @@ def spatial_join(
     out_cols = [c for c in cand.columns if c not in ("interior", verts_col)]
     schema = cand.select(*out_cols).schema
 
+    if split_refine:
+        # Two-branch plan: interior-cell candidates never cross into
+        # Python at all (pure JVM passthrough); only boundary-cell
+        # candidates pay the Arrow round trip. The upstream is scanned
+        # twice — worth it when the boundary fraction is small (raise
+        # `zoom` to shrink it: each +1 quarters the boundary area) or
+        # when the upstream is a cheap pushed-down scan. Callers with an
+        # expensive upstream should persist() the points first.
+        easy = cand.filter(F.col("interior")).select(*out_cols)
+        hard = cand.filter(~F.col("interior"))
+        hard_refined = _refine_exact(
+            spark, hard, polygons, out_cols, schema, x, y, id_col, verts_col,
+            vert_map, broadcast)
+        out = easy.unionByName(hard_refined)
+        return _attach_attrs(out, polygons, id_col, verts_col, broadcast)
+
+    out = _refine_exact(spark, cand, polygons, out_cols, schema, x, y,
+                        id_col, verts_col, vert_map, broadcast)
+    return _attach_attrs(out, polygons, id_col, verts_col, broadcast)
+
+
+def _refine_exact(spark, cand, polygons, out_cols, schema, x, y, id_col,
+                  verts_col, vert_map, broadcast):
+    """mapInArrow exact-PIP pass over candidate rows. Rows flagged
+    interior pass straight through; the rest run the numpy kernel."""
     if broadcast:
         bc = spark.sparkContext.broadcast(vert_map)
         refine_input = cand
@@ -181,10 +207,14 @@ def spatial_join(
                         px[m], py[m], ring_of(b, pid, first))
             yield b.filter(pa.array(keep)).select(out_cols)
 
-    out = refine_input.mapInArrow(refine, schema)
+    return refine_input.mapInArrow(refine, schema)
+
+
+def _attach_attrs(out, polygons, id_col, verts_col, broadcast):
+    """Re-attach non-ring polygon attributes after the refine (cover
+    rows carry only the id)."""
     poly_attrs = [c for c in polygons.columns if c not in (verts_col,)]
     attrs = polygons.select(*poly_attrs)
-    # cover rows already carry only the id; re-attach remaining attributes
     extra = [c for c in poly_attrs if c != id_col]
     if extra:
         out = out.join(F.broadcast(attrs) if broadcast else attrs, id_col)

@@ -51,7 +51,7 @@ def pages_pipeline(spark, n_pages: int) -> int:
              .filter(F.col("admin_level") == 8)
              .withColumnRenamed("insee_com", "poly_insee"))
     joined = spatial_join(recs.drop("insee_com"), polys, x="x", y="y",
-                          id_col="poly_insee", verts_col="verts", zoom=15,
+                          id_col="poly_insee", verts_col="verts", zoom=16,
                           broadcast=True)
     tiled = joined.select(
         "poly_insee",
@@ -67,13 +67,17 @@ def pages_pipeline(spark, n_pages: int) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
 
     import __spark_entry__ as E
     from bano_spark.session import get_session
 
     spark = get_session("bench", cpus=cpus, shuffle_partitions=max(cpus, 32))
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JIT, Arrow/python-worker pool, parquet footer cache — so the
+    # timings measure the engine, not first-action init
+    pages_pipeline(spark, 50_000)
 
     qs = E.queries()
     timings: dict[str, float] = {}

@@ -38,8 +38,11 @@ spark.stop()
 def run_level(cpus: int, pages: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(cpus), str(pages)],
-        capture_output=True, text=True, check=True, cwd=os.path.dirname(
+        capture_output=True, text=True, cwd=os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"level cpus={cpus} failed rc={out.returncode}")
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
