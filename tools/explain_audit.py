@@ -1,0 +1,88 @@
+"""Explain-plan audit: print the physical plan of each headline query
+and check the properties that matter at 100 TB — broadcast joins where
+the build side is small, whole-stage codegen coverage, no Cartesian
+products, parquet filter/column pushdown. Writes EXPLAIN.md.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+from bano_spark.session import get_session
+
+AUDITED = [
+    "pip_count_per_commune",
+    "conciliation_export",
+    "knn_name_match",
+    "postal_smallest_polygon",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+    "ivf_topk",
+    "cog_enrichment_join",
+    "windowed_event_counts",
+]
+
+CHECKS = [
+    ("no cartesian product", lambda p: "CartesianProduct" not in p, True),
+    ("no shuffled nested loop", lambda p: "BroadcastNestedLoopJoin" not in p
+     or "BuildRight" in p, True),
+    ("whole-stage codegen present", lambda p: "codegen id" in p, True),
+    ("broadcast join used", lambda p: "BroadcastHashJoin" in p
+     or "BroadcastExchange" in p, False),
+    ("parquet scan pruned (ReadSchema)", lambda p: "ReadSchema" in p, False),
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_session("explain", cpus=4, shuffle_partitions=8,
+                        extra={"spark.sql.adaptive.enabled": "false"})  # AQE off: show final codegen ids in explain
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    lines = ["# EXPLAIN — physical-plan audit of headline queries",
+             "", f"Input: `{sf_dir}`; checks: no cartesian/nested-loop joins,",
+             "whole-stage codegen, broadcast for small build sides, scan",
+             "pruning. Regenerate: `python tools/explain_audit.py`.", ""]
+    failures = 0
+    for name in AUDITED:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+
+        lines.append(f"## {name}")
+        lines.append("")
+        for label, fn, required in CHECKS:
+            ok = fn(plan)
+            mark = "PASS" if ok else ("FAIL" if required else "n/a ")
+            if required and not ok:
+                failures += 1
+            lines.append(f"- [{mark}] {label}")
+        # compact plan: operator tree only, first 40 lines
+        tree = [l for l in plan.splitlines()[:40]]
+        lines.append("")
+        lines.append("```")
+        lines.extend(tree)
+        lines.append("```")
+        lines.append("")
+        print(name, "audited")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "EXPLAIN.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"{failures} required-check failures")
+    spark.stop()
+    raise SystemExit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
