@@ -1189,3 +1189,80 @@ def w_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getItem(1).alias("y0"),
         F.size(F.element_at(F.col("f.geometry.coordinates"), 1)).alias("n_verts"),
     ).distinct().orderBy("nom", "insee_com", "x0", "y0")
+
+
+# ---------------------------------------------------------------------------
+# w28 — Lambert-93 -> WGS84 reprojection (S9: shp2pgsql -s 2154:4326;
+# EPSG 9802 inverse LCC as a vectorized numpy Arrow kernel, oracle runs
+# the same published formulas as SQL)
+# ---------------------------------------------------------------------------
+
+def _w28_oracle() -> str:
+    from bano_spark.geo import reproject as R
+
+    cols = R.oracle_select_cols("x", "y")
+    return f"""
+WITH pts AS (
+  SELECT o_orderkey,
+         600000.0 + (o_orderkey * 37) % 200000 + 0.25 AS x,
+         6500000.0 + (o_orderkey * 53) % 300000 + 0.5 AS y
+  FROM orders
+)
+SELECT o_orderkey, lon, lat FROM (SELECT o_orderkey, {cols} FROM pts)
+ORDER BY o_orderkey
+"""
+
+
+@register("lambert93_reproject", _w28_oracle())
+def w_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.geo.reproject import lambert93_to_wgs84_udf
+
+    orders = _read(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderkey",
+        (600000.0 + (F.col("o_orderkey") * 37) % 200000 + 0.25).alias("x"),
+        (6500000.0 + (F.col("o_orderkey") * 53) % 300000 + 0.5).alias("y"))
+    out = pts.withColumn("ll", lambert93_to_wgs84_udf(F.col("x"), F.col("y")))
+    return out.select(
+        "o_orderkey",
+        F.round(F.col("ll.lon"), 9).alias("lon"),
+        F.round(F.col("ll.lat"), 9).alias("lat"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# w29 — lon/lat -> EPSG:3857 spherical Mercator (ST_Transform 4326->3857,
+# hsnr_insee_nocache.sql:13), pure column arithmetic both sides
+# ---------------------------------------------------------------------------
+
+_W29_ORACLE = """
+WITH ll AS (
+  SELECT o_orderkey,
+         -5.0 + (o_orderkey % 1700) * 0.01 AS lon,
+         41.0 + (o_orderkey % 1000) * 0.01 AS lat
+  FROM orders
+)
+SELECT o_orderkey,
+       round(6378137.0 * radians(lon), 4) AS x,
+       round(6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)), 4) AS y
+FROM ll ORDER BY o_orderkey
+"""
+
+
+@register("lonlat_to_mercator", _W29_ORACLE)
+def w_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.geo.tiles import lonlat_to_mercator
+
+    orders = _read(spark, sf_dir, "orders")
+    ll = orders.select(
+        "o_orderkey",
+        (-5.0 + (F.col("o_orderkey") % 1700) * 0.01).alias("lon"),
+        (41.0 + (F.col("o_orderkey") % 1000) * 0.01).alias("lat"))
+    mx, my = lonlat_to_mercator(F.col("lon"), F.col("lat"))
+    # 4-decimal (0.1 mm) rounding: Java vs C libm tan/ln differ in the
+    # last ULP and the deterministic inputs must not straddle a boundary
+    return ll.select(
+        "o_orderkey",
+        F.round(mx, 4).alias("x"),
+        F.round(my, 4).alias("y"),
+    ).orderBy("o_orderkey")

@@ -79,3 +79,20 @@ def test_media_from_ids_header_math(spark):
         assert feats[i].width == 16 + (i * 7) % 256
         assert feats[i].height == 16 + (i * 7 + 1) % 256
         assert feats[i].n_channels == 1 + ((i * 7 + 2) % 256) % 3
+
+
+def test_lambert93_known_points():
+    """Inverse Lambert-93 against published reference coordinates: the
+    projection origin maps to (3E, 46.5N) exactly; a round-trip through
+    the forward formulas would be circular, so we pin the EPSG origin
+    and check monotonicity east/north."""
+    import numpy as np
+
+    from bano_spark.geo.reproject import lambert93_to_wgs84_np
+
+    lon, lat = lambert93_to_wgs84_np(
+        np.array([700000.0, 800000.0, 700000.0]),
+        np.array([6600000.0, 6600000.0, 6700000.0]))
+    assert abs(lon[0] - 3.0) < 1e-9 and abs(lat[0] - 46.5) < 1e-9
+    assert lon[1] > lon[0]  # east of origin
+    assert lat[2] > lat[0]  # north of origin
