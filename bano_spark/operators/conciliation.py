@@ -134,7 +134,9 @@ def conciliate(cumul: DataFrame, codes_postaux: DataFrame | None = None,
         & ~F.col("numero").rlike(_JUNK_NUM)
     )
 
-    w = Window.partitionBy("id").orderBy("numero")
+    # lat/lon tiebreak: the reference orders by numero only and inherits
+    # Postgres scan order on ties; we make the pick deterministic
+    w = Window.partitionBy("id").orderBy("numero", "lat", "lon")
     return (
         res.withColumn("sequence", F.row_number().over(w))
         .filter(F.col("sequence") == 1)

@@ -1266,3 +1266,104 @@ def w_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mx, 4).alias("x"),
         F.round(my, 4).alias("y"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# w30 — END-TO-END pipeline (SURVEY §3.1): pages -> extract -> normalize
+# -> conciliate -> unix-CSV export lines, the reference's whole
+# per-commune loop as one DataFrame job. The oracle re-derives every
+# page field from event_id with the same integer arithmetic and mirrors
+# export_csv_dept.sql independently.
+# ---------------------------------------------------------------------------
+
+_E2E_NORMS = [s[1] for s in synth.STREETS]
+_E2E_INSEE_N = [c[0] for c in synth.COMMUNES[:10]]
+_E2E_INSEE_A = [c[0] for c in synth.COMMUNES[11:20]]
+
+
+def _e2e_cumul_cte() -> str:
+    insee_n = "CASE " + " ".join(
+        f"WHEN least(u % 16, 9) = {i} THEN '{v}'" for i, v in enumerate(_E2E_INSEE_N)
+    ) + " END"
+    insee_a = "CASE " + " ".join(
+        f"WHEN (u // 16) % 9 = {i} THEN '{v}'" for i, v in enumerate(_E2E_INSEE_A)
+    ) + " END"
+    voie = "CASE " + " ".join(
+        f"WHEN u % 12 = {i} THEN '{v}'" for i, v in enumerate(_E2E_NORMS)
+    ) + " END"
+    return f"""
+base AS (
+  SELECT event_id, (event_id * 2654435761) % 2147483648 AS u,
+         event_id % 4 AS kidx
+  FROM events
+),
+cumul AS (
+  SELECT CASE WHEN u % 16 < 10 THEN {insee_n} ELSE {insee_a} END AS insee_com,
+         (CASE WHEN u % 16 < 10 THEN {insee_n} ELSE {insee_a} END)
+             || lpad(CAST((u // 3) % 2000 AS VARCHAR), 4, '0') AS fantoir,
+         CASE kidx WHEN 0 THEN 'BAN' WHEN 1 THEN 'OSM' ELSE 'BAL' END AS source,
+         CAST((u // 7) % 200 + 1 AS VARCHAR) AS numero,
+         {voie} AS voie,
+         '0' || CAST(1000 + u % 40 AS VARCHAR) AS code_postal,
+         CAST(CASE WHEN u % 16 < 10
+              THEN {synth.REG0!r} + (u % 16) * {synth.W!r}
+              ELSE {synth.PARIS0!r} + ((u // 16) % 9) * {synth.W!r}
+         END + ((u // 144) % 9000) + 0.5 AS DOUBLE) AS lon,
+         CAST({synth.REGY0!r} + ((u // 1296000) % 9000) + 0.25 AS DOUBLE) AS lat
+  FROM base WHERE kidx != 3
+)"""
+
+
+_W30_ORACLE = f"""
+WITH {_e2e_cumul_cte()},
+u AS (SELECT DISTINCT insee_com, fantoir, numero AS num FROM cumul),
+o AS (SELECT fantoir, numero AS num, numero, voie, code_postal, lon, lat
+      FROM cumul WHERE source = 'OSM'),
+od AS (SELECT fantoir, numero AS num, numero, voie, code_postal, lon, lat
+       FROM cumul WHERE source = 'BAL' AND lon != 0 AND lat != 0),
+c AS (SELECT fantoir, numero AS num, numero, voie, code_postal, lon, lat
+      FROM cumul WHERE source = 'BAN' AND lon != 0 AND lat != 0),
+res AS (
+  SELECT u.fantoir || '-' || u.num AS id,
+         upper(replace(coalesce(o.numero, od.numero, c.numero), ' ', '')) AS numero,
+         replace(replace(replace(coalesce(o.voie, od.voie, c.voie),
+                 '"', chr(39)), ', ', ' '), ',', ' ') AS voie,
+         coalesce(o.code_postal, c.code_postal) AS code_post,
+         CAST(NULL AS VARCHAR) AS ville,
+         CASE WHEN u.num = o.num THEN 'OSM'
+              WHEN u.num = od.num THEN 'OD'
+              WHEN c.voie != '' THEN 'C+O'
+              ELSE 'CAD' END AS source,
+         coalesce(o.lat, od.lat, c.lat) AS lat,
+         coalesce(o.lon, od.lon, c.lon) AS lon
+  FROM u
+  LEFT JOIN o ON u.num = o.num AND u.fantoir = o.fantoir
+  LEFT JOIN od ON od.num = u.num AND od.fantoir = u.fantoir
+  LEFT JOIN c ON c.num = u.num AND c.fantoir = u.fantoir
+  WHERE u.num > '0'
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY numero, lat, lon) AS seq
+  FROM res
+  WHERE lat IS NOT NULL AND lon IS NOT NULL
+    AND regexp_matches(numero, '^[0-9]{{1,4}}( ?[A-Z]?.*)?')
+    AND numero != '99999'
+    AND NOT regexp_matches(numero, '.[0-9 .-]{{9,}}')
+)
+SELECT id || ',' || numero || ',' || voie || ','
+    || coalesce(code_post, '') || ',' || coalesce(ville, '') || ','
+    || source || ',' || CAST(lat AS VARCHAR) || ',' || CAST(lon AS VARCHAR)
+    AS line
+FROM ranked WHERE seq = 1 ORDER BY line
+"""
+
+
+@register("end_to_end_csv_export", _W30_ORACLE)
+def w_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.pipelines import export_csv
+    from bano_spark.sources.pages import synth_pages_sql
+
+    ids = _read(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    pages = synth_pages_sql(spark, 0, ids=ids)
+    return export_csv(pages).orderBy("line")

@@ -121,7 +121,8 @@ def synth_pages(spark: SparkSession, n_pages: int, partitions: int = 32) -> Data
     return spark.range(0, n_pages, 1, partitions).mapInPandas(gen, PAGE_SCHEMA)
 
 
-def synth_pages_sql(spark: SparkSession, n_pages: int, partitions: int = 32) -> DataFrame:
+def synth_pages_sql(spark: SparkSession, n_pages: int, partitions: int = 32,
+                    ids: DataFrame | None = None) -> DataFrame:
     """Pure-JVM twin of synth_pages — identical rows (asserted in
     tests/test_pages.py), built from codegen column expressions.
 
@@ -129,14 +130,18 @@ def synth_pages_sql(spark: SparkSession, n_pages: int, partitions: int = 32) -> 
     bandwidth-bound and stops scaling ~8 workers, while this one scales
     with cores — and at real scale the pages come from a table scan
     anyway, so the benchmark should measure the engine, not the
-    synthesizer."""
+    synthesizer.
+
+    ``ids``: optional DataFrame with an ``id`` column to key the pages
+    (instead of range(n_pages)) — lets a SQL oracle re-derive page
+    content from the same driver table."""
     kinds_sql = "array(" + ",".join(f"'{k}'" for k in KINDS) + ")"
     streets_sql = "array(" + ",".join(
         "'" + s[0].replace("'", "''") + "'" for s in synth.STREETS) + ")"
     insee_sql = "array(" + ",".join(f"'{c[0]}'" for c in synth.COMMUNES[:10]) + ")"
     arr_sql = "array(" + ",".join(f"'{c[0]}'" for c in synth.COMMUNES[11:20]) + ")"
 
-    df = spark.range(0, n_pages, 1, partitions)
+    df = ids if ids is not None else spark.range(0, n_pages, 1, partitions)
     df = df.selectExpr(
         "id",
         "(id * 2654435761) % 2147483648 AS u",
@@ -202,6 +207,7 @@ RECORD_SCHEMA = T.StructType([
     T.StructField("numero", T.StringType()),
     T.StructField("rep", T.StringType()),
     T.StructField("nom_voie", T.StringType()),
+    T.StructField("code_postal", T.StringType()),
     T.StructField("fantoir", T.StringType()),
     T.StructField("x", T.DoubleType()),
     T.StructField("y", T.DoubleType()),
@@ -225,6 +231,7 @@ def extract_records(pages: DataFrame) -> DataFrame:
         F.element_at(ban, 2).alias("numero"),
         F.element_at(ban, 3).alias("rep"),
         F.element_at(ban, 4).alias("nom_voie"),
+        F.element_at(ban, 5).alias("code_postal"),
         F.regexp_extract(F.element_at(lines, 3), r"ref:FR:FANTOIR=(.*)$", 1).alias("fantoir"),
         F.element_at(ban, 7).cast("double").alias("x"),
         F.element_at(ban, 8).cast("double").alias("y"),

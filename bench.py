@@ -24,6 +24,7 @@ HEADLINE = [
     "tile_assignment_counts",
     "expired_tiles_to_insee",
     "conciliation_export",
+    "end_to_end_csv_export",
     "knn_name_match",
     "postal_smallest_polygon",
     "minhash_lsh_pairs",
