@@ -35,12 +35,16 @@ def pages_to_cumul(pages: DataFrame, normalize: bool = True) -> DataFrame:
     reference's per-source load dispatch (core.py:304-313)."""
     recs = extract_records(pages).filter(F.col("kind").isin(*SOURCE_OF_KIND))
     voie = normalize_udf(F.col("nom_voie")) if normalize else F.col("nom_voie")
+    # join keys are wrapped non-nullable (coalesce with '') so Catalyst
+    # never pushes IsNotNull filters below this projection — with a
+    # computed upstream (text parse) that re-inlines the whole
+    # expression tree per key (see tiles.tile_x for the same pathology)
     return recs.select(
-        F.col("insee_com"),
-        F.substring("insee_com", 1, 2).alias("dept"),
-        F.col("fantoir"),
+        F.coalesce(F.col("insee_com"), F.lit("")).alias("insee_com"),
+        F.coalesce(F.substring("insee_com", 1, 2), F.lit("")).alias("dept"),
+        F.coalesce(F.col("fantoir"), F.lit("")).alias("fantoir"),
         F.upper(F.col("kind")).alias("source"),
-        F.col("numero"),
+        F.coalesce(F.col("numero"), F.lit("")).alias("numero"),
         voie.alias("voie_osm"),
         F.lit(None).cast("string").alias("voie_autre"),
         F.col("code_postal"),
