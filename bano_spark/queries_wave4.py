@@ -1367,3 +1367,95 @@ def w_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _read(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
     pages = synth_pages_sql(spark, 0, ids=ids)
     return export_csv(pages).orderBy("line")
+
+
+# ---------------------------------------------------------------------------
+# w31 — ST_ClosestPoint on street segments (point_par_rue_insee_
+# nocache.sql:41): clamped scalar projection, column arithmetic both
+# sides (JVM expressions here; geometry.closest_point_on_segments is
+# the numpy twin for Arrow-UDF pipelines)
+# ---------------------------------------------------------------------------
+
+_W31_ORACLE = """
+WITH segs AS (
+  SELECT l_orderkey AS seg_id,
+         CAST(100.0 + (l_orderkey % 977) AS DOUBLE) AS x1,
+         CAST(200.0 + (l_orderkey % 883) AS DOUBLE) AS y1,
+         CAST(100.0 + (l_orderkey % 977) + (l_suppkey % 41) AS DOUBLE) AS x2,
+         CAST(200.0 + (l_orderkey % 883) + (l_partkey % 37) AS DOUBLE) AS y2,
+         CAST(150.0 + (l_linenumber * 13) % 900 AS DOUBLE) AS px,
+         CAST(250.0 + (l_linenumber * 7) % 800 AS DOUBLE) AS py
+  FROM lineitem
+),
+t AS (
+  SELECT seg_id, px, py, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy,
+         (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) AS d2
+  FROM segs
+),
+proj AS (
+  SELECT seg_id,
+         least(greatest(CASE WHEN d2 > 0
+              THEN ((px - x1) * dx + (py - y1) * dy) / d2 ELSE 0.0 END,
+              0.0), 1.0) AS tc,
+         x1, y1, dx, dy
+  FROM t
+)
+SELECT DISTINCT seg_id,
+       round(x1 + tc * dx, 9) AS cx,
+       round(y1 + tc * dy, 9) AS cy
+FROM proj ORDER BY seg_id, cx, cy
+"""
+
+
+@register("closest_point_on_segment", _W31_ORACLE)
+def w_closest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    segs = li.select(
+        F.col("l_orderkey").alias("seg_id"),
+        (100.0 + F.col("l_orderkey") % 977).cast("double").alias("x1"),
+        (200.0 + F.col("l_orderkey") % 883).cast("double").alias("y1"),
+        (100.0 + F.col("l_orderkey") % 977 + F.col("l_suppkey") % 41)
+        .cast("double").alias("x2"),
+        (200.0 + F.col("l_orderkey") % 883 + F.col("l_partkey") % 37)
+        .cast("double").alias("y2"),
+        (150.0 + (F.col("l_linenumber") * 13) % 900).cast("double").alias("px"),
+        (250.0 + (F.col("l_linenumber") * 7) % 800).cast("double").alias("py"))
+    dx, dy = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")
+    d2 = dx * dx + dy * dy
+    t_raw = F.when(d2 > 0, ((F.col("px") - F.col("x1")) * dx
+                            + (F.col("py") - F.col("y1")) * dy) / d2).otherwise(0.0)
+    tc = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    return segs.select(
+        "seg_id",
+        F.round(F.col("x1") + tc * dx, 9).alias("cx"),
+        F.round(F.col("y1") + tc * dy, 9).alias("cy"),
+    ).distinct().orderBy("seg_id", "cx", "cy")
+
+
+# ---------------------------------------------------------------------------
+# w32 — watermarked streaming window aggregation (§2.9 Spark-first
+# extension: the batch q27 plan run under Structured Streaming with a
+# 1-hour watermark; rows-only check — streaming sinks aren't
+# SQL-expressible, the batch twin q27 is the oracle-checked semantics)
+# ---------------------------------------------------------------------------
+
+@register("streaming_windowed_counts")
+def w_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = (spark.readStream.schema(
+        _read(spark, sf_dir, "events").schema).parquet(sf_dir.rstrip("/"))
+        .filter(F.input_file_name().endswith("events.parquet")))
+    agg = (
+        feed.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    qname = "w32_stream"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(qname).orderBy("window_start", "event_type")
+    rows = out.collect()
+    q.stop()
+    return spark.createDataFrame(rows, out.schema)
