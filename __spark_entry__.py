@@ -830,10 +830,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sig_cte() -> str:
+    """Banded-md5 minwise sketch (one md5 -> four 32-bit hash values as
+    disjoint hex substrings), mirroring operators.dedup.minhash_signature."""
     mins = ",\n         ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS h{i}" for i in range(8))
+        f"list_min(list_transform(m{i // 4}, x -> substr(x, {8 * (i % 4) + 1}, 8))) AS h{i}"
+        for i in range(8))
+    blocks = ",\n               ".join(
+        f"list_transform(sh, s -> md5('b{b}|' || s)) AS m{b}" for b in range(2))
     return (f"sig AS (SELECT doc_id,\n         {mins}\n"
-            f"  FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents))")
+            f"  FROM (SELECT doc_id,\n               {blocks}\n"
+            f"        FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)))")
 
 
 _Q20_ORACLE = f"""
