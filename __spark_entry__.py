@@ -76,7 +76,7 @@ def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _spark_points(spark, sf_dir)
     polys = synth.commune_polygons_df(spark)
     joined = spatial_join(pts, polys, x="x", y="y", id_col="insee_com",
-                          verts_col="verts", zoom=12)
+                          verts_col="verts", zoom=15)
     return (
         joined.groupBy("insee_com", "dept", "admin_level")
         .agg(F.count(F.lit(1)).alias("n_points"))
@@ -461,7 +461,7 @@ ORDER BY event_id
 def q_postal(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _spark_points(spark, sf_dir)
     pp = synth.postal_polygons_df(spark)
-    hits = spatial_join(pts, pp, id_col="code_postal", zoom=12)
+    hits = spatial_join(pts, pp, id_col="code_postal", zoom=14)
     w = Window.partitionBy("event_id").orderBy("area", "code_postal")
     return (
         hits.withColumn("rnk", F.row_number().over(w))
@@ -491,7 +491,7 @@ GROUP BY 1 ORDER BY 1
 def q_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _spark_points(spark, sf_dir)
     polys = synth.commune_polygons_df(spark).filter(F.col("admin_level") == 8)
-    joined = spatial_join(pts, polys, id_col="insee_com", zoom=12)
+    joined = spatial_join(pts, polys, id_col="insee_com", zoom=15)
     return (
         joined.groupBy("insee_com")
         .agg(F.min("x").alias("bxmin"), F.min("y").alias("bymin"),

@@ -45,7 +45,10 @@ def conciliate(cumul: DataFrame, codes_postaux: DataFrame | None = None,
     export rows (id, numero, voie, code_post, ville, source, lat, lon)
     ordered by id — the reference's CSV export contract
     (export_csv_dept.sql:95-106)."""
-    num = canonical_num(F.col("numero")).alias("num")
+    # non-nullable join key: stops Catalyst pushing IsNotNull below the
+    # projection and re-inlining the canon chain per join (null numero
+    # canonicalizes like '' and '' never survives the num > '0' filter)
+    num = F.coalesce(canonical_num(F.col("numero")), F.lit("")).alias("num")
 
     u = (
         cumul.filter(F.col("fantoir").isNotNull())

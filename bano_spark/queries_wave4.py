@@ -700,7 +700,7 @@ def w_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpts = spark.sql(synth.points_select_sql("spark", "events", "event_id", 0))
     polys = synth.commune_polygons_df(spark).filter(F.col("admin_level") == 8)
     env = (
-        spatial_join(apts, polys, id_col="insee_com", zoom=12)
+        spatial_join(apts, polys, id_col="insee_com", zoom=15)
         .groupBy("insee_com")
         .agg(F.min("x").alias("exmin"), F.min("y").alias("eymin"),
              F.max("x").alias("exmax"), F.max("y").alias("eymax"))
@@ -1072,7 +1072,7 @@ def w_way_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(way, CAST(0.0 AS DOUBLE), (a, v) -> a + v[1]) / size(way)")
         .alias("cy"))
     polys = synth.commune_polygons_df(spark).filter(F.col("admin_level") == 8)
-    out = spatial_join(cent, polys, x="cx", y="cy", id_col="insee_com", zoom=12)
+    out = spatial_join(cent, polys, x="cx", y="cy", id_col="insee_com", zoom=15)
     return out.select("way_id", "insee_com").orderBy("way_id", "insee_com")
 
 
