@@ -1,0 +1,132 @@
+"""Web-corpus curation operators (training-data pipeline, first-class).
+
+The ops a Common-Crawl-scale text pipeline runs between crawl and
+training, all as built-in column expressions (codegen, no UDFs):
+
+  canonical_url       dedup key for near-identical fetches
+  repetition_stats    Gopher-style duplicate-line / top-bigram ratios
+  gopher_quality      rule-based document filters (boolean flags)
+  dup_span_stats      exact 13-gram duplicate-span detection across docs
+
+References (public methods): Gopher (Rae et al. 2021) repetition and
+quality rules; "Deduplicating Training Data Makes Language Models
+Better" (Lee et al. 2021) exact-substring dedup, approximated here at
+word-n-gram granularity so it stays a groupBy, not a suffix array.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import tokens
+
+TRACKING_PARAMS_RE = r"^(utm_[a-z]+|fbclid|gclid|ref)="
+
+
+def canonical_url(col_name: str) -> Column:
+    """Canonical form: lowercase scheme+host, drop fragment, drop
+    tracking query params (utm_*, fbclid, gclid, ref), sort surviving
+    params, strip trailing '/'. Takes the column NAME so intermediate
+    pieces can be expressed once as SQL text."""
+    no_frag = f"substring_index(substring_index({col_name}, '://', -1), '#', 1)"
+    scheme = F.lower(F.substring_index(F.col(col_name), "://", 1))
+    host = F.expr(
+        f"lower(substring_index(substring_index({no_frag}, '/', 1), '?', 1))")
+    pathq = F.expr(
+        f"CASE WHEN instr({no_frag}, '/') > 0 "
+        f"THEN substring({no_frag}, instr({no_frag}, '/')) ELSE '' END")
+    path = F.substring_index(pathq, "?", 1)
+    query = F.when(pathq.contains("?"), F.substring_index(pathq, "?", -1)) \
+        .otherwise(F.lit(""))
+    kept = F.array_join(
+        F.array_sort(F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS_RE))), "&")
+    tail = F.when(kept != "", F.concat(path, F.lit("?"), kept)).otherwise(path)
+    tail = F.regexp_replace(tail, "/$", "")
+    return F.concat(scheme, F.lit("://"), host, tail)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repetition ratios: duplicate-line fraction and the share
+    of all word bigrams taken by the most frequent bigram."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), r"\n"),
+                           lambda x: F.trim(x) != "")).alias("line"))
+    line_stats = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("line").alias("n_distinct_lines"))
+    line_stats = line_stats.select(
+        id_col, "n_lines",
+        F.round(1.0 - F.col("n_distinct_lines") / F.col("n_lines"), 6)
+        .alias("dup_line_frac"))
+
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "CASE WHEN size(_toks) >= 2 THEN transform(sequence(0, size(_toks) - 2),"
+            " i -> concat_ws(' ', slice(_toks, i + 1, 2))) ELSE array() END"))
+        .alias("bigram"))
+    per_gram = grams.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("n"))
+    gram_stats = per_gram.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"), F.max("n").alias("top_n"))
+    gram_stats = gram_stats.select(
+        id_col, "n_bigrams",
+        F.round(F.col("top_n") / F.col("n_bigrams"), 6).alias("top_bigram_frac"))
+    return line_stats.join(gram_stats, id_col, "left")
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style boolean document filters + overall keep flag."""
+    toked = docs.select(F.col(id_col), F.col(text_col).alias("_t"),
+                        tokens(F.col(text_col)).alias("_toks"))
+    n_words = F.size("_toks").cast("double")
+    mean_len = F.expr(
+        "aggregate(_toks, CAST(0.0 AS DOUBLE), (a, w) -> a + length(w))") / n_words
+    n_alpha_words = F.size(F.filter(F.col("_toks"), lambda w: w.rlike("[a-z]")))
+    alpha_frac = n_alpha_words / n_words
+    n_hash = (F.length("_t") - F.length(F.replace(F.col("_t"), F.lit("#"), F.lit("")))).cast("double")
+    sym_ratio = n_hash / n_words
+    flags = toked.select(
+        F.col(id_col),
+        ((n_words >= 50) & (n_words <= 100000)).alias("ok_word_count"),
+        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("ok_mean_word_len"),
+        (alpha_frac > 0.8).alias("ok_alpha_frac"),
+        (sym_ratio < 0.1).alias("ok_symbol_ratio"),
+    )
+    keep = (F.col("ok_word_count") & F.col("ok_mean_word_len")
+            & F.col("ok_alpha_frac") & F.col("ok_symbol_ratio"))
+    return flags.withColumn("keep", keep)
+
+
+def dup_span_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   n: int = 13) -> DataFrame:
+    """Exact duplicate-span detection at word-n-gram granularity: an
+    n-gram occurring in more than one document marks a duplicated span.
+    Returns per-doc total grams, duplicated grams, duplicate fraction.
+    At corpus scale this is one explode + two hash aggregations (the
+    heavy join is on the md5 of the gram, never the text)."""
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"CASE WHEN size(_toks) >= {n} THEN transform(sequence(0, size(_toks) - {n}),"
+            f" i -> md5(concat_ws(' ', slice(_toks, i + 1, {n})))) ELSE array() END"))
+        .alias("g"))
+    per_doc_gram = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("n_in_doc"))
+    docs_per_gram = per_doc_gram.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    joined = per_doc_gram.join(docs_per_gram, "g")
+    return (
+        joined.groupBy(id_col)
+        .agg(F.sum("n_in_doc").alias("n_grams"),
+             F.sum(F.when(F.col("n_docs") > 1, F.col("n_in_doc")).otherwise(0))
+             .alias("n_dup_grams"))
+        .select(id_col, "n_grams", "n_dup_grams",
+                F.round(F.col("n_dup_grams") / F.col("n_grams"), 6)
+                .alias("dup_frac"))
+    )

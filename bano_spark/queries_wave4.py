@@ -1459,3 +1459,169 @@ def w_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     q.stop()
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# w33-w36 — web-corpus curation suite (training-data pipeline):
+# canonical URL dedup key, Gopher repetition ratios, Gopher quality
+# flags, exact 13-gram duplicate-span detection
+# ---------------------------------------------------------------------------
+
+def _url_case(cast: str) -> str:
+    hosts = ["Example.COM", "crawl.example", "WWW.Site.org"]
+    h = "CASE " + " ".join(
+        f"WHEN o_orderkey % 3 = {i} THEN '{v}'" for i, v in enumerate(hosts)) + " END"
+    return (
+        f"'https://' || {h} || '/p' || CAST(o_orderkey % 50 AS {cast})"
+        f" || CASE o_orderkey % 5"
+        f"    WHEN 0 THEN '/?b=2&utm_source=x&a=1'"
+        f"    WHEN 1 THEN '?utm_campaign=z'"
+        f"    WHEN 2 THEN '/#frag'"
+        f"    WHEN 3 THEN '/sub/?z=9&fbclid=abc&y=8#x'"
+        f"    ELSE '' END"
+    )
+
+
+_W33_ORACLE = f"""
+WITH raw AS (SELECT o_orderkey, {_url_case('VARCHAR')} AS url FROM orders),
+parts AS (
+  SELECT o_orderkey, url,
+         lower(split_part(url, '://', 1)) AS scheme,
+         split_part(split_part(url, '://', 2), '#', 1) AS no_frag
+  FROM raw
+),
+hp AS (
+  SELECT o_orderkey, url, scheme,
+         lower(split_part(split_part(no_frag, '/', 1), '?', 1)) AS host,
+         CASE WHEN instr(no_frag, '/') > 0
+              THEN substring(no_frag, instr(no_frag, '/')) ELSE '' END AS pathq
+  FROM parts
+),
+pq AS (
+  SELECT o_orderkey, scheme, host,
+         split_part(pathq, '?', 1) AS path,
+         CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2)
+              ELSE '' END AS query
+  FROM hp
+),
+canon AS (
+  SELECT o_orderkey, scheme, host, path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+             p -> p != '' AND NOT regexp_matches(p,
+                  '^(utm_[a-z]+|fbclid|gclid|ref)='))), '&') AS kept
+  FROM pq
+)
+SELECT o_orderkey,
+       scheme || '://' || host ||
+       regexp_replace(CASE WHEN kept != '' THEN path || '?' || kept
+                           ELSE path END, '/$', '') AS canon_url
+FROM canon ORDER BY o_orderkey
+"""
+
+
+@register("canonical_url", _W33_ORACLE)
+def w_canon_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.webtext import canonical_url
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    raw = spark.sql(f"SELECT o_orderkey, {_url_case('STRING')} AS url FROM orders")
+    return raw.select(
+        "o_orderkey", canonical_url("url").alias("canon_url")).orderBy("o_orderkey")
+
+
+_TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+_W34_ORACLE = f"""
+WITH lines AS (
+  SELECT doc_id, u.line FROM documents,
+       UNNEST(list_filter(string_split(text, chr(10)), x -> trim(x) != '')) AS u(line)
+),
+ls AS (
+  SELECT doc_id, count(*) AS n_lines,
+         round(1.0 - count(DISTINCT line) * 1.0 / count(*), 6) AS dup_line_frac
+  FROM lines GROUP BY 1
+),
+toked AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, u.bigram FROM (
+    SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+        list_transform(generate_series(0, len(t) - 2),
+                       i -> array_to_string(list_slice(t, i + 1, i + 2), ' '))
+        ELSE [] END AS gs
+    FROM toked), UNNEST(gs) AS u(bigram)
+),
+pg AS (SELECT doc_id, bigram, count(*) AS n FROM grams GROUP BY 1, 2),
+gs AS (
+  SELECT doc_id, sum(n) AS n_bigrams,
+         round(max(n) * 1.0 / sum(n), 6) AS top_bigram_frac
+  FROM pg GROUP BY 1
+)
+SELECT l.doc_id, l.n_lines, l.dup_line_frac, g.n_bigrams, g.top_bigram_frac
+FROM ls l LEFT JOIN gs g ON l.doc_id = g.doc_id
+ORDER BY l.doc_id
+"""
+
+
+@register("repetition_stats", _W34_ORACLE)
+def w_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.webtext import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_W35_ORACLE = f"""
+WITH toked AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         len(t) * 1.0 AS n_words,
+         list_sum(list_transform(t, w -> length(w))) * 1.0 / len(t) AS mean_len,
+         len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) * 1.0 / len(t)
+             AS alpha_frac,
+         (length(text) - length(replace(text, '#', ''))) * 1.0 / len(t) AS sym_ratio
+  FROM toked
+)
+SELECT doc_id,
+       n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+       mean_len >= 3.0 AND mean_len <= 10.0 AS ok_mean_word_len,
+       alpha_frac > 0.8 AS ok_alpha_frac,
+       sym_ratio < 0.1 AS ok_symbol_ratio,
+       (n_words >= 50 AND n_words <= 100000)
+           AND (mean_len >= 3.0 AND mean_len <= 10.0)
+           AND alpha_frac > 0.8 AND sym_ratio < 0.1 AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+@register("gopher_quality_flags", _W35_ORACLE)
+def w_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.webtext import gopher_quality
+
+    return gopher_quality(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+_W36_ORACLE = f"""
+WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, u.g FROM (
+    SELECT doc_id, CASE WHEN len(t) >= 13 THEN
+        list_transform(generate_series(0, len(t) - 13),
+            i -> md5(array_to_string(list_slice(t, i + 1, i + 13), ' ')))
+        ELSE [] END AS gs
+    FROM toked), UNNEST(gs) AS u(g)
+),
+pdg AS (SELECT doc_id, g, count(*) AS n_in_doc FROM grams GROUP BY 1, 2),
+dpg AS (SELECT g, count(*) AS n_docs FROM pdg GROUP BY 1)
+SELECT p.doc_id, sum(p.n_in_doc) AS n_grams,
+       sum(CASE WHEN d.n_docs > 1 THEN p.n_in_doc ELSE 0 END) AS n_dup_grams,
+       round(sum(CASE WHEN d.n_docs > 1 THEN p.n_in_doc ELSE 0 END) * 1.0
+             / sum(p.n_in_doc), 6) AS dup_frac
+FROM pdg p JOIN dpg d ON p.g = d.g
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("dup_span_stats", _W36_ORACLE)
+def w_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.webtext import dup_span_stats
+
+    return dup_span_stats(_read(spark, sf_dir, "documents")).orderBy("doc_id")

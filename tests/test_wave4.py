@@ -96,3 +96,19 @@ def test_lambert93_known_points():
     assert abs(lon[0] - 3.0) < 1e-9 and abs(lat[0] - 46.5) < 1e-9
     assert lon[1] > lon[0]  # east of origin
     assert lat[2] > lat[0]  # north of origin
+
+
+def test_canonical_url_edge_cases(spark):
+    from bano_spark.operators.webtext import canonical_url
+
+    cases = [
+        ("https://Example.COM/path/?b=2&utm_source=x&a=1#frag",
+         "https://example.com/path/?a=1&b=2"),
+        ("http://site.org", "http://site.org"),
+        ("https://a.b/p?utm_campaign=z", "https://a.b/p"),
+        ("https://a.b/p/", "https://a.b/p"),
+        ("https://a.b/#x", "https://a.b"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["url"])
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [c[1] for c in cases]
