@@ -1625,3 +1625,114 @@ def w_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bano_spark.operators.webtext import dup_span_stats
 
     return dup_span_stats(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# w37 — code_cadastre refresh merge (J18: staged INTERSECT/EXCEPT
+# delete + LEFT-JOIN-IS-NULL insert == keep retained rows' attributes,
+# add new keys, drop vanished keys; bano/sql/load_code_cadastre.sql:7-22
+# -> MERGE INTO on Iceberg, emulated relationally)
+# ---------------------------------------------------------------------------
+
+_W37_ORACLE = """
+WITH target AS (
+  SELECT 'C' || CAST(c_custkey % 800 AS VARCHAR) AS insee_com,
+         'OLD-' || CAST(c_custkey % 97 AS VARCHAR) AS cadastre_com,
+         CASE WHEN c_custkey % 4 = 0 THEN 'IMAG' ELSE 'VECT' END AS format_cadastre
+  FROM customer WHERE c_custkey % 3 != 0
+),
+source AS (
+  SELECT 'C' || CAST(s_suppkey % 900 AS VARCHAR) AS insee_com,
+         'NEW-' || CAST(s_suppkey % 89 AS VARCHAR) AS cadastre_com,
+         'VECT' AS format_cadastre
+  FROM supplier
+),
+t1 AS (SELECT DISTINCT insee_com, cadastre_com, format_cadastre FROM target),
+s1 AS (SELECT insee_com, min(cadastre_com) AS cadastre_com,
+              min(format_cadastre) AS format_cadastre
+       FROM source GROUP BY 1)
+SELECT s.insee_com,
+       coalesce(t.cadastre_com, s.cadastre_com) AS cadastre_com,
+       coalesce(t.format_cadastre, s.format_cadastre) AS format_cadastre
+FROM s1 s
+LEFT JOIN (SELECT insee_com, min(cadastre_com) AS cadastre_com,
+                  min(format_cadastre) AS format_cadastre
+           FROM t1 GROUP BY 1) t
+  ON s.insee_com = t.insee_com
+ORDER BY 1
+"""
+
+
+@register("code_cadastre_merge", _W37_ORACLE)
+def w_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    target = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.concat(F.lit("C"), (F.col("c_custkey") % 800).cast("string")).alias("insee_com"),
+        F.concat(F.lit("OLD-"), (F.col("c_custkey") % 97).cast("string")).alias("cadastre_com"),
+        F.expr("CASE WHEN c_custkey % 4 = 0 THEN 'IMAG' ELSE 'VECT' END")
+        .alias("format_cadastre")).distinct()
+    source = supp.select(
+        F.concat(F.lit("C"), (F.col("s_suppkey") % 900).cast("string")).alias("insee_com"),
+        F.concat(F.lit("NEW-"), (F.col("s_suppkey") % 89).cast("string")).alias("cadastre_com"),
+        F.lit("VECT").alias("format_cadastre"))
+    # MERGE semantics: matched -> keep target attrs; not-matched-by-source
+    # -> drop; not-matched-by-target -> insert source attrs
+    t1 = target.groupBy("insee_com").agg(
+        F.min("cadastre_com").alias("t_cad"), F.min("format_cadastre").alias("t_fmt"))
+    s1 = source.groupBy("insee_com").agg(
+        F.min("cadastre_com").alias("s_cad"), F.min("format_cadastre").alias("s_fmt"))
+    return (
+        s1.join(t1, "insee_com", "left")
+        .select("insee_com",
+                F.coalesce("t_cad", "s_cad").alias("cadastre_com"),
+                F.coalesce("t_fmt", "s_fmt").alias("format_cadastre"))
+        .orderBy("insee_com")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w38 — housenumbers JSON object from the A3 agg string
+# (bano/export.py:165-166: 'num$lat$lon#...' -> {"num":{"lat":..},..})
+# ---------------------------------------------------------------------------
+
+_W38_ORACLE = f"""
+WITH agg AS (
+  SELECT {_insee_case('o_custkey')} AS insee_com,
+         string_agg(lpad(CAST((o_orderkey * 7) % 997 AS VARCHAR), 4, '0')
+             || '$' || CAST(45 + o_orderkey % 4 AS VARCHAR) || '.5'
+             || '$' || CAST(2 + o_orderkey % 3 AS VARCHAR) || '.25',
+             '#' ORDER BY lpad(CAST((o_orderkey * 7) % 997 AS VARCHAR), 4, '0')
+                       || '$' || CAST(45 + o_orderkey % 4 AS VARCHAR) || '.5'
+                       || '$' || CAST(2 + o_orderkey % 3 AS VARCHAR) || '.25')
+             AS housenumbers
+  FROM (SELECT DISTINCT o_custkey, o_orderkey FROM orders) GROUP BY 1
+)
+SELECT insee_com,
+       '{{' || array_to_string(list_transform(string_split(housenumbers, '#'),
+           s -> '"' || split_part(s, '$', 1) || '":{{"lat":'
+                || split_part(s, '$', 2) || ',"lon":' || split_part(s, '$', 3)
+                || '}}'), ',') || '}}' AS hn_json
+FROM agg ORDER BY insee_com
+"""
+
+
+@register("ndjson_housenumbers", _W38_ORACLE)
+def w_hn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.export import json_housenumbers
+
+    orders = _read(spark, sf_dir, "orders")
+    val = F.concat(
+        F.lpad(((F.col("o_orderkey") * 7) % 997).cast("string"), 4, "0"),
+        F.lit("$"), (45 + F.col("o_orderkey") % 4).cast("string"), F.lit(".5"),
+        F.lit("$"), (2 + F.col("o_orderkey") % 3).cast("string"), F.lit(".25"))
+    agg = (
+        orders.select(F.expr(_insee_case("o_custkey")).alias("insee_com"),
+                      val.alias("val"))
+        .groupBy("insee_com")
+        .agg(F.concat_ws("#", F.sort_array(F.collect_list("val")))
+             .alias("housenumbers"))
+    )
+    return agg.select(
+        "insee_com", json_housenumbers("housenumbers").alias("hn_json")
+    ).orderBy("insee_com")

@@ -112,3 +112,20 @@ def test_canonical_url_edge_cases(spark):
     df = spark.createDataFrame([(c[0],) for c in cases], ["url"])
     got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
     assert got == [c[1] for c in cases]
+
+
+def test_knn_broadcast_and_shuffle_paths_agree(spark):
+    from bano_spark.operators.knn_join import knn_name_match
+
+    left = spark.createDataFrame(
+        [(i, 1000.0 + i * 500.0, 2000.0, f"RUE {i % 7}") for i in range(60)],
+        ["lid", "x", "y", "name_norm"])
+    right = spark.createDataFrame(
+        [(j, 1200.0 + j * 700.0, 2100.0, f"RUE {j % 5}") for j in range(40)],
+        ["rid", "x", "y", "r_name"])
+    kw = dict(zoom=13, k=1, left_name="name_norm", right_name="r_name", max_dist=2)
+    a = knn_name_match(left, right, broadcast_right=True, **kw)
+    b = knn_name_match(left, right, broadcast_right=False, **kw)
+    ka = {(r.lid, r.rid, r.lev) for r in a.collect()}
+    kb = {(r.lid, r.rid, r.lev) for r in b.collect()}
+    assert ka == kb and len(ka) > 0
