@@ -27,6 +27,25 @@ from .sources.pages import extract_records
 SOURCE_OF_KIND = {"ban": "BAN", "osm": "OSM", "bal": "BAL"}
 
 
+def normalize_via_dictionary(df: DataFrame, col: str = "nom_voie",
+                             out: str = "_norm",
+                             broadcast: bool = True) -> DataFrame:
+    """Run the normalization UDF over DISTINCT names only, then join the
+    tiny dictionary back — the Spark-first shape of the reference's
+    fantoir.Mapping dict (sources/fantoir.py:4-60). Street names repeat
+    massively at corpus scale, so the pandas crossing shrinks from
+    |rows| to |vocabulary|; set broadcast=False when the vocabulary
+    itself is huge (falls back to a shuffle join)."""
+    # non-nullable join key (same IsNotNull-pushdown pathology as
+    # tiles.tile_x: a nullable key computed from the text parse gets its
+    # null-check pushed below the projection, re-inlining the parse)
+    df = df.withColumn(col, F.coalesce(F.col(col), F.lit("")))
+    mapping = df.select(col).distinct().withColumn(out, normalize_udf(F.col(col)))
+    if broadcast:
+        mapping = F.broadcast(mapping)
+    return df.join(mapping, col)
+
+
 def pages_to_cumul(pages: DataFrame, normalize: bool = True) -> DataFrame:
     """Extract + normalize: pages -> cumul_adresses-shaped rows.
 
@@ -34,7 +53,11 @@ def pages_to_cumul(pages: DataFrame, normalize: bool = True) -> DataFrame:
     the address cumul, so they are filtered here — mirroring the
     reference's per-source load dispatch (core.py:304-313)."""
     recs = extract_records(pages).filter(F.col("kind").isin(*SOURCE_OF_KIND))
-    voie = normalize_udf(F.col("nom_voie")) if normalize else F.col("nom_voie")
+    if normalize:
+        recs = normalize_via_dictionary(recs, "nom_voie", "_norm")
+        voie = F.coalesce(F.col("_norm"), F.lit(""))
+    else:
+        voie = F.col("nom_voie")
     # join keys are wrapped non-nullable (coalesce with '') so Catalyst
     # never pushes IsNotNull filters below this projection — with a
     # computed upstream (text parse) that re-inlines the whole
