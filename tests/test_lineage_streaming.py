@@ -52,3 +52,35 @@ def test_streaming_dirty_insee(spark, tmp_path):
     batch = sorted(r.insee_com for r in
                    dirty_insee_batch(spark, str(feed), communes).collect())
     assert batch == got
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """Filters on the partition column must become scan-time
+    PartitionFilters (directory pruning), and the quadkey sort must be
+    attached — the Iceberg-layout stand-in (plans/layout.py)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from bano_spark.plans.layout import read_pruned, with_quadkey, write_layout
+
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        F.expr("CASE WHEN id % 2 = 0 THEN '01' ELSE '02' END").alias("dept"),
+        (1000003.0 + (F.col("id") % 100) * 1000.0).alias("x"),
+        (2000003.0 + (F.col("id") % 90) * 100.0).alias("y"))
+    df = with_quadkey(df)
+    out = str(tmp_path / "cumul")
+    write_layout(df, out, ["dept"], ["quadkey"])
+
+    back = read_pruned(spark, out).filter(F.col("dept") == "01")
+    assert back.count() == 1000
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the dept predicate lands in PartitionFilters, not a post-scan Filter
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "dept" in pf_line
