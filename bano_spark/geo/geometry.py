@@ -189,3 +189,100 @@ def closest_point_on_segments(px, py, x1, y1, x2, y2):
     t = np.where(d2 > 0, ((px - x1) * dx + (py - y1) * dy) / np.where(d2 > 0, d2, 1.0), 0.0)
     t = np.clip(t, 0.0, 1.0)
     return x1 + t * dx, y1 + t * dy
+
+
+def _find(parent: np.ndarray, i: int) -> int:
+    while parent[i] != i:
+        parent[i] = parent[parent[i]]
+        i = parent[i]
+    return i
+
+
+def line_merge(segments: np.ndarray) -> list[np.ndarray]:
+    """ST_LineMerge semantics (A6, point_par_rue_insee_nocache.sql:26):
+    join segments that share endpoints into maximal polylines. Returns
+    a list of (k, 2) vertex arrays, one per merged line, each walked
+    from a degree-1 endpoint (or an arbitrary vertex for closed rings).
+    Union-find over exact endpoint equality — runs per street group
+    inside an Arrow UDF, so groups are small."""
+    seg = np.asarray(segments, dtype=np.float64).reshape(-1, 4)
+    n = len(seg)
+    if n == 0:
+        return []
+    pts: dict[tuple, int] = {}
+    ends = np.empty((n, 2), dtype=np.int64)
+    adj: list[list[tuple[int, int]]] = []
+    for i in range(n):
+        for j, p in enumerate(((seg[i, 0], seg[i, 1]), (seg[i, 2], seg[i, 3]))):
+            if p not in pts:
+                pts[p] = len(pts)
+                adj.append([])
+            ends[i, j] = pts[p]
+        adj[ends[i, 0]].append((i, ends[i, 1]))
+        adj[ends[i, 1]].append((i, ends[i, 0]))
+    coords = {v: k for k, v in pts.items()}
+    parent = np.arange(n)
+    vert_seg: dict[int, list[int]] = {}
+    for i in range(n):
+        for v in ends[i]:
+            vert_seg.setdefault(int(v), []).append(i)
+    # ST_LineMerge merges only through degree-2 vertices: a junction
+    # (3+ incident segments) breaks the line there
+    for segs_at_v in vert_seg.values():
+        if len(segs_at_v) == 2:
+            ra, rb = _find(parent, segs_at_v[0]), _find(parent, segs_at_v[1])
+            if ra != rb:
+                parent[rb] = ra
+    comps: dict[int, list[int]] = {}
+    for i in range(n):
+        comps.setdefault(_find(parent, i), []).append(i)
+    out = []
+    for comp in comps.values():
+        verts = {int(v) for i in comp for v in ends[i]}
+        deg = {v: len([s for s in vert_seg[v] if _find(parent, s) in comps and s in comp])
+               for v in verts}
+        start = min((v for v in verts if deg[v] == 1), default=min(verts))
+        # walk the chain
+        line = [start]
+        used: set[int] = set()
+        cur = start
+        while True:
+            nxt = None
+            for s, other in adj[cur]:
+                if s in used or s not in comp:
+                    continue
+                nxt = (s, other)
+                break
+            if nxt is None:
+                break
+            used.add(nxt[0])
+            cur = nxt[1]
+            line.append(cur)
+        out.append(np.array([coords[v] for v in line], dtype=np.float64))
+    return out
+
+
+def merge_overlapping_boxes(boxes: np.ndarray) -> np.ndarray:
+    """A7 (suffix-zone construction): the reference buffers points and
+    ST_Unions overlapping buffers per (commune, hameau)
+    (pre_process_suffixe.py:32-45). Box approximation: union-find over
+    pairwise box overlap, each component collapses to its bounding box.
+    Input (n, 4) [xmin, ymin, xmax, ymax]; output (m, 4) merged."""
+    b = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    n = len(b)
+    if n == 0:
+        return b
+    parent = np.arange(n)
+    for i in range(n):
+        ov = ((b[:, 0] <= b[i, 2]) & (b[:, 2] >= b[i, 0])
+              & (b[:, 1] <= b[i, 3]) & (b[:, 3] >= b[i, 1]))
+        for j in np.flatnonzero(ov):
+            ri, rj = _find(parent, i), _find(parent, int(j))
+            if ri != rj:
+                parent[rj] = ri
+    roots = np.array([_find(parent, i) for i in range(n)])
+    out = []
+    for r in np.unique(roots):
+        m = roots == r
+        out.append([b[m, 0].min(), b[m, 1].min(), b[m, 2].max(), b[m, 3].max()])
+    return np.array(out, dtype=np.float64)

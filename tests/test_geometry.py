@@ -75,3 +75,54 @@ def test_convex_hull_and_longest_line():
     assert len(h) == 4
     d = geometry.hull_longest_line_m(np.array([2.0, 2.01]), np.array([48.0, 48.0]))
     assert 600 < d < 900  # ~0.01 deg lon at lat 48 ≈ 744 m
+
+
+def test_line_merge_chains_and_components():
+    import numpy as np
+
+    from bano_spark.geo.geometry import line_merge
+
+    # two chains: A(0,0)-(1,0)-(2,0) and B(5,5)-(5,6); order shuffled
+    segs = np.array([
+        [1, 0, 2, 0],
+        [5, 5, 5, 6],
+        [0, 0, 1, 0],
+    ], dtype=float)
+    lines = sorted(line_merge(segs), key=len, reverse=True)
+    assert len(lines) == 2
+    assert len(lines[0]) == 3  # merged 2-segment chain has 3 vertices
+    xs = {tuple(p) for p in lines[0]}
+    assert xs == {(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)}
+    assert len(lines[1]) == 2
+
+
+def test_merge_overlapping_boxes():
+    import numpy as np
+
+    from bano_spark.geo.geometry import merge_overlapping_boxes
+
+    boxes = np.array([
+        [0, 0, 2, 2],
+        [1, 1, 3, 3],   # overlaps first
+        [10, 10, 11, 11],  # isolated
+        [2.5, 2.5, 4, 4],  # overlaps second -> transitively first
+    ], dtype=float)
+    merged = merge_overlapping_boxes(boxes)
+    assert len(merged) == 2
+    big = merged[np.lexsort(merged.T[::-1])][0]
+    assert list(big) == [0.0, 0.0, 4.0, 4.0]
+
+
+def test_line_merge_breaks_at_junctions():
+    import numpy as np
+
+    from bano_spark.geo.geometry import line_merge
+
+    # T junction at (1,0): three segments meet -> no merge through it
+    segs = np.array([
+        [0, 0, 1, 0],
+        [1, 0, 2, 0],
+        [1, 0, 1, 1],
+    ], dtype=float)
+    lines = line_merge(segs)
+    assert sorted(len(l) for l in lines) == [2, 2, 2]
