@@ -43,3 +43,26 @@ def street_centroid(points: DataFrame, keys: Sequence[str] = ("street_id",),
         ((F.min(y) + F.max(y)) / 2).alias("cy"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+def merge_street_lines(segments: DataFrame, keys: Sequence[str] = ("street_id",),
+                       cols: Sequence[str] = ("x1", "y1", "x2", "y2")) -> DataFrame:
+    """ST_LineMerge per street (A6): applyInPandas group kernel over
+    geometry.line_merge. Returns per-street merged-line stats
+    (n_lines, n_points_longest)."""
+    import pandas as pd
+
+    from ..geo.geometry import line_merge
+
+    out_schema = ", ".join(
+        [f"{k} {dict((f.name, f.dataType.simpleString()) for f in segments.schema)[k]}"
+         for k in keys]) + ", n_lines int, n_points_longest int"
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        lines = line_merge(pdf[list(cols)].to_numpy())
+        row = {k: pdf[k].iloc[0] for k in keys}
+        row["n_lines"] = len(lines)
+        row["n_points_longest"] = max((len(l) for l in lines), default=0)
+        return pd.DataFrame([row])
+
+    return segments.groupBy(*keys).applyInPandas(merge, out_schema)

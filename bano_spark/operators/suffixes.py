@@ -65,3 +65,27 @@ def detect_suffixes(names: DataFrame, name_col: str = "name",
                         freq1["suffixe"] == mots["mot"]], how="left_anti")
     )
     return sel2.unionByName(sel1).orderBy(group_col, "suffixe")
+
+
+def union_suffix_zones(boxes, keys=("insee_com", "hameau")):
+    """A7 exact semantics: union transitively-overlapping buffer boxes
+    per (commune, hameau) via the geometry union-find kernel
+    (applyInPandas group kernel). Returns per-group zone stats."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ..geo.geometry import merge_overlapping_boxes
+
+    key_types = {f.name: f.dataType.simpleString() for f in boxes.schema}
+    out_schema = ", ".join(f"{k} {key_types[k]}" for k in keys) + \
+        ", n_zones int, total_width double"
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = merge_overlapping_boxes(
+            pdf[["bxmin", "bymin", "bxmax", "bymax"]].to_numpy())
+        row = {k: pdf[k].iloc[0] for k in keys}
+        row["n_zones"] = len(m)
+        row["total_width"] = float((m[:, 2] - m[:, 0]).sum()) if len(m) else 0.0
+        return pd.DataFrame([row])
+
+    return boxes.groupBy(*keys).applyInPandas(merge, out_schema)

@@ -1736,3 +1736,104 @@ def w_hn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "insee_com", json_housenumbers("housenumbers").alias("hn_json")
     ).orderBy("insee_com")
+
+
+# ---------------------------------------------------------------------------
+# w39 — ST_LineMerge per street (A6) through the applyInPandas group
+# kernel; the fixture chains segments along x with deterministic gaps,
+# so the oracle counts maximal runs with a windowed gaps-and-islands
+# ---------------------------------------------------------------------------
+
+_W39_ORACLE = """
+WITH segs AS (
+  SELECT DISTINCT l_orderkey % 250 AS street_id, l_suppkey % 40 AS j
+  FROM lineitem WHERE l_suppkey % 5 != 4
+),
+runs AS (
+  SELECT street_id, j,
+         j - ROW_NUMBER() OVER (PARTITION BY street_id ORDER BY j) AS grp
+  FROM segs
+),
+r AS (
+  SELECT street_id, grp, count(*) AS run_len
+  FROM runs GROUP BY 1, 2
+)
+SELECT street_id, CAST(count(*) AS INTEGER) AS n_lines,
+       CAST(max(run_len) + 1 AS INTEGER) AS n_points_longest
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("street_line_merge", _W39_ORACLE)
+def w_line_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.streets import merge_street_lines
+
+    li = _read(spark, sf_dir, "lineitem")
+    segs = li.filter(F.col("l_suppkey") % 5 != 4).select(
+        (F.col("l_orderkey") % 250).alias("street_id"),
+        (F.col("l_suppkey") % 40).alias("j")).distinct()
+    seg_geo = segs.select(
+        "street_id",
+        F.col("j").cast("double").alias("x1"), F.lit(0.0).alias("y1"),
+        (F.col("j") + 1).cast("double").alias("x2"), F.lit(0.0).alias("y2"))
+    return merge_street_lines(seg_geo).orderBy("street_id")
+
+
+# ---------------------------------------------------------------------------
+# w40 — suffix-zone buffer union (A7) through the union-find kernel;
+# boxes per group share one y-band so the union reduces to 1-D interval
+# merging, which the oracle reproduces with a cumulative-max window
+# ---------------------------------------------------------------------------
+
+_W40_ORACLE = f"""
+WITH pts AS (
+  SELECT DISTINCT {_insee_case('o_custkey', 4)} AS insee_com,
+         CASE o_custkey % 3 WHEN 0 THEN 'LE CRES' WHEN 1 THEN 'LA COTE'
+              ELSE 'BELLEVUE' END AS hameau,
+         (o_orderkey * 13) % 500 AS cx
+  FROM orders
+),
+iv AS (
+  SELECT insee_com, hameau, cx - 3.0 AS lo, cx + 3.0 AS hi FROM pts
+),
+marked AS (
+  SELECT insee_com, hameau, lo, hi,
+         CASE WHEN lo > max(hi) OVER (PARTITION BY insee_com, hameau
+                  ORDER BY lo, hi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM iv
+),
+grps AS (
+  SELECT insee_com, hameau, lo, hi,
+         sum(new_grp) OVER (PARTITION BY insee_com, hameau
+             ORDER BY lo, hi ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+zones AS (
+  SELECT insee_com, hameau, g, min(lo) AS zlo, max(hi) AS zhi
+  FROM grps GROUP BY 1, 2, 3
+)
+SELECT insee_com, hameau, CAST(count(*) AS INTEGER) AS n_zones,
+       round(sum(zhi - zlo), 6) AS total_width
+FROM zones GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("suffix_zone_union", _W40_ORACLE)
+def w_zone_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.suffixes import union_suffix_zones
+
+    orders = _read(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.expr(_insee_case("o_custkey", 4)).alias("insee_com"),
+        F.expr("CASE o_custkey % 3 WHEN 0 THEN 'LE CRES' WHEN 1 THEN 'LA COTE'"
+               " ELSE 'BELLEVUE' END").alias("hameau"),
+        ((F.col("o_orderkey") * 13) % 500).cast("double").alias("cx")).distinct()
+    boxes = pts.select(
+        "insee_com", "hameau",
+        (F.col("cx") - 3.0).alias("bxmin"), F.lit(0.0).alias("bymin"),
+        (F.col("cx") + 3.0).alias("bxmax"), F.lit(1.0).alias("bymax"))
+    out = union_suffix_zones(boxes)
+    return out.select("insee_com", "hameau", "n_zones",
+                      F.round("total_width", 6).alias("total_width")) \
+        .orderBy("insee_com", "hameau")
