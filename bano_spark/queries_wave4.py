@@ -1837,3 +1837,194 @@ def w_zone_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("insee_com", "hameau", "n_zones",
                       F.round("total_width", 6).alias("total_width")) \
         .orderBy("insee_com", "hameau")
+
+
+# ---------------------------------------------------------------------------
+# w41 — benchmark decontamination (training-data pipeline): flag docs
+# sharing any word-13-gram with a benchmark set (hash semi-join — the
+# standard eval-contamination sweep)
+# ---------------------------------------------------------------------------
+
+_W41_ORACLE = f"""
+WITH toked AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+doc_grams AS (
+  SELECT DISTINCT doc_id, u.g FROM (
+    SELECT doc_id, CASE WHEN len(t) >= 13 THEN
+        list_transform(generate_series(0, len(t) - 13),
+            i -> md5(array_to_string(list_slice(t, i + 1, i + 13), ' ')))
+        ELSE [] END AS gs
+    FROM toked), UNNEST(gs) AS u(g)
+),
+bench AS (
+  SELECT DISTINCT md5(array_to_string(list_slice(t, 1, 13), ' ')) AS g
+  FROM (SELECT {_TOKS_SQL} AS t FROM documents WHERE doc_id % 17 = 0)
+  WHERE len(t) >= 13
+)
+SELECT d.doc_id,
+       CAST(count(b.g) AS BIGINT) AS n_contaminated_grams,
+       count(b.g) > 0 AS contaminated
+FROM doc_grams d LEFT JOIN bench b ON d.g = b.g
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("benchmark_decontamination", _W41_ORACLE)
+def w_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    doc_grams = toked.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(_toks) >= 13 THEN transform(sequence(0, size(_toks) - 13),"
+            " i -> md5(concat_ws(' ', slice(_toks, i + 1, 13)))) ELSE array() END"))
+        .alias("g")).distinct()
+    bench = (
+        docs.filter(F.col("doc_id") % 17 == 0)
+        .select(tokens(F.col("text")).alias("_toks"))
+        .filter(F.size("_toks") >= 13)
+        .select(F.md5(F.concat_ws(" ", F.slice("_toks", 1, 13))).alias("g"))
+        .distinct()
+    )
+    hits = doc_grams.join(F.broadcast(bench.withColumn("_hit", F.lit(1))), "g", "left")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint")
+             .alias("n_contaminated_grams"))
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w42 — deterministic hash-stratified sampling: per-language rates via
+# an md5 threshold (reproducible in any engine; the standard "sample
+# 10% of lang X, 50% of lang Y" corpus mix step)
+# ---------------------------------------------------------------------------
+
+_W42_ORACLE = """
+WITH r AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents
+)
+SELECT doc_id, lang FROM r
+WHERE h < CASE lang WHEN 'fr' THEN '80000000'
+                    WHEN 'en' THEN '40000000'
+                    ELSE '20000000' END
+ORDER BY doc_id
+"""
+
+
+@register("stratified_sample", _W42_ORACLE)
+def w_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    thr = (F.when(F.col("lang") == "fr", "80000000")
+           .when(F.col("lang") == "en", "40000000")
+           .otherwise("20000000"))
+    return docs.select("doc_id", "lang", h.alias("_h"), thr.alias("_t")) \
+        .filter(F.col("_h") < F.col("_t")).select("doc_id", "lang").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# w43 — token-budget selection: order by quality desc, take documents
+# until the cumulative token count exceeds the budget (corpus mixing)
+# ---------------------------------------------------------------------------
+
+_W43_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len({_TOKS_SQL}) END AS BIGINT) AS n_tokens,
+         (doc_id * 2654435761) % 1000 AS quality_rank
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens, quality_rank,
+         sum(n_tokens) OVER (ORDER BY quality_rank DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, n_tokens, quality_rank, cum_tokens
+FROM cum WHERE cum_tokens - n_tokens < 20000
+ORDER BY doc_id
+"""
+
+
+@register("token_budget_selection", _W43_ORACLE)
+def w_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.textstats import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        ((F.col("doc_id") * 2654435761) % 1000).alias("quality_rank"))
+    w = Window.orderBy(F.desc("quality_rank"), "doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.filter(F.col("cum_tokens") - F.col("n_tokens") < 20000) \
+        .orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# w44 — geometric kNN points join: top-3 nearest right points per left
+# point within the k-ring (squared euclidean, deterministic ties)
+# ---------------------------------------------------------------------------
+
+def _knn_cells_sql(tbl_alias: str) -> str:
+    from bano_spark.geo import tiles as tl
+    c = tl.cell_size(13)
+    return (f"CAST(floor(({tbl_alias}.x - ({tl.ORIGIN!r})) / {c!r}) AS BIGINT)",
+            f"CAST(floor(({-tl.ORIGIN!r} - {tbl_alias}.y) / {c!r}) AS BIGINT)")
+
+
+def _w44_oracle() -> str:
+    lx, ly = _knn_cells_sql("l")
+    rx, ry = _knn_cells_sql("r")
+    return f"""
+WITH lp AS ({synth.points_select_sql('duckdb', 'events', 'event_id', 0)}),
+rp AS ({synth.points_select_sql('duckdb', 'supplier', 's_suppkey', 7)}),
+l AS (SELECT event_id, x, y FROM lp),
+r AS (SELECT s_suppkey, x, y FROM rp),
+cand AS (
+  SELECT l.event_id, r.s_suppkey,
+         (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) AS d2
+  FROM l JOIN r
+    ON abs({lx} - {rx}) <= 1 AND abs({ly} - {ry}) <= 1
+)
+SELECT event_id, s_suppkey, round(d2, 6) AS d2, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                               ORDER BY d2, s_suppkey) AS rnk
+  FROM cand
+) WHERE rnk <= 3
+ORDER BY event_id, rnk
+"""
+
+
+@register("knn_nearest_points", _w44_oracle())
+def w_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.geo import tiles as tl
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    left = spark.sql(synth.points_select_sql("spark", "events", "event_id", 0))
+    right = spark.sql(synth.points_select_sql("spark", "supplier", "s_suppkey", 7))
+    lt = left.withColumn("_tx", tl.tile_x(F.col("x"), 13)).withColumn(
+        "_ty", tl.tile_y(F.col("y"), 13))
+    rt = right.select(
+        "s_suppkey", F.col("x").alias("rx"), F.col("y").alias("ry"),
+        tl.tile_x(F.col("x"), 13).alias("_rtx"), tl.tile_y(F.col("y"), 13).alias("_rty"))
+    rt = tl.with_k_ring(rt, "_rtx", "_rty", 1, "_tx", "_ty").drop("_rtx", "_rty")
+    cand = lt.join(F.broadcast(rt), ["_tx", "_ty"])
+    d2 = (F.col("x") - F.col("rx")) ** 2 + (F.col("y") - F.col("ry")) ** 2
+    scored = cand.select("event_id", "s_suppkey", d2.alias("d2")).distinct()
+    w = Window.partitionBy("event_id").orderBy("d2", "s_suppkey")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_id", "s_suppkey", F.round("d2", 6).alias("d2"), "rnk")
+        .orderBy("event_id", "rnk")
+    )
