@@ -286,3 +286,21 @@ def merge_overlapping_boxes(boxes: np.ndarray) -> np.ndarray:
         m = roots == r
         out.append([b[m, 0].min(), b[m, 1].min(), b[m, 2].max(), b[m, 3].max()])
     return np.array(out, dtype=np.float64)
+
+
+def polygon_area_centroid(verts: np.ndarray):
+    """Shoelace area + area-weighted centroid of a simple ring
+    (ST_Area / ST_Centroid for polygons). Returns (area, cx, cy);
+    area is positive regardless of winding."""
+    v = np.asarray(verts, dtype=np.float64)
+    if len(v) and (v[0] == v[-1]).all():
+        v = v[:-1]
+    x, y = v[:, 0], v[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y2 - x2 * y
+    a2 = cross.sum()
+    if a2 == 0:
+        return 0.0, float(x.mean()), float(y.mean())
+    cx = ((x + x2) * cross).sum() / (3.0 * a2)
+    cy = ((y + y2) * cross).sum() / (3.0 * a2)
+    return abs(a2) / 2.0, float(cx), float(cy)

@@ -2028,3 +2028,91 @@ def w_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "s_suppkey", F.round("d2", 6).alias("d2"), "rnk")
         .orderBy("event_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# w45 — shoelace polygon area + centroid (ST_Area/ST_Centroid for
+# arbitrary rings) through an Arrow UDF; the oracle runs the identical
+# shoelace sums over the same deterministic pentagon vertices in SQL
+# ---------------------------------------------------------------------------
+
+def _pentagon_cte(dialect: str) -> str:
+    """Pentagon ring per polygon; DuckDB uses list literals, Spark SQL
+    uses array()."""
+    pts = [("cx + r", "cy"), ("cx", "cy + 2 * r"), ("cx - 2 * r", "cy"),
+           ("cx", "cy - r"), ("cx + r", "cy - r")]
+    if dialect == "duckdb":
+        ring = "[" + ", ".join(f"[{x}, {y}]" for x, y in pts) + "]"
+    else:
+        ring = "array(" + ", ".join(f"array({x}, {y})" for x, y in pts) + ")"
+    return f"""
+pent AS (
+  SELECT o_orderkey AS poly_id,
+         CAST(1000 + (o_orderkey % 97) * 10 AS DOUBLE) AS cx,
+         CAST(2000 + (o_orderkey % 89) * 10 AS DOUBLE) AS cy,
+         CAST(2 + o_orderkey % 7 AS DOUBLE) AS r
+  FROM orders
+),
+verts AS (SELECT poly_id, {ring} AS ring FROM pent)"""
+
+
+_W45_ORACLE = f"""
+WITH {_pentagon_cte("duckdb")},
+edges AS (
+  SELECT poly_id, ring,
+         list_transform(generate_series(1, 5),
+             i -> ring[i][1] * ring[CASE WHEN i = 5 THEN 1 ELSE i + 1 END][2]
+                - ring[CASE WHEN i = 5 THEN 1 ELSE i + 1 END][1] * ring[i][2])
+             AS cross_terms
+  FROM verts
+),
+sums AS (
+  SELECT poly_id, ring, list_sum(cross_terms) AS a2, cross_terms FROM edges
+)
+SELECT poly_id,
+       round(abs(a2) / 2.0, 9) AS area,
+       round(list_sum(list_transform(generate_series(1, 5),
+           i -> (ring[i][1] + ring[CASE WHEN i = 5 THEN 1 ELSE i + 1 END][1])
+                * cross_terms[i])) / (3.0 * a2), 9) AS cx,
+       round(list_sum(list_transform(generate_series(1, 5),
+           i -> (ring[i][2] + ring[CASE WHEN i = 5 THEN 1 ELSE i + 1 END][2])
+                * cross_terms[i])) / (3.0 * a2), 9) AS cy
+FROM sums ORDER BY poly_id
+"""
+
+
+@register("polygon_area_centroid", _W45_ORACLE)
+def w_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from bano_spark.geo.geometry import polygon_area_centroid
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    verts = spark.sql(
+        "WITH " + _pentagon_cte("spark") + " SELECT poly_id, ring FROM verts")
+
+    schema = T.StructType([
+        T.StructField("poly_id", T.LongType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for pid, ring in zip(pdf["poly_id"], pdf["ring"]):
+                a, cx, cy = polygon_area_centroid(
+                    np.array([list(p) for p in ring], dtype=np.float64))
+                rows.append((pid, a, cx, cy))
+            yield pd.DataFrame(rows, columns=["poly_id", "area", "cx", "cy"])
+
+    out = verts.mapInPandas(kernel, schema)
+    return out.select(
+        "poly_id", F.round("area", 9).alias("area"),
+        F.round("cx", 9).alias("cx"), F.round("cy", 9).alias("cy"),
+    ).orderBy("poly_id")
