@@ -130,3 +130,37 @@ def dup_span_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
                 F.round(F.col("n_dup_grams") / F.col("n_grams"), 6)
                 .alias("dup_frac"))
     )
+
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 .-]{7,}[0-9]"
+
+
+def redact_pii(col: Column) -> Column:
+    """PII scrubbing (emails then phone-like digit runs) — the standard
+    pre-training redaction pass, pure regexp_replace so it never leaves
+    codegen. Order matters: emails first so their digits aren't eaten
+    by the phone rule."""
+    c = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, PHONE_RE, "<PHONE>")
+
+
+def boilerplate_lines(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", min_docs: int = 3) -> DataFrame:
+    """Boilerplate detection: lines appearing in >= min_docs distinct
+    documents (nav menus, footers). Two aggregations, both with
+    map-side partial combine; the per-line key is hashed so the wide
+    shuffle carries 16 bytes, not the text."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), r"\n"),
+                           lambda x: F.trim(x) != "")).alias("line"))
+    lines = lines.select(id_col, F.trim("line").alias("line"),
+                         F.md5(F.trim("line")).alias("lh"))
+    per_line = lines.select(id_col, "lh").distinct().groupBy("lh").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    boiler = per_line.filter(F.col("n_docs") >= min_docs)
+    return (
+        lines.join(boiler, "lh")
+        .select("line", "n_docs").distinct()
+    )

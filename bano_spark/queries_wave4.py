@@ -2116,3 +2116,76 @@ def w_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "poly_id", F.round("area", 9).alias("area"),
         F.round("cx", 9).alias("cx"), F.round("cy", 9).alias("cy"),
     ).orderBy("poly_id")
+
+
+# ---------------------------------------------------------------------------
+# w46 — PII redaction (emails + phone-like runs), pure regexp both sides
+# ---------------------------------------------------------------------------
+
+def _pii_text(cast: str) -> str:
+    return (
+        "'Contact ' || CAST(o_orderkey % 37 AS {c}) || ' at user'"
+        " || CAST(o_orderkey % 97 AS {c}) || '@mail' || CAST(o_orderkey % 7 AS {c})"
+        " || '.example or call +33 1 42 ' || lpad(CAST(o_orderkey % 100 AS {c}), 2, '0')"
+        " || ' 55 ' || lpad(CAST(o_custkey % 100 AS {c}), 2, '0')"
+        " || CASE WHEN o_orderkey % 3 = 0 THEN ' plain tail' ELSE '' END"
+    ).format(c=cast)
+
+
+_W46_ORACLE = f"""
+WITH raw AS (SELECT o_orderkey, {_pii_text('VARCHAR')} AS text FROM orders)
+SELECT o_orderkey,
+       regexp_replace(
+         regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}',
+                        '<EMAIL>', 'g'),
+         '\\+?[0-9][0-9 .-]{{7,}}[0-9]', '<PHONE>', 'g') AS redacted
+FROM raw ORDER BY o_orderkey
+"""
+
+
+@register("pii_redaction", _W46_ORACLE)
+def w_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.webtext import redact_pii
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    raw = spark.sql(f"SELECT o_orderkey, {_pii_text('STRING')} AS text FROM orders")
+    return raw.select(
+        "o_orderkey", redact_pii(F.col("text")).alias("redacted")
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# w47 — boilerplate-line detection (lines in >= 3 distinct docs)
+# ---------------------------------------------------------------------------
+
+_W47_ORACLE = """
+WITH pages AS (
+  SELECT doc_id,
+         text || chr(10) || 'Copyright footer ' || CAST(doc_id % 5 AS VARCHAR)
+              || chr(10) || 'Nav | Home | About' AS text
+  FROM documents
+),
+lines AS (
+  SELECT DISTINCT doc_id, trim(u.line) AS line
+  FROM pages,
+       UNNEST(list_filter(string_split(text, chr(10)), x -> trim(x) != ''))
+       AS u(line)
+),
+counts AS (
+  SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1
+)
+SELECT line, n_docs FROM counts WHERE n_docs >= 3
+ORDER BY line
+"""
+
+
+@register("boilerplate_lines", _W47_ORACLE)
+def w_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.webtext import boilerplate_lines
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(chr(10) + "Copyright footer "),
+                 (F.col("doc_id") % 5).cast("string"),
+                 F.lit(chr(10) + "Nav | Home | About")).alias("text"))
+    return boilerplate_lines(docs).orderBy("line")
