@@ -2189,3 +2189,109 @@ def w_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("doc_id") % 5).cast("string"),
                  F.lit(chr(10) + "Nav | Home | About")).alias("text"))
     return boilerplate_lines(docs).orderBy("line")
+
+
+# ---------------------------------------------------------------------------
+# w48 — OSM tag-presence filters (F1: hstore `?` / != '' predicates;
+# hsnr_insee_nocache.sql:23-24, highway_insee.sql:15)
+# ---------------------------------------------------------------------------
+
+_W48_ORACLE = """
+WITH pts AS (
+  SELECT o_orderkey AS osm_id,
+         CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey % 200 AS VARCHAR)
+              WHEN o_orderkey % 3 = 1 THEN '' ELSE NULL END AS housenumber,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'residential'
+              WHEN o_orderkey % 4 = 1 THEN '' ELSE NULL END AS highway,
+         o_orderkey % 5 = 0 AS has_insee_tag
+  FROM orders
+)
+SELECT osm_id, housenumber, highway
+FROM pts
+WHERE housenumber IS NOT NULL AND housenumber != ''
+  AND highway IS NOT NULL AND highway != ''
+  AND has_insee_tag
+ORDER BY osm_id
+"""
+
+
+@register("osm_tag_filters", _W48_ORACLE)
+def w_tag_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    # tags as an hstore-like map; presence = map_contains_key
+    entries = F.filter(
+        F.array(
+            F.when(F.col("o_orderkey") % 3 == 0,
+                   F.struct(F.lit("addr:housenumber").alias("k"),
+                            (F.col("o_orderkey") % 200).cast("string").alias("v"))),
+            F.when(F.col("o_orderkey") % 3 == 1,
+                   F.struct(F.lit("addr:housenumber").alias("k"), F.lit("").alias("v"))),
+            F.when(F.col("o_orderkey") % 4 == 0,
+                   F.struct(F.lit("highway").alias("k"), F.lit("residential").alias("v"))),
+            F.when(F.col("o_orderkey") % 4 == 1,
+                   F.struct(F.lit("highway").alias("k"), F.lit("").alias("v"))),
+            F.when(F.col("o_orderkey") % 5 == 0,
+                   F.struct(F.lit("ref:INSEE").alias("k"), F.lit("01001").alias("v"))),
+        ), lambda x: x.isNotNull())
+    pts = orders.select(F.col("o_orderkey").alias("osm_id"),
+                        F.map_from_entries(entries).alias("tags"))
+    hn = F.col("tags").getItem("addr:housenumber")
+    hw = F.col("tags").getItem("highway")
+    return (
+        pts.filter(hn.isNotNull() & (hn != "") & hw.isNotNull() & (hw != "")
+                   & F.map_contains_key(F.col("tags"), "ref:INSEE"))
+        .select("osm_id", hn.alias("housenumber"), hw.alias("highway"))
+        .orderBy("osm_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w49 — associatedStreet relation join (J3: members equi-join on osm_id
+# stacked on the J1 PIP; hsnr_insee_nocache.sql:41-71)
+# ---------------------------------------------------------------------------
+
+_W49_ORACLE = f"""
+WITH {{pts_cte}}
+, rels AS (
+  SELECT s_suppkey % 4000 AS member_osm_id,
+         'REL' || CAST(s_suppkey % 300 AS VARCHAR) AS rel_id,
+         'Rue Relation ' || CAST(s_suppkey % 300 AS VARCHAR) AS rel_name
+  FROM supplier WHERE s_suppkey % 3 = 0
+),
+located AS (
+  SELECT p.event_id, c.insee_com, p.x, p.y
+  FROM pts p
+  JOIN {synth.communes_values_sql()}
+    ON p.x >= c.xmin AND p.x < c.xmax AND p.y >= c.ymin AND p.y < c.ymax
+  WHERE c.admin_level = 8
+)
+SELECT l.event_id, l.insee_com, r.rel_id, r.rel_name
+FROM located l
+JOIN rels r ON l.event_id % 4000 = r.member_osm_id
+ORDER BY 1, 3
+"""
+
+
+_W49_PTS = "pts AS (" + synth.points_select_sql("duckdb") + ")"
+
+
+@register("associated_street_join", _W49_ORACLE.format(pts_cte=_W49_PTS))
+def w_assoc_street(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.pip_join import spatial_join
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _read(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    pts = spark.sql(synth.points_select_sql("spark"))
+    polys = synth.commune_polygons_df(spark).filter(F.col("admin_level") == 8)
+    located = spatial_join(pts, polys, id_col="insee_com", zoom=15)
+    rels = spark.sql(
+        "SELECT s_suppkey % 4000 AS member_osm_id,"
+        " 'REL' || CAST(s_suppkey % 300 AS STRING) AS rel_id,"
+        " 'Rue Relation ' || CAST(s_suppkey % 300 AS STRING) AS rel_name"
+        " FROM supplier WHERE s_suppkey % 3 = 0")
+    return (
+        located.join(F.broadcast(rels),
+                     located.event_id % 4000 == rels.member_osm_id)
+        .select("event_id", "insee_com", "rel_id", "rel_name")
+        .orderBy("event_id", "rel_id")
+    )
