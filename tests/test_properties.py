@@ -69,3 +69,47 @@ def test_normalize_total_and_idempotent(s):
     twice = normalize_series(pd.Series([once]))[0]
     assert isinstance(once, str) and len(once) <= 30
     assert twice == normalize_series(pd.Series([twice]))[0]
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_cover_contains_every_inside_point(data):
+    """Engine invariant behind the two-phase spatial join: any point
+    inside the polygon MUST fall in a cover cell (else the prune join
+    drops it silently), and points in interior cells must pass PIP."""
+    import numpy as np
+
+    from bano_spark.geo import geometry, tiles
+
+    # random triangle within the synthetic band
+    xs = data.draw(st.lists(st.floats(1_000_100, 1_090_000, allow_nan=False),
+                            min_size=3, max_size=3))
+    ys = data.draw(st.lists(st.floats(2_000_100, 2_009_000, allow_nan=False),
+                            min_size=3, max_size=3))
+    tri = np.array(list(zip(xs, ys)) + [(xs[0], ys[0])])
+    # degenerate triangles have no interior — skip via area check
+    area = abs((xs[1] - xs[0]) * (ys[2] - ys[0])
+               - (xs[2] - xs[0]) * (ys[1] - ys[0])) / 2
+    if area < 1.0:
+        return
+    z = data.draw(st.integers(min_value=11, max_value=15))
+    gx, gy, interior = geometry.cover_polygon(tri, z)
+    cells = set(zip(gx.tolist(), gy.tolist()))
+    interior_cells = set(zip(gx[interior].tolist(), gy[interior].tolist()))
+
+    # sample points from the triangle via barycentric coordinates
+    n = 40
+    r1 = np.linspace(0.05, 0.95, n)
+    r2 = np.linspace(0.9, 0.02, n)
+    u = 1 - np.sqrt(r1)
+    v = np.sqrt(r1) * (1 - r2)
+    w = np.sqrt(r1) * r2
+    px = u * xs[0] + v * xs[1] + w * xs[2]
+    py = u * ys[0] + v * ys[1] + w * ys[2]
+    inside = geometry.points_in_polygon(px, py, tri)
+    for x, y, isin in zip(px, py, inside):
+        cell = (tiles.py_tile_x(x, z), tiles.py_tile_y(y, z))
+        if isin:
+            assert cell in cells, f"inside point lost by cover at z{z}"
+        if cell in interior_cells:
+            assert isin, "interior cell contains an outside point"
