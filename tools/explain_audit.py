@@ -21,6 +21,9 @@ from bano_spark.session import get_session
 
 AUDITED = [
     "pip_count_per_commune",
+    "end_to_end_csv_export",
+    "dup_span_stats",
+    "knn_nearest_points",
     "conciliation_export",
     "knn_name_match",
     "postal_smallest_polygon",
