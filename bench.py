@@ -68,7 +68,9 @@ def pages_pipeline(spark, n_pages: int) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
+    # large enough to amortize the ~5-12s fixed per-job cost (stage
+    # planning, broadcast, python-pool spin-up) — see BENCH.md curve
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "16000000"))
 
     import __spark_entry__ as E
     from bano_spark.session import get_session
