@@ -56,6 +56,16 @@ def main() -> None:
     result = {"pages": pages, "small": small, "big": big,
               "scaling_efficiency": round(eff, 3)}
     print(json.dumps(result))
+    # preserve hand-maintained sections below the marker
+    extra = ""
+    try:
+        with open("BENCH.md") as f:
+            cur = f.read()
+        i = cur.find("\nSaturation context")
+        if i >= 0:
+            extra = cur[i:]
+    except FileNotFoundError:
+        pass
     with open("BENCH.md", "w") as f:
         f.write(f"""# BENCH — north-rule scaling evidence
 
@@ -70,7 +80,7 @@ parallelism levels (cluster-size stand-in per BASELINE.md):
 
 **Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8 per
 BASELINE.json north_rule).
-""")
+""" + extra)
 
 
 if __name__ == "__main__":
