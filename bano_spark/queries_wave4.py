@@ -2295,3 +2295,123 @@ def w_assoc_street(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "insee_com", "rel_id", "rel_name")
         .orderBy("event_id", "rel_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# w50 — composed voies-rapprochées JSON export (A3 + A4 + M2 + S14):
+# per-street ordered housenumber agg, convex-hull geodesic length,
+# the importance formula, and the reference's NDJSON byte layout —
+# export_json_dept_voies_rapprochees.sql end-to-end.
+# Housenumber lat/lon travel as strings built from integer parts so
+# both engines agg identical bytes; doubles are derived by CAST for
+# the hull math only (collinear per street -> hull = min/max span).
+# ---------------------------------------------------------------------------
+
+_W50_HAV = """
+2 * 6371008.8 * asin(sqrt(
+    pow(sin(radians(0.0) / 2), 2)
+  + cos(radians(CAST(lat_s AS DOUBLE))) * cos(radians(CAST(lat_s AS DOUBLE)))
+  * pow(sin(radians(CAST(maxlon AS DOUBLE) - CAST(minlon AS DOUBLE)) / 2), 2)))
+"""
+
+
+def _w50_rows(cast: str) -> str:
+    insee = _insee_case("o_custkey")
+    return f"""
+rows_j AS (
+  SELECT DISTINCT
+         {insee} AS insee,
+         o_orderkey % 400 AS street_id,
+         {insee} || lpad(CAST(o_orderkey % 400 AS {cast}), 4, '0') AS fantoir,
+         lpad(CAST((o_orderkey * 7) % 997 AS {cast}), 4, '0') AS num,
+         '45.' || CAST(o_orderkey % 400 % 7 AS {cast}) AS lat_s,
+         '2.' || lpad(CAST((o_orderkey * 13) % 9000 AS {cast}), 4, '0') AS lon_s
+  FROM orders
+)"""
+
+
+_W50_ORACLE = f"""
+WITH {_w50_rows('VARCHAR')},
+agg AS (
+  SELECT insee, street_id, fantoir, lat_s,
+         count(*) AS nb,
+         min(lon_s) AS minlon, max(lon_s) AS maxlon,
+         string_agg(num || '$' || lat_s || '$' || lon_s, '#'
+                    ORDER BY num || '$' || lat_s || '$' || lon_s) AS hns
+  FROM rows_j GROUP BY 1, 2, 3, 4
+),
+m AS (
+  SELECT *, round(CASE WHEN maxlon = minlon THEN 0.0 ELSE {_W50_HAV} END, 4)
+            AS hull_m
+  FROM agg
+),
+scored AS (
+  SELECT *, round(log10((1 + street_id % 5)
+                + log10(((street_id * 37) % 100000) + 1) / 3)
+           * log10(1 + log10(nb + 1) + log10(hull_m + 1)
+                   + log10(CASE street_id % 4 WHEN 0 THEN 4.0 WHEN 1 THEN 3.0
+                           WHEN 2 THEN 2.0 ELSE 1.0 END)), 4) AS importance
+  FROM m
+)
+SELECT '{{"id":"' || fantoir || '","citycode":"' || insee
+    || '","type":"street","name":"Rue ' || CAST(street_id AS VARCHAR)
+    || '","postcode":"0' || CAST(1000 + street_id AS VARCHAR)
+    || '","lat":"' || lat_s || '","lon":"' || minlon
+    || '","city":"Ville ' || substring(insee, 1, 2)
+    || '","departement":"Dept ' || substring(insee, 1, 2)
+    || '","region":"Region X","importance":' || CAST(importance AS VARCHAR)
+    || ',"housenumbers":{{'
+    || array_to_string(list_transform(string_split(hns, '#'),
+         s -> '"' || split_part(s, '$', 1) || '":{{"lat":'
+              || split_part(s, '$', 2) || ',"lon":' || split_part(s, '$', 3)
+              || '}}'), ',')
+    || '}}}}' AS line
+FROM scored ORDER BY line
+"""
+
+
+@register("json_voies_export", _W50_ORACLE)
+def w_json_voies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.export import json_voie_line
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    rows_j = spark.sql("WITH " + _w50_rows("STRING") + " SELECT * FROM rows_j")
+    val = F.concat_ws("$", "num", "lat_s", "lon_s")
+    agg = (
+        rows_j.groupBy("insee", "street_id", "fantoir", "lat_s")
+        .agg(F.count(F.lit(1)).alias("nb"),
+             F.min("lon_s").alias("minlon"), F.max("lon_s").alias("maxlon"),
+             F.concat_ws("#", F.sort_array(F.collect_list(val))).alias("housenumbers"))
+    )
+    lat_d = F.col("lat_s").cast("double")
+    dlon = (F.col("maxlon").cast("double") - F.col("minlon").cast("double"))
+    hav = 2 * 6371008.8 * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(F.lit(0.0)) / 2), 2)
+        + F.cos(F.radians(lat_d)) * F.cos(F.radians(lat_d))
+        * F.pow(F.sin(F.radians(dlon) / 2), 2)))
+    m = agg.withColumn(
+        "hull_m", F.round(F.when(F.col("maxlon") == F.col("minlon"), 0.0)
+                          .otherwise(hav), 4))
+    w_t = (F.when(F.col("street_id") % 4 == 0, 4.0)
+           .when(F.col("street_id") % 4 == 1, 3.0)
+           .when(F.col("street_id") % 4 == 2, 2.0).otherwise(1.0))
+    imp = F.round(
+        F.log10((1 + F.col("street_id") % 5)
+                + F.log10(((F.col("street_id") * 37) % 100000) + 1) / 3)
+        * F.log10(1 + F.log10(F.col("nb") + 1) + F.log10(F.col("hull_m") + 1)
+                  + F.log10(w_t)), 4)
+    rec = m.select(
+        "fantoir",
+        F.col("insee").alias("citycode"),
+        F.lit("street").alias("type"),
+        F.concat(F.lit("Rue "), F.col("street_id").cast("string")).alias("name"),
+        F.concat(F.lit("0"), (1000 + F.col("street_id")).cast("string")).alias("postcode"),
+        F.col("lat_s").alias("lat"),
+        F.col("minlon").alias("lon"),
+        F.concat(F.lit("Ville "), F.substring("insee", 1, 2)).alias("cityname"),
+        F.concat(F.lit("Dept "), F.substring("insee", 1, 2)).alias("departement"),
+        F.lit("Region X").alias("region"),
+        imp.cast("string").alias("importance"),
+        "housenumbers",
+    )
+    return json_voie_line(rec, with_housenumbers=True).orderBy("line")
