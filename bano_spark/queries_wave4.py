@@ -2020,7 +2020,10 @@ def w_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = tl.with_k_ring(rt, "_rtx", "_rty", 1, "_tx", "_ty").drop("_rtx", "_rty")
     cand = lt.join(F.broadcast(rt), ["_tx", "_ty"])
     d2 = (F.col("x") - F.col("rx")) ** 2 + (F.col("y") - F.col("ry")) ** 2
-    scored = cand.select("event_id", "s_suppkey", d2.alias("d2")).distinct()
+    # no distinct: a (left, right) pair matches exactly one ring cell
+    # (left has one cell; ring offsets are distinct), and dropping the
+    # redundant dedup saves a full shuffle of the candidate pairs
+    scored = cand.select("event_id", "s_suppkey", d2.alias("d2"))
     w = Window.partitionBy("event_id").orderBy("d2", "s_suppkey")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
