@@ -230,10 +230,19 @@ def spatial_join_left(
     """LEFT OUTER spatial join (J5 semantics: highways LEFT JOIN suffixe
     ON ST_Intersects): matched rows come from the inner cell-bucketed
     join; points with no containing polygon are kept once with null
-    polygon attributes. ``point_key`` must uniquely identify a point row."""
-    matched = spatial_join(points, polygons, **kwargs)
+    polygon attributes. ``point_key`` must uniquely identify a point row.
+
+    The matched side feeds BOTH output branches (rows + the anti-join
+    key set); without a persist Spark executes the whole PIP subplan
+    twice (measured 2x wall on the suffix-zone join). Persisted
+    MEMORY_AND_DISK — matched rows are the join output, already sized
+    to fit the stage; callers running huge joins can unpersist after
+    materializing downstream."""
+    from pyspark import StorageLevel
+
+    matched = spatial_join(points, polygons, **kwargs).persist(
+        StorageLevel.MEMORY_AND_DISK)
     verts_col = kwargs.get("verts_col", "verts")
-    id_col = kwargs.get("id_col", "poly_id")
     poly_attrs = [c for c in polygons.columns if c != verts_col]
     unmatched = points.join(
         matched.select(point_key).distinct(), point_key, "left_anti")
