@@ -2106,13 +2106,14 @@ def w_area_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     def kernel(batches):
         import numpy as np
 
+        from bano_spark.geo.geometry import polygon_area_centroid_batch
+
         for pdf in batches:
-            rows = []
-            for pid, ring in zip(pdf["poly_id"], pdf["ring"]):
-                a, cx, cy = polygon_area_centroid(
-                    np.array([list(p) for p in ring], dtype=np.float64))
-                rows.append((pid, a, cx, cy))
-            yield pd.DataFrame(rows, columns=["poly_id", "area", "cx", "cy"])
+            rings = [np.asarray([list(p) for p in ring], dtype=np.float64)
+                     for ring in pdf["ring"]]
+            a, cx, cy = polygon_area_centroid_batch(rings)
+            yield pd.DataFrame({"poly_id": pdf["poly_id"].to_numpy(),
+                                "area": a, "cx": cx, "cy": cy})
 
     out = verts.mapInPandas(kernel, schema)
     return out.select(
