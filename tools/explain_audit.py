@@ -24,6 +24,10 @@ AUDITED = [
     "end_to_end_csv_export",
     "dup_span_stats",
     "knn_nearest_points",
+    "json_voies_export",
+    "benchmark_decontamination",
+    "canonical_url",
+    "street_line_merge",
     "conciliation_export",
     "knn_name_match",
     "postal_smallest_polygon",
