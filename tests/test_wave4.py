@@ -129,3 +129,48 @@ def test_knn_broadcast_and_shuffle_paths_agree(spark):
     ka = {(r.lid, r.rid, r.lev) for r in a.collect()}
     kb = {(r.lid, r.rid, r.lev) for r in b.collect()}
     assert ka == kb and len(ka) > 0
+
+
+def test_repetition_stats_toy(spark):
+    from bano_spark.operators.webtext import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b\na b\nc d"),      # 3 lines, 1 dup; bigrams: ab,ba?,... per line? text split on \n only for lines
+         (2, "x y z w")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[1].n_lines == 3
+    assert abs(out[1].dup_line_frac - (1 - 2 / 3)) < 1e-6
+    assert out[2].dup_line_frac == 0.0
+    # doc 2 bigrams: x y, y z, z w -> all unique, top fraction 1/3
+    assert abs(out[2].top_bigram_frac - 1 / 3) < 1e-6
+
+
+def test_gopher_quality_toy(spark):
+    from bano_spark.operators.webtext import gopher_quality
+
+    long_ok = " ".join(f"word{i}" for i in range(60))
+    short = "too short"
+    hashy = " ".join(["####"] * 60)
+    docs = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, hashy)], ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert out[1].keep
+    assert not out[2].ok_word_count
+    assert not out[3].ok_symbol_ratio and not out[3].keep
+
+
+def test_dup_span_stats_toy(spark):
+    from bano_spark.operators.webtext import dup_span_stats
+
+    shared = " ".join(f"t{i}" for i in range(13))
+    docs = spark.createDataFrame(
+        [(1, shared + " unique1 " + " ".join(f"a{i}" for i in range(13))),
+         (2, shared + " other2"),
+         (3, " ".join(f"b{i}" for i in range(20)))],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in dup_span_stats(docs).collect()}
+    # docs 1 and 2 share the leading 13-gram; doc 3 shares nothing
+    assert out[1].n_dup_grams >= 1
+    assert out[2].n_dup_grams >= 1
+    assert out[3].n_dup_grams == 0
