@@ -140,18 +140,25 @@ def media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
         for pdf in batches:
             vals = pdf[id_col].to_numpy()
             kinds = np.array(["image", "audio", "video"])[(vals % 3).astype(int)]
-            payloads = [
-                bytes([(int(i) * 7 + j) % 256 for j in range(32 + (int(i) % 5) * 64)])
-                for i in vals
-            ]
+            # vectorized payload synthesis: one (n, len) uint8 matrix per
+            # length group (5 groups), no per-byte Python
+            payloads = np.empty(len(vals), dtype=object)
+            lens = 32 + (vals % 5) * 64
+            for ln in np.unique(lens):
+                m = lens == ln
+                mat = ((vals[m, None] * 7 + np.arange(ln)[None, :]) % 256
+                       ).astype(np.uint8)
+                idxs = np.flatnonzero(m)
+                for k, row in zip(idxs, mat):
+                    payloads[k] = row.tobytes()
             yield pd.DataFrame({
                 "media_id": vals,
                 "kind": kinds,
                 "payload": payloads,
                 "meta": [
-                    {"mime": f"{k}/x-fake", "n_bytes": len(p),
+                    {"mime": f"{k}/x-fake", "n_bytes": int(n),
                      "source_url": f"https://crawl.example/media/{int(i):08d}"}
-                    for k, p, i in zip(kinds, payloads, vals)
+                    for k, n, i in zip(kinds, lens, vals)
                 ],
             })
 
