@@ -107,28 +107,13 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> Da
 
 
 def synth_media(spark, n: int, partitions: int = 8) -> DataFrame:
-    """Deterministic fake media table (payload derived from the id)."""
+    """Deterministic fake media table (payload derived from the id);
+    delegates to the vectorized id-keyed generator."""
+    from pyspark.sql import functions as _F
 
-    def gen(batches):
-        for pdf in batches:
-            ids = pdf["id"].to_numpy()
-            kinds = np.array(["image", "audio", "video"])[(ids % 3).astype(int)]
-            payloads = [
-                bytes([(i * 7 + j) % 256 for j in range(32 + (i % 5) * 64)])
-                for i in ids
-            ]
-            yield pd.DataFrame({
-                "media_id": ids,
-                "kind": kinds,
-                "payload": payloads,
-                "meta": [
-                    {"mime": f"{k}/x-fake", "n_bytes": len(p),
-                     "source_url": f"https://crawl.example/media/{i:08d}"}
-                    for k, p, i in zip(kinds, payloads, ids)
-                ],
-            })
-
-    return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
+    ids = spark.range(0, n, 1, partitions).select(
+        _F.col("id").alias("media_id"))
+    return media_from_ids(ids)
 
 
 def media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
