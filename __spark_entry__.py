@@ -309,10 +309,10 @@ cumul AS (
               ELSE {_street_sql('(k1 + nidx + sidx)')} END AS voie_autre,
          CASE WHEN k1 % 3 = 0 THEN NULL
               ELSE '0' || CAST(1000 + k1 AS {cast}) END AS code_postal,
-         CASE WHEN sidx != 0 AND o_orderkey % 17 = 0 THEN 0.0
-              ELSE 1000.0 + k1 * 16.0 + nidx + sidx * 0.25 END AS lon,
-         CASE WHEN sidx != 0 AND o_orderkey % 19 = 0 THEN 0.0
-              ELSE 2000.0 + k1 * 16.0 + nidx + sidx * 0.25 END AS lat
+         CAST(CASE WHEN sidx != 0 AND o_orderkey % 17 = 0 THEN 0.0
+              ELSE 1000.0 + k1 * 16.0 + nidx + sidx * 0.25 END AS DOUBLE) AS lon,
+         CAST(CASE WHEN sidx != 0 AND o_orderkey % 19 = 0 THEN 0.0
+              ELSE 2000.0 + k1 * 16.0 + nidx + sidx * 0.25 END AS DOUBLE) AS lat
   FROM base
 )"""
 
@@ -357,7 +357,7 @@ res AS (
   WHERE u.num > '0'
 ),
 ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY numero) AS seq
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY numero, lat, lon) AS seq
   FROM res
   WHERE lat IS NOT NULL AND lon IS NOT NULL
     AND regexp_matches(numero, '^[0-9]{{1,4}}( ?[A-Z]?.*)?')
@@ -570,7 +570,8 @@ SELECT substr(insee, 1, 2) || '0' || substr(insee, 3, 3)
     || rpad('LIBELLE ' || CAST(o_custkey % 97 AS {cast}), 26, ' ')
     || rpad('', 7, ' ') || 'N' || ' ' || '0' || ' ' || rpad('', 7, ' ')
     || lpad('0', 7, '0') || lpad('0', 7, '0')
-    || (CASE WHEN o_orderkey % 11 = 0 THEN 'O' ELSE ' ' END)
+    || (CASE WHEN o_orderkey % 11 = 0 THEN 'O'
+             WHEN o_orderkey % 13 = 0 THEN 'Q' ELSE ' ' END)
     || rpad('', 7, '0') || '1987001' || rpad('', 15, ' ') || 'A1B2C'
     || (CASE o_orderkey % 3 WHEN 0 THEN '1' WHEN 1 THEN '3' ELSE 'B' END)
     || (CASE WHEN o_orderkey % 2 = 0 THEN '1' ELSE '0' END)
@@ -609,6 +610,81 @@ def q_fantoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code_dept", "code_insee", "id_voie", "fantoir", "fantoir10", "cle_rivoli",
         "nature_voie", "libelle_voie", "type_voie", "caractere_annul", "ld_bati",
         "pop_a_part")
+
+
+# ---------------------------------------------------------------------------
+# q13b/q13c — FANTOIR loaders with the F7 annulled filter
+# (bano/sources/fantoir.py:24 streets NOT IN ('O','Q'); :43 lieux-dits
+# COALESCE(caractere_annul,'') = '' under bpchar semantics). The
+# fixture emits 'O' (o_orderkey%11=0) and 'Q' (%13=0) annul marks so
+# the filter demonstrably drops rows.
+# ---------------------------------------------------------------------------
+
+_FANTOIR_PARSED_CTE = """
+parsed AS (
+  SELECT substr(raw,1,2) || substr(raw,4,3) AS code_insee,
+         substr(raw,1,2) || substr(raw,4,3) || substr(raw,7,4)
+             || substr(raw,11,1) AS fantoir10,
+         substr(raw,7,4) AS id_voie,
+         substr(raw,11,1) AS cle_rivoli,
+         rtrim(substr(raw,12,4)) AS nature_voie,
+         rtrim(substr(raw,16,26)) AS libelle_voie,
+         substr(raw,109,1) AS type_voie,
+         substr(raw,74,1) AS caractere_annul,
+         substr(raw,110,1) AS ld_bati
+  FROM lines
+  WHERE NOT raw LIKE '______ %' AND NOT raw LIKE '___ %'
+)"""
+
+
+_Q13B_ORACLE = f"""
+WITH lines AS ({_fantoir_line_sql('VARCHAR')}),
+{_FANTOIR_PARSED_CTE}
+SELECT code_insee, fantoir10, substr(fantoir10, 1, 9) AS fantoir9, label
+FROM (
+  SELECT *, nature_voie || ' ' || libelle_voie AS label,
+         RANK() OVER (PARTITION BY code_insee,
+                          nature_voie || ' ' || libelle_voie
+                      ORDER BY type_voie, id_voie, cle_rivoli) AS rang
+  FROM parsed
+  WHERE rtrim(caractere_annul) NOT IN ('O', 'Q')
+) WHERE rang = 1
+ORDER BY code_insee, fantoir10
+"""
+
+
+@register("fantoir_mapping_load", _Q13B_ORACLE)
+def q_fantoir_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.sources.fantoir import mapping_load, parse_fantoir
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    lines = spark.sql(_fantoir_line_sql("STRING"))
+    return mapping_load(parse_fantoir(lines)).orderBy("code_insee", "fantoir10")
+
+
+_Q13C_ORACLE = f"""
+WITH lines AS ({_fantoir_line_sql('VARCHAR')}),
+{_FANTOIR_PARSED_CTE}
+SELECT code_insee, fantoir10,
+       trim(nature_voie || ' ' || libelle_voie) AS nom,
+       rtrim(ld_bati) AS ld_bati_flag
+FROM parsed
+WHERE rtrim(coalesce(caractere_annul, '')) = ''
+ORDER BY code_insee, fantoir10, nom
+"""
+
+
+@register("fantoir_lieux_dits_load", _Q13C_ORACLE)
+def q_fantoir_ld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.sources.fantoir import lieux_dits, parse_fantoir
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    lines = spark.sql(_fantoir_line_sql("STRING"))
+    return (
+        lieux_dits(parse_fantoir(lines))
+        .select("code_insee", "fantoir10", "nom", "ld_bati_flag")
+        .orderBy("code_insee", "fantoir10", "nom")
+    )
 
 
 # ---------------------------------------------------------------------------

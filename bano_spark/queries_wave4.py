@@ -407,12 +407,12 @@ WITH batch AS (
          o_orderkey % 500 AS nombre_adresses
   FROM orders
 )
-SELECT dept, source, sum(nombre_adresses) AS total,
+SELECT dept, source, CAST(sum(nombre_adresses) AS BIGINT) AS total,
        count(*) AS n_batches,
        count(DISTINCT nombre_adresses) AS n_distinct
 FROM batch GROUP BY 1, 2
 UNION ALL
-SELECT 'FR' AS dept, source, sum(nombre_adresses), count(*),
+SELECT 'FR' AS dept, source, CAST(sum(nombre_adresses) AS BIGINT), count(*),
        count(DISTINCT nombre_adresses)
 FROM batch GROUP BY 2
 ORDER BY dept, source
@@ -1552,7 +1552,7 @@ grams AS (
 ),
 pg AS (SELECT doc_id, bigram, count(*) AS n FROM grams GROUP BY 1, 2),
 gs AS (
-  SELECT doc_id, sum(n) AS n_bigrams,
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
          round(max(n) * 1.0 / sum(n), 6) AS top_bigram_frac
   FROM pg GROUP BY 1
 )
@@ -1611,8 +1611,9 @@ grams AS (
 ),
 pdg AS (SELECT doc_id, g, count(*) AS n_in_doc FROM grams GROUP BY 1, 2),
 dpg AS (SELECT g, count(*) AS n_docs FROM pdg GROUP BY 1)
-SELECT p.doc_id, sum(p.n_in_doc) AS n_grams,
-       sum(CASE WHEN d.n_docs > 1 THEN p.n_in_doc ELSE 0 END) AS n_dup_grams,
+SELECT p.doc_id, CAST(sum(p.n_in_doc) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN d.n_docs > 1 THEN p.n_in_doc ELSE 0 END) AS BIGINT)
+           AS n_dup_grams,
        round(sum(CASE WHEN d.n_docs > 1 THEN p.n_in_doc ELSE 0 END) * 1.0
              / sum(p.n_in_doc), 6) AS dup_frac
 FROM pdg p JOIN dpg d ON p.g = d.g
@@ -1814,7 +1815,7 @@ zones AS (
   FROM grps GROUP BY 1, 2, 3
 )
 SELECT insee_com, hameau, CAST(count(*) AS INTEGER) AS n_zones,
-       round(sum(zhi - zlo), 6) AS total_width
+       CAST(round(sum(zhi - zlo), 6) AS DOUBLE) AS total_width
 FROM zones GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -1943,8 +1944,9 @@ WITH scored AS (
 ),
 cum AS (
   SELECT doc_id, n_tokens, quality_rank,
-         sum(n_tokens) OVER (ORDER BY quality_rank DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(sum(n_tokens) OVER (ORDER BY quality_rank DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_tokens
   FROM scored
 )
 SELECT doc_id, n_tokens, quality_rank, cum_tokens
@@ -1955,6 +1957,7 @@ ORDER BY doc_id
 
 @register("token_budget_selection", _W43_ORACLE)
 def w_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.selection import token_budget_select
     from bano_spark.operators.textstats import token_count
 
     docs = _read(spark, sf_dir, "documents")
@@ -1962,11 +1965,10 @@ def w_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
         ((F.col("doc_id") * 2654435761) % 1000).alias("quality_rank"))
-    w = Window.orderBy(F.desc("quality_rank"), "doc_id") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    return cum.filter(F.col("cum_tokens") - F.col("n_tokens") < 20000) \
-        .orderBy("doc_id")
+    # two-pass distributed prefix sum — no single-partition Exchange
+    # (round-1 verdict item #4: the old global Window.orderBy funneled
+    # the whole corpus through one task)
+    return token_budget_select(scored, 20000).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

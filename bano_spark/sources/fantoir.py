@@ -55,6 +55,48 @@ def parse_fantoir(raw: DataFrame, col: str = "raw") -> DataFrame:
     return out
 
 
+def streets(parsed: DataFrame) -> DataFrame:
+    """F7 street branch: drop annulled FANTOIR records, the reference's
+    `caractere_annul NOT IN ('O','Q')` (bano/sources/fantoir.py:24).
+    The fixed-width slot holds ' ' when not annulled; Postgres bpchar
+    semantics make ' ' compare equal to '' so only real 'O'/'Q' marks
+    drop — rtrim reproduces that here."""
+    return parsed.filter(~F.rtrim(F.col("caractere_annul")).isin("O", "Q"))
+
+
+def lieux_dits(parsed: DataFrame) -> DataFrame:
+    """F7 lieux-dits branch: keep only non-annulled records,
+    `COALESCE(caractere_annul,'') = ''` under bpchar semantics
+    (bano/sources/fantoir.py:43), with the trimmed display label and
+    ld_bati the place pipeline consumes (fantoir.py:37-48)."""
+    kept = parsed.filter(
+        F.rtrim(F.coalesce(F.col("caractere_annul"), F.lit(""))) == "")
+    label = F.trim(F.concat_ws(" ", F.rtrim("nature_voie"),
+                               F.rtrim("libelle_voie")))
+    return kept.withColumn("nom", label) \
+        .withColumn("ld_bati_flag", F.rtrim("ld_bati"))
+
+
+def mapping_load(parsed: DataFrame) -> DataFrame:
+    """The reference's `Mapping.load` query (bano/sources/fantoir.py:18-25)
+    as a DataFrame: F7 annul filter, then the W1 label-dedup rank window
+    keeping the first (type_voie, id_voie, cle_rivoli) per display label,
+    emitting (code_insee, fantoir10, fantoir9, label)."""
+    from pyspark.sql import Window
+
+    fv = streets(parsed).withColumn(
+        "label", F.concat(F.col("nature_voie"), F.lit(" "),
+                          F.col("libelle_voie")))
+    w = Window.partitionBy("code_insee", "label").orderBy(
+        "type_voie", "id_voie", "cle_rivoli")
+    return (
+        fv.withColumn("rang", F.rank().over(w))
+        .filter(F.col("rang") == 1)
+        .select("code_insee", "fantoir10",
+                F.substring("fantoir10", 1, 9).alias("fantoir9"), "label")
+    )
+
+
 def fantoir_raw_line_expr(insee: Column, id_voie: Column, cle: Column, nature: Column,
                           libelle: Column, type_voie: Column, annul: Column,
                           ld_bati: Column) -> Column:
