@@ -85,6 +85,36 @@ def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q01b — exact PIP refine over non-axis-aligned (slope ±2 triangles)
+# and non-convex (L-shape) polygons: the ray-cast kernel itself is
+# oracle-checked, not just bbox semantics (VERDICT r1 item 10). The
+# oracle states containment as strict half-plane / box-union
+# inequalities; fixtures guarantee no point sits on any edge line.
+# ---------------------------------------------------------------------------
+
+_Q01B_ORACLE = f"""
+WITH {_pts_cte('duckdb')},
+m AS ({synth.refine_membership_sql()})
+SELECT poly_id, count(*) AS n_points, CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("pip_nonconvex_refine", _Q01B_ORACLE)
+def q_pip_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _spark_points(spark, sf_dir)
+    polys = synth.refine_polygons_df(spark)
+    joined = spatial_join(pts, polys, x="x", y="y", id_col="poly_id",
+                          verts_col="verts", zoom=15)
+    return (
+        joined.groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("n_points"),
+             F.sum("event_id").cast("bigint").alias("id_sum"))
+        .orderBy("poly_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q02 — z16 tile assignment of points (M5), per-tile counts
 # ---------------------------------------------------------------------------
 

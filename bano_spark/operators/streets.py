@@ -8,10 +8,10 @@ pick the best way segment, preferring segments fully within the commune
 (`st_centroid(st_convexhull(ST_Collect(...)))`,
 export_json_dept_voies_non_rapprochees.sql:68-69).
 
-The centroid here uses the bbox midpoint of the collected points, which
-equals the hull centroid for the collinear/axis-aligned fixtures the
-oracle can verify; arbitrary geometry goes through
-importance.hull_metrics' Arrow kernel instead.
+The centroid is the true convex-hull centroid (shoelace over the hull
+ring), computed in two stages so the shuffle carries only partial-hull
+vertices; degenerate inputs follow PostGIS (point -> itself,
+collinear -> hull-segment midpoint).
 """
 
 from __future__ import annotations
@@ -36,13 +36,56 @@ def best_segment(segments: DataFrame, keys: Sequence[str] = ("street_id",),
 
 def street_centroid(points: DataFrame, keys: Sequence[str] = ("street_id",),
                     x: str = "x", y: str = "y") -> DataFrame:
-    """Per-street representative point: bbox midpoint of collected
-    points (exact hull centroid for the rectilinear case)."""
-    return points.groupBy(*keys).agg(
-        ((F.min(x) + F.max(x)) / 2).alias("cx"),
-        ((F.min(y) + F.max(y)) / 2).alias("cy"),
-        F.count(F.lit(1)).alias("n_points"),
-    )
+    """A5: per-street `st_centroid(st_convexhull(ST_Collect(pts)))`
+    (export_json_dept_voies_non_rapprochees.sql:68-69) — the true hull
+    centroid, not a bbox midpoint.
+
+    Two-stage for scale: per-partition partial hulls first (mapInPandas,
+    no shuffle), so the groupBy shuffle carries only hull vertices —
+    O(hull size) per (partition, street), not O(points). The final
+    kernel hulls the partial vertices and takes the shoelace centroid;
+    PostGIS degenerate semantics are kept (single point -> the point,
+    collinear -> midpoint of the extreme points of the hull segment)."""
+    import pandas as pd
+
+    from ..geo.geometry import convex_hull, polygon_area_centroid
+
+    kt = {f.name: f.dataType.simpleString() for f in points.schema}
+    key_schema = ", ".join(f"{k} {kt[k]}" for k in keys)
+    klist = list(keys)
+
+    def partial(it):
+        for pdf in it:
+            outs = []
+            for kv, g in pdf.groupby(klist, sort=False):
+                hull = convex_hull(g[[x, y]].to_numpy())
+                o = pd.DataFrame(hull, columns=[x, y])
+                if not isinstance(kv, tuple):
+                    kv = (kv,)
+                for k, v in zip(klist, kv):
+                    o[k] = v
+                outs.append(o[klist + [x, y]])
+            if outs:
+                yield pd.concat(outs)
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        hull = convex_hull(pdf[[x, y]].to_numpy())
+        if len(hull) == 1:
+            cx, cy = float(hull[0, 0]), float(hull[0, 1])
+        elif len(hull) == 2:
+            cx, cy = float(hull[:, 0].mean()), float(hull[:, 1].mean())
+        else:
+            _, cx, cy = polygon_area_centroid(hull)
+        row = {k: pdf[k].iloc[0] for k in klist}
+        row.update({"cx": cx, "cy": cy})
+        return pd.DataFrame([row])
+
+    partials = points.mapInPandas(partial,
+                                  schema=f"{key_schema}, {x} double, {y} double")
+    cents = partials.groupBy(*keys).applyInPandas(
+        final, f"{key_schema}, cx double, cy double")
+    counts = points.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_points"))
+    return cents.join(counts, klist)
 
 
 def merge_street_lines(segments: DataFrame, keys: Sequence[str] = ("street_id",),

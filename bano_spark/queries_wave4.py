@@ -719,6 +719,12 @@ def w_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # point_par_rue_insee_nocache.sql:22,26-38)
 # ---------------------------------------------------------------------------
 
+# The point fixture is deliberately NON-collinear and non-rectilinear:
+# every street gets the three exact-binary triangle vertices A=(bx,by),
+# B=(bx+1,by), C=(bx,by+1/2) plus strictly-interior lineitem-derived
+# points (x'+2y' <= 0.4375 < 1), so the convex hull is exactly that
+# triangle, its centroid (bx+1/3, by+1/6) differs from the bbox
+# midpoint (bx+1/2, by+1/4), and the oracle can state it in plain SQL.
 _W17_ORACLE = """
 WITH segs AS (
   SELECT DISTINCT l_orderkey % 300 AS street_id, l_linenumber AS seg_id,
@@ -731,14 +737,29 @@ best AS (
                            ORDER BY within DESC, seg_id) AS rang FROM segs
   ) WHERE rang = 1
 ),
+streets AS (SELECT DISTINCT l_orderkey % 300 AS street_id FROM lineitem),
 pts AS (
+  SELECT s.street_id,
+         CAST(s.street_id AS DOUBLE) * 0.25 + v.dx AS x,
+         CAST(s.street_id AS DOUBLE) * 0.125 + v.dy AS y
+  FROM streets s CROSS JOIN (VALUES (CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+                                    (CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+                                    (CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE)))
+       AS v(dx, dy)
+  UNION ALL
   SELECT l_orderkey % 300 AS street_id,
-         2.0 + (l_orderkey % 300) * 0.01 + l_linenumber * 0.001 AS x,
-         45.0 + (l_orderkey % 300) * 0.005 AS y
+         CAST(l_orderkey % 300 AS DOUBLE) * 0.25
+             + 0.125 + (l_linenumber % 3) * 0.0625 AS x,
+         CAST(l_orderkey % 300 AS DOUBLE) * 0.125
+             + 0.0625 + (l_suppkey % 2) * 0.03125 AS y
   FROM lineitem
 ),
 cent AS (
-  SELECT street_id, (min(x) + max(x)) / 2 AS cx, (min(y) + max(y)) / 2 AS cy,
+  SELECT street_id,
+         round(CAST(street_id AS DOUBLE) * 0.25 + CAST(1 AS DOUBLE) / 3, 6)
+             AS cx,
+         round(CAST(street_id AS DOUBLE) * 0.125 + CAST(1 AS DOUBLE) / 6, 6)
+             AS cy,
          count(*) AS n_points
   FROM pts GROUP BY 1
 )
@@ -759,15 +780,25 @@ def w_point_par_rue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_suppkey") % 3 == 0, 1).otherwise(0).alias("within"),
     ).distinct()
     best = best_segment(segs)
-    pts = li.select(
+    streets = li.select((F.col("l_orderkey") % 300).alias("street_id")).distinct()
+    verts = li.sparkSession.createDataFrame(
+        [(0.0, 0.0), (1.0, 0.0), (0.0, 0.5)], "dx double, dy double")
+    tri = streets.crossJoin(F.broadcast(verts)).select(
+        "street_id",
+        (F.col("street_id").cast("double") * 0.25 + F.col("dx")).alias("x"),
+        (F.col("street_id").cast("double") * 0.125 + F.col("dy")).alias("y"))
+    interior = li.select(
         (F.col("l_orderkey") % 300).alias("street_id"),
-        (F.lit(2.0) + (F.col("l_orderkey") % 300) * 0.01
-         + F.col("l_linenumber") * 0.001).alias("x"),
-        (F.lit(45.0) + (F.col("l_orderkey") % 300) * 0.005).alias("y"))
-    cent = street_centroid(pts)
+        ((F.col("l_orderkey") % 300).cast("double") * 0.25
+         + 0.125 + (F.col("l_linenumber") % 3) * 0.0625).alias("x"),
+        ((F.col("l_orderkey") % 300).cast("double") * 0.125
+         + 0.0625 + (F.col("l_suppkey") % 2) * 0.03125).alias("y"))
+    cent = street_centroid(tri.unionByName(interior))
     return (
         best.join(cent, "street_id")
-        .select("street_id", "seg_id", "within", "cx", "cy", "n_points")
+        .select("street_id", "seg_id", "within",
+                F.round("cx", 6).alias("cx"), F.round("cy", 6).alias("cy"),
+                "n_points")
         .orderBy("street_id")
     )
 
@@ -2421,3 +2452,166 @@ def w_json_voies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "housenumbers",
     )
     return json_voie_line(rec, with_housenumbers=True).orderBy("line")
+
+
+# ---------------------------------------------------------------------------
+# w51 — composed lieux-dits JSON export (VERDICT r1 item 6): the
+# reference's export_json_dept_lieux_dits.sql end-to-end — W4 source
+# priority with CADASTRE in the sort_order set, J7 postal containment
+# with smallest-area rank over (fantoir, coalesced postal), COG
+# display names, M3 ld_bati-weighted importance with the least(0.05)
+# clamp, C7 quote hygiene on the label, and the place NDJSON byte
+# layout (= the voie layout without housenumbers, bano/export.py:177-184).
+# ---------------------------------------------------------------------------
+
+def _w51_places(cast: str, dialect: str) -> str:
+    insee = _insee_case("pk.k")
+    return f"""
+pk AS (SELECT DISTINCT o_orderkey % 200 AS k, o_orderkey % 3 AS s FROM orders),
+pku AS (SELECT DISTINCT k FROM pk),
+ppts AS ({synth.points_select_sql(dialect, 'pku', 'k', 3)}),
+places AS (
+  SELECT pk.k, pk.s,
+         {insee} AS insee_com,
+         {insee} || lpad(CAST(pk.k AS {cast}), 4, '0') AS fantoir,
+         CASE pk.s WHEN 0 THEN 'OSM' WHEN 1 THEN 'BAL' ELSE 'CADASTRE' END
+             AS source,
+         CASE WHEN pk.s = 2 OR pk.k % 5 = 0 THEN NULL
+              ELSE 'Le "Haut’ ' || CAST(pk.k AS {cast}) END AS libelle_osm,
+         'Cad ' || CAST(pk.k AS {cast}) AS libelle_cadastre,
+         CASE WHEN pk.k % 4 = 0 THEN NULL
+              ELSE '0' || CAST(1000 + pk.k AS {cast}) END AS code_postal,
+         CASE WHEN pk.k % 7 = 0 THEN NULL ELSE pk.k % 2 END AS ld_bati,
+         p.x, p.y
+  FROM pk JOIN ppts p ON pk.k = p.k
+)"""
+
+
+_W51_ORACLE = f"""
+WITH {_w51_places('VARCHAR', 'duckdb')},
+ranked AS (
+  SELECT *, RANK() OVER (PARTITION BY fantoir ORDER BY
+             CASE source WHEN 'OSM' THEN 1 WHEN 'BAL' THEN 2 ELSE 3 END) AS rang
+  FROM places
+),
+op AS (
+  SELECT r.*, coalesce(r.code_postal, pb.code_postal) AS cp,
+         RANK() OVER (PARTITION BY r.fantoir,
+                          coalesce(r.code_postal, pb.code_postal)
+                      ORDER BY (pb.xmax - pb.xmin) * (pb.ymax - pb.ymin))
+             AS rang_postal
+  FROM ranked r
+  JOIN (SELECT * FROM {synth.postal_values_sql()}) pb
+    ON r.x > pb.xmin AND r.x < pb.xmax AND r.y > pb.ymin AND r.y < pb.ymax
+  WHERE r.rang = 1
+),
+scored AS (
+  SELECT *,
+         least(0.05, round(log10((1 + k % 5)
+                  + log10(((k * 37) % 100000) + 1) / 3)
+              * (0.25 + 0.5 * (1 - coalesce(ld_bati, 1))), 4)) AS importance
+  FROM op WHERE rang_postal = 1
+)
+SELECT '{{"id":"' || fantoir || '","citycode":"' || insee_com
+    || '","type":"place","name":"'
+    || replace(replace(coalesce(libelle_osm, libelle_cadastre), '"', ''),
+               '’', chr(39))
+    || '","postcode":"' || cp
+    || '","lat":"45.' || CAST(k % 9000 AS VARCHAR)
+    || '","lon":"2.' || lpad(CAST((k * 13) % 9000 AS VARCHAR), 4, '0')
+    || '","city":"Ville ' || substring(insee_com, 1, 2)
+    || '","departement":"Dept ' || substring(insee_com, 1, 2)
+    || '","region":"Region X","importance":' || CAST(importance AS VARCHAR)
+    || '}}' AS line
+FROM scored ORDER BY line
+"""
+
+
+@register("json_lieux_dits_export", _W51_ORACLE)
+def w_json_lieux_dits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.export import json_voie_line
+    from bano_spark.operators.pip_join import spatial_join
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    places = spark.sql(
+        "WITH " + _w51_places("STRING", "spark") + " SELECT * FROM places")
+
+    # W4 source priority via a literal sort_order set (OSM<BAL<CADASTRE)
+    sort_order = spark.createDataFrame(
+        [("OSM", 1), ("BAL", 2), ("CADASTRE", 3)], "source string, sortnum int")
+    ranked = (
+        places.join(F.broadcast(sort_order), "source")
+        .withColumn("rang", F.rank().over(
+            Window.partitionBy("fantoir").orderBy("sortnum")))
+        .filter(F.col("rang") == 1)
+    )
+
+    # J7: smallest containing postal polygon per (fantoir, coalesced cp)
+    postal = synth.postal_polygons_df(spark).withColumnRenamed(
+        "code_postal", "pp_code_postal")
+    contained = spatial_join(ranked, postal, x="x", y="y",
+                             id_col="pp_code_postal", verts_col="verts", zoom=15)
+    op = (
+        contained.withColumn("cp", F.coalesce("code_postal", "pp_code_postal"))
+        .withColumn("rang_postal", F.rank().over(
+            Window.partitionBy("fantoir", "cp").orderBy("area")))
+        .filter(F.col("rang_postal") == 1)
+    )
+
+    imp = F.least(
+        F.lit(0.05),
+        F.round(F.log10((1 + F.col("k") % 5)
+                        + F.log10(((F.col("k") * 37) % 100000) + 1) / 3)
+                * (0.25 + 0.5 * (1 - F.coalesce("ld_bati", F.lit(1)))), 4))
+    name = F.replace(
+        F.replace(F.coalesce("libelle_osm", "libelle_cadastre"),
+                  F.lit('"'), F.lit("")),
+        F.lit("’"), F.lit("'"))
+    rec = op.select(
+        "fantoir",
+        F.col("insee_com").alias("citycode"),
+        F.lit("place").alias("type"),
+        name.alias("name"),
+        F.col("cp").alias("postcode"),
+        F.concat(F.lit("45."), (F.col("k") % 9000).cast("string")).alias("lat"),
+        F.concat(F.lit("2."),
+                 F.lpad(((F.col("k") * 13) % 9000).cast("string"), 4, "0"))
+            .alias("lon"),
+        F.concat(F.lit("Ville "), F.substring("insee_com", 1, 2)).alias("cityname"),
+        F.concat(F.lit("Dept "), F.substring("insee_com", 1, 2)).alias("departement"),
+        F.lit("Region X").alias("region"),
+        imp.cast("string").alias("importance"),
+    )
+    return json_voie_line(rec, with_housenumbers=False).orderBy("line")
+
+
+# ---------------------------------------------------------------------------
+# w52 — publish stage round-trip (S17, bano/publish.py:41-86): the e2e
+# CSV export lines are written as one gzip file per département
+# (distributed write, one rename per file on the driver), concatenated
+# into full.csv.gz in sorted dept order, and read BACK from the
+# published artifact — the driver checks the decompressed bytes against
+# the oracle's logical line set.
+# ---------------------------------------------------------------------------
+
+_W52_ORACLE = _W30_ORACLE  # same logical lines; the engine path adds the
+                           # file round-trip through bano-{dept}.csv.gz + full.csv.gz
+
+
+@register("publish_full_roundtrip", _W52_ORACLE)
+def w_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bano_spark.operators.publish import publish_full, write_dept_files
+    from bano_spark.pipelines import export_csv
+    from bano_spark.sources.pages import synth_pages_sql
+
+    ids = _read(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    pages = synth_pages_sql(spark, 0, ids=ids)
+    lines = export_csv(pages).select(
+        F.substring("line", 1, 2).alias("dept"), "line")
+    out_dir = tempfile.mkdtemp(prefix="bano_publish_")
+    write_dept_files(lines, out_dir, "csv")
+    full = publish_full(out_dir, "csv")
+    return spark.read.text(full).withColumnRenamed("value", "line") \
+        .orderBy("line")

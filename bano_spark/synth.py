@@ -184,6 +184,74 @@ def postal_polygons_df(spark):
     return spark.createDataFrame(rows, schema)
 
 
+# ---------------------------------------------------------------------------
+# Non-axis-aligned / non-convex refine fixtures (VERDICT r1 item 10).
+#
+# Derived points always sit at x = i + 0.5, y = j + 0.25 (i, j int), so
+# edges on integer vertices with slopes in {0, inf, +-2} can never pass
+# through a point: a slope +-2 line through integers has integer y at
+# x = i + 0.5, and the points' y is j + 0.25. No boundary ambiguity —
+# the oracle's strict half-plane inequalities and the engine's ray-cast
+# agree exactly.
+#
+# T1-T3: isoceles triangles (slope +-2 edges) in strips 0, 7 and Paris
+# arr 3 — convex, non-axis-aligned, exercising the exact PIP refine.
+# L1: a concave L-shape = union of two axis-aligned rectangles — the
+# multi-crossing ray-cast case, SQL-expressible as an OR of boxes.
+# ---------------------------------------------------------------------------
+
+_TRI_SPECS = [  # (poly_id, x0, y0, half_base)
+    ("T1", REG0 + 500.0, REGY0 + 1000.0, 3000.0),
+    ("T2", REG0 + 7 * W + 500.0, REGY0 + 1000.0, 3000.0),
+    ("T3", PARIS0 + 2 * W + 500.0, REGY0 + 1000.0, 3000.0),
+]
+_L_SPEC = ("L1", REG0 + 3 * W + 500.0, REGY0 + 1000.0)  # rects 4000x2000 + 1500x6000
+
+
+def refine_polygons_df(spark):
+    """The refine fixture polygons as generic closed rings for
+    spatial_join — same engine path as the commune rectangles."""
+    from pyspark.sql import types as T
+
+    rows = []
+    for pid, x0, y0, h in _TRI_SPECS:
+        ring = [[x0, y0], [x0 + 2 * h, y0], [x0 + h, y0 + 2 * h], [x0, y0]]
+        rows.append((pid, ring))
+    pid, x0, y0 = _L_SPEC
+    ring = [[x0, y0], [x0 + 4000.0, y0], [x0 + 4000.0, y0 + 2000.0],
+            [x0 + 1500.0, y0 + 2000.0], [x0 + 1500.0, y0 + 6000.0],
+            [x0, y0 + 6000.0], [x0, y0]]
+    rows.append((pid, ring))
+    schema = T.StructType([
+        T.StructField("poly_id", T.StringType()),
+        T.StructField("verts", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def refine_membership_sql(px: str = "p.x", py: str = "p.y") -> str:
+    """UNION ALL of (point, poly_id) memberships as strict half-plane
+    inequalities (triangles) and box unions (L-shape) — the oracle's
+    independent statement of the same containment."""
+    parts = []
+    for pid, x0, y0, h in _TRI_SPECS:
+        parts.append(
+            f"SELECT p.event_id, '{pid}' AS poly_id FROM pts p"
+            f" WHERE {py} > {y0!r}"
+            f" AND {py} < {y0!r} + 2 * ({px} - {x0!r})"
+            f" AND {py} < {y0!r} - 2 * ({px} - {x0 + 2 * 3000.0!r})"
+        )
+    pid, x0, y0 = _L_SPEC
+    parts.append(
+        f"SELECT p.event_id, '{pid}' AS poly_id FROM pts p"
+        f" WHERE ({px} > {x0!r} AND {px} < {x0 + 4000.0!r}"
+        f" AND {py} > {y0!r} AND {py} < {y0 + 2000.0!r})"
+        f" OR ({px} > {x0!r} AND {px} < {x0 + 1500.0!r}"
+        f" AND {py} > {y0!r} AND {py} < {y0 + 6000.0!r})"
+    )
+    return " UNION ALL ".join(parts)
+
+
 def points_df(spark, sf_dir: str):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     events.createOrReplaceTempView("events")

@@ -66,3 +66,61 @@ def test_ttl_arrondissement_quirks(spark):
     # Lyon range is empty in the reference -> falls to the quirky else
     assert "commune/69381-2[0:5]" in lines["69381"]
     assert "commune/01001-2[0:5]" in lines["01001"]
+
+
+def test_publish_layout_and_full_bytes(spark, tmp_path):
+    """S17 (bano/publish.py:41-86): one bano-{dept}.csv.gz per dept,
+    full.csv.gz = gzip of their ordered concatenation; decompressed
+    full bytes == per-dept decompressed bytes concatenated in sorted
+    dept order, each internally ordered."""
+    import gzip
+
+    from bano_spark.operators.publish import (publish_full, read_full_lines,
+                                              write_dept_files)
+
+    rows = [("01", f"01|{i:03d}") for i in range(20)] + \
+           [("02", f"02|{i:03d}") for i in range(7)] + \
+           [("75", f"75|{i:03d}") for i in range(13)]
+    import random
+    random.Random(7).shuffle(rows)
+    lines = spark.createDataFrame(rows, ["dept", "line"]).repartition(8)
+
+    out = str(tmp_path)
+    depts = write_dept_files(lines, out, "csv")
+    assert depts == ["01", "02", "75"]
+
+    per_dept = b""
+    for d in depts:
+        with gzip.open(f"{out}/bano-{d}.csv.gz", "rb") as f:
+            content = f.read()
+        decoded = content.decode().splitlines()
+        assert decoded == sorted(decoded)          # ordered within dept
+        assert all(l.startswith(d) for l in decoded)
+        per_dept += content
+
+    full = publish_full(out, "csv")
+    assert read_full_lines(full) == per_dept.splitlines()
+
+
+def test_write_country_text_global_order(spark, tmp_path):
+    """Full-country ordered write: part files are disjoint ordered
+    ranges; concatenation in filename order is globally sorted, with
+    no single-task coalesce."""
+    import glob
+
+    from bano_spark.operators.export import write_country_text
+
+    vals = [(f"{(i * 37) % 1000:04d}",) for i in range(1000)]
+    df = spark.createDataFrame(vals, ["line"]).repartition(16)
+    path = str(tmp_path / "country")
+    write_country_text(df, path, order_cols=("line",), num_partitions=8)
+
+    parts = sorted(glob.glob(f"{path}/part-*"))
+    assert len(parts) > 1  # genuinely distributed output
+    seen = []
+    for p in parts:
+        with open(p) as f:
+            chunk = f.read().splitlines()
+        assert chunk == sorted(chunk)
+        seen.extend(chunk)
+    assert seen == sorted(v[0] for v in vals)
