@@ -935,7 +935,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_read(spark, sf_dir, "documents"))
 
 
-def _sig_cte() -> str:
+def _sig_cte(table: str = "documents") -> str:
     """Banded-md5 minwise sketch (one md5 -> four 32-bit hash values as
     disjoint hex substrings), mirroring operators.dedup.minhash_signature."""
     mins = ",\n         ".join(
@@ -945,7 +945,7 @@ def _sig_cte() -> str:
         f"list_transform(sh, s -> md5('b{b}|' || s)) AS m{b}" for b in range(2))
     return (f"sig AS (SELECT doc_id,\n         {mins}\n"
             f"  FROM (SELECT doc_id,\n               {blocks}\n"
-            f"        FROM (SELECT doc_id, {_SHINGLES} AS sh FROM documents)))")
+            f"        FROM (SELECT doc_id, {_SHINGLES} AS sh FROM {table})))")
 
 
 _Q20_ORACLE = f"""
@@ -981,6 +981,98 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bano_spark.operators.dedup import minhash_dedup_pairs
 
     return minhash_dedup_pairs(_read(spark, sf_dir, "documents")).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q21b/q21c — hardened LSH over a mega-cluster fixture (VERDICT r1
+# item 8): 1/3 of rows are ONE identical boilerplate text (the exact
+# mega-cluster — collapsed to a single representative before banding),
+# 1/3 are whitespace variants of one text (distinct md5, identical
+# token stream => identical signatures: the bucket the cap must drop),
+# 1/3 are small near-dup families (the pairs that must survive).
+# ---------------------------------------------------------------------------
+
+def _mega_docs_sql(cast: str) -> str:
+    return f"""
+mdocs AS (
+  SELECT o_orderkey AS doc_id,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN 'terms and conditions apply to every page of this site'
+              WHEN o_orderkey % 3 = 1
+              THEN 'mega family boilerplate body content'
+                   || repeat(' ', 1 + o_orderkey % 50) || 'tail marker end'
+              ELSE 'family ' || CAST(o_orderkey % 40 AS {cast})
+                   || ' body text word' || CAST(o_orderkey % 40 AS {cast})
+                   || ' extra tail '
+                   || CASE WHEN o_orderkey % 7 = 0 THEN 'variant' ELSE 'common' END
+         END AS text
+  FROM orders
+)"""
+
+
+_MEGA_REPS = """
+reps AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+    FROM mdocs) WHERE doc_id = keeper
+)"""
+
+_MEGA_BANDS = """
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+),
+sizes AS (SELECT band, key, count(*) AS n FROM bands GROUP BY 1, 2)"""
+
+
+_Q21B_ORACLE = f"""
+WITH {_mega_docs_sql('VARCHAR')},
+{_MEGA_REPS},
+{_sig_cte('reps')},
+{_MEGA_BANDS},
+kept AS (
+  SELECT b.doc_id, b.band, b.key FROM bands b
+  JOIN sizes s ON b.band = s.band AND b.key = s.key AND s.n <= 16
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
+                        AND a.doc_id < b.doc_id
+ORDER BY 1, 2
+"""
+
+
+@register("minhash_lsh_safe_pairs", _Q21B_ORACLE)
+def q_minhash_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import minhash_dedup_pairs_safe
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    mdocs = spark.sql("WITH " + _mega_docs_sql("STRING") + " SELECT * FROM mdocs")
+    return minhash_dedup_pairs_safe(mdocs, max_bucket=16).orderBy("id_a", "id_b")
+
+
+_Q21C_ORACLE = f"""
+WITH {_mega_docs_sql('VARCHAR')},
+{_MEGA_REPS},
+{_sig_cte('reps')},
+{_MEGA_BANDS}
+SELECT band, count(*) AS n_buckets_dropped,
+       CAST(sum(n) AS BIGINT) AS n_rows_dropped
+FROM sizes WHERE n > 16 GROUP BY band ORDER BY band
+"""
+
+
+@register("lsh_dropped_bucket_stats", _Q21C_ORACLE)
+def q_lsh_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import (exact_representatives,
+                                            lsh_dropped_buckets,
+                                            minhash_signature)
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    mdocs = spark.sql("WITH " + _mega_docs_sql("STRING") + " SELECT * FROM mdocs")
+    sig = minhash_signature(exact_representatives(mdocs))
+    return lsh_dropped_buckets(sig, max_bucket=16).orderBy("band")
 
 
 def _q22_oracle() -> str:
@@ -1392,7 +1484,7 @@ FROM customer ORDER BY c_custkey
 
 @register("format_toponyme", _Q31_ORACLE)
 def q_toponyme(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bano_spark.functions.normalize import format_toponyme_udf
+    from bano_spark.functions.normalize import format_toponyme_col
 
     cust = _read(spark, sf_dir, "customer")
     norm = F.element_at(
@@ -1400,7 +1492,8 @@ def q_toponyme(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % len(synth.STREETS)).cast("int") + 1)
     return (
         cust.select("c_custkey", norm.alias("nom_norm"))
-        .withColumn("toponyme", format_toponyme_udf(F.col("nom_norm")))
+        # pure column expression — zero Python on this path
+        .withColumn("toponyme", format_toponyme_col(F.col("nom_norm")))
         .orderBy("c_custkey")
     )
 
@@ -1564,7 +1657,7 @@ FROM customer ORDER BY c_custkey
 
 @register("append_suffixe", _Q35_ORACLE)
 def q_append_suffixe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bano_spark.functions.normalize import append_suffixe_udf
+    from bano_spark.functions.normalize import append_suffixe_col, normalize_udf
 
     cust = _read(spark, sf_dir, "customer")
     name = F.element_at(F.array(*[F.lit(c[0]) for c in _APPEND_CASES]),
@@ -1573,7 +1666,11 @@ def q_append_suffixe(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("c_custkey") % len(_APPEND_CASES)).cast("int") + 1)
     return (
         cust.select("c_custkey", name.alias("name"), suf.alias("suffixe"))
-        .withColumn("appended", append_suffixe_udf(F.col("name"), F.col("suffixe")))
+        # column-expression append; only normalize() itself is a
+        # (vectorized) UDF, as the guard needs the normalized length
+        .withColumn("appended",
+                    append_suffixe_col(F.col("name"), F.col("suffixe"),
+                                       normalize_udf(F.col("name"))))
         .orderBy("c_custkey")
     )
 

@@ -106,15 +106,17 @@ def normalize_udf(s: pd.Series) -> pd.Series:
 def append_suffixe_series(name: pd.Series, suffixe: pd.Series) -> pd.Series:
     """C5 (bano/core.py:33-45), quirks preserved: the guard compares the
     *normalized* name length against the *raw* suffix length, and the
-    endswith check is on raw strings."""
+    endswith check is on raw strings. The endswith test loops over the
+    DISTINCT suffix vocabulary (hamlet names — dozens), not rows."""
     name = name.fillna("").astype(str)
     suffixe = suffixe.fillna("").astype(str)
     ln = normalize_series(name).str.len()
     ls = suffixe.str.len()
     has = suffixe != ""
-    tail_differs = pd.Series(
-        [n[-l:] != s if l else True for n, s, l in zip(name, suffixe, ls)],
-        index=name.index)
+    tail_differs = pd.Series(True, index=name.index)
+    for suf in suffixe[has].unique():
+        m = suffixe == suf
+        tail_differs[m] = ~name[m].str.endswith(suf)
     do_append = has & (((ln > ls) & tail_differs) | (ln <= ls))
     return name.where(~do_append, name + " " + suffixe)
 
@@ -124,34 +126,93 @@ def append_suffixe_udf(name: pd.Series, suffixe: pd.Series) -> pd.Series:
     return append_suffixe_series(name, suffixe)
 
 
+_TOPO_ACCENTS = {"DERRIERE": "DERRIÈRE", "EGLISE": "ÉGLISE", "ILE": "ÎLE",
+                 "ILOT": "ÎLOT", "PRE": "PRÉ"}
+_TOPO_SMALL = {"Au": "au", "Aux": "aux", "D": "d'", "De": "de", "Des": "des",
+               "Du": "du", "Et": "et", "L": "l'", "La": "la", "Le": "le",
+               "Les": "les", "Un": "un", "Une": "une"}
+_TOPO_FIRST_AP = {"d": "d'", "D": "D'", "l": "l'", "L": "L'"}
+
+
+def _format_toponyme_one(v: str) -> str:
+    """Scalar reference twin of helpers.py:24-76 — applied once per
+    DISTINCT name (street-name vocabulary), never per row."""
+    ws = v.replace("'", " ").split(" ")
+    ws = [_TOPO_ACCENTS.get(w, w) for w in ws]
+    ws = [w.capitalize() for w in ws]
+    for i in range(1, len(ws)):
+        ws[i] = _TOPO_SMALL.get(ws[i], ws[i])
+    if ws and ws[0] in _TOPO_FIRST_AP:
+        ws[0] = _TOPO_FIRST_AP[ws[0]]
+    out = " ".join(ws).replace("' ", "'")
+    t = out.strip()
+    if len(t) > 1 and t[-1] == "'":
+        out = t[:-1]
+    return out
+
+
 def format_toponyme_series(s: pd.Series) -> pd.Series:
     """Display-casing of a toponym (helpers.py:24-76): accent restore of
     5 known words, capitalize each word, lowercase particles after the
-    first word, restore d'/l' apostrophes."""
-    accents = {"DERRIERE": "DERRIÈRE", "EGLISE": "ÉGLISE", "ILE": "ÎLE",
-               "ILOT": "ÎLOT", "PRE": "PRÉ"}
-    small = {"Au": "au", "Aux": "aux", "D": "d'", "De": "de", "Des": "des",
-             "Du": "du", "Et": "et", "L": "l'", "La": "la", "Le": "le",
-             "Les": "les", "Un": "un", "Une": "une"}
-    first_ap = {"d": "d'", "D": "D'", "l": "l'", "L": "L'"}
-
-    def one(v: str) -> str:
-        ws = v.replace("'", " ").split(" ")
-        ws = [accents.get(w, w) for w in ws]
-        ws = [w.capitalize() for w in ws]
-        for i in range(1, len(ws)):
-            ws[i] = small.get(ws[i], ws[i])
-        if ws and ws[0] in first_ap:
-            ws[0] = first_ap[ws[0]]
-        out = " ".join(ws).replace("' ", "'")
-        t = out.strip()
-        if len(t) > 1 and t[-1] == "'":
-            out = t[:-1]
-        return out
-
-    return s.fillna("").map(one)
+    first word, restore d'/l' apostrophes. Cost is |distinct names|
+    (bounded street-name vocabulary), not |rows|."""
+    filled = s.fillna("").astype(str)
+    vocab = {v: _format_toponyme_one(v) for v in pd.unique(filled)}
+    return filled.map(vocab)
 
 
 @pandas_udf(StringType())
 def format_toponyme_udf(s: pd.Series) -> pd.Series:
     return format_toponyme_series(s)
+
+
+def _case_map(col, mapping: dict):
+    from pyspark.sql import functions as F
+
+    expr = None
+    for k, v in mapping.items():
+        expr = F.when(col == k, v) if expr is None else expr.when(col == k, v)
+    return expr.otherwise(col)
+
+
+def format_toponyme_col(c):
+    """format_toponyme as a PURE column expression — no Python on the
+    query path at all (VERDICT r1 item 9): word split, per-word
+    accent/caps/particle CASE maps via a JVM transform lambda, join,
+    apostrophe re-glue, trailing-quote trim."""
+    from pyspark.sql import Column, functions as F
+
+    col = c if isinstance(c, Column) else F.col(c)
+    words = F.split(F.replace(col, F.lit("'"), F.lit(" ")), " ")
+
+    def per_word(w, i):
+        cap = F.initcap(_case_map(w, _TOPO_ACCENTS))
+        # after capitalize only 'D'/'L' can hit the first-word
+        # apostrophe map; particles lowercase from word 2 on
+        first = F.when(cap.isin("D", "L"), F.concat(cap, F.lit("'"))) \
+            .otherwise(cap)
+        return F.when(i == 0, first).otherwise(_case_map(cap, _TOPO_SMALL))
+
+    joined = F.array_join(F.transform(words, per_word), " ")
+    out = F.replace(joined, F.lit("' "), F.lit("'"))
+    t = F.trim(out)
+    return F.when((F.length(t) > 1) & (F.substring(t, -1, 1) == "'"),
+                  F.substring(t, F.lit(1), F.length(t) - 1)).otherwise(out)
+
+
+def append_suffixe_col(name, suffixe, norm_name):
+    """C5 as a pure column expression. ``norm_name`` is normalize(name)
+    (engine pipelines already carry it); the quirky guard compares its
+    length against the RAW suffix length, endswith on raw strings —
+    byte-parity with bano/core.py:33-45."""
+    from pyspark.sql import functions as F
+
+    n = F.coalesce(name if not isinstance(name, str) else F.col(name), F.lit(""))
+    s = F.coalesce(suffixe if not isinstance(suffixe, str) else F.col(suffixe),
+                   F.lit(""))
+    ln = F.length(norm_name if not isinstance(norm_name, str)
+                  else F.col(norm_name))
+    ls = F.length(s)
+    tail_differs = F.substring(n, F.lit(0) - ls, ls) != s
+    do_append = (s != "") & (((ln > ls) & tail_differs) | (ln <= ls))
+    return F.when(do_append, F.concat(n, F.lit(" "), s)).otherwise(n)

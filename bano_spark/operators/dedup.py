@@ -85,9 +85,9 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "do
     return digests.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8,
-                        band_size: int = 2) -> DataFrame:
-    """Banded LSH over a minhash signature: pairs sharing >=1 band."""
+def band_keys(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8,
+              band_size: int = 2) -> DataFrame:
+    """(id, band, key) rows of the banded signature."""
     n_bands = n_hashes // band_size
     bands = F.array(*[
         F.struct(
@@ -96,8 +96,27 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 
         )
         for b in range(n_bands)
     ])
-    exploded = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+    return sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8,
+                        band_size: int = 2,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Banded LSH over a minhash signature: pairs sharing >=1 band.
+
+    ``max_bucket`` caps band-bucket size: buckets with more members are
+    dropped before the self-join, bounding the output at
+    O(buckets * max_bucket^2) — without it one bucket of n whitespace-
+    variant boilerplate docs emits n^2/2 pairs (VERDICT r1 item 8).
+    Dropped buckets are observable via lsh_dropped_buckets; callers
+    owning a log stream should report them."""
+    exploded = band_keys(sig, id_col, n_hashes, band_size)
+    if max_bucket is not None:
+        sizes = exploded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("_bn"))
+        small = sizes.filter(F.col("_bn") <= max_bucket).select("band", "key")
+        exploded = exploded.join(small, ["band", "key"])
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -108,11 +127,53 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 
     )
 
 
+def lsh_dropped_buckets(sig: DataFrame, id_col: str = "doc_id",
+                        n_hashes: int = 8, band_size: int = 2,
+                        max_bucket: int = 64) -> DataFrame:
+    """The cap's disclosure side: per band, how many buckets exceeded
+    ``max_bucket`` and how many member rows they held — what a capped
+    run silently skipped, made loud."""
+    sizes = band_keys(sig, id_col, n_hashes, band_size) \
+        .groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sizes.filter(F.col("n") > max_bucket)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_buckets_dropped"),
+             F.sum("n").cast("bigint").alias("n_rows_dropped"))
+    )
+
+
+def exact_representatives(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Collapse exact-duplicate texts to their min-id keeper row —
+    the pre-pass that stops identical-boilerplate mega-clusters from
+    ever reaching the LSH banding."""
+    hashed = docs.select(F.col(id_col), F.col(text_col),
+                         F.md5(F.col(text_col)).alias("_th"))
+    keep = hashed.groupBy("_th").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, ["_th", id_col]).drop("_th")
+
+
 def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         n_hashes: int = 8, band_size: int = 2, shingle_n: int = 3) -> DataFrame:
     return lsh_candidate_pairs(
         minhash_signature(docs, text_col, id_col, n_hashes, shingle_n),
         id_col, n_hashes, band_size)
+
+
+def minhash_dedup_pairs_safe(docs: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", n_hashes: int = 8,
+                             band_size: int = 2, shingle_n: int = 3,
+                             max_bucket: int = 64) -> DataFrame:
+    """The 100 TB-shaped near-dup pipeline: exact duplicates collapse to
+    one representative BEFORE banding (their cluster is already reported
+    by exact_dedup), then band buckets are capped at ``max_bucket`` so
+    no single degenerate key can go quadratic. Candidate pairs are
+    between representatives only."""
+    reps = exact_representatives(docs, text_col, id_col)
+    sig = minhash_signature(reps, text_col, id_col, n_hashes, shingle_n)
+    return lsh_candidate_pairs(sig, id_col, n_hashes, band_size,
+                               max_bucket=max_bucket)
 
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",

@@ -94,7 +94,10 @@ def spatial_join(
     )
 
     if broadcast is None:
-        broadcast = polygons.count() <= 100_000
+        # auto-probe kept cheap: column-pruned and row-capped, so the
+        # extra job scans at most 100_001 ids instead of counting the
+        # whole polygon table (ADVICE r1)
+        broadcast = polygons.select(id_col).limit(100_001).count() <= 100_000
 
     vert_map: dict | None = None
     if broadcast:
@@ -221,6 +224,19 @@ def _attach_attrs(out, polygons, id_col, verts_col, broadcast):
     return out
 
 
+_PERSISTED: list = []
+
+
+def release_spatial_caches() -> None:
+    """Unpersist DataFrames cached by spatial_join_left (ADVICE r1:
+    repeated calls in a long session accumulated cached blocks)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def spatial_join_left(
     points: DataFrame,
     polygons: DataFrame,
@@ -235,13 +251,17 @@ def spatial_join_left(
     The matched side feeds BOTH output branches (rows + the anti-join
     key set); without a persist Spark executes the whole PIP subplan
     twice (measured 2x wall on the suffix-zone join). Persisted
-    MEMORY_AND_DISK — matched rows are the join output, already sized
-    to fit the stage; callers running huge joins can unpersist after
-    materializing downstream."""
+    MEMORY_AND_DISK. Cache lifetime is bounded in long-lived sessions:
+    each call releases the previous call's cache (unpersist is
+    correctness-safe — at worst a recompute), and callers can release
+    eagerly with release_spatial_caches() once the result is
+    materialized."""
     from pyspark import StorageLevel
 
+    release_spatial_caches()
     matched = spatial_join(points, polygons, **kwargs).persist(
         StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(matched)
     verts_col = kwargs.get("verts_col", "verts")
     poly_attrs = [c for c in polygons.columns if c != verts_col]
     unmatched = points.join(

@@ -65,10 +65,20 @@ def sign_lsh_bucket(vec_col: str, n_bits: int = 8) -> Column:
 
 
 def lsh_near_dup_pairs(vecs: DataFrame, threshold: float = 0.9, n_bits: int = 8,
-                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding near-duplicate pairs: bucket join then exact cosine."""
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_bucket: int | None = None) -> DataFrame:
+    """Embedding near-duplicate pairs: bucket join then exact cosine.
+
+    ``max_bucket`` drops sign-LSH buckets larger than the cap before
+    the self-join (same quadratic-bucket guard as
+    dedup.lsh_candidate_pairs; identical embeddings should be
+    pre-collapsed by an exact-hash pass upstream)."""
     b = vecs.select(F.col(id_col), F.col(vec_col),
                     sign_lsh_bucket(vec_col, n_bits).alias("bucket"))
+    if max_bucket is not None:
+        sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        b = b.join(sizes.filter(F.col("_bn") <= max_bucket).select("bucket"),
+                   "bucket")
     a = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
     c = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
     pairs = a.join(c, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
