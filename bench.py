@@ -51,9 +51,14 @@ def pages_pipeline(spark, n_pages: int) -> int:
     polys = (synth.commune_polygons_df(spark)
              .filter(F.col("admin_level") == 8)
              .withColumnRenamed("insee_com", "poly_insee"))
+    # split_refine: interior-cell candidates stay pure JVM; only the
+    # ~24% boundary-cell rows pay the Arrow round trip. Profiled at 16M
+    # pages / local[32]: 47s single-pass -> 11.5s split (the r1 bench's
+    # "unexplained fixed cost" was the all-rows Python crossing; see
+    # tools/profile_pages.py and BENCH.md)
     joined = spatial_join(recs.drop("insee_com"), polys, x="x", y="y",
                           id_col="poly_insee", verts_col="verts", zoom=16,
-                          broadcast=True)
+                          broadcast=True, split_refine=True)
     tiled = joined.select(
         "poly_insee",
         tiles.tile_x(F.col("x"), tiles.DEFAULT_ZOOM).alias("tx"),
@@ -68,8 +73,6 @@ def pages_pipeline(spark, n_pages: int) -> int:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # large enough to amortize the ~5-12s fixed per-job cost (stage
-    # planning, broadcast, python-pool spin-up) — see BENCH.md curve
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "16000000"))
 
     import __spark_entry__ as E

@@ -56,31 +56,14 @@ def main() -> None:
     result = {"pages": pages, "small": small, "big": big,
               "scaling_efficiency": round(eff, 3)}
     print(json.dumps(result))
-    # preserve hand-maintained sections below the marker
-    extra = ""
-    try:
-        with open("BENCH.md") as f:
-            cur = f.read()
-        i = cur.find("\nSaturation context")
-        if i >= 0:
-            extra = cur[i:]
-    except FileNotFoundError:
-        pass
-    with open("BENCH.md", "w") as f:
-        f.write(f"""# BENCH — north-rule scaling evidence
-
-Pages pipeline (synthesize -> extract -> cell-bucketed PIP join -> z16
-tile rollup), identical input ({pages:,} pages), same JVM settings, two
-parallelism levels (cluster-size stand-in per BASELINE.md):
-
-| level | cores | wall (s) | pages/sec |
-|---|---|---|---|
-| N  | {small['cpus']} | {small['sec']:.2f} | {small['pages_per_sec']:,.0f} |
-| 4N | {big['cpus']} | {big['sec']:.2f} | {big['pages_per_sec']:,.0f} |
-
-**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8 per
-BASELINE.json north_rule).
-""" + extra)
+    # append a run record; BENCH.md's analysis sections are
+    # hand-maintained and must not be clobbered
+    with open("BENCH.md", "a") as f:
+        f.write(
+            f"\n<!-- bench_scaling run: pages={pages} "
+            f"N={small['cpus']}@{small['pages_per_sec']:,.0f}/s "
+            f"4N={big['cpus']}@{big['pages_per_sec']:,.0f}/s "
+            f"eff={eff:.3f} -->\n")
 
 
 if __name__ == "__main__":

@@ -36,6 +36,9 @@ AUDITED = [
     "ivf_topk",
     "cog_enrichment_join",
     "windowed_event_counts",
+    "token_budget_selection",
+    "minhash_lsh_safe_pairs",
+    "json_lieux_dits_export",
 ]
 
 CHECKS = [
@@ -46,6 +49,9 @@ CHECKS = [
     ("broadcast join used", lambda p: "BroadcastHashJoin" in p
      or "BroadcastExchange" in p, False),
     ("parquet scan pruned (ReadSchema)", lambda p: "ReadSchema" in p, False),
+    # the r1 token_budget_selection scale bug: an unpartitioned ordered
+    # window plans Exchange SinglePartition — no query may do that
+    ("no single-partition exchange", lambda p: "SinglePartition" not in p, True),
 ]
 
 
