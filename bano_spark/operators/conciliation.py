@@ -39,12 +39,23 @@ _JUNK_NUM = r".[0-9 .-]{9,}"
 
 
 def conciliate(cumul: DataFrame, codes_postaux: DataFrame | None = None,
-               communes_names: DataFrame | None = None) -> DataFrame:
+               communes_names: DataFrame | None = None,
+               materialize: bool = True) -> DataFrame:
     """`cumul` is cumul_adresses-shaped: (insee_com, dept, source, fantoir,
     numero, voie_osm, voie_autre, code_postal, lon, lat). Returns the
     export rows (id, numero, voie, code_post, ville, source, lat, lon)
     ordered by id — the reference's CSV export contract
-    (export_csv_dept.sql:95-106)."""
+    (export_csv_dept.sql:95-106).
+
+    ``materialize`` persists the input before the 4-way branch (the
+    distinct universe + 3 source sides all read it): without it Spark
+    recomputes the whole upstream per branch — 4x the pages scan and
+    the normalize dictionary when fed from pipelines. Faithful to the
+    reference, where cumul_adresses IS a materialized table the
+    megaquery reads. Release with bano_spark.cache.release_all()."""
+    if materialize:
+        from ..cache import keep
+        cumul = keep(cumul)
     # non-nullable join key: stops Catalyst pushing IsNotNull below the
     # projection and re-inlining the canon chain per join (null numero
     # canonicalizes like '' and '' never survives the num > '0' filter)

@@ -224,17 +224,13 @@ def _attach_attrs(out, polygons, id_col, verts_col, broadcast):
     return out
 
 
-_PERSISTED: list = []
-
-
 def release_spatial_caches() -> None:
-    """Unpersist DataFrames cached by spatial_join_left (ADVICE r1:
-    repeated calls in a long session accumulated cached blocks)."""
-    while _PERSISTED:
-        try:
-            _PERSISTED.pop().unpersist(blocking=False)
-        except Exception:
-            pass
+    """Unpersist operator caches (ADVICE r1: repeated calls in a long
+    session accumulated cached blocks). Delegates to the shared
+    registry, so conciliation's materialized input releases too."""
+    from ..cache import release_all
+
+    release_all()
 
 
 def spatial_join_left(
@@ -256,12 +252,10 @@ def spatial_join_left(
     correctness-safe — at worst a recompute), and callers can release
     eagerly with release_spatial_caches() once the result is
     materialized."""
-    from pyspark import StorageLevel
+    from ..cache import keep
 
     release_spatial_caches()
-    matched = spatial_join(points, polygons, **kwargs).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(matched)
+    matched = keep(spatial_join(points, polygons, **kwargs))
     verts_col = kwargs.get("verts_col", "verts")
     poly_attrs = [c for c in polygons.columns if c != verts_col]
     unmatched = points.join(

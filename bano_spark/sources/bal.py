@@ -1,0 +1,44 @@
+"""BAL / cadastre address CSV loaders (S4).
+
+The reference downloads `adresses-{locales,cadastre}-{dept}.csv.gz`,
+skips the header, and COPYs `;`-separated columns with '' as NULL into
+pre-declared tables (bano/sources/bal.py:33-65; DDL
+sql/create_table_base_osm.sql:61-93). Consumption builds the display
+housenumber as TRIM(numero || ' ' || COALESCE(suffixe,''))
+(bano/core.py:127).
+
+Spark-first: `spark.read.text` (or any raw-line DataFrame) -> split
+projections with explicit schema, '' -> NULL on typed columns. Per-dept
+DELETE-then-load idempotency maps to partition overwrite on
+commune_code's dept prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+BAL_LOCALES_COLS = ["cle_interop", "commune_code", "commune_nom", "voie_code",
+                    "voie_nom", "numero", "suffixe", "long", "lat", "license"]
+_NUMERIC = {"long", "lat"}
+
+
+def parse_bal_locales(raw: DataFrame, col: str = "raw") -> DataFrame:
+    """Raw ;-CSV lines -> typed bal_locales columns ('' -> NULL, floats
+    cast; header rows must already be excluded, as in the reference's
+    f.readline() skip)."""
+    arr = F.split(F.col(col), ";")
+    cols = []
+    for i, name in enumerate(BAL_LOCALES_COLS):
+        c = F.element_at(arr, i + 1)
+        c = F.when(c == "", None).otherwise(c)
+        if name in _NUMERIC:
+            c = c.cast("double")
+        cols.append(c.alias(name))
+    return raw.select(*cols)
+
+
+def bal_housenumber(numero: Column, suffixe: Column) -> Column:
+    """TRIM(numero || ' ' || COALESCE(suffixe, '')) — bano/core.py:127.
+    Plain concat, not concat_ws: PG's || propagates a NULL numero to a
+    NULL housenumber, and so does Spark's concat."""
+    return F.trim(F.concat(numero, F.lit(" "), F.coalesce(suffixe, F.lit(""))))
