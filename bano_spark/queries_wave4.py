@@ -2022,11 +2022,18 @@ WITH lp AS ({synth.points_select_sql('duckdb', 'events', 'event_id', 0)}),
 rp AS ({synth.points_select_sql('duckdb', 'supplier', 's_suppkey', 7)}),
 l AS (SELECT event_id, x, y FROM lp),
 r AS (SELECT s_suppkey, x, y FROM rp),
+lc AS (SELECT event_id, x, y, {lx} AS cx, {ly} AS cy FROM l),
+rc AS (
+  -- k-ring exploded to 9 equi-join keys: a pair matches exactly one
+  -- ring cell, and the hash join replaces the quadratic abs() probe
+  SELECT s_suppkey, x, y, {rx} + o.dx AS cx, {ry} + o.dy AS cy
+  FROM r CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                            (1,-1),(1,0),(1,1)) o(dx, dy)
+),
 cand AS (
-  SELECT l.event_id, r.s_suppkey,
-         (l.x - r.x) * (l.x - r.x) + (l.y - r.y) * (l.y - r.y) AS d2
-  FROM l JOIN r
-    ON abs({lx} - {rx}) <= 1 AND abs({ly} - {ry}) <= 1
+  SELECT lc.event_id, rc.s_suppkey,
+         (lc.x - rc.x) * (lc.x - rc.x) + (lc.y - rc.y) * (lc.y - rc.y) AS d2
+  FROM lc JOIN rc ON lc.cx = rc.cx AND lc.cy = rc.cy
 )
 SELECT event_id, s_suppkey, round(d2, 6) AS d2, rnk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id

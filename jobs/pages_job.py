@@ -53,7 +53,7 @@ def main() -> None:
              .withColumnRenamed("insee_com", "poly_insee"))
     joined = spatial_join(recs.drop("insee_com"), polys, x="x", y="y",
                           id_col="poly_insee", verts_col="verts",
-                          zoom=args.zoom, broadcast=True)
+                          zoom=args.zoom, broadcast=True, split_refine=True)
     tiled = joined.select(
         "poly_insee",
         tiles.tile_x(F.col("x"), tiles.DEFAULT_ZOOM).alias("tx"),

@@ -1,0 +1,67 @@
+"""Unit tests: native .shp parsing round-trips and the distributed
+prefix-sum selection operator."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bano_spark.sources.shapefile import (make_point_shp, make_polygon_shp,
+                                          parse_point_blob, parse_polygon_blob,
+                                          read_point_shp)
+
+
+def test_point_shp_roundtrip():
+    xs = np.array([1.5, 2.25, -3.0])
+    ys = np.array([10.0, -20.5, 30.125])
+    num, px, py = parse_point_blob(make_point_shp(xs, ys))
+    assert list(num) == [1, 2, 3]
+    assert np.array_equal(px, xs) and np.array_equal(py, ys)
+
+
+def test_polygon_shp_roundtrip():
+    outer = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0], [0.0, 0.0]])
+    hole = np.array([[1.0, 1.0], [1.0, 2.0], [2.0, 2.0], [1.0, 1.0]])
+    tri = np.array([[10.0, 10.0], [12.0, 10.0], [11.0, 12.0], [10.0, 10.0]])
+    blob = make_polygon_shp([[outer, hole], [tri]])
+    recs = parse_polygon_blob(blob)
+    assert [r[0] for r in recs] == [1, 2]
+    r1_rings, r2_rings = recs[0][1], recs[1][1]
+    assert len(r1_rings) == 2 and len(r2_rings) == 1
+    assert np.array_equal(r1_rings[0], outer)
+    assert np.array_equal(r1_rings[1], hole)
+    assert np.array_equal(r2_rings[0], tri)
+
+
+def test_read_point_shp_distributed(spark):
+    xs = np.arange(50, dtype=np.float64) + 0.5
+    ys = xs * 2
+    blob = make_point_shp(xs, ys)
+    files = spark.createDataFrame([("f1", bytearray(blob))],
+                                  "file_id string, content binary")
+    out = read_point_shp(files).orderBy("record_no").collect()
+    assert len(out) == 50
+    assert out[0].x == 0.5 and out[49].y == 99.0
+
+
+def test_distributed_cumsum_matches_naive(spark):
+    from bano_spark.operators.selection import distributed_cumsum
+
+    rows = [(i, (i * 7) % 23, 1 + i % 5) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, q long, v long").repartition(8)
+    out = distributed_cumsum(df, "q", [F.desc("q"), F.asc("doc_id")], "v",
+                             out_col="cum", descending=True, num_buckets=7)
+    got = {r.doc_id: r.cum for r in out.collect()}
+    acc = 0
+    for _, doc_id, v in sorted(((-q, d, v) for d, q, v in rows)):
+        acc += v
+        assert got[doc_id] == acc
+
+
+def test_cache_registry_releases(spark):
+    from bano_spark import cache
+
+    df = cache.keep(spark.range(10))
+    assert df.storageLevel.useMemory
+    cache.release_all()
+    assert not df.storageLevel.useMemory
