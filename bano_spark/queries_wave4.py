@@ -2748,3 +2748,50 @@ def w_shp_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ll.lon"), 9).alias("lon"),
         F.round(F.col("ll.lat"), 9).alias("lat"),
     ).orderBy("dept", "record_no")
+
+
+# ---------------------------------------------------------------------------
+# w55 — connected components over candidate-pair edges (the near-dup
+# clustering step after LSH; operators/components.py iterative
+# min-label propagation). Fixture: chain edges (k, k+1) between
+# existing residues with a break every 10 — components are maximal
+# consecutive runs, which the oracle states with lag/lead windows (no
+# recursion), while Spark runs the real iterative algorithm
+# (diameter <= 9 here, so convergence is exercised, not trivial).
+# ---------------------------------------------------------------------------
+
+_W55_ORACLE = """
+WITH verts AS (SELECT DISTINCT o_orderkey % 3000 AS k FROM orders),
+nb AS (
+  SELECT k, lag(k) OVER (ORDER BY k) AS pk, lead(k) OVER (ORDER BY k) AS nk
+  FROM verts
+),
+conn AS (
+  SELECT k,
+         (pk = k - 1 AND k % 10 != 0) AS has_prev,
+         (nk = k + 1 AND k % 10 != 9) AS has_next
+  FROM nb
+),
+runs AS (
+  SELECT k, has_prev, has_next,
+         max(CASE WHEN NOT coalesce(has_prev, false) THEN k END)
+             OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS comp
+  FROM conn
+)
+SELECT k AS id, comp FROM runs
+WHERE coalesce(has_prev, false) OR coalesce(has_next, false)
+ORDER BY id
+"""
+
+
+@register("near_dup_components", _W55_ORACLE)
+def w_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.components import connected_components
+
+    orders = _read(spark, sf_dir, "orders")
+    verts = orders.select((F.col("o_orderkey") % 3000).alias("k")).distinct()
+    a, b = verts.alias("a"), verts.alias("b")
+    edges = a.join(b, (F.col("a.k") + 1 == F.col("b.k"))
+                   & (F.col("a.k") % 10 != 9)).select(
+        F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
+    return connected_components(edges).orderBy("id")

@@ -65,3 +65,34 @@ def test_cache_registry_releases(spark):
     assert df.storageLevel.useMemory
     cache.release_all()
     assert not df.storageLevel.useMemory
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random sparse graph: the iterative relational algorithm must
+    agree with a plain union-find."""
+    import random
+
+    from bano_spark.operators.components import connected_components
+
+    rng = random.Random(42)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    want = {v: min(u for u in touched if find(u) == find(v)) for v in touched}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.comp for r in connected_components(df).collect()}
+    assert got == want
