@@ -643,6 +643,62 @@ def q_fantoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q03b — snapshot-diff change capture (§2.9): two versions of the point
+# table (removals: id%41==0; moves: id%37==0 shifted +16m) diffed
+# natively -> expired z16 tiles (old AND new positions) -> dirty INSEE
+# list with the reference's admin special-casing. The imposm side
+# channel re-expressed as an Iceberg-style snapshot diff.
+# ---------------------------------------------------------------------------
+
+_Q03B_ORACLE = f"""
+WITH {_pts_cte('duckdb')},
+changed AS (
+  SELECT x, y FROM pts WHERE event_id % 41 = 0
+  UNION ALL
+  SELECT x, y FROM pts WHERE event_id % 37 = 0 AND event_id % 41 != 0
+  UNION ALL
+  SELECT x, y + 16.0 AS y FROM pts
+  WHERE event_id % 37 = 0 AND event_id % 41 != 0
+),
+et AS (
+  SELECT DISTINCT
+      CAST(floor((x - ({tiles.ORIGIN!r})) / {_CELL!r}) AS BIGINT) AS tx,
+      CAST(floor(({-tiles.ORIGIN!r} - y) / {_CELL!r}) AS BIGINT) AS ty
+  FROM changed
+),
+boxes AS (
+  SELECT ({tiles.ORIGIN!r}) + {_CELL!r} * tx AS xmin,
+         ({tiles.ORIGIN!r}) + {_CELL!r} * (tx + 1) AS xmax,
+         ({-tiles.ORIGIN!r}) - {_CELL!r} * (ty + 1) AS ymin,
+         ({-tiles.ORIGIN!r}) - {_CELL!r} * ty AS ymax
+  FROM et
+)
+SELECT DISTINCT c.insee_com
+FROM boxes e
+JOIN {synth.communes_values_sql()}
+  ON e.xmin <= c.xmax AND e.xmax >= c.xmin AND e.ymin <= c.ymax AND e.ymax >= c.ymin
+WHERE (c.admin_level = 8 AND c.insee_com NOT IN ('13055','69123','75056'))
+   OR (c.admin_level = 9 AND (c.insee_com LIKE '132__' OR c.insee_com LIKE '6938_'
+                              OR c.insee_com LIKE '751__'))
+ORDER BY 1
+"""
+
+
+@register("snapshot_diff_dirty_insee", _Q03B_ORACLE)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.streaming.incremental import snapshot_dirty_communes
+
+    pts = _spark_points(spark, sf_dir).select(
+        F.col("event_id").alias("id"), "x", "y")
+    old = pts
+    new = (pts.filter(F.col("id") % 41 != 0)
+           .withColumn("y", F.when(F.col("id") % 37 == 0,
+                                   F.col("y") + 16.0).otherwise(F.col("y"))))
+    polys = synth.commune_polygons_df(spark)
+    return snapshot_dirty_communes(old, new, polys, key="id")
+
+
+# ---------------------------------------------------------------------------
 # q13b/q13c — FANTOIR loaders with the F7 annulled filter
 # (bano/sources/fantoir.py:24 streets NOT IN ('O','Q'); :43 lieux-dits
 # COALESCE(caractere_annul,'') = '' under bpchar semantics). The

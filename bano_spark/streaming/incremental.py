@@ -56,3 +56,42 @@ def dirty_insee_batch(spark: SparkSession, tiles_dir: str, commune_polys: DataFr
     """Batch twin of the stream (the weekly full pass, cron_bano.sh:32-45)."""
     raw = spark.read.format("text").load(tiles_dir)
     return expired_tiles_to_insee(parse_tile_lines(raw), commune_polys, zoom)
+
+
+def snapshot_dirty_tiles(old: DataFrame, new: DataFrame, key: str = "id",
+                         x: str = "x", y: str = "y",
+                         zoom: int = tl.DEFAULT_ZOOM) -> DataFrame:
+    """Native change capture: diff two snapshots of a point table and
+    emit the distinct expired tiles — what imposm's diff-to-tiles side
+    channel produces, derived directly from table versions instead
+    (Iceberg snapshot diff shape). A row contributes its OLD tile when
+    removed or moved and its NEW tile when added or moved, so every
+    commune whose content changed is invalidated."""
+    from pyspark.sql import functions as F
+
+    o = old.select(F.col(key).alias("k"), F.col(x).alias("ox"),
+                   F.col(y).alias("oy"))
+    n = new.select(F.col(key).alias("k"), F.col(x).alias("nx"),
+                   F.col(y).alias("ny"))
+    j = o.join(n, "k", "full_outer").filter(
+        F.col("ox").isNull() | F.col("nx").isNull()
+        | (F.col("ox") != F.col("nx")) | (F.col("oy") != F.col("ny")))
+    sides = []
+    for px, py in (("ox", "oy"), ("nx", "ny")):
+        sides.append(
+            j.filter(F.col(px).isNotNull()).select(
+                F.lit(zoom).alias("z"),
+                tl.tile_x(F.col(px), zoom).alias("x"),
+                tl.tile_y(F.col(py), zoom).alias("y")))
+    return sides[0].unionByName(sides[1]).distinct()
+
+
+def snapshot_dirty_communes(old: DataFrame, new: DataFrame,
+                            commune_polys: DataFrame, key: str = "id",
+                            x: str = "x", y: str = "y",
+                            zoom: int = tl.DEFAULT_ZOOM) -> DataFrame:
+    """Snapshot diff -> expired tiles -> dirty INSEE list (the whole
+    reference invalidation loop, update_manager.py:70-76, without the
+    external diff tool)."""
+    dirty = snapshot_dirty_tiles(old, new, key, x, y, zoom)
+    return expired_tiles_to_insee(dirty, commune_polys, zoom)
