@@ -128,3 +128,91 @@ def read_point_shp(files: DataFrame, content_col: str = "content",
                 yield pd.concat(frames)
 
     return files.select(*keys, content_col).mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# S16 — SHP sink, natively (the reference shells out to ogr2ogr,
+# bano/export.py:148-149; here the artifact set .shp/.shx/.dbf is
+# written from executors with no external tool).
+# ---------------------------------------------------------------------------
+
+def make_shx(point_count: int) -> bytes:
+    """Index sidecar for a Point .shp: 8 big-endian bytes per record
+    (offset in 16-bit words, content length in words). Point records
+    are fixed-size, so the whole index is one vectorized expression."""
+    rec = np.zeros(point_count, dtype=[("off", ">i4"), ("len", ">i4")])
+    # first record content starts at byte 108 (100 header + 8 rec header)
+    rec["off"] = (100 + np.arange(point_count) * 28 + 8) // 2
+    rec["len"] = 10
+    total_words = (100 + point_count * 8) // 2
+    header = struct.pack(">7i", 9994, 0, 0, 0, 0, 0, total_words)
+    header += struct.pack("<2i", 1000, SHAPE_POINT)
+    header += struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)
+    return header + rec.tobytes()
+
+
+def make_dbf(columns: dict[str, "np.ndarray"], width: int = 32) -> bytes:
+    """Minimal dBASE III attribute table: every field Character(width),
+    values space-padded — the layout ogr2ogr consumers read. Vectorized
+    via numpy fixed-width byte arrays."""
+    names = list(columns)
+    n = len(next(iter(columns.values()))) if columns else 0
+    header_len = 32 + 32 * len(names) + 1
+    rec_len = 1 + width * len(names)
+    head = struct.pack("<B3BI2H20x", 3, 24, 1, 1, n, header_len, rec_len)
+    fields = b""
+    for name in names:
+        fields += struct.pack("<11sc4xBB14x", name.encode()[:10], b"C", width, 0)
+    body = np.full((n, len(names)), b" " * width, dtype=f"S{width}")
+    for j, name in enumerate(names):
+        vals = np.asarray(columns[name]).astype(str)
+        body[:, j] = np.char.ljust(np.char.encode(vals, "utf-8"), width)
+    out = bytearray(head + fields + b"\r")
+    if n:
+        # one structured array = one memcpy per record set
+        # (deletion flag byte + fixed-width fields)
+        dt = np.dtype([("f", "S1")] + [(f"c{j}", f"S{width}")
+                                       for j in range(len(names))])
+        arr = np.zeros(n, dtype=dt)
+        arr["f"] = b" "
+        for j in range(len(names)):
+            arr[f"c{j}"] = body[:, j]
+        out += arr.tobytes()
+    out += b"\x1a"
+    return bytes(out)
+
+
+def write_point_shp_set(path_base: str, xs: "np.ndarray", ys: "np.ndarray",
+                        attrs: dict[str, "np.ndarray"]) -> None:
+    """Write {path_base}.shp/.shx/.dbf for a Point layer."""
+    with open(path_base + ".shp", "wb") as f:
+        f.write(make_point_shp(xs, ys))
+    with open(path_base + ".shx", "wb") as f:
+        f.write(make_shx(len(xs)))
+    with open(path_base + ".dbf", "wb") as f:
+        f.write(make_dbf(attrs))
+
+
+def shp_sink(df: DataFrame, out_dir: str, dept_col: str = "dept",
+             x: str = "lon", y: str = "lat",
+             attr_cols: tuple[str, ...] = ()) -> DataFrame:
+    """One bano-{dept}.shp/.shx/.dbf set per département, written FROM
+    EXECUTORS (out_dir is shared storage on a cluster). Returns
+    (dept, n_records) for verification — an action materializes it."""
+    import os
+
+    import pandas as pd
+
+    cols = [dept_col, x, y, *attr_cols]
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([x, y], kind="mergesort")
+        dept = pdf[dept_col].iloc[0]
+        base = os.path.join(out_dir, f"bano-{dept}")
+        write_point_shp_set(
+            base, pdf[x].to_numpy(np.float64), pdf[y].to_numpy(np.float64),
+            {c: pdf[c].to_numpy() for c in attr_cols})
+        return pd.DataFrame({"dept": [dept], "n_records": [len(pdf)]})
+
+    return df.select(*cols).groupBy(dept_col).applyInPandas(
+        write_group, "dept string, n_records long")

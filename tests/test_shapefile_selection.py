@@ -96,3 +96,34 @@ def test_connected_components_vs_union_find(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: r.comp for r in connected_components(df).collect()}
     assert got == want
+
+
+def test_shp_sink_artifact_set(spark, tmp_path):
+    """S16: per-dept .shp/.shx/.dbf written from executors; the .shp
+    parses back, the .shx indexes every record, the .dbf holds the
+    attributes space-padded."""
+    import struct
+
+    from bano_spark.sources.shapefile import parse_point_blob, shp_sink
+
+    rows = [("01", 2.0 + i, 46.0 + i, f"id{i}") for i in range(5)] + \
+           [("75", 2.3, 48.8, "paris0")]
+    df = spark.createDataFrame(rows, "dept string, lon double, lat double, id string")
+    res = {r.dept: r.n_records
+           for r in shp_sink(df, str(tmp_path), attr_cols=("id",)).collect()}
+    assert res == {"01": 5, "75": 1}
+
+    blob = (tmp_path / "bano-01.shp").read_bytes()
+    num, xs, ys = parse_point_blob(blob)
+    assert list(num) == [1, 2, 3, 4, 5]
+    assert xs[0] == 2.0 and ys[4] == 50.0
+
+    shx = (tmp_path / "bano-01.shx").read_bytes()
+    assert len(shx) == 100 + 5 * 8
+    off0, len0 = struct.unpack(">2i", shx[100:108])
+    assert off0 == 54 and len0 == 10  # byte 108 in words
+
+    dbf = (tmp_path / "bano-01.dbf").read_bytes()
+    nrec, = struct.unpack("<I", dbf[4:8])
+    assert nrec == 5
+    assert b"id0".ljust(32) in dbf
