@@ -76,7 +76,7 @@ def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _spark_points(spark, sf_dir)
     polys = synth.commune_polygons_df(spark)
     joined = spatial_join(pts, polys, x="x", y="y", id_col="insee_com",
-                          verts_col="verts", zoom=15)
+                          verts_col="verts", zoom=15, split_refine=True)
     return (
         joined.groupBy("insee_com", "dept", "admin_level")
         .agg(F.count(F.lit(1)).alias("n_points"))
@@ -521,7 +521,7 @@ GROUP BY 1 ORDER BY 1
 def q_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _spark_points(spark, sf_dir)
     polys = synth.commune_polygons_df(spark).filter(F.col("admin_level") == 8)
-    joined = spatial_join(pts, polys, id_col="insee_com", zoom=15)
+    joined = spatial_join(pts, polys, id_col="insee_com", zoom=15, split_refine=True)
     return (
         joined.groupBy("insee_com")
         .agg(F.min("x").alias("bxmin"), F.min("y").alias("bymin"),

@@ -2327,7 +2327,7 @@ def w_assoc_street(spark: SparkSession, sf_dir: str) -> DataFrame:
     _read(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     pts = spark.sql(synth.points_select_sql("spark"))
     polys = synth.commune_polygons_df(spark).filter(F.col("admin_level") == 8)
-    located = spatial_join(pts, polys, id_col="insee_com", zoom=15)
+    located = spatial_join(pts, polys, id_col="insee_com", zoom=15, split_refine=True)
     rels = spark.sql(
         "SELECT s_suppkey % 4000 AS member_osm_id,"
         " 'REL' || CAST(s_suppkey % 300 AS STRING) AS rel_id,"
