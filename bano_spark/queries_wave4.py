@@ -969,15 +969,48 @@ def w_ban_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # w23 — structured-streaming dirty-INSEE path (2.9: availableNow over a
-# tile-expiry feed -> distinct dirty communes). Not SQL-expressible
-# (stateful streaming sink) -> rows-only check; the batch twin
-# `expired_tiles_to_insee` is oracle-checked as q03.
+# tile-expiry feed -> distinct dirty communes), now ORACLE-CHECKED
+# (r1 verdict minor #8: the harness used to collect+recreate, leaving
+# this rows-only): the feed is a deterministic subset (event_id%50==0),
+# the stream writes parquet, and the returned DataFrame reads the
+# written artifact directly; the oracle restates feed->tiles->communes
+# in SQL with the reference's admin special-casing.
 # ---------------------------------------------------------------------------
 
-@register("dirty_insee_stream")
+def _w23_oracle() -> str:
+    from bano_spark.geo import tiles as tl
+
+    cell = tl.cell_size(tl.DEFAULT_ZOOM)
+    return f"""
+WITH pts0 AS ({synth.points_select_sql('duckdb')}),
+pts AS (SELECT * FROM pts0 WHERE event_id % 50 = 0),
+et AS (
+  SELECT DISTINCT
+      CAST(floor((x - ({tl.ORIGIN!r})) / {cell!r}) AS BIGINT) AS tx,
+      CAST(floor(({-tl.ORIGIN!r} - y) / {cell!r}) AS BIGINT) AS ty
+  FROM pts
+),
+boxes AS (
+  SELECT ({tl.ORIGIN!r}) + {cell!r} * tx AS xmin,
+         ({tl.ORIGIN!r}) + {cell!r} * (tx + 1) AS xmax,
+         ({-tl.ORIGIN!r}) - {cell!r} * (ty + 1) AS ymin,
+         ({-tl.ORIGIN!r}) - {cell!r} * ty AS ymax
+  FROM et
+)
+SELECT DISTINCT c.insee_com
+FROM boxes e
+JOIN {synth.communes_values_sql()}
+  ON e.xmin <= c.xmax AND e.xmax >= c.xmin AND e.ymin <= c.ymax AND e.ymax >= c.ymin
+WHERE (c.admin_level = 8 AND c.insee_com NOT IN ('13055','69123','75056'))
+   OR (c.admin_level = 9 AND (c.insee_com LIKE '132__' OR c.insee_com LIKE '6938_'
+                              OR c.insee_com LIKE '751__'))
+ORDER BY 1
+"""
+
+
+@register("dirty_insee_stream", _w23_oracle())
 def w_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import shutil
     import tempfile
 
     from bano_spark.geo import tiles as tl
@@ -988,8 +1021,9 @@ def w_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(tiles_dir)
-    # deterministic expiry feed: the z16 tiles of the first 400 synth pts
-    pts = synth.points_df(spark, sf_dir).limit(400).collect()
+    # deterministic expiry feed: z16 tiles of every 50th synth point
+    pts = synth.points_df(spark, sf_dir).filter(
+        F.col("event_id") % 50 == 0).collect()
     cell = tl.cell_size(tl.DEFAULT_ZOOM)
     with open(os.path.join(tiles_dir, "batch0.tiles"), "w") as f:
         for r in pts:
@@ -998,10 +1032,7 @@ def w_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(f"{tl.DEFAULT_ZOOM}/{tx}/{ty}\n")
     run_dirty_insee_stream(spark, tiles_dir, synth.commune_polygons_df(spark),
                            out_dir, ckpt)
-    out = spark.read.parquet(out_dir).orderBy("insee_com")
-    rows = out.collect()
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return spark.read.parquet(out_dir).orderBy("insee_com")
 
 
 # ---------------------------------------------------------------------------
@@ -1464,13 +1495,21 @@ def w_closest_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# w32 — watermarked streaming window aggregation (§2.9 Spark-first
-# extension: the batch q27 plan run under Structured Streaming with a
-# 1-hour watermark; rows-only check — streaming sinks aren't
-# SQL-expressible, the batch twin q27 is the oracle-checked semantics)
+# w32 — watermarked streaming window aggregation (§2.9: the batch q27
+# plan run under Structured Streaming, availableNow + 1-hour
+# watermark). ORACLE-CHECKED now: availableNow processes the whole
+# input in one pass, so complete-mode output is deterministic and
+# equals the batch hourly rollup the oracle states with date_trunc.
 # ---------------------------------------------------------------------------
 
-@register("streaming_windowed_counts")
+_W32_ORACLE = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("streaming_windowed_counts", _W32_ORACLE)
 def w_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = (spark.readStream.schema(
         _read(spark, sf_dir, "events").schema).parquet(sf_dir.rstrip("/"))
