@@ -2834,3 +2834,47 @@ def w_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("a.k") % 10 != 9)).select(
         F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
     return connected_components(edges).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# w56 — custom stateful streaming operator (applyInPandasWithState,
+# §2.9): per-key running counters folded across micro-batches. The
+# final state per key is deterministic whatever the batching (counters
+# are monotone; we keep each key's max-n_rows row), so the oracle is
+# the plain per-key rollup. Values go through floor() so the double
+# sum is integer-exact and order-independent across engines.
+# ---------------------------------------------------------------------------
+
+_W56_ORACLE = """
+SELECT event_type AS key, count(*) AS n_rows,
+       CAST(sum(CAST(floor(value) AS BIGINT)) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("stateful_running_stats", _W56_ORACLE)
+def w_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bano_spark.streaming.stateful import running_commune_stats
+
+    schema = _read(spark, sf_dir, "events").schema
+    feed = (spark.readStream.schema(schema).parquet(sf_dir.rstrip("/"))
+            .filter(F.input_file_name().endswith("events.parquet")))
+    src = feed.select(F.col("event_type").alias("key"),
+                      F.floor(F.col("value")).alias("value"))
+    out = running_commune_stats(src.groupBy("key"))
+    ckpt = tempfile.mkdtemp(prefix="bano_state_ckpt_")
+    qname = "w56_state"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    tbl = spark.table(qname)
+    w = Window.partitionBy("key").orderBy(F.desc("n_rows"))
+    final = (tbl.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("key", "n_rows", "sum_value").orderBy("key"))
+    rows = final.collect()
+    q.stop()
+    return spark.createDataFrame(rows, final.schema)
