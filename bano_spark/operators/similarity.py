@@ -123,3 +123,17 @@ def ivf_topk(vecs: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 4,
         .filter(F.col("rnk") <= k)
         .select(qid_col, id_col, "cos_sim", "rnk")
     )
+
+
+def embedding_exact_dedup(vecs: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Collapse bitwise-identical embeddings to their min-id keeper —
+    the pre-pass before lsh_near_dup_pairs (same reason as
+    dedup.exact_representatives for text: identical-vector clusters
+    are unbounded and must never reach the bucket self-join). Grouping
+    is on the raw array value; Spark hash-partitions arrays natively,
+    so this is one shuffle of (vector, id) pairs."""
+    return (vecs.groupBy(vec_col)
+            .agg(F.min(id_col).alias("keeper"),
+                 F.count(F.lit(1)).alias("n_dups"))
+            .select("keeper", "n_dups"))

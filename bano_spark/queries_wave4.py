@@ -2878,3 +2878,35 @@ def w_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = final.collect()
     q.stop()
     return spark.createDataFrame(rows, final.schema)
+
+
+# ---------------------------------------------------------------------------
+# w57 — embedding exact-dedup pre-collapse (the upstream step for the
+# sign-LSH near-dup join, mirroring dedup.exact_representatives on
+# text): group by the raw vector VALUE (both engines compare float
+# arrays bitwise from the same parquet — no string round-trip), keep
+# the min id. Fixture doubles every third vector under a shifted id so
+# real duplicate clusters exist.
+# ---------------------------------------------------------------------------
+
+_W57_ORACLE = """
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+  WHERE vec_id % 3 = 0
+)
+SELECT min(vec_id) AS keeper, count(*) AS n_dups
+FROM allv GROUP BY embedding ORDER BY keeper
+"""
+
+
+@register("embedding_exact_dedup", _W57_ORACLE)
+def w_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.similarity import embedding_exact_dedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    allv = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") % 3 == 0)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
+    return embedding_exact_dedup(allv).orderBy("keeper")
