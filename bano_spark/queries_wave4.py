@@ -2910,3 +2910,41 @@ def w_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 3 == 0)
         .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding"))
     return embedding_exact_dedup(allv).orderBy("keeper")
+
+
+# ---------------------------------------------------------------------------
+# w58 — tf-idf keyword extraction over documents (corpus
+# characterization for training-data curation). Rational idf
+# (N+1)/(df+1): ranking-equivalent to the log form and bit-exact
+# across engines (no transcendental).
+# ---------------------------------------------------------------------------
+
+_W58_ORACLE = f"""
+WITH term_rows AS (
+  SELECT doc_id, u.term FROM (
+    SELECT doc_id, {{toks}} AS t FROM documents), UNNEST(t) AS u(term)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM term_rows GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM term_rows) GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM term_rows),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         tf.tf * (CAST(nd.n AS DOUBLE) + 1.0) / (dft.df + 1.0) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, df, score, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+ORDER BY doc_id, rnk
+""".format(toks="string_split_regex(trim(lower(text)), '\\s+')")
+
+
+@register("tfidf_keywords", _W58_ORACLE)
+def w_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.textstats import tfidf_keywords
+
+    return tfidf_keywords(_read(spark, sf_dir, "documents")) \
+        .orderBy("doc_id", "rnk")
