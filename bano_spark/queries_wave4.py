@@ -2948,3 +2948,48 @@ def w_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return tfidf_keywords(_read(spark, sf_dir, "documents")) \
         .orderBy("doc_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# w59 — near-dup cluster keeper/size table (dedup_keepers over the w55
+# chain fixture): per component, the min-id keeper and member count —
+# the decision table that collapses a duplicate cluster to one kept
+# document. Oracle: same closed-form runs as w55, grouped.
+# ---------------------------------------------------------------------------
+
+_W59_ORACLE = """
+WITH verts AS (SELECT DISTINCT o_orderkey % 3000 AS k FROM orders),
+nb AS (
+  SELECT k, lag(k) OVER (ORDER BY k) AS pk, lead(k) OVER (ORDER BY k) AS nk
+  FROM verts
+),
+conn AS (
+  SELECT k,
+         (pk = k - 1 AND k % 10 != 0) AS has_prev,
+         (nk = k + 1 AND k % 10 != 9) AS has_next
+  FROM nb
+),
+runs AS (
+  SELECT k, has_prev, has_next,
+         max(CASE WHEN NOT coalesce(has_prev, false) THEN k END)
+             OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS comp
+  FROM conn
+)
+SELECT comp AS keeper, count(*) AS cluster_size
+FROM runs
+WHERE coalesce(has_prev, false) OR coalesce(has_next, false)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("near_dup_cluster_sizes", _W59_ORACLE)
+def w_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.components import dedup_keepers
+
+    orders = _read(spark, sf_dir, "orders")
+    verts = orders.select((F.col("o_orderkey") % 3000).alias("k")).distinct()
+    a, b = verts.alias("a"), verts.alias("b")
+    edges = a.join(b, (F.col("a.k") + 1 == F.col("b.k"))
+                   & (F.col("a.k") % 10 != 9)).select(
+        F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
+    return dedup_keepers(edges).orderBy("keeper")

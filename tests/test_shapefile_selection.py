@@ -127,3 +127,58 @@ def test_shp_sink_artifact_set(spark, tmp_path):
     nrec, = struct.unpack("<I", dbf[4:8])
     assert nrec == 5
     assert b"id0".ljust(32) in dbf
+
+
+def test_point_shp_roundtrip_property():
+    """Property: any float64 point set survives the .shp round trip
+    bit-for-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bano_spark.sources.shapefile import make_point_shp, parse_point_blob
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.tuples(
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.floats(allow_nan=False, allow_infinity=False, width=64)),
+        min_size=1, max_size=60))
+    def check(pts):
+        xs = np.array([p[0] for p in pts])
+        ys = np.array([p[1] for p in pts])
+        num, px, py = parse_point_blob(make_point_shp(xs, ys))
+        assert list(num) == list(range(1, len(pts) + 1))
+        assert np.array_equal(px, xs) and np.array_equal(py, ys)
+
+    check()
+
+
+def test_connected_components_property(spark):
+    """Property over several random graphs (incl. long chains that
+    exercise pointer doubling): relational components == union-find."""
+    import random
+
+    from bano_spark.operators.components import connected_components
+
+    for seed, n, m in [(1, 60, 30), (2, 80, 100), (3, 40, 0)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges += [(i, i + 1) for i in range(20)]  # a 21-node chain
+
+        parent = list(range(n + 1))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        want = {v: min(u for u in touched if find(u) == find(v))
+                for v in touched}
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.comp for r in connected_components(df).collect()}
+        assert got == want, f"seed {seed}"
