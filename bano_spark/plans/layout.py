@@ -49,3 +49,18 @@ def read_pruned(spark: SparkSession, path: str) -> DataFrame:
     """Read back; filters on partition columns prune directories at
     planning time (visible as PartitionFilters in the scan node)."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: Sequence[str],
+                   num_buckets: int, sort_cols: Sequence[str] = ()) -> None:
+    """Bucketed (and optionally sorted) managed parquet table — the
+    co-located-join layout: two tables bucketed the same way join with
+    NO Exchange on either side (asserted in tests), which at 100 TB is
+    the difference between a metadata-planned merge and reshuffling
+    both fact tables. Iceberg equivalent: `bucket(N, col)` partition
+    transform."""
+    w = (df.write.mode("overwrite").format("parquet")
+         .bucketBy(num_buckets, *bucket_cols))
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

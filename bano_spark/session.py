@@ -42,6 +42,10 @@ def get_session(
                 os.environ.get("SPARK_DRIVER_MEM", f"{min(48, max(8, 2 * n))}g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # metastore artifacts stay out of the repo working dir
+        .config("spark.sql.warehouse.dir", "/tmp/bano_spark_warehouse")
+        .config("spark.driver.extraJavaOptions",
+                "-Dderby.system.home=/tmp/bano_spark_derby")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
