@@ -2993,3 +2993,82 @@ def w_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("a.k") % 10 != 9)).select(
         F.col("a.k").alias("src"), F.col("b.k").alias("dst"))
     return dedup_keepers(edges).orderBy("keeper")
+
+
+# ---------------------------------------------------------------------------
+# w60 — BAL cadastre CSV load (the S4 sibling of bal_locales: 17 typed
+# columns incl. the pseudo_numero BOOLEAN and date_der_maj DATE casts,
+# DDL create_table_base_osm.sql:61-78) + the F5 destination filter on
+# the parsed output (bano/models.py:87,92).
+# ---------------------------------------------------------------------------
+
+def _bal_cad_line(cast: str) -> str:
+    return f"""
+SELECT o_orderkey,
+    CAST(o_custkey % 800 AS {cast}) || '_' || CAST(o_orderkey % 9 AS {cast})
+    || ';u' || CAST(o_orderkey % 1000 AS {cast})
+    || ';' || CAST(o_orderkey % 200 + 1 AS {cast})
+    || ';' || CASE o_orderkey % 5 WHEN 0 THEN 'bis' ELSE '' END
+    || ';' || CASE o_orderkey % 3 WHEN 0 THEN 'true' WHEN 1 THEN 'false'
+              ELSE '' END
+    || ';Rue ' || CAST(o_custkey % 97 AS {cast})
+    || ';V' || CAST(o_custkey % 97 AS {cast})
+    || ';' || CASE o_orderkey % 6 WHEN 0 THEN 'habitation' WHEN 1 THEN 'commerce'
+              WHEN 2 THEN 'industrie' WHEN 3 THEN 'tourisme'
+              WHEN 4 THEN 'dependance' ELSE '' END
+    || ';' || {_insee_case('o_custkey')}
+    || ';Ville ' || CAST(o_custkey % 10 AS {cast})
+    || ';cadastre'
+    || ';' || CAST(2.0 + (o_orderkey % 4000) * 0.001 AS {cast})
+    || ';' || CAST(46.0 + (o_orderkey % 3000) * 0.001 AS {cast})
+    || ';' || CAST(600000 + o_orderkey % 9000 AS {cast})
+    || ';' || CAST(6500000 + o_orderkey % 7000 AS {cast})
+    || ';entrée'
+    || ';' || CASE WHEN o_orderkey % 7 = 0 THEN ''
+              ELSE '2024-' || lpad(CAST(1 + o_orderkey % 12 AS {cast}), 2, '0')
+                   || '-' || lpad(CAST(1 + o_orderkey % 28 AS {cast}), 2, '0')
+              END AS raw
+FROM orders
+"""
+
+
+_W60_ORACLE = f"""
+WITH lines AS ({_bal_cad_line('VARCHAR')}),
+arr AS (SELECT o_orderkey, string_split(raw, ';') AS a FROM lines),
+parsed AS (
+  SELECT o_orderkey,
+         nullif(a[1], '') AS cle_interop,
+         nullif(a[3], '') AS numero,
+         nullif(a[4], '') AS suffixe,
+         CAST(nullif(a[5], '') AS BOOLEAN) AS pseudo_numero,
+         nullif(a[6], '') AS voie_nom,
+         nullif(a[8], '') AS destination_principale,
+         nullif(a[9], '') AS commune_code,
+         CAST(nullif(a[12], '') AS DOUBLE) AS long,
+         CAST(nullif(a[13], '') AS DOUBLE) AS lat,
+         CAST(nullif(a[17], '') AS DATE) AS date_der_maj
+  FROM arr
+)
+SELECT cle_interop, numero, suffixe, pseudo_numero, voie_nom,
+       destination_principale, commune_code, long, lat, date_der_maj,
+       coalesce(destination_principale, '')
+           IN ('habitation', 'commerce', 'industrie', 'tourisme')
+           AND NOT coalesce(pseudo_numero, false) AS kept_f5
+FROM parsed ORDER BY o_orderkey
+"""
+
+
+@register("bal_cadastre_parse", _W60_ORACLE)
+def w_bal_cadastre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.sources.bal import parse_bal_cadastre
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    raw = spark.sql(_bal_cad_line("STRING"))
+    p = parse_bal_cadastre(raw)
+    kept = (F.coalesce("destination_principale", F.lit("")).isin(
+        "habitation", "commerce", "industrie", "tourisme")
+        & ~F.coalesce("pseudo_numero", F.lit(False)))
+    return p.select(
+        "cle_interop", "numero", "suffixe", "pseudo_numero", "voie_nom",
+        "destination_principale", "commune_code", "long", "lat",
+        "date_der_maj", kept.alias("kept_f5"))

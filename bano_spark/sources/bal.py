@@ -42,3 +42,28 @@ def bal_housenumber(numero: Column, suffixe: Column) -> Column:
     Plain concat, not concat_ws: PG's || propagates a NULL numero to a
     NULL housenumber, and so does Spark's concat."""
     return F.trim(F.concat(numero, F.lit(" "), F.coalesce(suffixe, F.lit(""))))
+
+
+BAL_CADASTRE_COLS = ["cle_interop", "uid_adresse", "numero", "suffixe",
+                     "pseudo_numero", "voie_nom", "voie_code",
+                     "destination_principale", "commune_code", "commune_nom",
+                     "source", "long", "lat", "x", "y", "position",
+                     "date_der_maj"]
+_CAD_TYPES = {"pseudo_numero": "boolean", "long": "double", "lat": "double",
+              "x": "double", "y": "double", "date_der_maj": "date"}
+
+
+def parse_bal_cadastre(raw: DataFrame, col: str = "raw") -> DataFrame:
+    """Raw ;-CSV lines -> typed bal_cadastre columns (DDL
+    create_table_base_osm.sql:61-78): '' -> NULL, booleans, floats and
+    the date_der_maj DATE cast."""
+    arr = F.split(F.col(col), ";")
+    cols = []
+    for i, name in enumerate(BAL_CADASTRE_COLS):
+        c = F.element_at(arr, i + 1)
+        c = F.when(c == "", None).otherwise(c)
+        t = _CAD_TYPES.get(name)
+        if t:
+            c = c.cast(t)
+        cols.append(c.alias(name))
+    return raw.select(*cols)
