@@ -1838,3 +1838,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# q21d — sketch-based Jaccard estimation on LSH candidates: fraction of
+# agreeing minhash components (E[est] = J), exact n/8 rationals — the
+# O(pairs) verify that never re-reads document text.
+# ---------------------------------------------------------------------------
+
+_Q21D_ORACLE = f"""
+WITH {_sig_cte()},
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                            AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       CAST({' + '.join(f'CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END'
+                        for i in range(8))} AS DOUBLE) / 8.0 AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b
+ORDER BY 1, 2
+"""
+
+
+@register("minhash_jaccard_estimate", _Q21D_ORACLE)
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import (lsh_candidate_pairs,
+                                            minhash_jaccard_estimate,
+                                            minhash_signature)
+
+    sig = minhash_signature(_read(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(sig)
+    return minhash_jaccard_estimate(sig, pairs).orderBy("id_a", "id_b")

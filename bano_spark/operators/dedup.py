@@ -219,3 +219,25 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         term = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def minhash_jaccard_estimate(sig: DataFrame, pairs: DataFrame,
+                             id_col: str = "doc_id",
+                             n_hashes: int = 8) -> DataFrame:
+    """Sketch-based Jaccard estimate for candidate pairs: the fraction
+    of agreeing minhash components (the standard estimator; E[est] =
+    J). Exact n/n_hashes rational arithmetic — no text access, so the
+    verify step costs O(pairs x n_hashes) regardless of document
+    size; exact jaccard_pairs remains the precise (text-reading)
+    alternative."""
+    hs = [f"h{i}" for i in range(n_hashes)]
+    a = sig.select(F.col(id_col).alias("id_a"),
+                   *[F.col(h).alias(f"a_{h}") for h in hs])
+    b = sig.select(F.col(id_col).alias("id_b"),
+                   *[F.col(h).alias(f"b_{h}") for h in hs])
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    matches = sum(F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0)
+                  for h in hs)
+    return j.select(
+        "id_a", "id_b",
+        (matches.cast("double") / float(n_hashes)).alias("est_jaccard"))
