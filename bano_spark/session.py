@@ -42,10 +42,15 @@ def get_session(
                 os.environ.get("SPARK_DRIVER_MEM", f"{min(48, max(8, 2 * n))}g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        # metastore artifacts stay out of the repo working dir
-        .config("spark.sql.warehouse.dir", "/tmp/bano_spark_warehouse")
+        # metastore artifacts stay out of the repo working dir, and are
+        # per-process: the derby metastore dies with the JVM while the
+        # warehouse dir would otherwise outlive it, so a shared path
+        # collides with its own orphans (LOCATION_ALREADY_EXISTS) and
+        # concurrent sessions would fight over the derby lock
+        .config("spark.sql.warehouse.dir",
+                f"/tmp/bano_spark_wh_{os.getpid()}")
         .config("spark.driver.extraJavaOptions",
-                "-Dderby.system.home=/tmp/bano_spark_derby")
+                f"-Dderby.system.home=/tmp/bano_spark_derby_{os.getpid()}")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
