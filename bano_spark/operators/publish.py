@@ -30,7 +30,9 @@ from pyspark.sql import DataFrame
 def write_dept_files(lines: DataFrame, out_dir: str, kind: str,
                      dept_col: str = "dept", order_col: str = "line") -> list[str]:
     """Write one `bano-{dept}.{kind}.gz` per département. `lines` must
-    have exactly (dept_col, order_col). Returns the dept codes written."""
+    have exactly (dept_col, order_col) and a NON-NULL dept (a null key
+    would surface as a __HIVE_DEFAULT_PARTITION__ artifact file).
+    Returns the dept codes written."""
     staging = os.path.join(out_dir, f"_staging_{kind}")
     (
         lines.repartition(lines[dept_col])

@@ -50,7 +50,10 @@ def distributed_cumsum(df: DataFrame, range_col: str, order_by: list[Column],
     """Global ordered cumulative sum of `value_col` without a
     single-partition exchange. `order_by` must be the full total order
     (include a unique tiebreak column); `range_col` is its leading
-    numeric column, used for deterministic range bucketing."""
+    numeric column, used for deterministic range bucketing, and MUST be
+    non-null: a null range key would bucket first (comparisons are
+    null-false) while sorting last, breaking bucket contiguity —
+    coalesce upstream to a sentinel inside the key's value range."""
     n = int(num_buckets or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
     qs = [i / n for i in range(1, n)]
