@@ -78,14 +78,23 @@ def spatial_join(
     broadcast: bool | None = None,
     salt: int | None = None,
     split_refine: bool = False,
+    broadcast_max_verts: int = 4_000_000,
+    refine_salt: int = 4,
 ) -> DataFrame:
     """Inner join of points to containing polygons.
 
     Returns the point columns plus all polygon columns except the ring.
     ``broadcast=None`` auto-chooses: broadcast the cover + a vertex dict
     when the polygon side is small (the 35k-commune case nationally),
-    shuffle otherwise. ``salt`` replicates the cover N ways and spreads
-    hot cells' points across N shuffle partitions — output-invariant.
+    shuffle otherwise. The probe is byte-aware, not just row-count-aware:
+    100k coastline multipolygons with 10^4-vertex rings would OOM the
+    driver collect even though the row count looks safe, so the probe
+    also bounds the aggregate vertex count (``sum(size(verts))`` — one
+    column-pruned agg that only runs once the cheap row-cap passes).
+    ``salt`` replicates the cover N ways and spreads hot cells' points
+    across N shuffle partitions — output-invariant. ``refine_salt``
+    does the same for the shuffle-refine stage (hot-polygon boundary
+    candidates), replicating each ring that many ways.
     """
     spark = points.sparkSession
 
@@ -95,9 +104,15 @@ def spatial_join(
 
     if broadcast is None:
         # auto-probe kept cheap: column-pruned and row-capped, so the
-        # extra job scans at most 100_001 ids instead of counting the
-        # whole polygon table (ADVICE r1)
+        # first job scans at most 100_001 ids instead of counting the
+        # whole polygon table (ADVICE r1). Only when the row cap passes
+        # do we pay one full agg for the vertex budget (VERDICT r2 #1):
+        # the driver collect is gated on bytes, not rows.
         broadcast = polygons.select(id_col).limit(100_001).count() <= 100_000
+        if broadcast:
+            nv = polygons.select(
+                F.sum(F.size(F.col(verts_col))).alias("nv")).first()["nv"]
+            broadcast = (nv or 0) <= broadcast_max_verts
 
     vert_map: dict | None = None
     if broadcast:
@@ -160,42 +175,95 @@ def spatial_join(
         hard = cand.filter(~F.col("interior"))
         hard_refined = _refine_exact(
             spark, hard, polygons, out_cols, schema, x, y, id_col, verts_col,
-            vert_map, broadcast)
+            vert_map, broadcast, refine_salt)
         out = easy.unionByName(hard_refined)
         return _attach_attrs(out, polygons, id_col, verts_col, broadcast)
 
     out = _refine_exact(spark, cand, polygons, out_cols, schema, x, y,
-                        id_col, verts_col, vert_map, broadcast)
+                        id_col, verts_col, vert_map, broadcast, refine_salt)
     return _attach_attrs(out, polygons, id_col, verts_col, broadcast)
 
 
 def _refine_exact(spark, cand, polygons, out_cols, schema, x, y, id_col,
-                  verts_col, vert_map, broadcast):
+                  verts_col, vert_map, broadcast, refine_salt=4):
     """mapInArrow exact-PIP pass over candidate rows. Rows flagged
-    interior pass straight through; the rest run the numpy kernel."""
+    interior pass straight through; the rest run the numpy kernel.
+
+    Shuffle path (VERDICT r2 #2): the ring must reach the executor that
+    holds the candidate rows, but joining ``polygons(id, verts)`` onto
+    candidates duplicates the ring per candidate row — O(candidates ×
+    ring bytes) shuffle, the one super-linear term at Paris scale
+    (10^6 boundary candidates × 10^4-vertex ring). Instead the ring is
+    piggybacked into the candidate stream ONCE per (polygon, salt):
+    a one-row-per-polygon ring table is unioned under the candidates,
+    both sides are hash-partitioned on (id, salt) and sorted
+    ring-first within each partition, and the Arrow kernel caches the
+    ring rows it encounters before their candidates arrive. Shuffle
+    volume drops to candidates (no ring payload) + refine_salt copies
+    of each ring. ``refine_salt`` spreads a hot polygon's boundary
+    candidates over that many tasks — output-invariant."""
     if broadcast:
         bc = spark.sparkContext.broadcast(vert_map)
-        refine_input = cand
 
-        def ring_of(b, pid, _first):
-            return bc.value[pid]
-    else:
-        # large polygon side: never collect to the driver — carry the ring
-        # through the shuffled join and read it per batch-group
-        refine_input = cand.join(polygons.select(id_col, verts_col), id_col)
+        def refine(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-        def ring_of(b, pid, first):
-            v = b.column(verts_col)[first].as_py()
-            return np.array([list(p) for p in v], dtype=np.float64)
+            for b in batches:
+                if b.num_rows == 0:
+                    yield b.select(out_cols)
+                    continue
+                keep = b.column("interior").to_numpy(zero_copy_only=False).copy()
+                hard_m = ~keep
+                if hard_m.any():
+                    px = b.column(x).to_numpy(zero_copy_only=False)
+                    py = b.column(y).to_numpy(zero_copy_only=False)
+                    ids = b.column(id_col)
+                    hard_ids = pc.unique(pc.filter(ids, pa.array(hard_m))).to_pylist()
+                    for pid in hard_ids:
+                        m = pc.equal(ids, pid).to_numpy(zero_copy_only=False) & hard_m
+                        keep[m] = geometry.points_in_polygon(
+                            px[m], py[m], bc.value[pid])
+                yield b.filter(pa.array(keep)).select(out_cols)
+
+        return cand.mapInArrow(refine, schema)
+
+    # --- shuffle path: ship each ring once per (polygon, salt) ---
+    s = max(int(refine_salt or 1), 1)
+    ring_rows = polygons.select(id_col, F.col(verts_col).alias("_ring"))
+    cand_s = cand.withColumn(
+        "_rsalt",
+        F.pmod(F.xxhash64(F.col(x), F.col(y)), F.lit(s)).cast("int"))
+    ring_s = ring_rows.withColumn(
+        "_rsalt", F.explode(F.array(*[F.lit(i) for i in range(s)])))
+    unioned = cand_s.unionByName(ring_s, allowMissingColumns=True)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (unioned.repartition(n_part, id_col, "_rsalt")
+            # ring rows (_ring non-null) sort before their candidates
+            .sortWithinPartitions(id_col, "_rsalt", F.col("_ring").isNull()))
 
     def refine(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        rings: dict = {}
         for b in batches:
             if b.num_rows == 0:
-                yield b.select(out_cols)
                 continue
+            ring_m = pc.is_valid(b.column("_ring")).to_numpy(zero_copy_only=False)
+            if ring_m.any():
+                ids_all = b.column(id_col)
+                ring_col = b.column("_ring")
+                for i in np.flatnonzero(ring_m):
+                    i = int(i)
+                    pid = ids_all[i].as_py()
+                    if pid not in rings:
+                        rings[pid] = np.array(
+                            [list(p) for p in ring_col[i].as_py()],
+                            dtype=np.float64)
+                b = b.filter(pa.array(~ring_m))
+                if b.num_rows == 0:
+                    continue
             keep = b.column("interior").to_numpy(zero_copy_only=False).copy()
             hard_m = ~keep
             if hard_m.any():
@@ -205,12 +273,10 @@ def _refine_exact(spark, cand, polygons, out_cols, schema, x, y, id_col,
                 hard_ids = pc.unique(pc.filter(ids, pa.array(hard_m))).to_pylist()
                 for pid in hard_ids:
                     m = pc.equal(ids, pid).to_numpy(zero_copy_only=False) & hard_m
-                    first = int(np.flatnonzero(m)[0])
-                    keep[m] = geometry.points_in_polygon(
-                        px[m], py[m], ring_of(b, pid, first))
+                    keep[m] = geometry.points_in_polygon(px[m], py[m], rings[pid])
             yield b.filter(pa.array(keep)).select(out_cols)
 
-    return refine_input.mapInArrow(refine, schema)
+    return part.mapInArrow(refine, schema)
 
 
 def _attach_attrs(out, polygons, id_col, verts_col, broadcast):
@@ -227,10 +293,16 @@ def _attach_attrs(out, polygons, id_col, verts_col, broadcast):
 def release_spatial_caches() -> None:
     """Unpersist operator caches (ADVICE r1: repeated calls in a long
     session accumulated cached blocks). Delegates to the shared
-    registry, so conciliation's materialized input releases too."""
+    registry, so conciliation's materialized input releases too.
+    Explicit caller cleanup only — spatial_join_left no longer calls
+    this on entry (ADVICE r2: draining the shared registry silently
+    unpersisted conciliation's input when the operators interleave)."""
     from ..cache import release_all
 
     release_all()
+
+
+_prev_left_cache: list = []
 
 
 def spatial_join_left(
@@ -248,14 +320,20 @@ def spatial_join_left(
     key set); without a persist Spark executes the whole PIP subplan
     twice (measured 2x wall on the suffix-zone join). Persisted
     MEMORY_AND_DISK. Cache lifetime is bounded in long-lived sessions:
-    each call releases the previous call's cache (unpersist is
-    correctness-safe — at worst a recompute), and callers can release
-    eagerly with release_spatial_caches() once the result is
-    materialized."""
+    each call releases only the cache registered by its own previous
+    call (ADVICE r2 — never the shared registry, which holds other
+    operators' still-live inputs); release_spatial_caches() remains for
+    explicit full cleanup once results are materialized. Unpersist is
+    correctness-safe — at worst a recompute."""
     from ..cache import keep
 
-    release_spatial_caches()
+    while _prev_left_cache:
+        try:
+            _prev_left_cache.pop().unpersist(blocking=False)
+        except Exception:
+            pass
     matched = keep(spatial_join(points, polygons, **kwargs))
+    _prev_left_cache.append(matched)
     verts_col = kwargs.get("verts_col", "verts")
     poly_attrs = [c for c in polygons.columns if c != verts_col]
     unmatched = points.join(

@@ -77,3 +77,48 @@ def test_expired_tiles_empty_commune_absent(spark):
     got = [r.insee_com for r in
            expired_tiles_to_insee(t, synth.commune_polygons_df(spark), z).collect()]
     assert got == ["01001"]
+
+
+def _circle(spark, n_verts=5000, r=4000.0):
+    # many-vertex ring: regular polygon approximating a circle
+    import math
+    cx, cy = synth.REG0 + 6000.0, synth.REGY0 + 6000.0
+    verts = [[cx + r * math.cos(2 * math.pi * i / n_verts),
+              cy + r * math.sin(2 * math.pi * i / n_verts)]
+             for i in range(n_verts)]
+    verts.append(verts[0])
+    return spark.createDataFrame([("circ", verts)], POLY_SCHEMA), (cx, cy, r)
+
+
+def test_byte_gate_routes_huge_rings_to_shuffle_path(spark):
+    """VERDICT r2 #1: few-but-huge rings must take the shuffle path (the
+    row-count probe alone would approve a driver collect) and still
+    match the broadcast path exactly."""
+    poly, (cx, cy, r) = _circle(spark)
+    pts = _pts(spark, 1500)
+    auto = spatial_join(pts, poly, id_col="poly_id", zoom=13,
+                        broadcast=None, broadcast_max_verts=1000)
+    bcast = spatial_join(pts, poly, id_col="poly_id", zoom=13, broadcast=True)
+    got = sorted(row.event_id for row in auto.collect())
+    assert got == sorted(row.event_id for row in bcast.collect())
+    # ground truth: inside the circle (regular-polygon boundary is within
+    # ~r*(pi/n)^2 of the circle; keep a margin to dodge edge ambiguity)
+    margin = 10.0
+    inside = {row.event_id for row in pts.collect()
+              if (row.x - cx) ** 2 + (row.y - cy) ** 2 < (r - margin) ** 2}
+    outside = {row.event_id for row in pts.collect()
+               if (row.x - cx) ** 2 + (row.y - cy) ** 2 > (r + margin) ** 2}
+    assert inside <= set(got) and not (outside & set(got))
+
+
+def test_shuffle_refine_salted_matches_broadcast(spark):
+    """The ring-piggyback shuffle refine (VERDICT r2 #2) is
+    output-invariant across refine_salt settings and vs broadcast."""
+    tri = _triangle(spark)
+    pts = _pts(spark, 1200)
+    bcast = spatial_join(pts, tri, id_col="poly_id", zoom=13, broadcast=True)
+    for rs in (1, 7):
+        shuf = spatial_join(pts, tri, id_col="poly_id", zoom=13,
+                            broadcast=False, refine_salt=rs, split_refine=True)
+        assert sorted(row.event_id for row in shuf.collect()) == sorted(
+            row.event_id for row in bcast.collect())
