@@ -6,9 +6,16 @@ plans a single-partition Exchange for an unpartitioned ordered
 window), a non-starter at 100 TB. This module implements the classic
 two-pass distributed prefix sum:
 
-  1. bucket rows into range partitions of the global order. Bucket
-     boundaries come from ``percentile_approx`` over the ordering
-     column — a deterministic aggregation, unlike
+  1. bucket rows into range partitions of the global order. With a
+     ``tiebreak_col``, bucket boundaries are picked from a
+     DETERMINISTIC content-hash sample of the COMPOSITE key
+     (range, tiebreak) — so a corpus whose range key has only a few
+     distinct values (integer 0-5 quality ratings are common) still
+     splits its tie groups across buckets instead of collapsing to
+     one giant bucket (the single-task funnel in disguise; VERDICT r2
+     #2). Without a tiebreak, boundaries come from
+     ``percentile_approx`` over the range column alone. Both probes
+     are deterministic aggregations/filters, unlike
      ``repartitionByRange`` whose reservoir sampling can re-draw
      different boundaries when the lineage is recomputed between the
      offsets job and the output job;
@@ -30,6 +37,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _guarded(col: Column, what: str) -> Column:
+    """Runtime non-null guard (VERDICT r2 #9): a null bucketing key
+    would bucket first (comparisons are null-false) while sorting
+    last, silently breaking bucket contiguity. Fail loudly instead of
+    corrupting the prefix sum."""
+    return F.when(
+        col.isNull(),
+        F.raise_error(F.lit(f"distributed_cumsum: null {what} key — "
+                            "coalesce upstream before calling"))
+    ).otherwise(col)
+
+
 def _bucket_expr(col: Column, bounds: list, descending: bool) -> Column:
     """Deterministic contiguous range-bucket id from sorted ascending
     boundary values: rows compare against literal bounds (pure codegen,
@@ -43,25 +62,86 @@ def _bucket_expr(col: Column, bounds: list, descending: bool) -> Column:
     return pid.cast("int")
 
 
+def _composite_bucket_expr(rcol: Column, tcol: Column, bounds: list,
+                           descending: bool) -> Column:
+    """Bucket id from composite (range, tiebreak) boundary pairs: one
+    indicator per bound testing `row >= bound` in the global order
+    (range asc-or-desc, tiebreak asc). The indicator is monotone along
+    the global order, so buckets stay contiguous; rows equal on the
+    full composite always share a bucket."""
+    pid = F.lit(0)
+    for bq, bt in bounds:
+        if descending:
+            after = (rcol < F.lit(bq)) | ((rcol == F.lit(bq)) & (tcol >= F.lit(bt)))
+        else:
+            after = (rcol > F.lit(bq)) | ((rcol == F.lit(bq)) & (tcol >= F.lit(bt)))
+        pid = pid + F.when(after, 1).otherwise(0)
+    return pid.cast("int")
+
+
+def _composite_bounds(df: DataFrame, range_col: str, tiebreak_col: str,
+                      n: int, descending: bool) -> list:
+    """n-1 boundary pairs from a deterministic content-hash sample of
+    the composite key. Two cheap jobs (count + pruned sample collect,
+    ~256 rows per bucket) — O(sample) driver memory, never O(rows).
+    ``xxhash64`` of the tiebreak makes the sample a pure function of
+    row content: recomputing the lineage re-draws the SAME rows, so
+    the offsets job and the output job can never disagree on
+    boundaries (the repartitionByRange hazard)."""
+    cap = max(n * 256, 1024)
+    total = df.count()
+    if total == 0:
+        return []
+    k = max(1, total // cap)
+    sample = (df.select(_guarded(F.col(range_col), "range").alias("_r"),
+                        _guarded(F.col(tiebreak_col), "tiebreak").alias("_t"))
+              .filter(F.pmod(F.xxhash64(F.col("_t")), F.lit(k)) == 0)
+              .collect())
+    if not sample:
+        return []
+    keyed = sorted(
+        ((r[0], r[1]) for r in sample),
+        key=lambda p: ((-p[0] if descending else p[0]), p[1]))
+    bounds, last = [], None
+    for i in range(1, n):
+        b = keyed[(i * len(keyed)) // n]
+        if b != last:
+            bounds.append(b)
+            last = b
+    return bounds
+
+
 def distributed_cumsum(df: DataFrame, range_col: str, order_by: list[Column],
                        value_col: str, out_col: str = "cum",
                        descending: bool = False,
-                       num_buckets: int | None = None) -> DataFrame:
+                       num_buckets: int | None = None,
+                       tiebreak_col: str | None = None) -> DataFrame:
     """Global ordered cumulative sum of `value_col` without a
     single-partition exchange. `order_by` must be the full total order
     (include a unique tiebreak column); `range_col` is its leading
-    numeric column, used for deterministic range bucketing, and MUST be
-    non-null: a null range key would bucket first (comparisons are
-    null-false) while sorting last, breaking bucket contiguity —
-    coalesce upstream to a sentinel inside the key's value range."""
+    numeric column. Pass `tiebreak_col` (the unique ascending tiebreak
+    named in `order_by`) whenever the range key may be low-cardinality:
+    bucketing then splits tie groups on the composite (range, tiebreak)
+    key and stays fine-grained under ties. Both keys are runtime-
+    guarded non-null — a null key raises instead of silently breaking
+    bucket contiguity."""
     n = int(num_buckets or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
-    qs = [i / n for i in range(1, n)]
-    row = df.select(
-        F.percentile_approx(range_col, qs, 10000).alias("b")).first()
-    bounds = sorted(set(row["b"] or []))
-    bucketed = df.withColumn(
-        "_pid", _bucket_expr(F.col(range_col), bounds, descending))
+    if tiebreak_col is not None:
+        bounds = _composite_bounds(df, range_col, tiebreak_col, n, descending)
+        bucketed = df.withColumn(
+            "_pid", _composite_bucket_expr(
+                _guarded(F.col(range_col), "range"),
+                _guarded(F.col(tiebreak_col), "tiebreak"),
+                bounds, descending))
+    else:
+        qs = [i / n for i in range(1, n)]
+        row = df.select(
+            F.percentile_approx(range_col, qs, 10000).alias("b")).first()
+        bounds = sorted(set(row["b"] or []))
+        bucketed = df.withColumn(
+            "_pid", _bucket_expr(_guarded(F.col(range_col), "range"),
+                                 bounds, descending))
     w = (Window.partitionBy("_pid").orderBy(*order_by)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = bucketed.withColumn("_local_cum", F.sum(value_col).over(w))
@@ -71,6 +151,8 @@ def distributed_cumsum(df: DataFrame, range_col: str, order_by: list[Column],
     for r in sorted(totals, key=lambda r: r["_pid"]):
         offsets.append((r["_pid"], acc))
         acc += r["_tot"] or 0
+    if not offsets:
+        offsets = [(0, 0)]
     off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off bigint")
     return (local.join(F.broadcast(off_df), "_pid")
             .withColumn(out_col,
@@ -85,8 +167,12 @@ def token_budget_select(scored: DataFrame, budget: int,
     """Greedy best-first selection: order by quality desc (id tiebreak),
     keep documents while the running token total before each document
     is under `budget`. Matches SQL
-    ``sum(tokens) OVER (ORDER BY quality DESC, id) - tokens < budget``."""
+    ``sum(tokens) OVER (ORDER BY quality DESC, id) - tokens < budget``.
+    Bucketing uses the composite (quality, id) key, so a corpus with
+    only a handful of distinct quality values still spreads across all
+    buckets."""
     order = [F.desc(quality_col), F.asc(id_col)]
     cum = distributed_cumsum(scored, quality_col, order, tokens_col,
-                             out_col="cum_tokens", descending=True)
+                             out_col="cum_tokens", descending=True,
+                             tiebreak_col=id_col)
     return cum.filter(F.col("cum_tokens") - F.col(tokens_col) < budget)

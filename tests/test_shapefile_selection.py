@@ -211,3 +211,44 @@ def test_bucketed_join_no_exchange(spark):
         assert j.count() == 10000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cumsum_tie_heavy_keys_stay_fine_grained(spark):
+    """VERDICT r2 #3: a 2-distinct-quality corpus must still spread
+    across buckets (composite tiebreak bucketing), not collapse to 2
+    giant buckets, and the cumsum must stay exact."""
+    from bano_spark.operators.selection import distributed_cumsum
+
+    rows = [(i, i % 2, 1 + i % 3) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, q long, v long").repartition(8)
+    n_buckets = 16
+    out = distributed_cumsum(df, "q", [F.desc("q"), F.asc("doc_id")], "v",
+                             out_col="cum", descending=True,
+                             num_buckets=n_buckets, tiebreak_col="doc_id")
+    got = {r.doc_id: r.cum for r in out.collect()}
+    acc = 0
+    for _, doc_id, v in sorted(((-q, d, v) for d, q, v in rows)):
+        acc += v
+        assert got[doc_id] == acc
+    # bucket occupancy: rebuild the bucket ids the operator used
+    from bano_spark.operators.selection import (_composite_bounds,
+                                                _composite_bucket_expr)
+    bounds = _composite_bounds(df, "q", "doc_id", n_buckets, True)
+    pids = df.withColumn("_pid", _composite_bucket_expr(
+        F.col("q"), F.col("doc_id"), bounds, True))
+    n_used = pids.select("_pid").distinct().count()
+    assert n_used > n_buckets // 2, f"only {n_used} buckets used"
+
+
+def test_cumsum_null_key_raises(spark):
+    from bano_spark.operators.selection import distributed_cumsum
+
+    df = spark.createDataFrame([(1, None, 1), (2, 5, 1)],
+                               "doc_id long, q long, v long")
+    try:
+        distributed_cumsum(df, "q", [F.desc("q"), F.asc("doc_id")], "v",
+                           descending=True, tiebreak_col="doc_id").collect()
+        raised = False
+    except Exception as e:
+        raised = "null range key" in str(e)
+    assert raised
