@@ -43,8 +43,15 @@ def main() -> None:
         par = spark.sparkContext.defaultParallelism * 2
         pg = P.synth_pages_sql(spark, args.pages, partitions=par)
 
+    from bano_spark.functions.codes import dept_from_insee
+
+    # dept per the reference rule (helpers.py:97-101): 2 chars, except
+    # 3-char DOM codes (971-976); '2A'/'2B' fall out of the 2-char
+    # prefix naturally. The line starts with the 10-char FANTOIR id
+    # whose first 5 chars are the insee code. (ADVICE r2: a fixed
+    # 2-char prefix lumped all DOM depts into one bano-97 artifact.)
     lines = export_csv(pg).select(
-        F.substring("line", 1, 2).alias("dept"), "line")
+        dept_from_insee(F.substring("line", 1, 5)).alias("dept"), "line")
     depts = write_dept_files(lines, args.out, "csv")
     full = publish_full(args.out, "csv")
     dt = time.time() - t0

@@ -69,12 +69,10 @@ def test_ttl_arrondissement_quirks(spark):
 
 
 def test_publish_layout_and_full_bytes(spark, tmp_path):
-    """S17 (bano/publish.py:41-86): one bano-{dept}.csv.gz per dept,
-    full.csv.gz = gzip of their ordered concatenation; decompressed
-    full bytes == per-dept decompressed bytes concatenated in sorted
-    dept order, each internally ordered."""
-    import gzip
-
+    """S17 (bano/publish.py:41-86): per-dept CSV is published PLAIN
+    (ref publish_as_csv is a copy2 — ADVICE r2), full.csv.gz = gzip of
+    their ordered concatenation; decompressed full bytes == per-dept
+    bytes concatenated in sorted dept order, each internally ordered."""
     from bano_spark.operators.publish import (publish_full, read_full_lines,
                                               write_dept_files)
 
@@ -91,7 +89,7 @@ def test_publish_layout_and_full_bytes(spark, tmp_path):
 
     per_dept = b""
     for d in depts:
-        with gzip.open(f"{out}/bano-{d}.csv.gz", "rb") as f:
+        with open(f"{out}/bano-{d}.csv", "rb") as f:
             content = f.read()
         decoded = content.decode().splitlines()
         assert decoded == sorted(decoded)          # ordered within dept
@@ -100,6 +98,31 @@ def test_publish_layout_and_full_bytes(spark, tmp_path):
 
     full = publish_full(out, "csv")
     assert read_full_lines(full) == per_dept.splitlines()
+
+
+def test_publish_gzip_kind_and_null_dept_guard(spark, tmp_path):
+    """json/ttl kinds keep per-dept gzip artifacts; a null dept key
+    raises instead of writing a __HIVE_DEFAULT_PARTITION__ file."""
+    import gzip
+
+    from bano_spark.operators.publish import publish_full, write_dept_files
+
+    lines = spark.createDataFrame(
+        [("01", "a"), ("02", "b")], ["dept", "line"])
+    out = str(tmp_path)
+    depts = write_dept_files(lines, out, "json")
+    assert depts == ["01", "02"]
+    with gzip.open(f"{out}/bano-01.json.gz", "rb") as f:
+        assert f.read() == b"a\n"
+    assert publish_full(out, "json").endswith("full.json.gz")
+
+    bad = spark.createDataFrame([("01", "a"), (None, "b")], ["dept", "line"])
+    try:
+        write_dept_files(bad, str(tmp_path / "bad"), "csv")
+        raised = False
+    except Exception as e:
+        raised = "null dept key" in str(e)
+    assert raised
 
 
 def test_write_country_text_global_order(spark, tmp_path):

@@ -252,3 +252,60 @@ def test_cumsum_null_key_raises(spark):
     except Exception as e:
         raised = "null range key" in str(e)
     assert raised
+
+
+def test_knn_auto_path_matches_both_ways(spark):
+    """VERDICT r2 #4: knn_name_match auto-selects broadcast vs shuffle
+    from the exploded right-side size; both paths are output-identical."""
+    from bano_spark.operators.knn_join import knn_name_match
+    from bano_spark import synth
+
+    pts = spark.sql(synth.points_select_sql(
+        "spark", "(SELECT id AS event_id FROM range(300))"))
+    left = pts.filter("event_id % 2 = 0").withColumn(
+        "name_norm", F.concat(F.lit("RUE "), F.col("event_id").cast("string")))
+    right = pts.filter("event_id % 2 = 1").withColumn(
+        "name_norm", F.concat(F.lit("RUE "), (F.col("event_id") - 1).cast("string"))
+    ).withColumnRenamed("event_id", "rid").withColumnRenamed(
+        "name_norm", "rname")
+    kw = dict(zoom=12, k=1, left_name="name_norm", right_name="rname",
+              max_dist=2)
+    bcast = knn_name_match(left, right, broadcast_right=True, **kw)
+    shuf = knn_name_match(left, right, broadcast_right=False, **kw)
+    auto_small = knn_name_match(left, right, **kw)  # tiny side -> broadcast
+    auto_forced = knn_name_match(left, right, broadcast_max_rows=9, **kw)
+    key = lambda df: sorted((r.event_id, r.rid, r.lev) for r in df.collect())
+    assert key(bcast) == key(shuf) == key(auto_small) == key(auto_forced)
+    assert len(key(bcast)) > 0
+
+
+def test_shp_publish_bundle_roundtrip(spark, tmp_path):
+    """VERDICT r2 missing #1 / ref publish.py:41-47: shp_sink writes
+    the full georeferenced artifact set and publish_shp_bundles tars
+    the five members per dept; reading the tar back recovers the
+    points and the WGS84 .prj."""
+    import tarfile
+
+    from bano_spark.operators.publish import publish_shp_bundles
+    from bano_spark.sources.shapefile import WGS84_PRJ, shp_sink
+
+    rows = [("01", 5.1 + i * 0.01, 46.2 + i * 0.01, f"id{i}") for i in range(6)] \
+        + [("972", -61.0, 14.6, "dom")]
+    df = spark.createDataFrame(rows, ["dept", "lon", "lat", "rid"])
+    out = str(tmp_path)
+    res = {r.dept: r.n_records
+           for r in shp_sink(df, out, attr_cols=("rid",)).collect()}
+    assert res == {"01": 6, "972": 1}
+
+    bundles = publish_shp_bundles(out)
+    assert sorted(b.rsplit("/", 1)[1] for b in bundles) == [
+        "bano-01.shp.tar.gz", "bano-972.shp.tar.gz"]
+    with tarfile.open(f"{out}/bano-01.shp.tar.gz", "r:gz") as tar:
+        names = tar.getnames()
+        assert names == [f"bano-01.{e}" for e in
+                         ("shp", "dbf", "shx", "prj", "cpg")]
+        prj = tar.extractfile("bano-01.prj").read().decode()
+        assert prj == WGS84_PRJ and "WGS_1984" in prj
+        assert tar.extractfile("bano-01.cpg").read() == b"UTF-8"
+        num, xs, ys = parse_point_blob(tar.extractfile("bano-01.shp").read())
+        assert len(num) == 6 and xs.min() >= 5.1 and ys.max() <= 46.26
