@@ -92,13 +92,15 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Top-k characteristic terms per document by tf-idf.
 
-    idf is the RATIONAL variant (N + 1) / (df + 1) rather than its log:
-    ranking-equivalent (log is monotone), and the score stays exact
-    integer-ratio double arithmetic, so any engine reproduces it
-    bit-for-bit — no cross-libm transcendental drift in the oracle
-    compare. All relational: explode -> two aggregations (term counts
-    per doc, doc freq per term) -> join -> top-k window. The df table
-    is |vocabulary| rows; at corpus scale it broadcasts."""
+    Real log idf: score = tf * ln((N + 1) / (df + 1)). The log matters
+    for the tf*idf PRODUCT — the rational variant (N+1)/(df+1) is only
+    rank-equivalent per fixed tf, so its top-k diverges from tf-idf's
+    whenever tf varies across terms (ADVICE r2). The score is rounded
+    to 6 decimals so the cross-engine oracle compare is insensitive to
+    libm ulp drift; ranking uses the rounded score in both engines.
+    All relational: explode -> two aggregations (term counts per doc,
+    doc freq per term) -> join -> top-k window. The df table is
+    |vocabulary| rows; at corpus scale it broadcasts."""
     from pyspark.sql import Window
 
     term_rows = docs.select(
@@ -109,8 +111,9 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
     n_docs = docs.select(id_col).distinct().count()
     scored = tf.join(F.broadcast(df_t), "term").select(
         id_col, "term", "tf", "df",
-        (F.col("tf") * (float(n_docs) + 1.0) / (F.col("df") + 1.0))
-        .alias("score"))
+        F.round(
+            F.col("tf") * F.log((float(n_docs) + 1.0) / (F.col("df") + 1.0)),
+            6).alias("score"))
     w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)

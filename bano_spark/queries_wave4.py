@@ -2914,9 +2914,11 @@ def w_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # w58 — tf-idf keyword extraction over documents (corpus
-# characterization for training-data curation). Rational idf
-# (N+1)/(df+1): ranking-equivalent to the log form and bit-exact
-# across engines (no transcendental).
+# characterization for training-data curation). Real log idf
+# tf * ln((N+1)/(df+1)) (ADVICE r2: the rational variant is not
+# rank-equivalent for the product when tf varies); score rounded to 6
+# decimals in BOTH engines and ranked on the rounded value, so the
+# compare is libm-drift-proof.
 # ---------------------------------------------------------------------------
 
 _W58_ORACLE = f"""
@@ -2930,7 +2932,8 @@ dft AS (SELECT term, count(*) AS df
 nd AS (SELECT count(DISTINCT doc_id) AS n FROM term_rows),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, dft.df,
-         tf.tf * (CAST(nd.n AS DOUBLE) + 1.0) / (dft.df + 1.0) AS score
+         round(tf.tf * ln((CAST(nd.n AS DOUBLE) + 1.0) / (dft.df + 1.0)),
+               6) AS score
   FROM tf JOIN dft USING (term) CROSS JOIN nd
 )
 SELECT doc_id, term, tf, df, score, rnk FROM (
@@ -3072,3 +3075,90 @@ def w_bal_cadastre(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cle_interop", "numero", "suffixe", "pseudo_numero", "voie_nom",
         "destination_principale", "commune_code", "long", "lat",
         "date_der_maj", kept.alias("kept_f5"))
+
+
+# ---------------------------------------------------------------------------
+# w61 — communes_summary: the datagouv BAL-publication stats table
+# (VERDICT r2 missing #2; ref sql/create_table_base_bano.sql:139-158 +
+# bano/sources/datagouv_commune_summary.py COPY with '' as NULL).
+# Load the ,-CSV into the 16 typed columns, then roll up BAL adoption
+# per département: commune count, composition mix, address volumes and
+# the addressing-analysis ratios.
+# ---------------------------------------------------------------------------
+
+def _summary_line(cast: str) -> str:
+    return f"""
+SELECT o_orderkey,
+    CAST(o_custkey % 13 AS {cast})
+    || ',' || SUBSTR({_insee_case('o_custkey')}, 1, 2)
+    || ',' || {_insee_case('o_custkey')}
+    || ',Commune ' || CAST(o_custkey % 10 AS {cast})
+    || ',' || CASE WHEN o_orderkey % 19 = 0 THEN ''
+              ELSE CAST(o_orderkey % 50000 AS {cast}) END
+    || ',' || CASE WHEN o_orderkey % 7 = 0 THEN ''
+              ELSE 'rev-' || CAST(o_orderkey % 1000 AS {cast}) END
+    || ',2024-' || CAST(o_orderkey % 12 + 1 AS {cast})
+    || ',' || CASE o_orderkey % 3 WHEN 0 THEN 'bal' WHEN 1 THEN 'assemblage'
+              ELSE '' END
+    || ',' || CAST(o_orderkey % 40 AS {cast})
+    || ',' || CAST(o_orderkey % 300 AS {cast})
+    || ',' || CAST(o_orderkey % 5000 AS {cast})
+    || ',' || CAST(o_orderkey % 2500 AS {cast})
+    || ',' || CASE WHEN o_orderkey % 23 = 0 THEN ''
+              ELSE CAST(o_orderkey % 6000 AS {cast}) END
+    || ',0.' || CAST(o_orderkey % 9 + 1 AS {cast})
+    || ',' || CASE WHEN o_orderkey % 11 = 0 THEN ''
+              ELSE CAST(o_orderkey % 70 AS {cast}) || '.5' END
+    || ',2024-06-01' AS raw
+FROM orders
+"""
+
+
+_W61_ORACLE = f"""
+WITH lines AS ({_summary_line('VARCHAR')}),
+arr AS (SELECT string_split(raw, ',') AS a FROM lines),
+parsed AS (
+  SELECT nullif(a[2], '') AS dep,
+         nullif(a[3], '') AS com,
+         CAST(nullif(a[5], '') AS INT) AS population,
+         nullif(a[8], '') AS type_composition,
+         CAST(nullif(a[9], '') AS INT) AS nb_lieux_dits,
+         CAST(nullif(a[11], '') AS INT) AS nb_numeros,
+         CAST(nullif(a[12], '') AS INT) AS nb_numeros_certifies,
+         CAST(nullif(a[14], '') AS DOUBLE) AS ratio
+  FROM arr
+)
+SELECT dep,
+       CAST(count(*) AS BIGINT) AS n_communes,
+       CAST(count(DISTINCT com) AS BIGINT) AS n_distinct_com,
+       CAST(sum(CASE WHEN type_composition = 'bal' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bal,
+       CAST(sum(population) AS BIGINT) AS pop,
+       CAST(sum(nb_numeros) AS BIGINT) AS numeros,
+       CAST(sum(nb_numeros_certifies) AS BIGINT) AS certifies,
+       CAST(sum(CASE WHEN population IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_pop,
+       round(avg(ratio), 6) AS avg_ratio
+FROM parsed GROUP BY dep ORDER BY dep
+"""
+
+
+@register("communes_summary_rollup", _W61_ORACLE)
+def w_communes_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.sources.bal import parse_communes_summary
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    raw = spark.sql(_summary_line("STRING"))
+    p = parse_communes_summary(raw)
+    return (p.groupBy("dep").agg(
+        F.count(F.lit(1)).alias("n_communes"),
+        F.countDistinct("com").alias("n_distinct_com"),
+        F.sum(F.when(F.col("type_composition") == "bal", 1).otherwise(0))
+            .cast("bigint").alias("n_bal"),
+        F.sum("population").cast("bigint").alias("pop"),
+        F.sum("nb_numeros").cast("bigint").alias("numeros"),
+        F.sum("nb_numeros_certifies").cast("bigint").alias("certifies"),
+        F.sum(F.when(F.col("population").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_null_pop"),
+        F.round(F.avg("analyse_adressage_ratio"), 6).alias("avg_ratio"))
+        .orderBy("dep"))

@@ -67,3 +67,35 @@ def parse_bal_cadastre(raw: DataFrame, col: str = "raw") -> DataFrame:
             c = c.cast(t)
         cols.append(c.alias(name))
     return raw.select(*cols)
+
+
+COMMUNES_SUMMARY_COLS = [
+    "reg", "dep", "com", "libelle", "population", "id_revision",
+    "date_revision", "type_composition", "nb_lieux_dits", "nb_voies",
+    "nb_numeros", "nb_numeros_certifies",
+    "analyse_adressage_nb_adresses_attendues", "analyse_adressage_ratio",
+    "analyse_adressage_deficit_adresses", "composed_at"]
+_SUMMARY_TYPES = {"population": "int", "nb_lieux_dits": "int",
+                  "nb_voies": "int", "nb_numeros": "int",
+                  "nb_numeros_certifies": "int",
+                  "analyse_adressage_nb_adresses_attendues": "int",
+                  "analyse_adressage_ratio": "double",
+                  "analyse_adressage_deficit_adresses": "double"}
+
+
+def parse_communes_summary(raw: DataFrame, col: str = "raw") -> DataFrame:
+    """datagouv communes-summary.csv loader (the last SURVEY §1.2 table;
+    ref bano/sources/datagouv_commune_summary.py:32-37 COPYs the
+    ,-separated file with '' as NULL into the 16-column table declared
+    in sql/create_table_base_bano.sql:139-158). Header rows must
+    already be excluded (the reference's csv.readline() skip)."""
+    arr = F.split(F.col(col), ",")
+    cols = []
+    for i, name in enumerate(COMMUNES_SUMMARY_COLS):
+        c = F.element_at(arr, i + 1)
+        c = F.when(c == "", None).otherwise(c)
+        t = _SUMMARY_TYPES.get(name)
+        if t:
+            c = c.cast(t)
+        cols.append(c.alias(name))
+    return raw.select(*cols)
