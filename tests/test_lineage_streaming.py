@@ -124,3 +124,25 @@ def test_stateful_running_stats(spark, tmp_path):
             final[r.key] = (r.n_rows, r.sum_value)
     assert final["a"] == (3, 7.0)
     assert final["b"] == (2, 30.0)
+
+
+def test_iceberg_surface_guarded(spark):
+    """The native-Iceberg adapter (plans/iceberg.py) activates only
+    when the catalog jars exist; in this sandbox the probe must report
+    False and the parquet stand-ins stay in charge. When jars ARE
+    present, exercise the round-trip."""
+    from bano_spark.plans import iceberg as I
+
+    if not I.iceberg_available(spark):
+        import pytest
+        pytest.skip("no Iceberg jars in sandbox — parquet stand-in path "
+                    "covered by the lineage/layout/incremental tests")
+    df = spark.range(10).withColumn("dept", (F.col("id") % 3).cast("string"))
+    I.create_partitioned(df, "local.t_ice", ["dept"])
+    I.overwrite_partitions(
+        df.filter("dept = '1'").withColumn("id", F.col("id") + 100),
+        "local.t_ice")
+    ids = I.snapshot_ids(spark, "local.t_ice")
+    assert len(ids) >= 2
+    inc = I.read_incremental(spark, "local.t_ice", ids[0], ids[-1])
+    assert inc.count() > 0
