@@ -26,6 +26,12 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..geo import geometry, tiles
 
+# Optional bench/test hook: when set to a SparkContext accumulator, the
+# refine kernels add every Arrow batch's byte size — measuring the
+# JVM->Python transfer volume (the term the ring-piggyback design
+# minimizes; see tools/bench_ring_shuffle.py). None in production.
+_BATCH_BYTES_ACC = None
+
 
 def polygon_cover(polygons: DataFrame, zoom: int, id_col: str = "poly_id",
                   verts_col: str = "verts") -> DataFrame:
@@ -202,6 +208,7 @@ def _refine_exact(spark, cand, polygons, out_cols, schema, x, y, id_col,
     volume drops to candidates (no ring payload) + refine_salt copies
     of each ring. ``refine_salt`` spreads a hot polygon's boundary
     candidates over that many tasks — output-invariant."""
+    acc = _BATCH_BYTES_ACC
     if broadcast:
         bc = spark.sparkContext.broadcast(vert_map)
 
@@ -210,6 +217,8 @@ def _refine_exact(spark, cand, polygons, out_cols, schema, x, y, id_col,
             import pyarrow.compute as pc
 
             for b in batches:
+                if acc is not None:
+                    acc.add(b.nbytes)
                 if b.num_rows == 0:
                     yield b.select(out_cols)
                     continue
@@ -248,6 +257,8 @@ def _refine_exact(spark, cand, polygons, out_cols, schema, x, y, id_col,
 
         rings: dict = {}
         for b in batches:
+            if acc is not None:
+                acc.add(b.nbytes)
             if b.num_rows == 0:
                 continue
             ring_m = pc.is_valid(b.column("_ring")).to_numpy(zero_copy_only=False)
