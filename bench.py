@@ -74,6 +74,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "16000000"))
+    load_before = round(os.getloadavg()[0], 1)
 
     import __spark_entry__ as E
     from bano_spark.session import get_session
@@ -118,6 +119,11 @@ def main() -> None:
         "pages_per_sec_best": round(n_pages / min(pages_runs), 1),
         "pages_runs_sec": [round(r, 3) for r in pages_runs],
         "cpus": cpus,
+        # box-state disclosure: this shared box shows multi-minute
+        # external load bursts (BENCH.md) — a burst-straddling sample
+        # is visible here instead of silently degrading the record
+        "load_1m_before": load_before,
+        "load_1m_after": round(os.getloadavg()[0], 1),
     }))
     spark.stop()
 
