@@ -103,17 +103,34 @@ def ivf_cell(vec_col: str, n_cells: int = 4) -> Column:
     return cell.cast("int")
 
 
+def ivf_probe_cells(vec_col: str, n_cells: int = 4, nprobe: int = 1) -> Column:
+    """Top-``nprobe`` coarse cells for a query vector, ranked by
+    component value descending (ties -> lowest cell id): the standard
+    IVF recall knob. Pure array_sort over (negated component, id)
+    structs — identical lexicographic semantics in DuckDB for the
+    oracle."""
+    pairs = ", ".join(
+        f"struct(-CAST(element_at({vec_col}, {j + 1}) AS DOUBLE) AS v,"
+        f" {j} AS j)" for j in range(n_cells))
+    return F.expr(
+        f"transform(slice(array_sort(array({pairs})), 1, {nprobe}), x -> x.j)")
+
+
 def ivf_topk(vecs: DataFrame, queries: DataFrame, k: int = 5, n_cells: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:
-    """IVF-bucketed ANN (nprobe=1): candidates share the query's coarse
-    cell, cutting the scanned fraction to ~1/n_cells. At cluster scale
-    the data side would be written bucketed by cell so the probe is a
-    partition-pruned scan; queries stay broadcast."""
+             qid_col: str = "q_id", qvec_col: str = "q_vec",
+             nprobe: int = 1) -> DataFrame:
+    """IVF-bucketed ANN: candidates share one of the query's top-
+    ``nprobe`` coarse cells, cutting the scanned fraction to
+    ~nprobe/n_cells. At cluster scale the data side would be written
+    bucketed by cell so the probe is a partition-pruned scan; queries
+    stay broadcast (each query explodes into nprobe rows — the data
+    side, which carries the volume, is never amplified)."""
     v = vecs.select(F.col(id_col), F.col(vec_col),
                     ivf_cell(vec_col, n_cells).alias("cell"))
-    q = queries.select(F.col(qid_col), F.col(qvec_col),
-                       ivf_cell(qvec_col, n_cells).alias("cell"))
+    q = queries.select(
+        F.col(qid_col), F.col(qvec_col),
+        F.explode(ivf_probe_cells(qvec_col, n_cells, nprobe)).alias("cell"))
     j = v.join(F.broadcast(q), "cell").filter(F.col(id_col) != F.col(qid_col))
     sim = F.round(cosine(vec_col, qvec_col), 4)
     scored = j.select(F.col(qid_col), F.col(id_col), sim.alias("cos_sim"))

@@ -164,3 +164,74 @@ def boilerplate_lines(docs: DataFrame, text_col: str = "text",
         lines.join(boiler, "lh")
         .select("line", "n_docs").distinct()
     )
+
+
+def dup_span_removal(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 13) -> DataFrame:
+    """Exact duplicate-span REMOVAL (the acting twin of dup_span_stats,
+    after Lee et al. "Deduplicating Training Data Makes Language Models
+    Better"): every token covered by a word-n-gram that occurs in more
+    than one document is dropped, and the surviving tokens are
+    reassembled in order. Returns (id, n_tokens, n_kept, clean_text).
+
+    Scale shape: the heavy join is on md5(gram) — text never shuffles;
+    per-doc duplicated-span starts come back as one array per doc
+    (bounded by doc length) and the final token filter is a pure
+    higher-order column expression (filter + exists in codegen), so no
+    Python touches the hot path and no token-level rows ever shuffle."""
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"CASE WHEN size(_toks) >= {n} THEN transform(sequence(1, size(_toks) - {n} + 1),"
+            f" i -> struct(i AS s, md5(concat_ws(' ', slice(_toks, i, {n}))) AS g))"
+            " ELSE array() END")).alias("sg")
+    ).select(id_col, F.col("sg.s").alias("s"), F.col("sg.g").alias("g"))
+    dupg = (grams.groupBy("g")
+            .agg(F.countDistinct(id_col).alias("nd"))
+            .filter(F.col("nd") > 1).select("g"))
+    dstarts = (grams.join(dupg, "g")
+               .groupBy(id_col)
+               .agg(F.sort_array(F.collect_set("s")).alias("_starts")))
+    joined = toked.join(dstarts, id_col, "left").withColumn(
+        "_starts", F.coalesce("_starts", F.array().cast("array<int>")))
+    kept = F.expr(
+        f"filter(_toks, (t, i) -> NOT exists(_starts,"
+        f" s -> s <= i + 1 AND i + 1 <= s + {n} - 1))")
+    return joined.select(
+        F.col(id_col),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.concat_ws(" ", kept).alias("clean_text"))
+
+
+def url_host(col_name: str) -> Column:
+    """Lowercased host of a URL (from its canonical form): the
+    aggregation key for host-level curation decisions."""
+    no_frag = f"substring_index(substring_index({col_name}, '://', -1), '#', 1)"
+    return F.expr(
+        f"lower(substring_index(substring_index({no_frag}, '/', 1), '?', 1))")
+
+
+def host_quality_rollup(fetches: DataFrame, url_col: str = "url",
+                        keep_col: str = "keep",
+                        doc_col: str = "doc_id",
+                        block_threshold: float = 0.5) -> DataFrame:
+    """Host-level curation rollup (the UDD/host-blocklist step of a
+    crawl pipeline): per host, fetch count, distinct documents, the
+    fraction of fetches whose document passes the quality filter, and
+    a blocklist decision (keep rate under ``block_threshold``).
+
+    Scale shape: one shuffle on the host key (bounded cardinality —
+    ~10^8 hosts max vs 10^12 fetches), map-side partial aggregation
+    carries only counters. The output is a dimension table small
+    enough to broadcast back against the corpus for the actual drop
+    pass."""
+    hosted = fetches.select(
+        url_host(url_col).alias("host"),
+        F.col(doc_col), F.col(keep_col).cast("int").alias("_k"))
+    return (hosted.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.countDistinct(doc_col).alias("n_docs"),
+        F.round(F.avg("_k"), 6).alias("keep_rate"))
+        .withColumn("blocklisted", F.col("keep_rate") < block_threshold))

@@ -3162,3 +3162,205 @@ def w_communes_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("n_null_pop"),
         F.round(F.avg("analyse_adressage_ratio"), 6).alias("avg_ratio"))
         .orderBy("dep"))
+
+
+# ---------------------------------------------------------------------------
+# w62 — exact duplicate-span REMOVAL (Lee et al. dedup, acting twin of
+# dup_span_stats): tokens covered by a cross-document 13-gram are
+# dropped and the document is reassembled. Heavy join on md5(gram)
+# only; the final token filter is a higher-order codegen expression.
+# ---------------------------------------------------------------------------
+
+_W62_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE trim(text) != ''
+),
+pos AS (
+  SELECT doc_id, CAST(unnest(generate_series(1, len(toks))) AS BIGINT) AS p,
+         toks AS toks
+  FROM toked
+),
+pos2 AS (SELECT doc_id, p, toks[p] AS tok FROM pos),
+grams AS (
+  SELECT doc_id, p AS s, md5(array_to_string(toks[p:p+12], ' ')) AS ghash
+  FROM pos WHERE p <= len(toks) - 12
+),
+dupg AS (SELECT ghash FROM grams GROUP BY ghash HAVING count(DISTINCT doc_id) > 1),
+dstarts AS (SELECT DISTINCT doc_id, s FROM grams JOIN dupg USING (ghash)),
+covered AS (
+  SELECT DISTINCT p.doc_id, p.p FROM pos2 p
+  JOIN dstarts d ON p.doc_id = d.doc_id AND p.p BETWEEN d.s AND d.s + 12
+),
+kept AS (
+  SELECT pos2.doc_id, pos2.p, pos2.tok FROM pos2
+  ANTI JOIN covered USING (doc_id, p)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM toked t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@register("dup_span_removal", _W62_ORACLE)
+def w_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.webtext import dup_span_removal
+
+    docs = _read(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    return dup_span_removal(docs, n=13).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# w63 — host-level curation rollup: fetches (synthetic URLs from
+# orders) join their document's Gopher keep flag; per host the keep
+# rate decides a blocklist entry. One bounded-cardinality shuffle on
+# the host key; counters only.
+# ---------------------------------------------------------------------------
+
+_W63_ORACLE = f"""
+WITH fetches AS (
+  SELECT o_orderkey, {_url_case('VARCHAR')} AS url,
+         o_orderkey % 500 AS doc_id
+  FROM orders
+),
+toked AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         len(t) * 1.0 AS n_words,
+         list_sum(list_transform(t, w -> length(w))) * 1.0 / len(t) AS mean_len,
+         len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) * 1.0 / len(t)
+             AS alpha_frac,
+         (length(text) - length(replace(text, '#', ''))) * 1.0 / len(t) AS sym_ratio
+  FROM toked
+),
+q AS (
+  SELECT doc_id,
+         (n_words >= 50 AND n_words <= 100000)
+             AND (mean_len >= 3.0 AND mean_len <= 10.0)
+             AND alpha_frac > 0.8 AND sym_ratio < 0.1 AS keep
+  FROM m
+),
+hosted AS (
+  SELECT lower(string_split(string_split(string_split(f.url, '://')[2], '#')[1],
+               '/')[1]) AS host_raw,
+         f.doc_id, CAST(q.keep AS INT) AS k
+  FROM fetches f JOIN q USING (doc_id)
+),
+hosted2 AS (
+  SELECT string_split(host_raw, '?')[1] AS host, doc_id, k FROM hosted
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       round(avg(k), 6) AS keep_rate,
+       avg(k) < 0.5 AS blocklisted
+FROM hosted2 GROUP BY host ORDER BY host
+"""
+
+
+@register("host_quality_rollup", _W63_ORACLE)
+def w_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.webtext import gopher_quality, host_quality_rollup
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    fetches = spark.sql(
+        f"SELECT o_orderkey, {_url_case('STRING')} AS url,"
+        " o_orderkey % 500 AS doc_id FROM orders")
+    q = gopher_quality(_read(spark, sf_dir, "documents")) \
+        .select("doc_id", "keep")
+    linked = fetches.join(F.broadcast(q), "doc_id")
+    return host_quality_rollup(linked).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# w64 — STREAMING exact dedup (stateful): the dedup table maintained
+# incrementally over a document stream via applyInPandasWithState;
+# the converged state equals the batch dedup_exact result, checked
+# against the same SQL oracle.
+# ---------------------------------------------------------------------------
+
+_W64_ORACLE = """
+SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keeper,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1 ORDER BY text_hash
+"""
+
+
+@register("streaming_exact_dedup", _W64_ORACLE)
+def w_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bano_spark.streaming.stateful import streaming_exact_dedup
+
+    schema = _read(spark, sf_dir, "documents").schema
+    feed = (spark.readStream.schema(schema).parquet(sf_dir.rstrip("/"))
+            .filter(F.input_file_name().endswith("documents.parquet")))
+    src = feed.select(F.md5("text").alias("text_hash"), "doc_id")
+    out = streaming_exact_dedup(src.groupBy("text_hash"))
+    ckpt = tempfile.mkdtemp(prefix="bano_dedup_ckpt_")
+    qname = "w64_dedup"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    tbl = spark.table(qname)
+    # keep the last upsert per key (max n_dups = converged state)
+    w = Window.partitionBy("text_hash").orderBy(F.desc("n_dups"))
+    final = (tbl.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("text_hash", "keeper", "n_dups").orderBy("text_hash"))
+    rows = final.collect()
+    q.stop()
+    return spark.createDataFrame(rows, final.schema)
+
+
+# ---------------------------------------------------------------------------
+# w65 — IVF ANN with nprobe=2 (the recall knob): queries probe their
+# top-2 coarse cells; the data side is never amplified. Cell ranking
+# is an array_sort over (negated component, id) structs with identical
+# lexicographic semantics in both engines.
+# ---------------------------------------------------------------------------
+
+def _ivf_probe2_sql(tbl: str, vec: str) -> str:
+    pairs = ", ".join(
+        f"struct_pack(v := -CAST({tbl}.{vec}[{j + 1}] AS DOUBLE), j := {j})"
+        for j in range(4))
+    return f"list_transform(list_sort([{pairs}])[1:2], x -> x.j)"
+
+
+_W65_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding,
+                  {_ivf_cell_sql('embeddings', 'embedding')} AS cell
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+             unnest({_ivf_probe2_sql('embeddings', 'embedding')}) AS cell
+      FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, a.vec_id, round({_W18_DOT} / ({_W18_NA} * {_W18_NQ}), 4)
+         AS cos_sim
+  FROM v a JOIN q ON a.cell = q.cell AND a.vec_id != q.q_id
+)
+SELECT q_id, vec_id, cos_sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+ORDER BY q_id, rnk
+"""
+
+
+@register("ivf_topk_nprobe", _W65_ORACLE)
+def w_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.similarity import ivf_topk
+
+    vecs = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return ivf_topk(vecs, queries_df, k=5, n_cells=4, nprobe=2) \
+        .orderBy("q_id", "rnk")

@@ -62,3 +62,41 @@ def run_running_stats_stream(spark, src_dir: str, schema, key_col: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return "running_stats"
+
+
+DEDUP_STATE_SCHEMA = StructType([
+    StructField("keeper", LongType()),
+    StructField("n_seen", LongType()),
+])
+
+DEDUP_OUTPUT_SCHEMA = StructType([
+    StructField("text_hash", StringType()),
+    StructField("keeper", LongType()),
+    StructField("n_dups", LongType()),
+])
+
+
+def streaming_exact_dedup(grouped, id_col: str = "doc_id"):
+    """Stateful exact-dedup over a document stream: per content-hash
+    group the state carries (keeper = min id seen so far, n_seen);
+    each micro-batch emits the updated dedup row — an upsert feed for
+    the dedup serving table, converging to exactly the batch
+    `dedup.exact_dedup` result without ever recomputing history.
+    Deterministic under replay: the keeper is the min id, not the
+    arrival order."""
+
+    def fn(key, pdfs, state: GroupState):
+        keeper, n = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            mn = int(pdf[id_col].min())
+            keeper = mn if keeper is None else min(keeper, mn)
+        state.update((keeper, n))
+        yield pd.DataFrame({"text_hash": [key[0]], "keeper": [keeper],
+                            "n_dups": [n]})
+
+    return grouped.applyInPandasWithState(
+        fn, DEDUP_OUTPUT_SCHEMA, DEDUP_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
