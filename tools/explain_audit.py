@@ -39,6 +39,10 @@ AUDITED = [
     "token_budget_selection",
     "minhash_lsh_safe_pairs",
     "json_lieux_dits_export",
+    "dup_span_removal",
+    "host_quality_rollup",
+    "ivf_topk_nprobe",
+    "communes_summary_rollup",
 ]
 
 CHECKS = [
