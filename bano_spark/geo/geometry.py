@@ -334,3 +334,86 @@ def polygon_area_centroid_batch(rings):
         cx[idxs] = gx
         cy[idxs] = gy
     return area, cx, cy
+
+
+def cells_to_rings(cells: np.ndarray) -> list[np.ndarray]:
+    """Raster -> vector: boundary rings of a set of unit grid cells
+    (the inverse of cover_polygon's vector -> raster; together they
+    close the north rule's raster<->vector commune-grid stage).
+
+    Each cell (x, y) spans [x, x+1) x [y, y+1). Every cell contributes
+    its 4 directed edges with the interior on the LEFT (CCW); edges
+    shared by two cells cancel, and the survivors are stitched into
+    closed loops — outer boundaries come out CCW (positive shoelace
+    area), holes CW (negative). Pinch vertices (diagonally-touching
+    cells) are resolved by preferring the sharpest LEFT turn, which
+    keeps every emitted ring simple. Collinear runs are compressed.
+
+    Returns a list of (k, 2) float vertex arrays (closed: last ==
+    first), in cell coordinates — multiply by the cell size and add
+    the grid origin for world coordinates.
+    """
+    c = np.asarray(cells, dtype=np.int64).reshape(-1, 2)
+    if len(c) == 0:
+        return []
+    occ = {(int(x), int(y)) for x, y in c}
+    edges: dict[tuple, list] = {}
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
+
+    for (x, y) in occ:
+        if (x, y - 1) not in occ:
+            add((x, y), (x + 1, y))          # bottom, east-bound
+        if (x + 1, y) not in occ:
+            add((x + 1, y), (x + 1, y + 1))  # right, north-bound
+        if (x, y + 1) not in occ:
+            add((x + 1, y + 1), (x, y + 1))  # top, west-bound
+        if (x - 1, y) not in occ:
+            add((x, y + 1), (x, y))          # left, south-bound
+
+    # left-turn preference order per incoming direction (dx, dy):
+    # left, straight, right (a U-turn cannot occur on cancelled grids)
+    def pick(prev_dir, outs):
+        if len(outs) == 1:
+            return outs[0]
+        px, py = prev_dir
+        pref = [(-py, px), (px, py), (py, -px)]  # left, straight, right
+        for d in pref:
+            for o in outs:
+                if (o[0], o[1]) == d:
+                    return o
+        return outs[0]
+
+    rings: list[np.ndarray] = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        outs = edges[start]
+        cur = outs.pop()
+        if not outs:
+            del edges[start]
+        prev_dir = (cur[0] - start[0], cur[1] - start[1])
+        while cur != start:
+            ring.append(cur)
+            outs = edges[cur]
+            nxt_abs = pick(prev_dir, [(o[0] - cur[0], o[1] - cur[1])
+                                      for o in outs])
+            nxt = (cur[0] + nxt_abs[0], cur[1] + nxt_abs[1])
+            outs.remove(nxt)
+            if not outs:
+                del edges[cur]
+            prev_dir = nxt_abs
+            cur = nxt
+        ring.append(start)
+        v = np.array(ring, dtype=np.float64)
+        # compress collinear runs (axis-aligned: drop midpoints)
+        keep = [0]
+        for i in range(1, len(v) - 1):
+            d0 = v[i] - v[keep[-1]]
+            d1 = v[i + 1] - v[i]
+            if d0[0] * d1[1] - d0[1] * d1[0] != 0:
+                keep.append(i)
+        keep.append(len(v) - 1)
+        rings.append(v[keep])
+    return rings

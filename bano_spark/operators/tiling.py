@@ -85,3 +85,46 @@ def expired_tiles_to_insee(tiles_df: DataFrame, commune_polys: DataFrame,
         .orderBy(insee)
     )
     return out
+
+
+def vectorize_tiles(cells: DataFrame, group_col: str = "insee_com",
+                    x_col: str = "tx", y_col: str = "ty") -> DataFrame:
+    """Raster -> vector: per group, trace the boundary rings of its
+    tile-cell set (geometry.cells_to_rings) — the inverse of
+    polygon_cover, closing the north rule's raster<->vector stage
+    (e.g. turning an expired-tile set back into a dirty-AREA polygon
+    for spatial predicates). One row per ring: vertex count, signed
+    shoelace area in cell units (outer rings positive, holes
+    negative), perimeter in cell units, and the ring itself.
+
+    Scale shape: groupBy on the group key; each group's cell set is
+    bounded by (region area / cell area), so the per-group numpy trace
+    is bounded work, and ring output is vertices-on-the-boundary only
+    (O(perimeter), not O(area))."""
+    import numpy as np
+    import pandas as pd
+
+    from ..geo.geometry import cells_to_rings
+
+    def trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[group_col].iloc[0]
+        rings = cells_to_rings(
+            np.stack([pdf[x_col].to_numpy(np.int64),
+                      pdf[y_col].to_numpy(np.int64)], axis=1))
+        rows = []
+        for i, r in enumerate(rings):
+            v = r[:-1]
+            area = 0.5 * float(
+                np.sum(v[:, 0] * np.roll(v[:, 1], -1)
+                       - np.roll(v[:, 0], -1) * v[:, 1]))
+            per = float(np.abs(np.diff(r, axis=0)).sum())
+            rows.append((key, i, len(r), area, per, r.tolist()))
+        return pd.DataFrame(rows, columns=[group_col, "ring_id", "n_verts",
+                                           "signed_area", "perimeter",
+                                           "ring"])
+
+    schema = (f"{group_col} string, ring_id int, n_verts int, "
+              "signed_area double, perimeter double, "
+              "ring array<array<double>>")
+    return (cells.select(group_col, x_col, y_col).distinct()
+            .groupBy(group_col).applyInPandas(trace, schema))

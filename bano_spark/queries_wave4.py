@@ -3364,3 +3364,55 @@ def w_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     return ivf_topk(vecs, queries_df, k=5, n_cells=4, nprobe=2) \
         .orderBy("q_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# w66 — raster -> vector: per-commune tile sets traced back into
+# boundary rings (inverse of polygon_cover; the other half of the
+# north rule's raster<->vector stage). The oracle cross-checks the
+# ring geometry through two exact invariants computable in SQL from
+# the raw cell set: net shoelace area == cell count, and total ring
+# perimeter == 4*cells - 2*adjacent pairs.
+# ---------------------------------------------------------------------------
+
+def _w66_cells(dialect: str) -> str:
+    cell = "611.4962261962891"
+    return f"""
+WITH pts AS ({synth.points_select_sql(dialect, "events")}),
+cells AS (
+  SELECT DISTINCT {_insee_case('event_id')} AS insee_com,
+         CAST(floor((x - (-20037508.34)) / {cell}) AS BIGINT) AS tx,
+         CAST(floor((20037508.34 - y) / {cell}) AS BIGINT) AS ty
+  FROM pts
+)
+"""
+
+
+_W66_ORACLE = f"""
+{_w66_cells('duckdb')},
+n AS (SELECT insee_com, count(*) AS nc FROM cells GROUP BY 1),
+h AS (SELECT c1.insee_com, count(*) AS nh FROM cells c1
+      JOIN cells c2 ON c1.insee_com = c2.insee_com
+                   AND c2.tx = c1.tx + 1 AND c2.ty = c1.ty GROUP BY 1),
+v AS (SELECT c1.insee_com, count(*) AS nv FROM cells c1
+      JOIN cells c2 ON c1.insee_com = c2.insee_com
+                   AND c2.ty = c1.ty + 1 AND c2.tx = c1.tx GROUP BY 1)
+SELECT n.insee_com, CAST(n.nc AS BIGINT) AS area_cells,
+       CAST(4 * n.nc - 2 * (COALESCE(h.nh, 0) + COALESCE(v.nv, 0)) AS BIGINT)
+           AS perimeter_cells
+FROM n LEFT JOIN h USING (insee_com) LEFT JOIN v USING (insee_com)
+ORDER BY n.insee_com
+"""
+
+
+@register("tiles_vectorize", _W66_ORACLE)
+def w_tiles_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.tiling import vectorize_tiles
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    cells = spark.sql(_w66_cells("spark") + "SELECT * FROM cells")
+    rings = vectorize_tiles(cells)
+    return (rings.groupBy("insee_com").agg(
+        F.round(F.sum("signed_area")).cast("bigint").alias("area_cells"),
+        F.round(F.sum("perimeter")).cast("bigint").alias("perimeter_cells"))
+        .orderBy("insee_com"))

@@ -126,3 +126,37 @@ def test_line_merge_breaks_at_junctions():
     ], dtype=float)
     lines = line_merge(segs)
     assert sorted(len(l) for l in lines) == [2, 2, 2]
+
+
+def test_cells_to_rings_hole_and_pinch():
+    """Raster->vector boundary trace: 3x3 block minus center plus an
+    arm yields one CCW outer ring (area 11) and one CW hole (area -1);
+    diagonally-touching cells split into two simple rings."""
+    import numpy as np
+
+    from bano_spark.geo.geometry import cells_to_rings
+
+    cells = [(x, y) for x in range(3) for y in range(3) if (x, y) != (1, 1)]
+    cells += [(3, 0), (4, 0)]
+    rings = cells_to_rings(np.array(cells))
+
+    def signed_area(r):
+        v = r[:-1]
+        return 0.5 * float(np.sum(
+            v[:, 0] * np.roll(v[:, 1], -1) - np.roll(v[:, 0], -1) * v[:, 1]))
+
+    areas = sorted(round(signed_area(r), 6) for r in rings)
+    assert areas == [-1.0, 11.0]           # hole CW, outer CCW
+    assert sum(areas) == len(cells)        # net = cell count (10)
+    per = sum(float(np.abs(np.diff(r, axis=0)).sum()) for r in rings)
+    assert per == 20.0
+    for r in rings:                        # closed, axis-aligned, simple
+        assert (r[0] == r[-1]).all()
+        steps = np.diff(r, axis=0)
+        assert ((steps[:, 0] == 0) | (steps[:, 1] == 0)).all()
+        interior = [tuple(p) for p in r[:-1]]
+        assert len(interior) == len(set(interior))
+
+    pinch = cells_to_rings(np.array([(0, 0), (1, 1)]))
+    assert len(pinch) == 2 and all(len(r) == 5 for r in pinch)
+    assert sorted(round(signed_area(r), 6) for r in pinch) == [1.0, 1.0]
