@@ -113,3 +113,36 @@ def test_cover_contains_every_inside_point(data):
             assert cell in cells, f"inside point lost by cover at z{z}"
         if cell in interior_cells:
             assert isin, "interior cell contains an outside point"
+
+
+@given(data=st.data())
+@settings(max_examples=40, deadline=None)
+def test_cells_to_rings_invariants(data):
+    """Random cell sets: traced rings must reproduce the exact area
+    (net shoelace == cell count) and perimeter (4n - 2*adjacent pairs)
+    of the raster, with every ring closed, axis-aligned and simple."""
+    import numpy as np
+
+    from bano_spark.geo.geometry import cells_to_rings
+
+    cells = data.draw(st.sets(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=30))
+    rings = cells_to_rings(np.array(sorted(cells)))
+
+    net = 0.0
+    per = 0.0
+    for r in rings:
+        assert (r[0] == r[-1]).all()
+        steps = np.diff(r, axis=0)
+        assert ((steps[:, 0] == 0) | (steps[:, 1] == 0)).all()
+        verts = [tuple(p) for p in r[:-1]]
+        assert len(verts) == len(set(verts))
+        v = r[:-1]
+        net += 0.5 * float(np.sum(
+            v[:, 0] * np.roll(v[:, 1], -1) - np.roll(v[:, 0], -1) * v[:, 1]))
+        per += float(np.abs(steps).sum())
+    adj = sum(1 for (x, y) in cells if (x + 1, y) in cells) \
+        + sum(1 for (x, y) in cells if (x, y + 1) in cells)
+    assert round(net, 6) == len(cells)
+    assert per == 4 * len(cells) - 2 * adj

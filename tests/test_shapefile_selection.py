@@ -309,3 +309,26 @@ def test_shp_publish_bundle_roundtrip(spark, tmp_path):
         assert tar.extractfile("bano-01.cpg").read() == b"UTF-8"
         num, xs, ys = parse_point_blob(tar.extractfile("bano-01.shp").read())
         assert len(num) == 6 and xs.min() >= 5.1 and ys.max() <= 46.26
+
+
+def test_cumsum_string_tiebreak_and_random_ties(spark):
+    """Composite bucketing with a STRING tiebreak column (lexicographic
+    boundary comparisons) across random tie-heavy datasets."""
+    import random
+
+    from bano_spark.operators.selection import distributed_cumsum
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows = [(f"d{i:05d}", rng.randint(0, 3), 1 + rng.randint(0, 9))
+                for i in range(1500)]
+        df = spark.createDataFrame(
+            rows, "doc_id string, q long, v long").repartition(8)
+        out = distributed_cumsum(
+            df, "q", [F.desc("q"), F.asc("doc_id")], "v", out_col="cum",
+            descending=True, num_buckets=13, tiebreak_col="doc_id")
+        got = {r.doc_id: r.cum for r in out.collect()}
+        acc = 0
+        for _, doc_id, v in sorted(((-q, d, v) for d, q, v in rows)):
+            acc += v
+            assert got[doc_id] == acc, f"seed {seed} at {doc_id}"
