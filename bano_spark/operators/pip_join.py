@@ -86,6 +86,7 @@ def spatial_join(
     split_refine: bool = False,
     broadcast_max_verts: int = 4_000_000,
     refine_salt: int = 4,
+    cover_levels: int = 1,
 ) -> DataFrame:
     """Inner join of points to containing polygons.
 
@@ -101,6 +102,17 @@ def spatial_join(
     across N shuffle partitions — output-invariant. ``refine_salt``
     does the same for the shuffle-refine stage (hot-polygon boundary
     candidates), replicating each ring that many ways.
+
+    ``cover_levels`` > 1 (broadcast path only) quadtree-compacts the
+    cover: interior cells whose 4 siblings are interior merge upward,
+    across that many zoom levels. A national-scale z16 cover is
+    interior-dominated (cells ~ area, boundary ~ perimeter), so the
+    broadcast bytes and cover build shrink by roughly the
+    interior/boundary ratio; points probe one broadcast hash join on
+    (level, cell) after a cheap ``cover_levels``-way in-scan explode
+    (no shuffle, no extra pass over the upstream). Output-identical
+    to the flat cover (each point hits each polygon's cover at
+    exactly one level).
     """
     spark = points.sparkSession
 
@@ -128,24 +140,46 @@ def spatial_join(
             r[0]: np.array([list(p) for p in r[1]], dtype=np.float64)
             for r in polygons.select(id_col, verts_col).collect()
         }
+        min_z = zoom - (max(int(cover_levels), 1) - 1)
         rows = []
         for pid, v in vert_map.items():
             gx, gy, interior = geometry.cover_polygon(v, zoom)
-            rows.extend(zip([pid] * len(gx), gx.tolist(), gy.tolist(),
-                            interior.tolist()))
+            if cover_levels > 1:
+                lv, cx, cy, ci = geometry.compact_cover(
+                    gx, gy, interior, zoom, min_z)
+                rows.extend(zip([pid] * len(lv), lv.tolist(), cx.tolist(),
+                                cy.tolist(), ci.tolist()))
+            else:
+                rows.extend(zip([pid] * len(gx), [zoom] * len(gx),
+                                gx.tolist(), gy.tolist(), interior.tolist()))
         cover = spark.createDataFrame(
             rows, T.StructType([
                 T.StructField(id_col, polygons.schema[id_col].dataType),
-                T.StructField("tx", T.LongType()),
-                T.StructField("ty", T.LongType()),
+                T.StructField("_lvl", T.IntegerType()),
+                T.StructField("_tx", T.LongType()),
+                T.StructField("_ty", T.LongType()),
                 T.StructField("interior", T.BooleanType()),
             ]))
     else:
         cover = polygon_cover(polygons, zoom, id_col, verts_col)
 
     if broadcast:
-        cover_j = F.broadcast(cover.withColumnRenamed("tx", "_tx").withColumnRenamed("ty", "_ty"))
-        cand = pts.join(cover_j, ["_tx", "_ty"])
+        if cover_levels > 1:
+            lvls = list(range(min_z, zoom + 1))
+            structs = F.array(*[
+                F.struct(F.lit(l).cast("int").alias("_lvl"),
+                         tiles.tile_x(F.col(x), l).alias("_tx"),
+                         tiles.tile_y(F.col(y), l).alias("_ty"))
+                for l in lvls])
+            p2 = (points.withColumn("_lc", F.explode(structs))
+                  .withColumn("_lvl", F.col("_lc._lvl"))
+                  .withColumn("_tx", F.col("_lc._tx"))
+                  .withColumn("_ty", F.col("_lc._ty"))
+                  .drop("_lc"))
+            cand = p2.join(F.broadcast(cover),
+                           ["_lvl", "_tx", "_ty"]).drop("_lvl")
+        else:
+            cand = pts.join(F.broadcast(cover.drop("_lvl")), ["_tx", "_ty"])
     else:
         cov = cover.withColumnRenamed("tx", "_tx").withColumnRenamed("ty", "_ty")
         if salt and salt > 1:

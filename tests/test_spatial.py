@@ -122,3 +122,28 @@ def test_shuffle_refine_salted_matches_broadcast(spark):
                             broadcast=False, refine_salt=rs, split_refine=True)
         assert sorted(row.event_id for row in shuf.collect()) == sorted(
             row.event_id for row in bcast.collect())
+
+
+def test_quadtree_cover_matches_flat(spark):
+    """cover_levels > 1 quadtree-compacts the broadcast cover; the
+    join output must be identical to the flat cover on both a simple
+    triangle and a many-vertex circle."""
+    from bano_spark.geo import geometry
+
+    for poly_fn in (_triangle, lambda s: _circle(s, 2000)[0]):
+        poly = poly_fn(spark)
+        pts = _pts(spark, 1500)
+        flat = spatial_join(pts, poly, id_col="poly_id", zoom=14,
+                            broadcast=True, cover_levels=1)
+        quad = spatial_join(pts, poly, id_col="poly_id", zoom=14,
+                            broadcast=True, cover_levels=4,
+                            split_refine=True)
+        assert sorted(r.event_id for r in quad.collect()) == sorted(
+            r.event_id for r in flat.collect())
+
+    # the compaction is real: a filled block shrinks by ~4^levels
+    import numpy as np
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+    lv, cx, cy, ci = geometry.compact_cover(
+        xs.ravel(), ys.ravel(), np.ones(256, bool), z=16, min_z=12)
+    assert len(lv) == 1 and lv[0] == 12
