@@ -154,3 +154,58 @@ def embedding_exact_dedup(vecs: DataFrame, id_col: str = "vec_id",
             .agg(F.min(id_col).alias("keeper"),
                  F.count(F.lit(1)).alias("n_dups"))
             .select("keeper", "n_dups"))
+
+
+def pq_encode(vec_col: str, m: int = 8, dsub: int = 8, k: int = 4) -> Column:
+    """Product-quantization codes: the vector splits into ``m``
+    subvectors of ``dsub`` dims; each is assigned its nearest centroid
+    out of ``k``. The codebook is deterministic — centroid j of every
+    subspace is the unit vector along the subspace's axis j — so
+    nearest-centroid reduces to argmax over the first ``k`` components
+    (ties -> lowest j), exactly expressible in plain SQL for the
+    oracle, while keeping the real PQ mechanics: a 64-float embedding
+    becomes ``m`` small codes (8x+ compression), and search scans
+    codes, not vectors. Swap the codebook for k-means centroids on a
+    real corpus; the operator shape is unchanged."""
+    subs = []
+    for mi in range(m):
+        comps = [F.element_at(F.col(vec_col), mi * dsub + j + 1).cast("double")
+                 for j in range(k)]
+        best = F.greatest(*comps)
+        code = F.when(comps[0] == best, F.lit(0))
+        for j in range(1, k):
+            code = code.when(comps[j] == best, F.lit(j))
+        subs.append(code.cast("int"))
+    return F.array(*subs)
+
+
+def pq_adc_topk(vecs: DataFrame, queries: DataFrame, topk: int = 5,
+                m: int = 8, dsub: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:
+    """Asymmetric-distance PQ search: data side is ONLY (id, codes) —
+    the scan touches m-byte codes instead of the raw vectors (the
+    memory-bandwidth win PQ exists for); the query side stays exact.
+    dist(q, x) ~ sum_m ||q_m - centroid(code_m)||^2, which for the
+    axis-aligned codebook is sum_m (||q_m||^2 - 2*q_m[code_m] + 1).
+    Queries broadcast; per (query, vector) the distance is one
+    higher-order aggregate in codegen; top-k by window rank
+    (dist asc, id asc)."""
+    codes = vecs.select(F.col(id_col),
+                        pq_encode(vec_col, m, dsub).alias("codes"))
+    q = queries.select(F.col(qid_col), F.col(qvec_col))
+    sub_norm = " + ".join(
+        f"pow(element_at({qvec_col}, m * {dsub} + {j + 1}), 2)"
+        for j in range(dsub))
+    dist = F.expr(
+        f"aggregate(sequence(0, {m - 1}), CAST(0.0 AS DOUBLE),"
+        f" (acc, m) -> acc + ({sub_norm})"
+        f" - 2 * element_at({qvec_col}, m * {dsub} + element_at(codes, m + 1) + 1)"
+        " + 1.0)")
+    scored = (codes.crossJoin(F.broadcast(q))
+              .filter(F.col(id_col) != F.col(qid_col))
+              .select(qid_col, id_col, F.round(dist, 4).alias("adc_dist")))
+    w = Window.partitionBy(qid_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= topk)
+            .select(qid_col, id_col, "adc_dist", "rnk"))

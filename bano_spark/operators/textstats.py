@@ -118,3 +118,40 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text",
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select(id_col, "term", "tf", "df", "score", "rnk"))
+
+
+def bigram_lm_score(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style perplexity filtering with an IN-CORPUS bigram LM
+    (Wenzek et al. 2019 filter by LM score; here the LM is trained on
+    the corpus itself, so the whole thing is relational and exactly
+    reproducible — no external model): Laplace-smoothed
+    P(w2|w1) = (c12 + 1) / (c1 + V) where c12 is the corpus bigram
+    count, c1 the count of w1 as a left context, V the corpus
+    vocabulary size. Per document: avg negative ln-probability over
+    its bigrams (lower = more typical of the corpus; the quality
+    band cut is the caller's policy).
+
+    Scale shape: train = two hash aggregations over exploded bigrams
+    (map-side partial combine; shuffles carry token pairs + counters,
+    never documents); score = one shuffle join of doc-bigrams against
+    the bigram-count table plus a broadcast-sized context table; one
+    final per-doc aggregation. No Python anywhere."""
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")) \
+        .filter(F.size("_t") >= 2)
+    bi = toked.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "transform(sequence(1, size(_t) - 1),"
+            " i -> struct(element_at(_t, i) AS w1,"
+            " element_at(_t, i + 1) AS w2))")).alias("b")
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = toked.select(F.explode("_t").alias("w")).select("w").distinct().count()
+    scored = (bi.join(c12, ["w1", "w2"]).join(c1, "w1")
+              .withColumn("_nlp", -F.log(
+                  (F.col("c12") + 1) / (F.col("c1") + F.lit(float(v))))))
+    return (scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("_nlp"), 6).alias("avg_neg_logp")))

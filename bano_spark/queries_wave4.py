@@ -3416,3 +3416,98 @@ def w_tiles_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("signed_area")).cast("bigint").alias("area_cells"),
         F.round(F.sum("perimeter")).cast("bigint").alias("perimeter_cells"))
         .orderBy("insee_com"))
+
+
+# ---------------------------------------------------------------------------
+# w67 — CCNet-style LM quality score with an in-corpus bigram LM
+# (Wenzek et al. 2019): Laplace-smoothed P(w2|w1), per-doc average
+# negative ln-probability. Train + score are four hash aggregations
+# and two joins — fully relational in both engines.
+# ---------------------------------------------------------------------------
+
+_W67_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+  WHERE len({_TOKS_SQL}) >= 2
+),
+bi AS (
+  SELECT doc_id,
+         t[CAST(i AS BIGINT)] AS w1, t[CAST(i AS BIGINT) + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toked)
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+v AS (SELECT count(DISTINCT u.w) AS v FROM toked, UNNEST(t) AS u(w)),
+scored AS (
+  SELECT bi.doc_id,
+         -ln((c12.c12 + 1) / (c1.c1 + CAST(v.v AS DOUBLE))) AS nlp
+  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(nlp), 6) AS avg_neg_logp
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("bigram_lm_score", _W67_ORACLE)
+def w_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.textstats import bigram_lm_score
+
+    return bigram_lm_score(_read(spark, sf_dir, "documents")) \
+        .orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# w68 — product quantization: encode embeddings to 8 subspace codes
+# (axis-aligned deterministic codebook -> argmax per subspace, same
+# convention as ivf_cell) and search by asymmetric distance over the
+# CODES — the 8x-compressed-scan mechanics of PQ, oracle-exact.
+# ---------------------------------------------------------------------------
+
+def _pq_code_sql(tbl: str, vec: str, mi: int, dsub: int = 8, k: int = 4) -> str:
+    comps = [f"CAST({tbl}.{vec}[{mi * dsub + j + 1}] AS DOUBLE)"
+             for j in range(k)]
+    best = f"greatest({', '.join(comps)})"
+    whens = " ".join(f"WHEN {comps[j]} = {best} THEN {j}" for j in range(k))
+    return f"(CASE {whens} END)"
+
+
+_W68_SUBNORM = " + ".join(
+    f"pow(CAST(q.q_vec[m * 8 + {j + 1}] AS DOUBLE), 2)" for j in range(8))
+
+_W68_ORACLE = f"""
+WITH codes AS (
+  SELECT vec_id,
+         [{", ".join(_pq_code_sql('embeddings', 'embedding', mi)
+                     for mi in range(8))}] AS codes
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         round(list_sum(list_transform(generate_series(0, 7),
+               m -> ({_W68_SUBNORM})
+                    - 2 * CAST(q.q_vec[m * 8 + c.codes[m + 1] + 1] AS DOUBLE)
+                    + 1.0)), 4) AS adc_dist
+  FROM codes c CROSS JOIN q
+  WHERE c.vec_id != q.q_id
+)
+SELECT q_id, vec_id, adc_dist, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY adc_dist ASC, vec_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+ORDER BY q_id, rnk
+"""
+
+
+@register("pq_adc_topk", _W68_ORACLE)
+def w_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.similarity import pq_adc_topk
+
+    vecs = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries_df = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return pq_adc_topk(vecs, queries_df, topk=5).orderBy("q_id", "rnk")
