@@ -3511,3 +3511,119 @@ def w_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = vecs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     return pq_adc_topk(vecs, queries_df, topk=5).orderBy("q_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# w69 — gap-based sessionization (clickstream primitive; batch twin of
+# session_window): windows partitioned by user only — no global order
+# anywhere in the plan.
+# ---------------------------------------------------------------------------
+
+_W69_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+marked AS (
+  SELECT user_id, sec,
+         CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_s,
+         event_id, ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY sec, event_id) AS rn
+  FROM g
+),
+sess AS (
+  SELECT user_id, sec,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(sec) AS BIGINT) AS start_sec,
+       CAST(max(sec) AS BIGINT) AS end_sec,
+       CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@register("sessionize_events", _W69_ORACLE)
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.sessions import sessionize
+
+    return sessionize(_read(spark, sf_dir, "events")) \
+        .orderBy("user_id", "session_id")
+
+
+# ---------------------------------------------------------------------------
+# w70 — distributed Lloyd's k-means (trainable codebook for IVF/PQ):
+# 2 quantized iterations from the k-smallest-id init, oracle-exact via
+# an unrolled SQL twin (centroids rounded to 6, distances to 4, argmin
+# ties -> lowest cluster id in both engines).
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    parts = [f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+cp0 AS (
+  SELECT vec_id AS cid, unnest(generate_series(1, {dim})) AS i, embedding
+  FROM embeddings WHERE vec_id < {k}
+),
+cf0 AS (SELECT cid, i, CAST(embedding[i] AS DOUBLE) AS c FROM cp0)"""]
+    prev = "cf0"
+    for t in range(iters):
+        parts.append(f""",
+d{t} AS (
+  SELECT v.vec_id, {prev}.cid,
+         round(sum(pow(CAST(v.embedding[{prev}.i] AS DOUBLE) - {prev}.c, 2)),
+               4) AS d
+  FROM v CROSS JOIN {prev} GROUP BY v.vec_id, {prev}.cid
+),
+a{t} AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d{t}) WHERE rn = 1
+),
+u{t} AS (
+  SELECT a{t}.cluster AS cid, pe.i,
+         round(avg(CAST(pe.embedding[pe.i] AS DOUBLE)), 6) AS c
+  FROM a{t} JOIN (
+    SELECT vec_id, unnest(generate_series(1, {dim})) AS i, embedding
+    FROM embeddings) pe ON pe.vec_id = a{t}.vec_id
+  GROUP BY 1, 2
+),
+cf{t + 1} AS (
+  SELECT {prev}.cid, {prev}.i, COALESCE(u{t}.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN u{t} USING (cid, i)
+)""")
+        prev = f"cf{t + 1}"
+    parts.append(f""",
+df AS (
+  SELECT v.vec_id, {prev}.cid,
+         round(sum(pow(CAST(v.embedding[{prev}.i] AS DOUBLE) - {prev}.c, 2)),
+               4) AS d
+  FROM v CROSS JOIN {prev} GROUP BY v.vec_id, {prev}.cid
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster, dist FROM (
+  SELECT vec_id, cid AS cluster, d AS dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM df) WHERE rn = 1
+ORDER BY vec_id""")
+    return "".join(parts)
+
+
+_W70_ORACLE = _kmeans_oracle()
+
+
+@register("kmeans_assign", _W70_ORACLE)
+def w_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.clustering import kmeans_assign
+
+    vecs = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return kmeans_assign(vecs, k=4, iters=2).orderBy("vec_id")
