@@ -43,6 +43,9 @@ AUDITED = [
     "host_quality_rollup",
     "ivf_topk_nprobe",
     "communes_summary_rollup",
+    "bigram_lm_score",
+    "sessionize_events",
+    "tiles_vectorize",
 ]
 
 CHECKS = [
