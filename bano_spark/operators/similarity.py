@@ -209,3 +209,45 @@ def pq_adc_topk(vecs: DataFrame, queries: DataFrame, topk: int = 5,
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= topk)
             .select(qid_col, id_col, "adc_dist", "rnk"))
+
+
+def semdedup_prune(vecs: DataFrame, threshold: float = 0.95,
+                   n_cells: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_cluster: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering the embedding space and comparing pairs only WITHIN a
+    cluster — drop every vector whose cosine to a lower-id cluster-mate
+    reaches ``threshold``; each near-dup group keeps its min-id member
+    (deterministic representative). Returns the keepers (id, cell).
+
+    Clustering here is the deterministic ``ivf_cell`` quantizer so the
+    whole operator is exactly expressible in SQL for the oracle; on a
+    real corpus swap in kmeans_assign centroids — the operator shape
+    (cluster column -> per-cluster self-join -> anti-join) is unchanged.
+
+    Scale shape — the reason SemDeDup works at 100 TB where all-pairs
+    cosine cannot: the quadratic term is O(sum_c |cluster_c|^2), not
+    O(n^2); the self-join is a cell equi-join (hash-partitioned on the
+    cell key, vectors shuffle once per side), and ``max_cluster`` caps
+    degenerate cells the way lsh_near_dup_pairs caps sign-LSH buckets
+    (bitwise-identical vectors must be pre-collapsed upstream by
+    embedding_exact_dedup so no cell hides an unbounded identical
+    clump). The final anti-join shuffles only (id, cell) pairs."""
+    v = vecs.select(F.col(id_col), F.col(vec_col),
+                    ivf_cell(vec_col, n_cells).alias("cell"))
+    if max_cluster is not None:
+        sizes = v.groupBy("cell").agg(F.count(F.lit(1)).alias("_cn"))
+        v = v.join(sizes.filter(F.col("_cn") <= max_cluster).select("cell"),
+                   "cell")
+    a = v.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"),
+                 "cell")
+    b = v.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"),
+                 "cell")
+    dropped = (a.join(b, ["cell"])
+               .filter(F.col("_ida") < F.col("_idb"))
+               .filter(F.round(cosine("_va", "_vb"), 4) >= threshold)
+               .select(F.col("_idb").alias(id_col))
+               .distinct())
+    return (v.join(dropped, [id_col], "left_anti")
+            .select(F.col(id_col), F.col("cell")))

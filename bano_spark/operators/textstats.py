@@ -155,3 +155,55 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text",
     return (scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(F.avg("_nlp"), 6).alias("avg_neg_logp")))
+
+
+def dsir_importance(docs: DataFrame, target_cond: Column,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): weight every document by how much
+    more likely its bag of bigrams is under a TARGET-domain LM than
+    under the raw-corpus LM —
+    ``w(d) = sum_b [ ln p_target(b) - ln p_raw(b) ]`` over the doc's
+    bigram occurrences, both models Laplace-smoothed multinomials over
+    the corpus bigram space (``p(b) = (c_b + 1) / (total + B)`` with B
+    = distinct bigrams). ``target_cond`` is a boolean column picking
+    the target rows (e.g. ``F.col('lang') == 'fr'``) — the in-corpus
+    stand-in for the paper's external target corpus. Selection is then
+    deterministic top-n by (weight desc, id): ``.orderBy(...).limit(n)``
+    compiles to TakeOrderedAndProject (per-partition top-n, no global
+    sort). The paper hashes bigrams into 10k buckets only to bound
+    feature-vector memory; relationally no hashing is needed — the
+    count table IS the model and joins by the bigram itself.
+
+    Scale shape: BOTH models train in ONE aggregation pass (count +
+    conditional count per bigram — map-side partial combine; the
+    shuffle carries token pairs and two counters, never documents);
+    the three scalars (raw total, target total, vocabulary B) come
+    from one O(|bigrams|) aggregation; scoring is one shuffle join of
+    doc-bigrams against the count table plus a per-doc sum. No Python
+    anywhere."""
+    toked = (docs.select(F.col(id_col),
+                         target_cond.cast("int").alias("_tgt"),
+                         tokens(F.col(text_col)).alias("_t"))
+             .filter(F.size("_t") >= 2))
+    bi = toked.select(
+        F.col(id_col), "_tgt",
+        F.explode(F.expr(
+            "transform(sequence(1, size(_t) - 1),"
+            " i -> struct(element_at(_t, i) AS w1,"
+            " element_at(_t, i + 1) AS w2))")).alias("b")
+    ).select(id_col, "_tgt", F.col("b.w1").alias("w1"),
+             F.col("b.w2").alias("w2"))
+    counts = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum("_tgt").alias("c_tgt"))
+    tot = counts.agg(F.sum("c_raw").alias("r"), F.sum("c_tgt").alias("t"),
+                     F.count(F.lit(1)).alias("b")).collect()[0]
+    raw_total, tgt_total, n_bigrams = float(tot["r"]), float(tot["t"]), float(tot["b"])
+    term = (F.log((F.col("c_tgt") + 1) / F.lit(tgt_total + n_bigrams))
+            - F.log((F.col("c_raw") + 1) / F.lit(raw_total + n_bigrams)))
+    scored = bi.join(counts, ["w1", "w2"]).withColumn("_lr", term)
+    return (scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        F.round(F.sum("_lr"), 6).alias("log_weight")))

@@ -128,3 +128,36 @@ def vectorize_tiles(cells: DataFrame, group_col: str = "insee_com",
               "ring array<array<double>>")
     return (cells.select(group_col, x_col, y_col).distinct()
             .groupBy(group_col).applyInPandas(trace, schema))
+
+
+def tile_pyramid(cells: DataFrame, levels: int = 3,
+                 x_col: str = "tx", y_col: str = "ty",
+                 weight_col: str | None = None) -> DataFrame:
+    """Map-tile pyramid rollup: point counts (or weight sums) per tile
+    at the base zoom and every coarser level, one row per (lvl, tx, ty)
+    with lvl 0 = base and tile indices halving per level — the
+    tile-serving aggregation behind slippy-map heat layers (the
+    reference renders z16 tiles; a tile server needs every zoom).
+
+    Scale shape — aggregate-reuse, the whole point: the raw rows are
+    shuffled exactly ONCE (the base-level groupBy with map-side partial
+    combine); every coarser level aggregates the PREVIOUS level's
+    output, which shrinks ~4x per step, so the pyramid above the base
+    costs O(base_tiles * 4/3) total regardless of input size. The
+    naive alternative (one groupBy per level over the raw rows, or
+    GROUPING SETS — which Spark plans as an Expand that multiplies
+    every input row by the number of levels) shuffles the full input
+    ``levels`` times."""
+    agg = (F.count(F.lit(1)) if weight_col is None
+           else F.sum(weight_col)).cast("bigint").alias("n")
+    cur = (cells.groupBy(F.col(x_col).alias("tx"), F.col(y_col).alias("ty"))
+           .agg(agg))
+    out = cur.select(F.lit(0).alias("lvl"), "tx", "ty", "n")
+    for lvl in range(1, levels):
+        cur = (cur.groupBy(
+            F.floor(F.col("tx") / 2).cast("bigint").alias("tx"),
+            F.floor(F.col("ty") / 2).cast("bigint").alias("ty"))
+            .agg(F.sum("n").cast("bigint").alias("n")))
+        out = out.unionByName(
+            cur.select(F.lit(lvl).alias("lvl"), "tx", "ty", "n"))
+    return out

@@ -3627,3 +3627,137 @@ def w_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return kmeans_assign(vecs, k=4, iters=2).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# w70 — SemDeDup (Abbas et al. 2023): cluster-confined semantic dedup
+# over embeddings. The corpus' synthetic embeddings are near-orthogonal
+# (max pairwise cosine ~0.51), so the fixture unions in deterministic
+# near-dup twins (scaled copies: cos == 1.0 exactly, and uniform
+# scaling preserves the argmax cell) that the prune must drop while
+# keeping every original.
+# ---------------------------------------------------------------------------
+
+_W70_DOT = ("list_sum(list_transform(generate_series(1, 64), "
+            "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))")
+_W70_NA = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))")
+_W70_NB = ("sqrt(list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))")
+
+_W70_ORACLE = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+twin AS (SELECT vec_id + 10000 AS vec_id,
+                list_transform(embedding, x -> x * 2) AS embedding
+         FROM base WHERE vec_id < 40),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+v AS (SELECT vec_id, embedding, {_ivf_cell_sql('u', 'embedding')} AS cell FROM u),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_W70_DOT} / ({_W70_NA} * {_W70_NB}), 4) >= 0.95
+)
+SELECT vec_id, cell FROM v
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY vec_id
+"""
+
+
+@register("semdedup_prune", _W70_ORACLE)
+def w_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.similarity import semdedup_prune
+
+    base = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = base.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))")
+        .alias("embedding"))
+    return semdedup_prune(base.unionByName(twins), threshold=0.95,
+                          n_cells=4).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# w71 — DSIR importance weights (Xie et al. 2023): log likelihood ratio
+# of each doc's bigram bag under a target-domain LM (here: the corpus'
+# lang='fr' slice) vs the raw-corpus LM, both Laplace-smoothed
+# multinomials trained in one aggregation pass.
+# ---------------------------------------------------------------------------
+
+_W71_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS tgt,
+         {_TOKS_SQL} AS t
+  FROM documents WHERE len({_TOKS_SQL}) >= 2
+),
+bi AS (
+  SELECT doc_id, tgt,
+         t[CAST(i AS BIGINT)] AS w1, t[CAST(i AS BIGINT) + 1] AS w2
+  FROM (SELECT doc_id, tgt, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toked)
+),
+counts AS (SELECT w1, w2, count(*) AS c_raw, sum(tgt) AS c_tgt
+           FROM bi GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS r,
+               CAST(sum(c_tgt) AS DOUBLE) AS t,
+               CAST(count(*) AS DOUBLE) AS b FROM counts),
+scored AS (
+  SELECT bi.doc_id,
+         ln((counts.c_tgt + 1) / (tot.t + tot.b))
+         - ln((counts.c_raw + 1) / (tot.r + tot.b)) AS lr
+  FROM bi JOIN counts USING (w1, w2) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       round(sum(lr), 6) AS log_weight
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("dsir_importance", _W71_ORACLE)
+def w_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.textstats import dsir_importance
+
+    return dsir_importance(_read(spark, sf_dir, "documents"),
+                           F.col("lang") == "fr").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# w72 — tile-pyramid rollup: per-tile point counts at the base zoom and
+# two coarser levels, each level aggregated from the PREVIOUS level's
+# output (raw rows shuffle exactly once). The oracle recomputes every
+# level independently from the raw cells — floor(floor(t/2)/2) ==
+# floor(t/4), so iterative halving and direct division must agree.
+# ---------------------------------------------------------------------------
+
+def _w72_cells(dialect: str) -> str:
+    cell = "611.4962261962891"
+    return f"""
+WITH pts AS ({synth.points_select_sql(dialect, "events")}),
+cells AS (
+  SELECT CAST(floor((x - (-20037508.34)) / {cell}) AS BIGINT) AS tx,
+         CAST(floor((20037508.34 - y) / {cell}) AS BIGINT) AS ty
+  FROM pts
+)
+"""
+
+
+_W72_ORACLE = f"""
+{_w72_cells('duckdb')},
+base AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2)
+SELECT CAST(0 AS INTEGER) AS lvl, tx, ty, n FROM base
+UNION ALL
+SELECT 1, CAST(floor(tx / 2.0) AS BIGINT), CAST(floor(ty / 2.0) AS BIGINT),
+       CAST(sum(n) AS BIGINT) FROM base GROUP BY 2, 3
+UNION ALL
+SELECT 2, CAST(floor(tx / 4.0) AS BIGINT), CAST(floor(ty / 4.0) AS BIGINT),
+       CAST(sum(n) AS BIGINT) FROM base GROUP BY 2, 3
+ORDER BY lvl, tx, ty
+"""
+
+
+@register("tile_pyramid", _W72_ORACLE)
+def w_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.tiling import tile_pyramid
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    cells = spark.sql(_w72_cells("spark") + "SELECT * FROM cells")
+    return tile_pyramid(cells, levels=3).orderBy("lvl", "tx", "ty")

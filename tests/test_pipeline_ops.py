@@ -1,0 +1,115 @@
+"""Units for the round-3 training-pipeline additions: SemDeDup
+cluster-confined pruning, DSIR importance weights, tile-pyramid
+aggregate-reuse rollup."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _vec(i: int) -> list[float]:
+    return [float((i * 7 + j * 3) % 11 - 5) for j in range(64)]
+
+
+def test_semdedup_drops_within_cluster_only(spark):
+    from bano_spark.operators.similarity import ivf_cell, semdedup_prune
+
+    # _vec has period 11 in i, so stay below 11 distinct originals
+    base = [(i, _vec(i)) for i in range(10)]
+    # exact scaled twins of ids 0..4 -> cos == 1.0, same cell, must drop
+    twins = [(100 + i, [2.0 * x for x in v]) for i, v in base[:5]]
+    vecs = spark.createDataFrame(base + twins, ["vec_id", "embedding"])
+    kept = semdedup_prune(vecs, threshold=0.95, n_cells=4)
+    ids = sorted(r.vec_id for r in kept.collect())
+    assert ids == list(range(10))  # originals kept, every twin dropped
+    # keeper of each twin group is the min id, and cells come from ivf_cell
+    cells = {r.vec_id: r.cell for r in vecs.select(
+        "vec_id", ivf_cell("embedding", 4).alias("cell")).collect()}
+    for r in kept.collect():
+        assert r.cell == cells[r.vec_id]
+
+
+def test_semdedup_near_dup_across_cells_survives(spark):
+    from bano_spark.operators.similarity import semdedup_prune
+
+    # two identical-direction vectors forced into DIFFERENT cells by a
+    # tiny argmax flip: SemDeDup by design only compares within a
+    # cluster, so both must survive.
+    a = [10.0, 9.9] + [1.0] * 62   # argmax comp 0 -> cell 0
+    b = [9.9, 10.0] + [1.0] * 62   # argmax comp 1 -> cell 1, cos ~ 1.0
+    vecs = spark.createDataFrame([(1, a), (2, b)], ["vec_id", "embedding"])
+    kept = sorted(r.vec_id for r in
+                  semdedup_prune(vecs, threshold=0.95).collect())
+    assert kept == [1, 2]
+
+
+def test_semdedup_max_cluster_cap(spark):
+    from bano_spark.operators.similarity import semdedup_prune
+
+    rows = [(i, _vec(i)) for i in range(12)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = semdedup_prune(vecs, threshold=0.95, n_cells=4, max_cluster=1)
+    # cap of 1 excludes every cell with >1 member from the output
+    from collections import Counter
+
+    from bano_spark.operators.similarity import ivf_cell
+
+    sizes = Counter(r.cell for r in vecs.select(
+        ivf_cell("embedding", 4).alias("cell")).collect())
+    expect = sum(1 for c, n in sizes.items() if n <= 1)
+    assert capped.count() == expect
+
+
+def test_dsir_weights_match_closed_form(spark):
+    from bano_spark.operators.textstats import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "fr"), (1, "a b", "en"), (2, "b c", "en")],
+        ["doc_id", "text", "lang"])
+    got = {r.doc_id: (r.n_feats, r.log_weight) for r in
+           dsir_importance(docs, F.col("lang") == "fr").collect()}
+    # bigrams: (a,b) raw=2 tgt=1; (b,c) raw=1 tgt=0; totals R=3 T=1 B=2
+    def w_ab():
+        return math.log((1 + 1) / (1 + 2)) - math.log((2 + 1) / (3 + 2))
+
+    def w_bc():
+        return math.log((0 + 1) / (1 + 2)) - math.log((1 + 1) / (3 + 2))
+
+    assert got[0] == (1, round(w_ab(), 6))
+    assert got[1] == (1, round(w_ab(), 6))
+    assert got[2] == (1, round(w_bc(), 6))
+    # the target-domain doc's bigram weighs higher than the off-target one
+    assert got[0][1] > got[2][1]
+
+
+def test_tile_pyramid_levels_consistent(spark):
+    from bano_spark.operators.tiling import tile_pyramid
+
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8) for _ in range(x + 1)],
+        ["tx", "ty"])
+    pyr = tile_pyramid(cells, levels=3).collect()
+    by_lvl = {}
+    for r in pyr:
+        by_lvl.setdefault(r.lvl, {})[(r.tx, r.ty)] = r.n
+    # totals conserved at every level
+    assert sum(by_lvl[0].values()) == sum(by_lvl[1].values()) \
+        == sum(by_lvl[2].values()) == cells.count()
+    # every coarse tile equals the sum of its 4 children
+    for (tx, ty), n in by_lvl[1].items():
+        kids = sum(by_lvl[0].get((2 * tx + dx, 2 * ty + dy), 0)
+                   for dx in (0, 1) for dy in (0, 1))
+        assert n == kids
+    assert len(by_lvl[2]) == 4  # 8x8 base -> 2x2 at level 2
+
+
+def test_tile_pyramid_weighted(spark):
+    from bano_spark.operators.tiling import tile_pyramid
+
+    cells = spark.createDataFrame(
+        [(0, 0, 5), (1, 1, 7), (2, 2, 11)], ["tx", "ty", "w"])
+    pyr = tile_pyramid(cells, levels=2, weight_col="w").collect()
+    top = {(r.tx, r.ty): r.n for r in pyr if r.lvl == 1}
+    assert top == {(0, 0): 12, (1, 1): 11}

@@ -46,6 +46,9 @@ AUDITED = [
     "bigram_lm_score",
     "sessionize_events",
     "tiles_vectorize",
+    "semdedup_prune",
+    "dsir_importance",
+    "tile_pyramid",
 ]
 
 CHECKS = [
