@@ -25,13 +25,21 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _dist_cols(vec_col: str, cents: list[list[float]], dim: int):
+    """Squared distance to each centroid as ONE higher-order fold per
+    centroid: aggregate(zip_with(vec, literal_centroid, diff^2)).
+    aggregate folds left-to-right in element order, i.e. the exact
+    floating-point association (((t1+t2)+t3)+...) of the unrolled sum
+    this replaces — results are bit-identical, but the plan carries 1
+    expression per centroid instead of ``dim`` chained adds (64x less
+    codegen to compile per assignment pass)."""
     dists = []
     for c in cents:
-        acc = None
-        for i in range(dim):
-            term = (F.element_at(F.col(vec_col), i + 1).cast("double")
-                    - F.lit(float(c[i]))) ** 2
-            acc = term if acc is None else acc + term
+        lit = "array(" + ", ".join(
+            f"CAST({float(c[i])!r} AS DOUBLE)" for i in range(dim)) + ")"
+        acc = F.expr(
+            f"aggregate(zip_with({vec_col}, {lit},"
+            " (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
         dists.append(F.round(acc, 4))
     return dists
 
