@@ -176,3 +176,45 @@ def token_budget_select(scored: DataFrame, budget: int,
                              out_col="cum_tokens", descending=True,
                              tiebreak_col=id_col)
     return cum.filter(F.col("cum_tokens") - F.col(tokens_col) < budget)
+
+
+def source_mixing_weights(docs: DataFrame, alpha: float = 0.7,
+                          budget_tokens: int | None = None,
+                          source_col: str = "source",
+                          token_col: str = "n_tokens") -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual sampling rule
+    of mBERT / XLM-R, and the source-weighting step of LLM data
+    mixtures): per source, raw share p_i = tokens_i / total is
+    re-tempered to  w_i = p_i^alpha / sum_j p_j^alpha  (alpha < 1
+    up-samples small sources, alpha = 1 keeps natural proportions).
+    Output: one row per source with doc/token counts, the natural
+    share, the tempered weight, and — when ``budget_tokens`` is given —
+    the token allocation floor(w_i * budget). Applying an allocation is
+    the existing hash-threshold ``stratified_sample`` / token-budget
+    selection per source.
+
+    Scale shape: ONE aggregation over the corpus (map-side combine;
+    the shuffle carries one row per source), then arithmetic on the
+    O(sources) result — the normalizing sum is computed by a
+    single-row cross join (sources number in the hundreds; this never
+    needs a window over data rows)."""
+    per = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_col).cast("bigint").alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("_total"),
+                  F.sum(F.pow(F.col("n_tokens").cast("double"),
+                              F.lit(alpha))).alias("_zsum_num"))
+    # p_i^alpha / sum p_j^alpha == n_i^alpha / sum n_j^alpha (the
+    # 1/total^alpha factor cancels) — compute on raw counts to avoid
+    # an extra pass.
+    out = per.crossJoin(F.broadcast(tot)).select(
+        source_col, "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_total"), 6).alias("nat_share"),
+        F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+                / F.col("_zsum_num"), 6).alias("weight"))
+    if budget_tokens is not None:
+        out = out.withColumn(
+            "alloc_tokens",
+            F.floor(F.col("weight") * F.lit(float(budget_tokens)))
+            .cast("bigint"))
+    return out

@@ -42,3 +42,32 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
         F.max("_sec").cast("bigint").alias("end_sec"))
         .withColumn("duration_sec",
                     (F.col("end_sec") - F.col("start_sec")).cast("bigint")))
+
+
+def streaming_sessionize(events: DataFrame, user_col: str = "user_id",
+                         ts_col: str = "ts", gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Structured Streaming twin of :func:`sessionize`, using the
+    native ``session_window`` aggregation: per user, an event merges
+    into the open session while its timestamp is <= the session's end
+    (last event + ``gap``) INCLUSIVE — a gap of exactly ``gap`` still
+    merges; only a STRICTLY larger gap starts a new session (the same
+    ``> gap`` rule as the batch twin; the merged window is
+    ``[first_event, last_event + gap]``). Microsecond-exact on raw
+    timestamps. The watermark bounds session state under a
+    live source (state for a user's session is evicted once the
+    watermark passes its window end); under availableNow + complete
+    output the full input is one deterministic pass, which is how the
+    oracle checks this against a batch gap-scan twin.
+
+    Scale shape: state is partitioned by (user, window) — one shuffle
+    on the user key, no global order anywhere, same as the batch twin."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("_w"),
+                     user_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .select(user_col,
+                    F.col("_w.start").alias("session_start"),
+                    F.col("_w.end").alias("session_end"),
+                    "n_events"))

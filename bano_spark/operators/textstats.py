@@ -207,3 +207,26 @@ def dsir_importance(docs: DataFrame, target_cond: Column,
     return (scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_feats"),
         F.round(F.sum("_lr"), 6).alias("log_weight")))
+
+
+def top_ngrams(docs: DataFrame, k: int = 50, n: int = 2,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k n-gram vocabulary with counts (the seed step
+    of vocabulary/BPE-merge construction, and the heavy-hitters view
+    of a corpus). Ties rank by the gram string ascending so the top-k
+    set is deterministic.
+
+    Scale shape: explode n-grams -> ONE hash aggregation with map-side
+    partial combine (the shuffle carries (gram, count), never text) ->
+    global top-k via orderBy + limit, which Spark plans as
+    TakeOrderedAndProject: each partition keeps its local top-k and
+    the driver merges O(partitions * k) rows — no global sort, no
+    single-partition exchange."""
+    return (docs.select(tokens(F.col(text_col)).alias("tokens_arr"))
+            .filter(F.size("tokens_arr") >= n)
+            .select(F.explode(F.expr(
+                "transform(sequence(1, size(tokens_arr) - %d),"
+                " i -> concat_ws(' ', slice(tokens_arr, i, %d)))"
+                % (n - 1, n))).alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("gram")).limit(k))

@@ -3761,3 +3761,122 @@ def w_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     _read(spark, sf_dir, "events").createOrReplaceTempView("events")
     cells = spark.sql(_w72_cells("spark") + "SELECT * FROM cells")
     return tile_pyramid(cells, levels=3).orderBy("lvl", "tx", "ty")
+
+
+# ---------------------------------------------------------------------------
+# w73 — STREAMING sessionization (§2.9): the native session_window
+# aggregation under availableNow, checked against a batch gap-scan
+# twin in exact microsecond interval arithmetic. session_window merges
+# an event into the open session when its timestamp is <= the
+# session's end (last event + gap) INCLUSIVE — verified by a
+# boundary unit test — so a new session starts iff the gap is
+# STRICTLY greater than the window size (the same `> 1800` rule as
+# the batch sessionize twin); end = last event + gap.
+# ---------------------------------------------------------------------------
+
+_W73_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM g
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@register("streaming_sessionize", _W73_ORACLE)
+def w_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.sessions import streaming_sessionize
+
+    schema = _read(spark, sf_dir, "events").schema
+    feed = (spark.readStream.schema(schema).parquet(sf_dir.rstrip("/"))
+            .filter(F.input_file_name().endswith("events.parquet")))
+    agg = streaming_sessionize(
+        feed.withColumn("ts", F.col("ts").cast("timestamp")))
+    qname = "w73_sessions"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(qname).orderBy("user_id", "session_start")
+    rows = out.collect()
+    q.stop()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# w74 — temperature-based corpus mixing weights (mBERT/XLM-R sampling
+# rule; the source-weighting step of LLM data mixtures). The token
+# allocation is floor(ROUNDED_weight * budget): rounding the weight to
+# 6 decimals first makes the double bit-identical across engines, so
+# the floor is deterministic (floor over an unrounded pow() quotient
+# would be 1-off whenever the engines' pow differs by an ulp near an
+# integer boundary).
+# ---------------------------------------------------------------------------
+
+_W74_ORACLE = f"""
+WITH d AS (SELECT source, len({_TOKS_SQL}) AS nt FROM documents),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM d GROUP BY 1),
+tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+               sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS zsum FROM per)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tot.total, 6) AS nat_share,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.7) / tot.zsum, 6) AS weight,
+       CAST(floor(round(pow(CAST(n_tokens AS DOUBLE), 0.7) / tot.zsum, 6)
+                  * 12345678.0) AS BIGINT) AS alloc_tokens
+FROM per CROSS JOIN tot ORDER BY source
+"""
+
+
+@register("source_mixing", _W74_ORACLE)
+def w_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import tokens
+    from bano_spark.operators.selection import source_mixing_weights
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return source_mixing_weights(docs, alpha=0.7,
+                                 budget_tokens=12_345_678).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# w75 — corpus-wide top-k bigram vocabulary (heavy hitters; the seed
+# of vocabulary/BPE-merge construction). Global top-k is orderBy +
+# limit = TakeOrderedAndProject (per-partition top-k, driver merges
+# O(partitions * k)); ties rank by gram ascending for determinism.
+# ---------------------------------------------------------------------------
+
+_W75_ORACLE = f"""
+WITH toked AS (SELECT {_TOKS_SQL} AS t FROM documents
+               WHERE len({_TOKS_SQL}) >= 2),
+grams AS (
+  SELECT t[CAST(i AS BIGINT)] || ' ' || t[CAST(i AS BIGINT) + 1] AS gram
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toked)
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM grams GROUP BY 1
+ORDER BY cnt DESC, gram LIMIT 50
+"""
+
+
+@register("top_ngrams", _W75_ORACLE)
+def w_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.textstats import top_ngrams
+
+    return top_ngrams(_read(spark, sf_dir, "documents"), k=50, n=2)

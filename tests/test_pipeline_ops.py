@@ -1,6 +1,7 @@
 """Units for the round-3 training-pipeline additions: SemDeDup
 cluster-confined pruning, DSIR importance weights, tile-pyramid
-aggregate-reuse rollup."""
+aggregate-reuse rollup, streaming session windows, corpus mixing,
+top-k n-gram vocabulary."""
 
 from __future__ import annotations
 
@@ -113,3 +114,61 @@ def test_tile_pyramid_weighted(spark):
     pyr = tile_pyramid(cells, levels=2, weight_col="w").collect()
     top = {(r.tx, r.ty): r.n for r in pyr if r.lvl == 1}
     assert top == {(0, 0): 12, (1, 1): 11}
+
+
+def test_streaming_sessionize_gap_boundary(spark, tmp_path):
+    from datetime import datetime
+
+    from bano_spark.operators.sessions import streaming_sessionize
+
+    # gaps: 29:59 (merges), exactly 30:00 (STILL merges — the session
+    # end is inclusive), 30:01 (strictly greater -> new session)
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0, 0)),
+        (1, datetime(2024, 1, 1, 10, 29, 59)),
+        (1, datetime(2024, 1, 1, 10, 59, 59)),   # +30:00 exactly
+        (1, datetime(2024, 1, 1, 11, 30, 0)),    # +30:01
+    ]
+    src = tmp_path / "events.parquet"
+    spark.createDataFrame(rows, ["user_id", "ts"]).write.parquet(str(src))
+    feed = spark.readStream.schema("user_id bigint, ts timestamp") \
+        .parquet(str(src))
+    q = (streaming_sessionize(feed).writeStream.format("memory")
+         .queryName("t_sess").outputMode("complete")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = [(r.session_start, r.n_events) for r in
+           spark.table("t_sess").orderBy("session_start").collect()]
+    q.stop()
+    assert got == [
+        (datetime(2024, 1, 1, 10, 0, 0), 3),
+        (datetime(2024, 1, 1, 11, 30, 0), 1),
+    ]
+
+
+def test_source_mixing_weights_closed_form(spark):
+    from bano_spark.operators.selection import source_mixing_weights
+
+    docs = spark.createDataFrame(
+        [("a", 81), ("a", 19), ("b", 900)], ["source", "n_tokens"])
+    got = {r.source: r for r in
+           source_mixing_weights(docs, alpha=0.5,
+                                 budget_tokens=1000).collect()}
+    # n_a=100, n_b=900; sqrt: 10 + 30 = 40 -> w_a=0.25, w_b=0.75
+    assert got["a"].n_docs == 2 and got["a"].n_tokens == 100
+    assert got["a"].weight == 0.25 and got["b"].weight == 0.75
+    assert got["a"].nat_share == 0.1 and got["b"].nat_share == 0.9
+    assert got["a"].alloc_tokens == 250 and got["b"].alloc_tokens == 750
+    # alpha < 1 up-samples the small source above its natural share
+    assert got["a"].weight > got["a"].nat_share
+
+
+def test_top_ngrams_counts_and_tiebreak(spark):
+    from bano_spark.operators.textstats import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(0, "x y x y"), (1, "y x z"), (2, "q")], ["doc_id", "text"])
+    got = [(r.gram, r.cnt) for r in top_ngrams(docs, k=3, n=2).collect()]
+    # doc0 grams: x y, y x, x y; doc1: y x, x z; doc2 <2 tokens (dropped)
+    # -> counts: "x y" 2, "y x" 2, "x z" 1; tie breaks by gram ascending
+    assert got == [("x y", 2), ("y x", 2), ("x z", 1)]

@@ -49,7 +49,37 @@ AUDITED = [
     "semdedup_prune",
     "dsir_importance",
     "tile_pyramid",
+    "source_mixing",
+    "top_ngrams",
 ]
+
+def _single_partition_ok(plan: str) -> bool:
+    """True when every Exchange SinglePartition in the formatted plan
+    feeds a final HashAggregate — i.e. it is the global scalar-aggregate
+    pattern, whose exchange input is ONE partial row per upstream
+    partition (bounded by parallelism, not by data). A SinglePartition
+    exchange under anything else (Sort, Window, Limit-less project) is
+    the r1 token_budget_selection funnel and fails."""
+    bad_ids = set(re.findall(r"\((\d+)\) Exchange\b[\s\S]*?Arguments: "
+                             r"SinglePartition", plan))
+    if not bad_ids:
+        return "SinglePartition" not in plan  # belt and braces
+    tree = []
+    for line in plan.splitlines():
+        m = re.match(r"^([:+\- |*]*)\s*\*?\s*(\w[\w ]*?) \((\d+)\)\s*$", line)
+        if m:
+            marker = m.group(1)
+            pos = max(marker.rfind("+-"), marker.rfind(":-"))
+            tree.append((pos, m.group(2).strip(), m.group(3)))
+    for i, (depth, name, nid) in enumerate(tree):
+        if nid in bad_ids:
+            parent = next((n for d, n, _ in reversed(tree[:i]) if d < depth),
+                          None)
+            if parent not in ("HashAggregate", "SortAggregate",
+                              "ObjectHashAggregate"):
+                return False
+    return True
+
 
 CHECKS = [
     ("no cartesian product", lambda p: "CartesianProduct" not in p, True),
@@ -60,8 +90,11 @@ CHECKS = [
      or "BroadcastExchange" in p, False),
     ("parquet scan pruned (ReadSchema)", lambda p: "ReadSchema" in p, False),
     # the r1 token_budget_selection scale bug: an unpartitioned ordered
-    # window plans Exchange SinglePartition — no query may do that
-    ("no single-partition exchange", lambda p: "SinglePartition" not in p, True),
+    # window plans Exchange SinglePartition. A SinglePartition exchange
+    # is tolerated ONLY as the final step of a global scalar aggregate
+    # (bounded to one partial row per partition by map-side combine).
+    ("no single-partition exchange (except bounded global agg)",
+     _single_partition_ok, True),
 ]
 
 
