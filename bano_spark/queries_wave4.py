@@ -3880,3 +3880,41 @@ def w_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bano_spark.operators.textstats import top_ngrams
 
     return top_ngrams(_read(spark, sf_dir, "documents"), k=50, n=2)
+
+
+# ---------------------------------------------------------------------------
+# w76 — ST_DWithin pair join (distance-within, the last spatial
+# predicate gap): all event-point pairs within 200 m, candidates from
+# an auto-zoomed k-ring cell equi-join with an exact d2 refine. The
+# oracle is a brute-force range join that never sees the cell logic —
+# a hash match proves the candidate set is COMPLETE (a missed
+# cross-cell pair would drop a row), not merely that the refine
+# filter agrees.
+# ---------------------------------------------------------------------------
+
+def _w76_oracle() -> str:
+    pts = synth.points_select_sql("duckdb", "events", "event_id", 0)
+    return f"""
+WITH p AS ({pts})
+SELECT a.event_id AS event_id_a, b.event_id AS event_id_b,
+       round((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 6) AS d2
+FROM p a JOIN p b
+  ON b.x BETWEEN a.x - 200.0 AND a.x + 200.0
+ AND b.y BETWEEN a.y - 200.0 AND a.y + 200.0
+ AND a.event_id < b.event_id
+WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 40000.0
+ORDER BY event_id_a, event_id_b
+"""
+
+
+@register("dwithin_pairs", _w76_oracle())
+def w_dwithin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.knn_join import dwithin_pairs
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    pts = spark.sql(synth.points_select_sql("spark", "events", "event_id", 0))
+    return (dwithin_pairs(pts, pts, 200.0, left_id="event_id",
+                          right_id="event_id", dedup_pairs=True)
+            .select("event_id_a", "event_id_b",
+                    F.round("d2", 6).alias("d2"))
+            .orderBy("event_id_a", "event_id_b"))

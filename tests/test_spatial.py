@@ -147,3 +147,65 @@ def test_quadtree_cover_matches_flat(spark):
     lv, cx, cy, ci = geometry.compact_cover(
         xs.ravel(), ys.ravel(), np.ones(256, bool), z=16, min_z=12)
     assert len(lv) == 1 and lv[0] == 12
+
+
+class TestDWithinPairs:
+    def _brute(self, pts, d):
+        out = set()
+        for i, (ia, xa, ya) in enumerate(pts):
+            for ib, xb, yb in pts[i + 1:]:
+                if (xa - xb) ** 2 + (ya - yb) ** 2 <= d * d:
+                    out.add((min(ia, ib), max(ia, ib)))
+        return out
+
+    def test_cross_cell_completeness(self, spark):
+        """Pairs straddling cell borders at the auto zoom must be found
+        (the candidate set is a k-ring, not the home cell)."""
+        from bano_spark.operators.knn_join import dwithin_pairs
+        from bano_spark.geo import tiles
+
+        d = 200.0
+        z = 17  # auto zoom for 200 m (cell edge 305.7 m >= d)
+        assert tiles.cell_size(z) >= d > tiles.cell_size(z + 1)
+        edge = tiles.cell_size(z)
+        # a cluster laid across a cell corner: neighbours in x, y and
+        # the diagonal, plus one far point that must NOT pair
+        x0 = tiles.ORIGIN + 1000 * edge
+        y0 = -tiles.ORIGIN - 1000 * edge
+        pts = [(0, x0 - 5.0, y0 - 5.0), (1, x0 + 5.0, y0 - 5.0),
+               (2, x0 - 5.0, y0 + 5.0), (3, x0 + 5.0, y0 + 5.0),
+               (4, x0 + 150.0, y0 + 150.0), (5, x0 + 10_000.0, y0)]
+        df = spark.createDataFrame(pts, ["pid", "x", "y"])
+        got = {(r.pid_a, r.pid_b) for r in
+               dwithin_pairs(df, df, d, left_id="pid", right_id="pid",
+                             dedup_pairs=True).collect()}
+        assert got == self._brute(pts, d)
+        assert not any(5 in p for p in got)
+
+    def test_capped_zoom_grows_ring(self, spark):
+        """When max_zoom caps the grid below the auto zoom, k grows so
+        the candidate set stays complete."""
+        from bano_spark.operators.knn_join import dwithin_pairs
+        from bano_spark.geo import tiles
+
+        d, z = 900.0, 18  # cell edge 152.9 m << d -> k = ceil(900/152.9) = 6
+        edge = tiles.cell_size(z)
+        x0 = tiles.ORIGIN + 4000 * edge
+        y0 = -tiles.ORIGIN - 4000 * edge
+        pts = [(0, x0, y0), (1, x0 + 880.0, y0), (2, x0, y0 + 880.0),
+               (3, x0 + 880.0, y0 + 880.0), (4, x0 + 2500.0, y0)]
+        df = spark.createDataFrame(pts, ["pid", "x", "y"])
+        got = {(r.pid_a, r.pid_b) for r in
+               dwithin_pairs(df, df, d, left_id="pid", right_id="pid",
+                             zoom=z, dedup_pairs=True).collect()}
+        assert got == self._brute(pts, d)  # (0,3) is ~1245 m: excluded
+
+    def test_two_sided_join_keeps_ids(self, spark):
+        from bano_spark.operators.knn_join import dwithin_pairs
+
+        left = spark.createDataFrame([(10, 0.0, 0.0)], ["lid", "x", "y"])
+        right = spark.createDataFrame(
+            [(20, 30.0, 40.0), (21, 500.0, 0.0)], ["rid", "x", "y"])
+        rows = dwithin_pairs(left, right, 100.0, left_id="lid",
+                             right_id="rid").collect()
+        assert [(r.lid, r.rid, r.d2) for r in rows] == [(10, 20, 2500.0)]

@@ -51,6 +51,7 @@ AUDITED = [
     "tile_pyramid",
     "source_mixing",
     "top_ngrams",
+    "dwithin_pairs",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
