@@ -1,0 +1,125 @@
+"""Temporal joins Spark lacks as built-ins: as-of (most recent match
+at-or-before) and interval overlap, both expressed as shuffle-bounded
+compositions of DataFrame ops — never an inequality nested-loop join.
+
+The reference pipeline is batch-snapshot (its "latest state" logic is
+the import-then-diff loop, bano/cron_osm.sh); these generalize that
+temporal semantics to event streams, and they are the standard
+training-data operators for attaching slowly-changing metadata (crawl
+snapshots, robots.txt versions, per-host quality scores) to page
+events at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """LEFT as-of join: each left row picks up ``value_cols`` from the
+    most recent right row with the same ``key`` and right.ts <= left.ts
+    (DuckDB/Pandas ``ASOF JOIN`` semantics, ties matching). Left rows
+    with no prior right row keep nulls; ``tolerance_sec`` additionally
+    nulls matches older than the window.
+
+    Plan: tag both sides, UNION on (key, ts, side), and run ONE
+    per-key window with ``last(value, ignorenulls=True)`` ordered by
+    (ts, side) — right rows sort before left rows at equal ts, so an
+    exact-tie right row is visible to the left row. This is a single
+    shuffle on the key (the union is shuffle-free), no inequality join
+    anywhere, and the window never needs a global order — it scales
+    exactly like any per-key aggregation, with the usual salting story
+    for hot keys.
+
+    The matched right timestamp is carried as ``matched_ts`` (needed
+    for the tolerance filter; also the provenance a pipeline wants)."""
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, ts)]
+    lt = left.withColumn("_side", F.lit(1))
+    for c in value_cols:
+        lt = lt.withColumn(f"_v_{c}", F.lit(None).cast(
+            right.schema[c].dataType))
+    lt = lt.withColumn("_rts", F.lit(None).cast(right.schema[ts].dataType))
+    rt = right.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.col(ts).alias("_rts"))
+    for c in left.columns:
+        if c not in (key, ts):
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    both = lt.unionByName(rt)
+    w = (Window.partitionBy(key).orderBy(ts, "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = both.select(
+        *left.columns, "_side",
+        F.last("_rts", ignorenulls=True).over(w).alias("matched_ts"),
+        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(c)
+          for c in value_cols])
+    out = filled.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_sec is not None:
+        stale = (F.unix_timestamp(F.col(ts))
+                 - F.unix_timestamp(F.col("matched_ts"))
+                 > F.lit(float(tolerance_sec)))
+        out = out.select(
+            *left.columns,
+            F.when(stale, F.lit(None)).otherwise(F.col("matched_ts"))
+            .alias("matched_ts"),
+            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+              for c in value_cols])
+    return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    ts: str = "ts",
+    begin: str = "begin",
+    end: str = "end",
+    bin_sec: int = 3600,
+    broadcast_intervals: bool | None = None,
+    broadcast_max_rows: int = 1_000_000,
+) -> DataFrame:
+    """INNER overlap join: every (point, interval) pair with
+    begin <= point.ts < end (half-open, the SQL/window convention).
+
+    Plan: each interval is exploded to the epoch-time bins it covers
+    (``sequence`` of bin ids — pure codegen), points map to ONE bin,
+    and the pair space becomes a bin equi-join with an exact refine —
+    the same complete-candidate-then-refine shape as the spatial cell
+    joins, with the same guarantees: never a cross product, cost
+    O(intervals x bins-covered + points) through a hash join.
+    Long intervals cost bins proportional to their length; pick
+    ``bin_sec`` near the median interval length (a 100x-too-small bin
+    multiplies the exploded side 100x; a 100x-too-big bin multiplies
+    candidate pairs — both degrade linearly and loudly, never
+    quadratically). Auto-broadcasts the exploded interval side below
+    ``broadcast_max_rows``."""
+    pb = points.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(ts)) / F.lit(bin_sec))
+        .cast("bigint"))
+    ib = intervals.withColumn(
+        "_bin", F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col(begin)) / F.lit(bin_sec))
+            .cast("bigint"),
+            # end is exclusive: a zero-length tail on a bin border
+            # must not explode an extra empty bin
+            F.floor((F.unix_timestamp(F.col(end)) - F.lit(1))
+                    / F.lit(bin_sec)).cast("bigint"))))
+    if broadcast_intervals is None:
+        cap = broadcast_max_rows
+        broadcast_intervals = (
+            ib.select("_bin").limit(cap + 1).count() <= cap)
+    if broadcast_intervals:
+        ib = F.broadcast(ib)
+    return (pb.join(ib, "_bin")
+            .filter((F.col(begin) <= F.col(ts)) & (F.col(ts) < F.col(end)))
+            .drop("_bin"))

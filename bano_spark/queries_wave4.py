@@ -3918,3 +3918,84 @@ def w_dwithin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id_a", "event_id_b",
                     F.round("d2", 6).alias("d2"))
             .orderBy("event_id_a", "event_id_b"))
+
+
+# ---------------------------------------------------------------------------
+# w77 — as-of join (most recent match at-or-before, per key): each
+# click event picks up the latest error value for its user. The engine
+# plans it as union + ONE per-key window (no inequality join); the
+# oracle is DuckDB's NATIVE ASOF LEFT JOIN — a completely independent
+# algorithm, so the hash match checks semantics, not implementation.
+# The right side is deduped to unique (user_id, ts) first: as-of with
+# duplicate right timestamps has no deterministic winner in either
+# engine.
+# ---------------------------------------------------------------------------
+
+_W77_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+errs AS (
+  SELECT user_id, ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts, r.ts AS matched_ts, r.err_value
+FROM clicks l ASOF LEFT JOIN errs r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+@register("asof_join_events", _W77_ORACLE)
+def w_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    errs = (ev.filter(F.col("event_type") == "error")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("err_value")))
+    return (asof_join(clicks, errs, key="user_id", ts="ts",
+                      value_cols=["err_value"])
+            .select("event_id", "user_id", "ts", "matched_ts", "err_value")
+            .orderBy("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# w78 — interval overlap join: events x 2-hour maintenance windows
+# (derived deterministically from every 97th event), half-open
+# [begin, end). The engine explodes windows to hour bins and
+# equi-joins the point's bin (complete-candidates-then-refine, the
+# spatial-join shape on the time axis); the oracle is a plain
+# inequality join (DuckDB IEJoin) that never sees the bins.
+# ---------------------------------------------------------------------------
+
+_W78_ORACLE = """
+WITH windows AS (
+  SELECT event_id AS window_id, ts AS begin_ts,
+         ts + INTERVAL '2 hours' AS end_ts
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT e.event_id, w.window_id
+FROM events e JOIN windows w
+  ON w.begin_ts <= e.ts AND e.ts < w.end_ts
+ORDER BY e.event_id, w.window_id
+"""
+
+
+@register("interval_join_events", _W78_ORACLE)
+def w_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.temporal import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    windows = (ev.filter(F.col("event_id") % 97 == 0)
+               .select(F.col("event_id").alias("window_id"),
+                       F.col("ts").alias("begin_ts"),
+                       (F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+                       .alias("end_ts")))
+    return (interval_join(ev.select("event_id", "ts"), windows,
+                          ts="ts", begin="begin_ts", end="end_ts",
+                          bin_sec=3600)
+            .select("event_id", "window_id")
+            .orderBy("event_id", "window_id"))

@@ -172,3 +172,52 @@ def test_top_ngrams_counts_and_tiebreak(spark):
     # doc0 grams: x y, y x, x y; doc1: y x, x z; doc2 <2 tokens (dropped)
     # -> counts: "x y" 2, "y x" 2, "x z" 1; tie breaks by gram ascending
     assert got == [("x y", 2), ("y x", 2), ("x z", 1)]
+
+
+def test_asof_join_ties_tolerance_and_no_match(spark):
+    from datetime import datetime
+
+    from bano_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", datetime(2024, 1, 1, 10, 0, 0)),    # exact tie -> 20.0
+         (2, "u", datetime(2024, 1, 1, 12, 0, 0)),    # latest prior -> 30.0
+         (3, "u", datetime(2024, 1, 1, 9, 0, 0)),     # nothing prior
+         (4, "v", datetime(2024, 1, 1, 12, 0, 0))],   # other key -> 7.0
+        ["event_id", "k", "ts"])
+    right = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1, 10, 0, 0), 20.0),
+         ("u", datetime(2024, 1, 1, 11, 0, 0), 30.0),
+         ("v", datetime(2024, 1, 1, 1, 0, 0), 7.0)],
+        ["k", "ts", "val"])
+    got = {r.event_id: (r.val, r.matched_ts) for r in
+           asof_join(left, right, key="k").collect()}
+    assert got[1] == (20.0, datetime(2024, 1, 1, 10, 0, 0))
+    assert got[2] == (30.0, datetime(2024, 1, 1, 11, 0, 0))
+    assert got[3] == (None, None)
+    assert got[4][0] == 7.0
+    # 1-hour tolerance: event 2 still matches (gap 3600 <= 3600
+    # inclusive), event 4's 11-hour-old match is nulled
+    tol = {r.event_id: r.val for r in
+           asof_join(left, right, key="k", tolerance_sec=3600).collect()}
+    assert tol[2] == 30.0 and tol[4] is None and tol[1] == 20.0
+
+
+def test_interval_join_bin_borders(spark):
+    from datetime import datetime
+
+    from bano_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0, 0)),   # == begin -> in
+         (2, datetime(2024, 1, 1, 11, 59, 59)), # inside, later bin
+         (3, datetime(2024, 1, 1, 12, 0, 0)),   # == end -> OUT (half-open)
+         (4, datetime(2024, 1, 1, 9, 59, 59))], # before
+        ["pid", "ts"])
+    iv = spark.createDataFrame(
+        [(100, datetime(2024, 1, 1, 10, 0, 0), datetime(2024, 1, 1, 12, 0, 0))],
+        ["window_id", "begin", "end"])
+    for bin_sec in (3600, 60, 100_000):  # small, tiny, and huge bins
+        got = sorted(r.pid for r in interval_join(
+            pts, iv, bin_sec=bin_sec).collect())
+        assert got == [1, 2], bin_sec

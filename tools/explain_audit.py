@@ -52,6 +52,8 @@ AUDITED = [
     "source_mixing",
     "top_ngrams",
     "dwithin_pairs",
+    "asof_join_events",
+    "interval_join_events",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
