@@ -3999,3 +3999,33 @@ def w_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                           bin_sec=3600)
             .select("event_id", "window_id")
             .orderBy("event_id", "window_id"))
+
+
+# ---------------------------------------------------------------------------
+# w79 — exact distributed quantiles (selection by iterative
+# range-narrowing: O(log) shared scans, histogram shuffles of at most
+# targets x bins rows, NO global sort). The oracle materializes the
+# true order statistic via row_number — the algorithm the operator
+# exists to avoid — so a match proves the selection is exact, not
+# approximate. events.value has 2-decimal duplicates throughout,
+# stressing the duplicate-cluster narrowing path.
+# ---------------------------------------------------------------------------
+
+_W79_ORACLE = """
+WITH s AS (SELECT value AS v, row_number() OVER (ORDER BY value) - 1 AS rk
+           FROM events WHERE value IS NOT NULL),
+qs(q) AS (SELECT CAST(col0 AS DOUBLE) FROM (VALUES (0.0), (0.25), (0.5),
+                                                   (0.9), (0.99), (1.0))),
+tgt AS (SELECT q, CAST(floor(q * ((SELECT count(*) FROM s) - 1)) AS BIGINT)
+               AS rk FROM qs)
+SELECT t.q, s.v AS value FROM tgt t JOIN s ON s.rk = t.rk ORDER BY t.q
+"""
+
+
+@register("exact_quantiles", _W79_ORACLE)
+def w_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.quantiles import exact_quantiles_df
+
+    ev = _read(spark, sf_dir, "events")
+    return exact_quantiles_df(
+        ev, "value", [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]).orderBy("q")

@@ -221,3 +221,33 @@ def test_interval_join_bin_borders(spark):
         got = sorted(r.pid for r in interval_join(
             pts, iv, bin_sec=bin_sec).collect())
         assert got == [1, 2], bin_sec
+
+
+def test_exact_quantiles_vs_numpy(spark):
+    import numpy as np
+
+    from bano_spark.operators.quantiles import exact_quantiles
+
+    rng = np.random.RandomState(7)
+    # adversarial mix: a huge duplicate cluster, a dense cloud, and
+    # extreme outliers that squash the first histogram pass
+    vals = np.concatenate([
+        np.full(5000, 42.0),
+        rng.normal(0, 1, 3000).round(2),
+        np.array([1e12, -1e12, 1e12, 1e12])])
+    df = spark.createDataFrame([(float(v),) for v in vals], ["x"])
+    qs = [0.0, 0.1, 0.5, 0.62, 0.9, 1.0]
+    got = exact_quantiles(df, "x", qs, bins=64, max_passes=12)
+    srt = np.sort(vals)
+    want = [float(srt[int(np.floor(q * (len(vals) - 1)))]) for q in qs]
+    assert got == want
+
+
+def test_exact_quantiles_degenerate(spark):
+    from bano_spark.operators.quantiles import exact_quantiles
+
+    allsame = spark.createDataFrame([(3.5,)] * 10, ["x"])
+    assert exact_quantiles(allsame, "x", [0.0, 0.5, 1.0]) == [3.5] * 3
+    with_nulls = spark.createDataFrame(
+        [(None,), (1.0,), (None,), (2.0,)], "x double")
+    assert exact_quantiles(with_nulls, "x", [0.0, 1.0]) == [1.0, 2.0]
