@@ -1,0 +1,114 @@
+"""Full-text retrieval over the documents table: inverted index + BM25.
+
+A training-data pipeline needs corpus-level retrieval for targeted
+decontamination, near-query filtering, and seeded quality curation;
+these two operators are the standard pair (a postings index and the
+BM25 ranking function, Robertson & Spärck Jones / Okapi — public
+formulations).
+
+Scale shape (10^10 docs):
+  - tokenisation is a codegen split+explode — no Python anywhere.
+  - the postings build is ONE shuffle on (term, doc) for tf, then one
+    on term; both benefit from map-side partial aggregation. The
+    per-term posting list is the only unbounded term: `max_df` drops
+    stopword-class terms (df above the cap) BEFORE the list is
+    assembled — the drop is disclosed by `df` itself, not silent, and
+    mirrors production stoplist practice (a posting list of half the
+    corpus is useless for retrieval and quadratic to materialize).
+  - BM25 scores only the query terms: the tf scan filters on the
+    term literal set FIRST (predicate pushdown into the explode), so
+    the shuffle carries O(docs_containing_query_terms) rows, not the
+    corpus. The df/idf side is O(|query|) and broadcast. Top-k is
+    orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def _term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term, tf) via codegen split/explode; empty tokens dropped."""
+    return (docs
+            .select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), _TOKEN_SPLIT))
+                    .alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def inverted_index(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   max_df: int | None = None) -> DataFrame:
+    """Build a postings table: one row per term with document
+    frequency, total term frequency, and the doc-ordered posting list
+    serialized as "id:tf,id:tf,..." (a deterministic, engine-neutral
+    encoding — an array<struct> would be equivalent but hashes
+    differently across engines).
+
+    ``max_df`` (optional) drops terms whose df exceeds the cap after
+    counting — df/total_tf are still exact for kept terms.
+    """
+    tf = _term_freqs(docs, id_col, text_col)
+    idx = (tf.groupBy("term")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+                F.sum("tf").cast("bigint").alias("total_tf"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col(id_col).alias("id"), "tf"))),
+                        lambda s: F.concat_ws(":", s["id"], s["tf"])),
+                    ",").alias("postings")))
+    if max_df is not None:
+        idx = idx.filter(F.col("df") <= max_df)
+    return idx
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], *, k: int = 20,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.2, b: float = 0.75,
+              round_to: int = 6) -> DataFrame:
+    """Top-k documents for a bag-of-words query under BM25:
+
+        score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    dl = whitespace token count of the document, avgdl its corpus
+    mean, N the corpus size. Scores are rounded to ``round_to``
+    decimals and ties broken by ascending doc id, so the top-k is
+    deterministic and engine-reproducible.
+    """
+    terms = sorted(set(query_terms))
+    dl = (docs.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.col(text_col), _TOKEN_SPLIT),
+                        lambda t: t != "")).cast("double").alias("dl")))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                   F.avg("dl").alias("avgdl"))
+
+    # tf restricted to query terms BEFORE any shuffle
+    tf = (_term_freqs(
+        docs.select(id_col, text_col), id_col, text_col)
+        .filter(F.col("term").isin(terms)))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+
+    scored = (tf
+              .join(F.broadcast(df_t), "term")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(stats))
+              .withColumn(
+                  "_idf",
+                  F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)))
+              .withColumn(
+                  "_s",
+                  F.col("_idf") * F.col("tf") * (k1 + 1.0)
+                  / (F.col("tf") + k1 * (1.0 - b
+                                         + b * F.col("dl") / F.col("avgdl"))))
+              .groupBy(id_col)
+              .agg(F.round(F.sum("_s"), round_to).alias("score")))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -178,6 +178,38 @@ def token_budget_select(scored: DataFrame, budget: int,
     return cum.filter(F.col("cum_tokens") - F.col(tokens_col) < budget)
 
 
+def weighted_sample_wor(df: DataFrame, weight_col: str, n: int,
+                        id_col: str = "doc_id",
+                        key_col: str = "sample_key",
+                        round_to: int = 6) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via
+    exponential sort keys (Efraimidis & Spirakis 2006, A-ES): each row
+    gets key = ln(u) / w with u uniform in (0,1); the top-n keys are a
+    weighted sample without replacement. Instead of RNG state, u is
+    derived from the row's content — the first 8 hex digits of
+    md5(id) scaled to (0,1) — so the sample is a pure function of the
+    data: re-running, re-partitioning, or recomputing lineage draws
+    the SAME rows (the property `stratified_sample` relies on, and the
+    reason any SQL engine can replay the draw exactly).
+
+    Scale shape: key derivation is pure codegen (md5/conv/ln — no
+    Python, no RNG broadcast); top-n is orderBy+limit, which Spark
+    plans as TakeOrderedAndProject (per-partition heap, driver merges
+    n rows) — no global sort, no single-partition exchange. Weights
+    must be strictly positive; null/non-positive weights raise.
+    """
+    u = ((F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                 16, 10).cast("bigint").cast("double") + 0.5)
+         / F.lit(4294967296.0))
+    w = F.col(weight_col).cast("double")
+    guarded_w = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(F.lit("weighted_sample_wor: weights must be "
+                            "strictly positive"))).otherwise(w)
+    keyed = df.withColumn(key_col, F.round(F.log(u) / guarded_w, round_to))
+    return keyed.orderBy(F.desc(key_col), F.asc(id_col)).limit(n)
+
+
 def source_mixing_weights(docs: DataFrame, alpha: float = 0.7,
                           budget_tokens: int | None = None,
                           source_col: str = "source",

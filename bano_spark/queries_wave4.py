@@ -4029,3 +4029,167 @@ def w_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return exact_quantiles_df(
         ev, "value", [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# w80 — host-graph PageRank (5 synchronous iterations, damping 0.85):
+# the web-scale quality prior for crawl/corpus weighting, playing the
+# role of the reference's importance heuristics (M1-M3) on the link
+# graph. Edges derive deterministically from documents (src = doc % 20,
+# dst = (7*doc + 3) % 20, weight = multiplicity); per-iteration
+# rounding to 12 decimals pins both engines to the same float
+# trajectory, so the oracle — the SAME power iteration unrolled as
+# five chained CTEs — must match bit-for-bit after the final round(6).
+# ---------------------------------------------------------------------------
+
+def _w80_oracle(iters: int = 5) -> str:
+    parts = ["""
+WITH edges AS (
+  SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM documents GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+norm AS (SELECT e.src, e.dst, e.w / o.ow AS p
+         FROM edges e JOIN outw o ON o.src = e.src),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, round(1.0 / nn.n, 12) AS rank FROM nodes CROSS JOIN nn)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+r{k} AS (
+  SELECT nodes.node,
+         round(0.15 / nn.n + 0.85 * coalesce(c.s, 0.0), 12) AS rank
+  FROM nodes
+  LEFT JOIN (SELECT m.dst AS node, sum(r.rank * m.p) AS s
+             FROM r{k-1} r JOIN norm m ON m.src = r.node
+             GROUP BY m.dst) c ON c.node = nodes.node
+  CROSS JOIN nn)""")
+    parts.append(f"""
+SELECT node AS host_id, round(rank, 6) AS rank
+FROM r{iters} ORDER BY host_id""")
+    return "".join(parts)
+
+
+@register("pagerank_hosts", _w80_oracle())
+def w_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.graph import pagerank
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = (docs.groupBy((F.col("doc_id") % 20).alias("src"),
+                          ((F.col("doc_id") * 7 + 3) % 20).alias("dst"))
+             .agg(F.count(F.lit(1)).cast("double").alias("w")))
+    ranks = pagerank(edges, weight="w", iters=5, damping=0.85)
+    return (ranks.select(F.col("node").alias("host_id"),
+                         F.round("rank", 6).alias("rank"))
+            .orderBy("host_id"))
+
+
+# ---------------------------------------------------------------------------
+# w81 — inverted index over documents: per-term df, total tf, and the
+# doc-ordered posting list in an engine-neutral "id:tf,id:tf" string
+# encoding. The oracle rebuilds the postings with string_agg ORDER BY;
+# the engine uses array_sort(collect_list(struct)) — a hash match
+# proves the distributed list assembly reproduces the sequential one.
+# ---------------------------------------------------------------------------
+
+_W81_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT term, doc_id, count(*) AS tf
+       FROM tok WHERE term <> '' GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                  ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term ORDER BY term
+"""
+
+
+@register("inverted_index", _W81_ORACLE)
+def w_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.search import inverted_index
+
+    docs = _read(spark, sf_dir, "documents")
+    return inverted_index(docs).orderBy("term")
+
+
+# ---------------------------------------------------------------------------
+# w82 — BM25 top-20 for a fixed 3-term query. The engine filters tf to
+# the query terms before any shuffle and plans the top-k as
+# TakeOrderedAndProject; the oracle computes the identical Okapi
+# formula (k1=1.2, b=0.75, ln idf) in SQL. Scores rounded to 6 with
+# doc-id tiebreak make the cut deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+_W82_ORACLE = r"""
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS DOUBLE) AS dl
+  FROM documents
+),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM tok WHERE term IN ('hash', 'spark', 'table') GROUP BY 1, 2),
+dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+SELECT t.doc_id,
+       round(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * t.tf * 2.2
+                 / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))),
+             6) AS score
+FROM tf t
+JOIN dfs d ON d.term = t.term
+JOIN dl ON dl.doc_id = t.doc_id
+CROSS JOIN stats s
+GROUP BY t.doc_id
+ORDER BY score DESC, t.doc_id
+LIMIT 20
+"""
+
+
+@register("bm25_topk", _W82_ORACLE)
+def w_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.search import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "spark", "table"], k=20)
+
+
+# ---------------------------------------------------------------------------
+# w83 — weighted sampling without replacement (Efraimidis-Spirakis
+# exponential keys), 50 documents weighted by n_chars. The uniform is
+# content-derived (first 8 md5 hex digits of the id), so the draw is a
+# pure function of the data and the oracle replays it exactly:
+# key = ln(u)/w, top-50 by key. Both engines compute the identical
+# md5 -> hex -> integer -> (0,1) -> ln pipeline.
+# ---------------------------------------------------------------------------
+
+_W83_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS UBIGINT) + 0.5)
+                  / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 6) AS sample_key
+  FROM documents
+)
+SELECT doc_id, n_chars, sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 50
+"""
+
+
+@register("weighted_sample", _W83_ORACLE)
+def w_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.selection import weighted_sample_wor
+
+    docs = _read(spark, sf_dir, "documents")
+    return (weighted_sample_wor(docs, "n_chars", 50)
+            .select("doc_id", "n_chars", "sample_key"))
