@@ -210,6 +210,38 @@ def weighted_sample_wor(df: DataFrame, weight_col: str, n: int,
     return keyed.orderBy(F.desc(key_col), F.asc(id_col)).limit(n)
 
 
+def weighted_sample_per_group(df: DataFrame, weight_col: str, n_per_group: int,
+                              group_col: str, id_col: str = "doc_id",
+                              key_col: str = "sample_key",
+                              round_to: int = 6) -> DataFrame:
+    """Stratified A-ES: an independent weighted sample WITHOUT
+    replacement of ``n_per_group`` rows from EVERY group (the
+    per-source quota draw that applies `source_mixing_weights`
+    allocations). Same content-derived exponential keys as
+    `weighted_sample_wor` — the group is folded into the md5 input so
+    a row's draw differs across strata — but the top-n is a per-group
+    window rank instead of a global TakeOrdered: ONE shuffle on the
+    group key, each group ranked in parallel. Groups here are corpus
+    sources (hundreds to thousands) — far more tasks than a global
+    top-n, no driver merge bottleneck."""
+    u = ((F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", F.col(group_col),
+                          F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("bigint").cast("double") + 0.5)
+         / F.lit(4294967296.0))
+    w = F.col(weight_col).cast("double")
+    guarded_w = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(F.lit("weighted_sample_per_group: weights must "
+                            "be strictly positive"))).otherwise(w)
+    keyed = df.withColumn(key_col, F.round(F.log(u) / guarded_w, round_to))
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc(key_col), F.asc(id_col))
+    return (keyed.withColumn("_rk", F.row_number().over(win))
+            .filter(F.col("_rk") <= n_per_group)
+            .drop("_rk"))
+
+
 def source_mixing_weights(docs: DataFrame, alpha: float = 0.7,
                           budget_tokens: int | None = None,
                           source_col: str = "source",

@@ -4193,3 +4193,149 @@ def w_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return (weighted_sample_wor(docs, "n_chars", 50)
             .select("doc_id", "n_chars", "sample_key"))
+
+
+# ---------------------------------------------------------------------------
+# w84 — bloom-pruned selective join: lineitem probe rows are dropped by
+# a distributed-built bloom filter (single array-literal membership
+# test, pure codegen) BEFORE the shuffle join to a filtered orders
+# build side; false positives only pass through to the exact join, so
+# the result is identical to the plain join the oracle runs.
+# ---------------------------------------------------------------------------
+
+_W84_ORACLE = """
+WITH build AS (
+  SELECT o_orderkey, o_orderpriority FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+)
+SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN build b ON l.l_orderkey = b.o_orderkey
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+"""
+
+
+@register("bloom_pruned_join", _W84_ORACLE)
+def w_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.bloom import bloom_pruned_join
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_returnflag",
+        "l_quantity")
+    build = (_read(spark, sf_dir, "orders")
+             .filter((F.col("o_orderpriority") == "1-URGENT")
+                     & (F.col("o_totalprice") > 150000))
+             .select("o_orderkey", "o_orderpriority"))
+    joined = bloom_pruned_join(li, build, "o_orderkey")
+    return (joined.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum("l_quantity").cast("double").alias("sum_qty"))
+            .orderBy("l_returnflag"))
+
+
+# ---------------------------------------------------------------------------
+# w85 — exact set-similarity self-join (AllPairs prefix filtering):
+# every document pair with distinct-token Jaccard >= 0.8, candidates
+# generated only from rarity-ordered prefix tokens. The oracle is the
+# brute-force token equi-join over ALL tokens — a hash match proves
+# the prefix bound dropped no qualifying pair.
+# ---------------------------------------------------------------------------
+
+_W85_ORACLE = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+    FROM documents)
+  WHERE term <> ''
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS DOUBLE) AS c
+          FROM tok a JOIN tok b ON a.term = b.term
+                                AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, round(i.c / (sa.n + sb.n - i.c), 6) AS jac
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.id_a
+JOIN sz sb ON sb.doc_id = i.id_b
+WHERE i.c / (sa.n + sb.n - i.c) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+@register("allpairs_jaccard", _W85_ORACLE)
+def w_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.setsim import allpairs_jaccard
+
+    docs = _read(spark, sf_dir, "documents")
+    return allpairs_jaccard(docs, 0.8).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# w86 — semi-structured JSON ingestion: events.props is a JSON string;
+# the engine extracts typed fields with get_json_object (JVM jsonpath,
+# codegen — the schema-on-read path a webtext pipeline uses for crawl
+# metadata) and rolls up value stats per extracted key decile. Oracle:
+# DuckDB's native JSON extraction.
+# ---------------------------------------------------------------------------
+
+_W86_ORACLE = """
+SELECT CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10.0)
+            AS INTEGER) AS k_decile,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 6) AS avg_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("json_props_parse", _W86_ORACLE)
+def w_json_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.withColumn("_k", k)
+            .filter(F.col("_k").isNotNull())
+            .groupBy((F.col("_k") / 10).cast("int").alias("k_decile"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.round(F.avg("value"), 6).alias("avg_value"),
+                 F.countDistinct("user_id").cast("bigint").alias("n_users"))
+            .orderBy("k_decile"))
+
+
+# ---------------------------------------------------------------------------
+# w87 — stratified weighted sampling: 10 docs per source, weighted by
+# n_chars, keys derived from md5(source, id) — the per-group quota
+# draw behind source-mixing allocations. The oracle replays the same
+# key construction and takes row_number() <= 10 per source.
+# ---------------------------------------------------------------------------
+
+_W87_ORACLE = """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         round(ln((CAST(concat('0x', substr(md5(source || chr(31) ||
+                                            CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS UBIGINT) + 0.5)
+                  / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 6) AS sample_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY sample_key DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT source, doc_id, n_chars, sample_key
+FROM ranked WHERE rk <= 10 ORDER BY source, doc_id
+"""
+
+
+@register("weighted_sample_per_source", _W87_ORACLE)
+def w_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.selection import weighted_sample_per_group
+
+    docs = _read(spark, sf_dir, "documents")
+    return (weighted_sample_per_group(docs, "n_chars", 10, "source")
+            .select("source", "doc_id", "n_chars", "sample_key")
+            .orderBy("source", "doc_id"))

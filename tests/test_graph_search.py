@@ -135,3 +135,27 @@ def test_weighted_sample_deterministic_and_guarded(spark):
     bad = spark.createDataFrame([(1, 0.0)], "doc_id int, w double")
     with pytest.raises(Exception, match="strictly positive"):
         weighted_sample_wor(bad, "w", 5).collect()
+
+
+def test_weighted_sample_per_group_quota_and_independence(spark):
+    from bano_spark.operators.selection import weighted_sample_per_group
+
+    rows = [(i, ["a", "b", "c"][i % 3], 1.0 + i % 7) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id int, grp string, w double")
+    out = weighted_sample_per_group(df, "w", 5, "grp").collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["doc_id"])
+    assert {g: len(v) for g, v in by_grp.items()} == {
+        "a": 5, "b": 5, "c": 5}
+
+    # draw is a pure function of content: repartitioning changes nothing
+    out2 = weighted_sample_per_group(df.repartition(11), "w", 5,
+                                     "grp").collect()
+    assert sorted((r["grp"], r["doc_id"]) for r in out) == sorted(
+        (r["grp"], r["doc_id"]) for r in out2)
+
+    # the group is folded into the key: the same id draws differently
+    # across strata (keys differ between groups for identical ids/weights)
+    keys = {(r["grp"], r["doc_id"]): r["sample_key"] for r in out}
+    assert len(set(keys.values())) > 1
