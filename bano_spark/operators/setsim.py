@@ -45,28 +45,27 @@ def allpairs_jaccard(docs: DataFrame, tau: float, *,
            .filter(F.col("term") != "")
            .distinct())
 
-    # global rarity order: (df asc, term asc) — deterministic total
-    # order over the vocabulary
-    vocab = (tok.groupBy("term")
-             .agg(F.count(F.lit(1)).alias("df"))
-             .withColumn("rank", F.row_number().over(
-                 Window.orderBy(F.asc("df"), F.asc("term")))))
-    # the vocabulary window is the ONE ordered global window here —
-    # it runs over the vocab (tiny vs the corpus), not the data
-    ranked = tok.join(F.broadcast(vocab.select("term", "rank")), "term")
+    # global rarity order: the lexicographic pair (df asc, term asc) IS
+    # a deterministic total order over tokens — no dense integer rank
+    # (and so no single-partition global window) is ever needed: the
+    # per-doc ordering sorts by the pair, and candidate equality joins
+    # on the token itself (rank and term are 1:1)
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(F.broadcast(vocab), "term")
 
     sized = ranked.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-    # prefix length p = n - ceil(tau * n) + 1; token position by rank
+    # prefix length p = n - ceil(tau * n) + 1; positions per doc in
+    # (df, term) order — a PARTITIONED window, parallel across docs
     pref = (sized.withColumn(
         "pos", F.row_number().over(
-            Window.partitionBy(id_col).orderBy("rank")))
+            Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("term"))))
         .filter(F.col("pos")
                 <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1))
 
     cand = (pref.alias("a").join(
         pref.alias("b"),
-        (F.col("a.rank") == F.col("b.rank"))
+        (F.col("a.term") == F.col("b.term"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"))

@@ -54,6 +54,17 @@ AUDITED = [
     "dwithin_pairs",
     "asof_join_events",
     "interval_join_events",
+    "exact_quantiles",
+    "kmeans_assign",
+    "pq_adc_topk",
+    "pagerank_hosts",
+    "inverted_index",
+    "bm25_topk",
+    "weighted_sample",
+    "weighted_sample_per_source",
+    "bloom_pruned_join",
+    "allpairs_jaccard",
+    "json_props_parse",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
@@ -63,8 +74,15 @@ def _single_partition_ok(plan: str) -> bool:
     partition (bounded by parallelism, not by data). A SinglePartition
     exchange under anything else (Sort, Window, Limit-less project) is
     the r1 token_budget_selection funnel and fails."""
-    bad_ids = set(re.findall(r"\((\d+)\) Exchange\b[\s\S]*?Arguments: "
-                             r"SinglePartition", plan))
+    # parse the details section block-by-block: a non-greedy regex over
+    # the whole plan attributed the SinglePartition argument to the
+    # FIRST Exchange id in the file, not the owning block (the audit
+    # hole that passed a global-window plan in round 3)
+    bad_ids = set()
+    for block in re.split(r"\n\n+", plan):
+        m = re.match(r"\((\d+)\) Exchange\b", block.strip())
+        if m and "Arguments: SinglePartition" in block:
+            bad_ids.add(m.group(1))
     if not bad_ids:
         return "SinglePartition" not in plan  # belt and braces
     tree = []
