@@ -4339,3 +4339,146 @@ def w_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (weighted_sample_per_group(docs, "n_chars", 10, "source")
             .select("source", "doc_id", "n_chars", "sample_key")
             .orderBy("source", "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# w88 — STREAMING stream-stream interval join (§2.9): clicks and
+# errors read as two streams; each click joins the same user's errors
+# from the preceding hour. Watermarks on both sides bound the join
+# state (eviction at watermark + lookback); the time range lives in
+# the JOIN CONDITION, which is what lets Spark's symmetric hash join
+# prune state — a post-filter would grow state without bound. Under
+# availableNow all rows arrive before the watermark advances, so the
+# single-batch output equals the batch inequality join the oracle runs.
+# ---------------------------------------------------------------------------
+
+_W88_ORACLE = """
+SELECT c.event_id, c.user_id, c.ts, e.ts AS err_ts,
+       round(e.value, 6) AS err_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts, value FROM events
+      WHERE event_type = 'error') e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts - INTERVAL '1 hour' AND e.ts <= c.ts
+ORDER BY c.event_id, err_ts
+"""
+
+
+@register("streaming_interval_join", _W88_ORACLE)
+def w_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.streaming.incremental import stream_stream_interval_join
+
+    schema = _read(spark, sf_dir, "events").schema
+
+    def feed():
+        return (spark.readStream.schema(schema)
+                .parquet(sf_dir.rstrip("/"))
+                .filter(F.input_file_name().endswith("events.parquet")))
+
+    clicks = (feed().filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", F.col("ts").cast("timestamp")
+                      .alias("ts")))
+    errors = (feed().filter(F.col("event_type") == "error")
+              .select("user_id", F.col("ts").cast("timestamp").alias("r_ts"),
+                      F.col("value").alias("r_value")))
+    joined = stream_stream_interval_join(
+        clicks, errors, key="user_id", left_ts="ts", right_ts="r_ts",
+        lookback="1 hour", watermark="2 hours")
+    out_df = joined.select(
+        "event_id", "user_id", "ts", F.col("r_ts").alias("err_ts"),
+        F.round("r_value", 6).alias("err_value"))
+    qname = "w88_ssjoin"
+    q = (out_df.writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(qname).orderBy("event_id", "err_ts")
+    rows = out.collect()
+    q.stop()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# w89 — corpus-wide quantile rank of document length WITHOUT a global
+# window: the scale-safe percent_rank. The naive form is
+# percent_rank() OVER (ORDER BY n_chars) — a single-partition funnel;
+# the engine instead feeds a constant-1 value column through the
+# two-pass distributed prefix sum (composite tie-broken bucketing) and
+# derives rank = (cum - 1) / (N - 1). The oracle IS the naive window.
+# ---------------------------------------------------------------------------
+
+_W89_ORACLE = """
+SELECT doc_id, n_chars,
+       round((row_number() OVER (ORDER BY n_chars, doc_id) - 1.0)
+             / (count(*) OVER () - 1.0), 6) AS qrank
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("doclen_quantile_rank", _W89_ORACLE)
+def w_doclen_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.selection import distributed_cumsum
+
+    docs = (_read(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .withColumn("_one", F.lit(1)))
+    cum = distributed_cumsum(
+        docs, "n_chars", [F.asc("n_chars"), F.asc("doc_id")], "_one",
+        out_col="_cum", tiebreak_col="doc_id")
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    return (cum.crossJoin(F.broadcast(n))
+            .select("doc_id", "n_chars",
+                    F.round((F.col("_cum") - 1.0) / (F.col("_n") - 1.0), 6)
+                    .alias("qrank"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# w90 — per-source unigram KL divergence vs the corpus distribution
+# (training-mix drift metric: which sources' token distributions
+# deviate most). Pure aggregations + one broadcast of the corpus
+# term distribution; the per-source sum is over the vocabulary.
+# ---------------------------------------------------------------------------
+
+_W90_ORACLE = r"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(text, '\s+')) AS term
+  FROM documents
+),
+t AS (SELECT source, term, CAST(count(*) AS DOUBLE) AS c
+      FROM tok WHERE term <> '' GROUP BY 1, 2),
+st AS (SELECT source, sum(c) AS tot FROM t GROUP BY source),
+ct AS (SELECT term, sum(c) AS cc FROM t GROUP BY term),
+g AS (SELECT CAST(sum(cc) AS DOUBLE) AS gtot FROM ct)
+SELECT t.source,
+       round(sum((t.c / st.tot) * ln((t.c / st.tot) / (ct.cc / g.gtot))),
+             6) AS kl
+FROM t
+JOIN st ON st.source = t.source
+JOIN ct ON ct.term = t.term
+CROSS JOIN g
+GROUP BY t.source ORDER BY t.source
+"""
+
+
+@register("source_kl_divergence", _W90_ORACLE)
+def w_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    t = (docs.select("source",
+                     F.explode(F.split("text", r"\s+")).alias("term"))
+         .filter(F.col("term") != "")
+         .groupBy("source", "term")
+         .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    st = t.groupBy("source").agg(F.sum("c").alias("tot"))
+    ct = t.groupBy("term").agg(F.sum("c").alias("cc"))
+    g = ct.agg(F.sum("cc").cast("double").alias("gtot"))
+    return (t.join(st, "source")
+            .join(F.broadcast(ct), "term")
+            .crossJoin(F.broadcast(g))
+            .withColumn("_kl_term",
+                        (F.col("c") / F.col("tot"))
+                        * F.log((F.col("c") / F.col("tot"))
+                                / (F.col("cc") / F.col("gtot"))))
+            .groupBy("source")
+            .agg(F.round(F.sum("_kl_term"), 6).alias("kl"))
+            .orderBy("source"))

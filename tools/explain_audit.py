@@ -65,6 +65,8 @@ AUDITED = [
     "bloom_pruned_join",
     "allpairs_jaccard",
     "json_props_parse",
+    "doclen_quantile_rank",
+    "source_kl_divergence",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
