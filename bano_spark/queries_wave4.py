@@ -4482,3 +4482,94 @@ def w_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source")
             .agg(F.round(F.sum("_kl_term"), 6).alias("kl"))
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# w91 — distributed covariance matrix of the embedding column (the
+# PCA/whitening building block): one NumPy pass emits per-partition
+# sufficient statistics (X'X, component sums, count — additive, so
+# map-side combined); cov assembles from the global sums. The oracle
+# recomputes the same explicit formula from a double-unnest in SQL —
+# the vectors' float32 components convert exactly to float64 in both
+# engines, so only the final rounding is needed.
+# ---------------------------------------------------------------------------
+
+_W91_ORACLE = """
+WITH idx AS (SELECT CAST(range AS INTEGER) AS i FROM range(64)),
+x AS (
+  SELECT e.vec_id, i.i, j.j,
+         CAST(e.embedding[i.i + 1] AS DOUBLE) AS xi,
+         CAST(e.embedding[j.j + 1] AS DOUBLE) AS xj
+  FROM embeddings e
+  CROSS JOIN idx i
+  CROSS JOIN (SELECT i AS j FROM idx) j
+  WHERE i.i <= j.j
+)
+SELECT i, j,
+       round((sum(xi * xj) - sum(xi) * sum(xj) / count(*))
+             / (count(*) - 1), 6) + 0.0 AS cov
+FROM x GROUP BY i, j ORDER BY i, j
+"""
+
+
+@register("embedding_covariance", _W91_ORACLE)
+def w_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.linalg import embedding_covariance
+
+    embs = _read(spark, sf_dir, "embeddings")
+    # + 0.0 normalizes IEEE negative zero (round can yield -0.0 in one
+    # engine and 0.0 in the other; repr-level compare would diverge)
+    return (embedding_covariance(embs, round_to=6)
+            .withColumn("cov", F.col("cov") + F.lit(0.0))
+            .orderBy("i", "j"))
+
+
+# ---------------------------------------------------------------------------
+# w92 — robust outlier screening via median absolute deviation (the
+# data-cleaning step before length-based quality cuts): per source,
+# exact interpolated median of n_chars, MAD, and the count of docs
+# outside 3 scaled MADs. Spark's `percentile` and DuckDB's
+# `quantile_cont` share the p*(n-1) linear-interpolation definition.
+# ---------------------------------------------------------------------------
+
+_W92_ORACLE = """
+WITH med AS (
+  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+  FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.source, d.doc_id, m.med,
+         abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev,
+         CAST(d.n_chars AS DOUBLE) AS nc
+  FROM documents d JOIN med m ON m.source = d.source
+),
+mad AS (
+  SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY source
+)
+SELECT v.source, round(v.med, 6) AS med, round(a.mad, 6) AS mad,
+       CAST(sum(CASE WHEN abs(v.nc - v.med) > 3 * 1.4826 * a.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM (SELECT DISTINCT source, doc_id, med, adev, nc FROM dev) v
+JOIN mad a ON a.source = v.source
+GROUP BY v.source, v.med, a.mad ORDER BY v.source
+"""
+
+
+@register("mad_outliers", _W92_ORACLE)
+def w_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("double").alias("nc"))
+    med = docs.groupBy("source").agg(
+        F.expr("percentile(nc, 0.5)").alias("med"))
+    dev = docs.join(med, "source").withColumn(
+        "adev", F.abs(F.col("nc") - F.col("med")))
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (dev.join(mad, "source")
+            .groupBy("source", "med", "mad")
+            .agg(F.sum(F.when(F.abs(F.col("nc") - F.col("med"))
+                              > 3 * 1.4826 * F.col("mad"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_outliers"))
+            .select("source", F.round("med", 6).alias("med"),
+                    F.round("mad", 6).alias("mad"), "n_outliers")
+            .orderBy("source"))

@@ -67,6 +67,8 @@ AUDITED = [
     "json_props_parse",
     "doclen_quantile_rank",
     "source_kl_divergence",
+    "embedding_covariance",
+    "mad_outliers",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
