@@ -1,0 +1,93 @@
+"""Event-flow analytics: SCD2 intervals, CDC apply, funnels, cohorts.
+
+The warehouse-staple operator family over an event stream — the
+engine's events table is the stand-in for any keyed, timestamped
+changelog (page recrawls, label updates, user activity).
+
+Scale shape: every operator here is windows-partitioned-by-key plus
+aggregations — one shuffle on the entity key, all windows parallel
+across keys, no global ordering anywhere. Funnel stages chain
+key-equi-joins whose right sides shrink monotonically (stage N+1
+users ⊆ stage N users), so AQE turns the tail joins into broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def scd2_intervals(events: DataFrame, *, key: str, ts: str,
+                   attr: str, tiebreak: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse an event
+    stream into validity intervals of `attr` per `key` — one row per
+    VALUE CHANGE with [valid_from, valid_to) half-open bounds
+    (valid_to null on the current row). Consecutive duplicate values
+    merge into one interval. `tiebreak` must make (ts, tiebreak)
+    unique per key."""
+    w = Window.partitionBy(key).orderBy(F.asc(ts), F.asc(tiebreak))
+    changed = (events
+               .withColumn("_prev", F.lag(attr).over(w))
+               .filter(F.col("_prev").isNull()
+                       | (F.col("_prev") != F.col(attr))))
+    w2 = Window.partitionBy(key).orderBy(F.asc(ts), F.asc(tiebreak))
+    return (changed
+            .withColumn("valid_from", F.col(ts))
+            .withColumn("valid_to", F.lead(ts).over(w2))
+            .select(key, attr, "valid_from", "valid_to"))
+
+
+def cdc_apply(changes: DataFrame, *, key: str, ts: str, tiebreak: str,
+              op_col: str, value_cols: list[str],
+              delete_op: str = "D") -> DataFrame:
+    """Apply a CDC changelog: for each key keep the LATEST change by
+    (ts, tiebreak); keys whose latest op is `delete_op` vanish from
+    the result. Output: one row per surviving key with its latest
+    values — the materialized table state."""
+    w = Window.partitionBy(key).orderBy(F.desc(ts), F.desc(tiebreak))
+    latest = (changes.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1)
+              .filter(F.col(op_col) != delete_op))
+    return latest.select(key, ts, *value_cols)
+
+
+def funnel_stages(events: DataFrame, steps: list[Column | str], *,
+                  key: str, ts: str) -> DataFrame:
+    """Strict-order funnel: per key, the earliest time of step 1, then
+    the earliest step-2 event AT OR AFTER it, and so on. Returns one
+    row per key that completed step 1, with t1..tN (null once the
+    funnel breaks). `steps` are boolean filter expressions (or event
+    type names matched against `event_type`)."""
+    conds = [F.col("event_type") == s if isinstance(s, str) else s
+             for s in steps]
+    cur = (events.filter(conds[0]).groupBy(key)
+           .agg(F.min(ts).alias("t1")))
+    for n, cond in enumerate(conds[1:], start=2):
+        step = events.filter(cond).select(key, F.col(ts).alias("_ts"))
+        # one LEFT join + conditional min: keys with no qualifying
+        # step-N event keep a null tN (funnel broken) without a
+        # second anti-join pass. The step side shrinks every stage.
+        cur = (cur.join(step, key, "left")
+               .groupBy(key, *[f"t{i}" for i in range(1, n)])
+               .agg(F.min(F.when(F.col("_ts") >= F.col(f"t{n-1}"),
+                                 F.col("_ts"))).alias(f"t{n}")))
+    return cur
+
+
+def retention_cohorts(events: DataFrame, *, key: str, ts: str,
+                      period: str = "week") -> DataFrame:
+    """Cohort retention: cohort = the key's first active period;
+    output (cohort, period_offset, n_active) — how many of each
+    cohort's keys were active N periods later. Two aggregations and a
+    broadcast-joined cohort map; offsets derive from day arithmetic
+    (both truncations are period-aligned, so the division is exact)."""
+    per = F.date_trunc(period, F.col(ts)).cast("date")
+    active = events.select(F.col(key), per.alias("_p")).distinct()
+    cohort = active.groupBy(key).agg(F.min("_p").alias("_cohort"))
+    days = 7 if period == "week" else 1
+    return (active.join(cohort, key)
+            .select("_cohort",
+                    (F.datediff(F.col("_p"), F.col("_cohort")) / days)
+                    .cast("int").alias("period_offset"), key)
+            .groupBy("_cohort", "period_offset")
+            .agg(F.countDistinct(key).cast("bigint").alias("n_active"))
+            .withColumnRenamed("_cohort", "cohort"))

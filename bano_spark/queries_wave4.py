@@ -4573,3 +4573,138 @@ def w_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", F.round("med", 6).alias("med"),
                     F.round("mad", 6).alias("mad"), "n_outliers")
             .orderBy("source"))
+
+
+# ---------------------------------------------------------------------------
+# w93 — SCD2 build: collapse the event stream into type-2 validity
+# intervals of each user's event_type (one row per value change,
+# half-open [valid_from, valid_to), open-ended current row). Windows
+# partition by user — parallel across keys, no global order.
+# ---------------------------------------------------------------------------
+
+_W93_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+ch AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS valid_to
+FROM ch ORDER BY user_id, valid_from
+"""
+
+
+@register("scd2_intervals", _W93_ORACLE)
+def w_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.eventflow import scd2_intervals
+
+    ev = _read(spark, sf_dir, "events")
+    return (scd2_intervals(ev, key="user_id", ts="ts",
+                           attr="event_type", tiebreak="event_id")
+            .orderBy("user_id", "valid_from"))
+
+
+# ---------------------------------------------------------------------------
+# w94 — CDC changelog apply: errors are deletes, everything else
+# upserts the user's value; the latest change by (ts, event_id) wins
+# and deleted keys vanish — the materialized state a MERGE INTO
+# produces from a change feed.
+# ---------------------------------------------------------------------------
+
+_W94_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts, round(value, 6) AS value
+FROM c WHERE rn = 1 AND op <> 'D' ORDER BY user_id
+"""
+
+
+@register("cdc_apply", _W94_ORACLE)
+def w_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.eventflow import cdc_apply
+
+    ev = (_read(spark, sf_dir, "events")
+          .withColumn("op", F.when(F.col("event_type") == "error",
+                                   "D").otherwise("U"))
+          .withColumn("value", F.round("value", 6)))
+    return (cdc_apply(ev, key="user_id", ts="ts", tiebreak="event_id",
+                      op_col="op", value_cols=["value"])
+            .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# w95 — strict-order funnel view -> click -> purchase: per user the
+# first view, the first click at-or-after it, the first purchase
+# at-or-after that; null where the funnel breaks. Each stage is one
+# LEFT join + conditional min; stage inputs shrink monotonically.
+# ---------------------------------------------------------------------------
+
+_W95_ORACLE = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT s1.user_id,
+              min(CASE WHEN e.ts >= s1.t1 THEN e.ts END) AS t2
+       FROM s1 LEFT JOIN events e
+         ON e.user_id = s1.user_id AND e.event_type = 'click'
+       GROUP BY s1.user_id),
+s3 AS (SELECT s2.user_id,
+              min(CASE WHEN e.ts >= s2.t2 THEN e.ts END) AS t3
+       FROM s2 LEFT JOIN events e
+         ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+       GROUP BY s2.user_id)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+FROM s1 JOIN s2 ON s2.user_id = s1.user_id
+JOIN s3 ON s3.user_id = s1.user_id
+ORDER BY s1.user_id
+"""
+
+
+@register("event_funnel", _W95_ORACLE)
+def w_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.eventflow import funnel_stages
+
+    ev = _read(spark, sf_dir, "events")
+    return (funnel_stages(ev, ["view", "click", "purchase"],
+                          key="user_id", ts="ts")
+            .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# w96 — weekly retention cohorts: cohort = first active ISO week;
+# n_active users per (cohort, week offset). Offsets are exact day
+# arithmetic between Monday-truncated dates in both engines.
+# ---------------------------------------------------------------------------
+
+_W96_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p
+  FROM events
+),
+c AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY user_id)
+SELECT c.cohort,
+       CAST(date_diff('day', c.cohort, a.p) // 7 AS INTEGER)
+         AS period_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM a JOIN c ON c.user_id = a.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("retention_cohorts", _W96_ORACLE)
+def w_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.eventflow import retention_cohorts
+
+    ev = _read(spark, sf_dir, "events")
+    return retention_cohorts(ev, key="user_id", ts="ts").orderBy(
+        "cohort", "period_offset")

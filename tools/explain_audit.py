@@ -69,6 +69,10 @@ AUDITED = [
     "source_kl_divergence",
     "embedding_covariance",
     "mad_outliers",
+    "scd2_intervals",
+    "cdc_apply",
+    "event_funnel",
+    "retention_cohorts",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
