@@ -457,3 +457,43 @@ def compact_cover(gx: np.ndarray, gy: np.ndarray, interior: np.ndarray,
             out_i.append(True)
     return (np.array(out_l), np.array(out_x), np.array(out_y),
             np.array(out_i, dtype=bool))
+
+
+def rings_intersect(va: np.ndarray, vb: np.ndarray) -> bool:
+    """Exact polygon-polygon intersects test for simple rings: true iff
+    the interiors/boundaries meet — (a) bbox overlap gate, (b) either
+    ring's first vertex inside the other (containment), (c) any proper
+    edge crossing (vectorized orientation tests over A-edges x
+    B-edges). Collinear-touch cases (measure-zero for float data) are
+    not special-cased; callers with adversarial inputs should jitter
+    or use exact arithmetic."""
+    va = np.asarray(va, dtype=np.float64)
+    vb = np.asarray(vb, dtype=np.float64)
+    axmin, aymin, axmax, aymax = polygon_bbox(va)
+    bxmin, bymin, bxmax, bymax = polygon_bbox(vb)
+    if axmin > bxmax or bxmin > axmax or aymin > bymax or bymin > aymax:
+        return False
+    if points_in_polygon(va[:1, 0], va[:1, 1], vb)[0]:
+        return True
+    if points_in_polygon(vb[:1, 0], vb[:1, 1], va)[0]:
+        return True
+    a = va[:-1] if len(va) > 1 and (va[0] == va[-1]).all() else va
+    b = vb[:-1] if len(vb) > 1 and (vb[0] == vb[-1]).all() else vb
+    p1 = a
+    p2 = np.roll(a, -1, axis=0)
+    q1 = b
+    q2 = np.roll(b, -1, axis=0)
+
+    def orient(ox, oy, ax_, ay_, bx_, by_):
+        return (ax_ - ox) * (by_ - oy) - (ay_ - oy) * (bx_ - ox)
+
+    # broadcast A-edges (n,1) against B-edges (1,m)
+    d1 = orient(q1[None, :, 0], q1[None, :, 1], q2[None, :, 0],
+                q2[None, :, 1], p1[:, None, 0], p1[:, None, 1])
+    d2 = orient(q1[None, :, 0], q1[None, :, 1], q2[None, :, 0],
+                q2[None, :, 1], p2[:, None, 0], p2[:, None, 1])
+    d3 = orient(p1[:, None, 0], p1[:, None, 1], p2[:, None, 0],
+                p2[:, None, 1], q1[None, :, 0], q1[None, :, 1])
+    d4 = orient(p1[:, None, 0], p1[:, None, 1], p2[:, None, 0],
+                p2[:, None, 1], q2[None, :, 0], q2[None, :, 1])
+    return bool(((d1 * d2 < 0) & (d3 * d4 < 0)).any())

@@ -1,0 +1,70 @@
+"""Polygon-polygon intersects join (overlay candidate generation).
+
+Completes the spatial-join family (point-in-polygon `pip_join`,
+point-point `dwithin_pairs`, kNN `knn_join`) with the polygon-polygon
+predicate join — the shape behind parcel-vs-commune overlay, admin
+boundary conflation, and zone-zone conflict detection (the reference's
+ST_Intersects suffix/zone SQL generalized to two polygon layers).
+
+Scale shape: candidates come from the SAME slippy-cell cover
+equi-join as `pip_join` — each side's rings rasterize distributed
+(`polygon_cover` in mapInPandas), covers equi-join on the cell,
+distinct pairs. No cross product anywhere; candidate count is bounded
+by cover overlap, i.e. by actual spatial proximity. The exact refine
+(`geometry.rings_intersect`: bbox gate, containment probes, vectorized
+edge-crossing orientation tests) runs per candidate PAIR in Arrow
+batches; rings attach to the bounded candidate set, never to the
+full layers. A pair sharing several cells is deduped BEFORE rings
+attach, so each ring pair crosses to Python exactly once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..geo import geometry
+from .pip_join import polygon_cover
+
+
+def polygon_intersects_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    verts_col: str = "verts",
+    zoom: int = 14,
+) -> DataFrame:
+    """All (id_a, id_b) pairs whose simple polygon rings intersect
+    (shared interior, containment, or crossing edges)."""
+    cov_a = (polygon_cover(polys_a, zoom, id_a, verts_col)
+             .select(id_a, "tx", "ty"))
+    cov_b = (polygon_cover(polys_b, zoom, id_b, verts_col)
+             .select(id_b, "tx", "ty"))
+    cand = cov_a.join(cov_b, ["tx", "ty"]).select(id_a, id_b).distinct()
+
+    pa = polys_a.select(F.col(id_a), F.col(verts_col).alias("_va"))
+    pb = polys_b.select(F.col(id_b), F.col(verts_col).alias("_vb"))
+    pairs = cand.join(pa, id_a).join(pb, id_b)
+
+    out_schema = T.StructType([
+        polys_a.schema[id_a], polys_b.schema[id_b]])
+
+    def refine(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                yield b.select([id_a, id_b])
+                continue
+            va = b.column("_va").to_pylist()
+            vb = b.column("_vb").to_pylist()
+            keep = np.fromiter(
+                (geometry.rings_intersect(
+                    np.array(a, dtype=np.float64),
+                    np.array(bb, dtype=np.float64))
+                 for a, bb in zip(va, vb)),
+                dtype=bool, count=len(va))
+            import pyarrow as pa_
+            yield b.filter(pa_.array(keep)).select([id_a, id_b])
+
+    return pairs.mapInArrow(refine, out_schema)

@@ -4708,3 +4708,53 @@ def w_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
     return retention_cohorts(ev, key="user_id", ts="ts").orderBy(
         "cohort", "period_offset")
+
+
+# ---------------------------------------------------------------------------
+# w97 — polygon-polygon intersects join: two rectangle layers derived
+# from events run through the GENERIC ring-intersection operator (cell
+# -cover candidates + orientation-test refine); the oracle is the
+# closed-form strict interval-overlap test rectangles admit. Fractional
+# side lengths (+0.3 on integer-plus-half grids) make exact
+# edge-touching impossible, so strict overlap == ring intersection and
+# the generic kernel must reproduce the closed form pair-for-pair.
+# ---------------------------------------------------------------------------
+
+def _w97_rects_sql(dialect: str, mod: int, alias_id: str,
+                   wmod: int, hmod: int) -> str:
+    pts = synth.points_select_sql(dialect, "events", "event_id", 0)
+    return f"""
+SELECT event_id AS {alias_id}, x AS x0, y AS y0,
+       x + 100 + (event_id % {wmod}) * 50 + 0.3 AS x1,
+       y + 100 + (event_id % {hmod}) * 50 + 0.3 AS y1
+FROM ({pts}) WHERE event_id % {mod} = 0"""
+
+
+_W97_ORACLE = f"""
+WITH a AS ({_w97_rects_sql('duckdb', 13, 'id_a', 7, 5)}),
+b AS ({_w97_rects_sql('duckdb', 17, 'id_b', 11, 3)})
+SELECT a.id_a, b.id_b
+FROM a JOIN b
+  ON a.x0 < b.x1 AND b.x0 < a.x1 AND a.y0 < b.y1 AND b.y0 < a.y1
+ORDER BY id_a, id_b
+"""
+
+
+@register("polygon_intersects_join", _W97_ORACLE)
+def w_polygon_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.overlay import polygon_intersects_join
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+    def rects(mod, alias_id, wmod, hmod):
+        df = spark.sql(_w97_rects_sql("spark", mod, alias_id, wmod, hmod))
+        ring = F.array(
+            F.array("x0", "y0"), F.array("x1", "y0"),
+            F.array("x1", "y1"), F.array("x0", "y1"))
+        return df.select(alias_id, ring.alias("verts"))
+
+    a = rects(13, "id_a", 7, 5)
+    b = rects(17, "id_b", 11, 3)
+    return (polygon_intersects_join(a, b, id_a="id_a", id_b="id_b",
+                                    zoom=14)
+            .orderBy("id_a", "id_b"))

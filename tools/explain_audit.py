@@ -73,6 +73,7 @@ AUDITED = [
     "cdc_apply",
     "event_funnel",
     "retention_cohorts",
+    "polygon_intersects_join",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
