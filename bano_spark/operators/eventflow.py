@@ -91,3 +91,18 @@ def retention_cohorts(events: DataFrame, *, key: str, ts: str,
             .groupBy("_cohort", "period_offset")
             .agg(F.countDistinct(key).cast("bigint").alias("n_active"))
             .withColumnRenamed("_cohort", "cohort"))
+
+
+def transition_counts(events: DataFrame, *, key: str, ts: str,
+                      attr: str, tiebreak: str) -> DataFrame:
+    """First-order transition matrix of `attr` along each key's
+    timeline: (from_value, to_value, n) over consecutive event pairs.
+    One per-key window — the Markov-chain summary behind session-flow
+    and crawl-path analyses."""
+    w = Window.partitionBy(key).orderBy(F.asc(ts), F.asc(tiebreak))
+    return (events
+            .withColumn("_nxt", F.lead(attr).over(w))
+            .filter(F.col("_nxt").isNotNull())
+            .groupBy(F.col(attr).alias("from_value"),
+                     F.col("_nxt").alias("to_value"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n")))

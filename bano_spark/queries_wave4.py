@@ -4758,3 +4758,73 @@ def w_polygon_intersects_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (polygon_intersects_join(a, b, id_a="id_a", id_b="id_b",
                                     zoom=14)
             .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# w98 — per-node triangle participation on the host co-citation graph.
+# The engine uses degree-oriented enumeration (skew-bounded wedge
+# joins, each triangle found once then exploded to its corners); the
+# oracle enumerates ordered triples a<b<c directly — two independent
+# algorithms that must agree per node.
+# ---------------------------------------------------------------------------
+
+def _w98_edges_sql(dialect: str) -> str:
+    d = " div " if dialect == "spark" else " // "
+    return (f"SELECT doc_id % 20 AS s, (doc_id{d}20) % 20 AS d "
+            f"FROM documents")
+
+
+_W98_ORACLE = f"""
+WITH raw AS ({_w98_edges_sql('duckdb')}),
+e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+      FROM raw WHERE s <> d),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node ORDER BY node
+"""
+
+
+@register("triangle_participation", _W98_ORACLE)
+def w_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.graph import triangle_participation
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    raw = spark.sql(_w98_edges_sql("spark"))
+    return (triangle_participation(raw, src="s", dst="d")
+            .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# w99 — event-type transition matrix (first-order Markov summary of
+# each user's timeline): one per-key lead window + an aggregation.
+# ---------------------------------------------------------------------------
+
+_W99_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_value, nxt AS to_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("event_transitions", _W99_ORACLE)
+def w_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.eventflow import transition_counts
+
+    ev = _read(spark, sf_dir, "events")
+    return (transition_counts(ev, key="user_id", ts="ts",
+                              attr="event_type", tiebreak="event_id")
+            .orderBy("from_value", "to_value"))

@@ -159,3 +159,31 @@ def test_weighted_sample_per_group_quota_and_independence(spark):
     # across strata (keys differ between groups for identical ids/weights)
     keys = {(r["grp"], r["doc_id"]): r["sample_key"] for r in out}
     assert len(set(keys.values())) > 1
+
+
+def test_triangle_participation_vs_bruteforce(spark):
+    import itertools
+
+    from bano_spark.operators.graph import triangle_participation
+
+    rng = np.random.default_rng(21)
+    n = 14
+    edges = set()
+    for _ in range(40):
+        a, b = rng.choice(n, 2, replace=False)
+        edges.add((int(min(a, b)), int(max(a, b))))
+    # hub-skew: node 0 connects to everything (stresses orientation)
+    for v in range(1, n):
+        edges.add((0, v))
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_participation(df).collect()}
+
+    want = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if ((a, b) in edges and (b, c) in edges and (a, c) in edges):
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+    # total count divides by 3 exactly
+    assert sum(got.values()) % 3 == 0

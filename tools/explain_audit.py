@@ -74,6 +74,8 @@ AUDITED = [
     "event_funnel",
     "retention_cohorts",
     "polygon_intersects_join",
+    "triangle_participation",
+    "event_transitions",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
