@@ -4828,3 +4828,102 @@ def w_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (transition_counts(ev, key="user_id", ts="ts",
                               attr="event_type", tiebreak="event_id")
             .orderBy("from_value", "to_value"))
+
+
+# ---------------------------------------------------------------------------
+# w100 — Pareto skyline (maximize quality, minimize length): the
+# dominance filter behind "best quality at every length budget"
+# corpus curation. The engine exploits the low-cardinality quality
+# axis: per-quality minimum lengths (one aggregation), the
+# strictly-higher-quality prefix minimum via a TINY self-join on the
+# O(levels) quality table (NO global window — the audit's
+# single-partition check stays clean), then one broadcast join back.
+# The oracle is the direct NOT EXISTS dominance definition — a
+# completely different formulation.
+# ---------------------------------------------------------------------------
+
+_W100_ORACLE = """
+WITH d AS (
+  SELECT doc_id, (doc_id * 31) % 7 AS q, n_chars FROM documents
+)
+SELECT a.doc_id, a.q, a.n_chars
+FROM d a
+WHERE NOT EXISTS (
+  SELECT 1 FROM d b
+  WHERE b.q >= a.q AND b.n_chars <= a.n_chars
+    AND (b.q > a.q OR b.n_chars < a.n_chars)
+)
+ORDER BY a.doc_id
+"""
+
+
+@register("pareto_skyline", _W100_ORACLE)
+def w_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", ((F.col("doc_id") * 31) % 7).alias("q"), "n_chars")
+    per_q = docs.groupBy("q").agg(F.min("n_chars").alias("min_len"))
+    # min length over STRICTLY higher qualities, via the tiny
+    # level-level self-join (levels x levels, not docs x docs)
+    higher = (per_q.alias("a")
+              .join(per_q.alias("b"), F.col("b.q") > F.col("a.q"), "left")
+              .groupBy(F.col("a.q").alias("q"),
+                       F.col("a.min_len").alias("min_len"))
+              .agg(F.min(F.col("b.min_len")).alias("m_high")))
+    return (docs.join(F.broadcast(higher), "q")
+            .filter((F.col("n_chars") == F.col("min_len"))
+                    & (F.col("m_high").isNull()
+                       | (F.col("m_high") > F.col("n_chars"))))
+            .select("doc_id", "q", "n_chars")
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# w101 — incremental view maintenance: a per-user stats view
+# (count/sum/min/max — all mergeable) is maintained by MERGING the
+# stored pre-T base aggregate with the aggregate of the post-T delta
+# batch, never rescanning the base. The oracle recomputes from the
+# full table — merge-equals-recompute is exactly the IVM contract
+# (and what resumable_partition_write relies on per partition).
+# ---------------------------------------------------------------------------
+
+_W101_ORACLE = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_v,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("incremental_view_merge", _W101_ORACLE)
+def w_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    cut = "2024-01-20"
+
+    def agg(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"))
+
+    base = agg(ev.filter(F.col("ts") < cut))      # the "stored" view
+    delta = agg(ev.filter(F.col("ts") >= cut))    # the new batch
+    merged = (base.alias("b").join(delta.alias("d"), "user_id", "full")
+              .select(
+                  "user_id",
+                  (F.coalesce(F.col("b.n"), F.lit(0))
+                   + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+                  (F.coalesce(F.col("b.sum_v"), F.lit(0.0))
+                   + F.coalesce(F.col("d.sum_v"), F.lit(0.0))).alias("sum_v"),
+                  F.least(F.coalesce(F.col("b.min_v"), F.col("d.min_v")),
+                          F.coalesce(F.col("d.min_v"), F.col("b.min_v")))
+                  .alias("min_v"),
+                  F.greatest(F.coalesce(F.col("b.max_v"), F.col("d.max_v")),
+                             F.coalesce(F.col("d.max_v"), F.col("b.max_v")))
+                  .alias("max_v")))
+    return (merged.select(
+        "user_id", "n", F.round("sum_v", 6).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"))
+        .orderBy("user_id"))

@@ -76,6 +76,8 @@ AUDITED = [
     "polygon_intersects_join",
     "triangle_participation",
     "event_transitions",
+    "pareto_skyline",
+    "incremental_view_merge",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
