@@ -85,3 +85,77 @@ def test_retention_offsets(spark):
         ("2024-01-01", 0): 2, ("2024-01-01", 1): 2, ("2024-01-01", 3): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_eventflow_random_logs_vs_bruteforce(spark):
+    """One randomized 800-event log across 25 keys (duplicate
+    timestamps included) checked against independent brute-force
+    implementations of all three changelog operators."""
+    import numpy as np
+
+    from bano_spark.operators.eventflow import (cdc_apply, funnel_stages,
+                                                scd2_intervals)
+
+    rng = np.random.default_rng(17)
+    types = ["view", "click", "purchase", "error"]
+    rows = []
+    for eid in range(800):
+        rows.append((int(rng.integers(0, 25)),
+                     _ts(int(rng.integers(0, 50))),  # heavy ts ties
+                     eid, types[int(rng.integers(0, 4))],
+                     float(rng.integers(1, 100))))
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, event_id int, event_type string, v double")
+    by_key = {}
+    for k, ts, eid, et, v in rows:
+        by_key.setdefault(k, []).append((ts, eid, et, v))
+    for k in by_key:
+        by_key[k].sort()
+
+    # --- SCD2 ---
+    skey = lambda t: (t[0], t[1], t[2], t[3] or dt.datetime.max)
+    got = sorted(((r["k"], r["event_type"], r["valid_from"], r["valid_to"])
+                  for r in scd2_intervals(df, key="k", ts="ts",
+                                          attr="event_type",
+                                          tiebreak="event_id").collect()),
+                 key=skey)
+    want = []
+    for k, seq in by_key.items():
+        changes = [s for i, s in enumerate(seq)
+                   if i == 0 or s[2] != seq[i - 1][2]]
+        for i, c in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            want.append((k, c[2], c[0], nxt))
+    assert got == sorted(want, key=skey)
+
+    # --- CDC (error = delete) ---
+    got_cdc = {r["k"]: r["v"]
+               for r in cdc_apply(
+                   df.withColumn("op", F.when(
+                       F.col("event_type") == "error", "D").otherwise("U")),
+                   key="k", ts="ts", tiebreak="event_id",
+                   op_col="op", value_cols=["v"]).collect()}
+    want_cdc = {}
+    for k, seq in by_key.items():
+        last = seq[-1]
+        if last[2] != "error":
+            want_cdc[k] = last[3]
+    assert got_cdc == want_cdc
+
+    # --- funnel ---
+    got_f = {r["k"]: (r["t1"], r["t2"], r["t3"])
+             for r in funnel_stages(df, ["view", "click", "purchase"],
+                                    key="k", ts="ts").collect()}
+    want_f = {}
+    for k, seq in by_key.items():
+        t1 = min((s[0] for s in seq if s[2] == "view"), default=None)
+        if t1 is None:
+            continue
+        t2 = min((s[0] for s in seq if s[2] == "click" and s[0] >= t1),
+                 default=None)
+        t3 = None
+        if t2 is not None:
+            t3 = min((s[0] for s in seq if s[2] == "purchase" and s[0] >= t2),
+                     default=None)
+        want_f[k] = (t1, t2, t3)
+    assert got_f == want_f
