@@ -144,3 +144,31 @@ def py_tile_y(y: float, z: int) -> int:
 def py_tile_bounds(z: int, x: int, y: int):
     s = cell_size(z)
     return (ORIGIN + s * x, -ORIGIN - s * (y + 1), ORIGIN + s * (x + 1), -ORIGIN - s * y)
+
+
+def zorder_key(tx: Column, ty: Column, bits: int = 16) -> Column:
+    """Morton/Z-order key: bit-interleave two tile indices into one
+    sort key. Writing files ordered by this key (``df.repartitionByRange
+    (n, zkey).sortWithinPartitions(zkey)``) clusters 2-D-adjacent rows
+    into the same parquet files, so min/max file statistics prune 2-D
+    range predicates — the standard lakehouse layout trick for spatial
+    tables (Delta/Iceberg Z-ORDER, public technique). Pure codegen:
+    ``bits`` constant shift/mask terms summed (bit-disjoint, so + is
+    |)."""
+    out = None
+    for i in range(bits):
+        a = F.shiftleft(F.shiftright(tx, i).bitwiseAND(F.lit(1)), 2 * i)
+        b = F.shiftleft(F.shiftright(ty, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        out = a + b if out is None else out + a + b
+    return out.cast("bigint")
+
+
+def zorder_sql(tx: str, ty: str, bits: int = 16) -> str:
+    """The identical interleave as a SQL expression (DuckDB/Spark SQL
+    shared syntax: >>, <<, & on integers) — the oracle twin of
+    :func:`zorder_key`."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({tx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ty} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

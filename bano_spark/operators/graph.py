@@ -45,17 +45,22 @@ def pagerank(
     damping: float = 0.85,
     round_to: int = 12,
     num_partitions: int | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
-    """Weighted PageRank with uniform teleport, `iters` synchronous
-    iterations from a uniform start. Returns (node, rank).
+    """Weighted PageRank, `iters` synchronous iterations. Returns
+    (node, rank).
 
-    rank_{k+1}(v) = (1-d)/N + d * (sum_{u->v} rank_k(u) * p(u,v)
-                                   + dangling_mass_k / N)
+    rank_{k+1}(v) = (1-d)*t(v) + d * (sum_{u->v} rank_k(u) * p(u,v)
+                                      + dangling_mass_k * t(v))
 
     where p(u,v) = w(u,v) / out_weight(u) and dangling_mass is the
-    rank held by nodes with no out-edges. Ranks are rounded to
-    `round_to` decimals each iteration (see module docstring).
-    """
+    rank held by nodes with no out-edges. ``teleport`` personalizes
+    the restart distribution t — a (node, t) DataFrame summing to 1
+    (nodes absent get 0); None means uniform t = 1/N. A trusted seed
+    set as ``teleport`` is exactly TrustRank (Gyöngyi et al. 2004),
+    the spam-demotion prior of web corpus curation. The start vector
+    is t itself. Ranks are rounded to `round_to` decimals each
+    iteration (see module docstring)."""
     spark = edges.sparkSession
     n_part = int(num_partitions or spark.conf.get(
         "spark.sql.shuffle.partitions", "32"))
@@ -82,9 +87,18 @@ def pagerank(
             .persist())
     norm.count()  # materialize before looping
 
-    teleport = (1.0 - damping) / n_nodes
-    ranks = nodes.withColumn(
-        "rank", F.round(F.lit(1.0 / n_nodes), round_to))
+    if teleport is None:
+        t_nodes = nodes.withColumn("_t", F.lit(1.0 / n_nodes)).persist()
+    else:
+        tcols = teleport.columns
+        t_nodes = (nodes.join(
+            teleport.select(F.col(tcols[0]).alias("node"),
+                            F.col(tcols[1]).cast("double").alias("_t")),
+            "node", "left")
+            .select("node", F.coalesce(F.col("_t"), F.lit(0.0)).alias("_t"))
+            .persist())
+    ranks = t_nodes.select("node", F.round(F.col("_t"), round_to)
+                           .alias("rank"))
 
     out_srcs = norm.select(F.col("_src").alias("node")).distinct()
     dangling_nodes = nodes.join(out_srcs, "node", "left_anti").persist()
@@ -102,13 +116,13 @@ def pagerank(
                    .join(norm, "_src")
                    .groupBy(F.col("_dst").alias("node"))
                    .agg(F.sum(F.col("rank") * F.col("_p")).alias("_c")))
-        ranks = (nodes.join(contrib, "node", "left")
+        ranks = (t_nodes.join(contrib, "node", "left")
                  .select("node",
                          F.round(
-                             F.lit(teleport)
+                             F.lit(1.0 - damping) * F.col("_t")
                              + F.lit(damping)
                              * (F.coalesce(F.col("_c"), F.lit(0.0))
-                                + F.lit(dm / n_nodes)),
+                                + F.lit(dm) * F.col("_t")),
                              round_to).alias("rank"))
                  .localCheckpoint(eager=False))
 

@@ -4060,7 +4060,8 @@ r0 AS (SELECT node, round(1.0 / nn.n, 12) AS rank FROM nodes CROSS JOIN nn)"""]
         parts.append(f""",
 r{k} AS (
   SELECT nodes.node,
-         round(0.15 / nn.n + 0.85 * coalesce(c.s, 0.0), 12) AS rank
+         round((1.0 - 0.85) * (1.0 / nn.n)
+               + 0.85 * coalesce(c.s, 0.0), 12) AS rank
   FROM nodes
   LEFT JOIN (SELECT m.dst AS node, sum(r.rank * m.p) AS s
              FROM r{k-1} r JOIN norm m ON m.src = r.node
@@ -4927,3 +4928,100 @@ def w_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_v", 6).alias("min_v"),
         F.round("max_v", 6).alias("max_v"))
         .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# w102 — TrustRank: PageRank with the restart distribution
+# concentrated on a trusted seed set (hosts 0/5/10/15) — the
+# spam-demotion prior of web corpus curation (Gyöngyi et al. 2004).
+# Same engine loop as w80 with a personalized teleport vector; the
+# oracle unrolls the seeded power iteration.
+# ---------------------------------------------------------------------------
+
+def _w102_oracle(iters: int = 5) -> str:
+    parts = ["""
+WITH edges AS (
+  SELECT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM documents GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+norm AS (SELECT e.src, e.dst, e.w / o.ow AS p
+         FROM edges e JOIN outw o ON o.src = e.src),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+tt AS (SELECT node, CASE WHEN node IN (0, 5, 10, 15)
+                         THEN 0.25 ELSE 0.0 END AS t FROM nodes),
+r0 AS (SELECT node, round(t, 12) AS rank FROM tt)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+r{k} AS (
+  SELECT tt.node,
+         round((1.0 - 0.85) * tt.t
+               + 0.85 * coalesce(c.s, 0.0), 12) AS rank
+  FROM tt
+  LEFT JOIN (SELECT m.dst AS node, sum(r.rank * m.p) AS s
+             FROM r{k-1} r JOIN norm m ON m.src = r.node
+             GROUP BY m.dst) c ON c.node = tt.node)""")
+    parts.append(f"""
+SELECT node AS host_id, round(rank, 6) AS rank
+FROM r{iters} ORDER BY host_id""")
+    return "".join(parts)
+
+
+@register("trustrank_hosts", _w102_oracle())
+def w_trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.graph import pagerank
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = (docs.groupBy((F.col("doc_id") % 20).alias("src"),
+                          ((F.col("doc_id") * 7 + 3) % 20).alias("dst"))
+             .agg(F.count(F.lit(1)).cast("double").alias("w")))
+    seeds = spark.createDataFrame(
+        [(0, 0.25), (5, 0.25), (10, 0.25), (15, 0.25)],
+        "node bigint, t double")
+    ranks = pagerank(edges, weight="w", iters=5, damping=0.85,
+                     teleport=seeds)
+    return (ranks.select(F.col("node").alias("host_id"),
+                         F.round("rank", 6).alias("rank"))
+            .orderBy("host_id"))
+
+
+# ---------------------------------------------------------------------------
+# w103 — Z-order (Morton) clustering keys: interleave z14 tile indices
+# into the lakehouse layout sort key that makes min/max file stats
+# prune 2-D range predicates. The oracle computes the identical
+# 32-term shift/mask interleave in SQL — a cross-engine check of the
+# bit-op semantics the layout relies on.
+# ---------------------------------------------------------------------------
+
+def _w103_oracle() -> str:
+    from bano_spark.geo import tiles as tl
+
+    pts = synth.points_select_sql("duckdb", "events", "event_id", 0)
+    cell = tl.cell_size(14)
+    zexpr = tl.zorder_sql("tx", "ty", 16)
+    return f"""
+WITH p AS ({pts}),
+t AS (
+  SELECT event_id,
+         CAST(floor((x - ({tl.ORIGIN!r})) / {cell!r}) AS BIGINT) AS tx,
+         CAST(floor(({-tl.ORIGIN!r} - y) / {cell!r}) AS BIGINT) AS ty
+  FROM p
+)
+SELECT event_id, tx, ty, CAST({zexpr} AS BIGINT) AS zkey
+FROM t ORDER BY event_id
+"""
+
+
+@register("zorder_keys", _w103_oracle())
+def w_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.geo import tiles as tl
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    pts = spark.sql(synth.points_select_sql("spark", "events", "event_id", 0))
+    t = (pts.withColumn("tx", tl.tile_x(F.col("x"), 14))
+         .withColumn("ty", tl.tile_y(F.col("y"), 14)))
+    return (t.select("event_id", "tx", "ty",
+                     tl.zorder_key(F.col("tx"), F.col("ty")).alias("zkey"))
+            .orderBy("event_id"))

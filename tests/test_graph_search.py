@@ -187,3 +187,46 @@ def test_triangle_participation_vs_bruteforce(spark):
     assert got == want
     # total count divides by 3 exactly
     assert sum(got.values()) % 3 == 0
+
+
+def test_trustrank_concentrates_on_seed_reachable(spark):
+    from bano_spark.operators.graph import pagerank
+
+    # two disjoint 3-cycles; seeds only in the first
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    seeds = spark.createDataFrame([(0, 1.0)], "node int, t double")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iters=6, teleport=seeds).collect()}
+    # unreachable component gets exactly zero; seeded component holds
+    # all mass
+    assert got[10] == got[11] == got[12] == 0.0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    assert got[0] > got[1] > 0  # seed node keeps the largest share
+
+
+def test_zorder_interleave_and_locality(spark):
+    from bano_spark.geo.tiles import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)],
+        "tx long, ty long")
+    rows = df.select("tx", "ty", zorder_key(
+        F.col("tx"), F.col("ty"), bits=3).alias("z")).collect()
+    got = {(r["tx"], r["ty"]): r["z"] for r in rows}
+
+    def morton(x, y):
+        z = 0
+        for i in range(3):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y)
+                   for x in range(8) for y in range(8)}
+    # locality: every aligned 2x2 block occupies 4 CONSECUTIVE keys
+    for bx in range(0, 8, 2):
+        for by in range(0, 8, 2):
+            ks = sorted(got[(bx + i, by + j)]
+                        for i in range(2) for j in range(2))
+            assert ks[3] - ks[0] == 3

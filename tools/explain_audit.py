@@ -78,6 +78,8 @@ AUDITED = [
     "event_transitions",
     "pareto_skyline",
     "incremental_view_merge",
+    "trustrank_hosts",
+    "zorder_keys",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
