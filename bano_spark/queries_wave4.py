@@ -5025,3 +5025,133 @@ def w_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (t.select("event_id", "tx", "ty",
                      tl.zorder_key(F.col("tx"), F.col("ty")).alias("zkey"))
             .orderBy("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# w104 — CUBE grouping sets (the OLAP rollup surface): counts and
+# value sums over every combination of (event_type, value-sign
+# bucket), including the grand total, via F.cube == GROUP BY CUBE.
+# ---------------------------------------------------------------------------
+
+_W104_ORACLE = """
+SELECT event_type,
+       CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END AS vband,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sum_v
+FROM events
+GROUP BY CUBE (event_type,
+               CASE WHEN value >= 50 THEN 'hi' ELSE 'lo' END)
+ORDER BY event_type NULLS FIRST, vband NULLS FIRST
+"""
+
+
+@register("grouping_sets_cube", _W104_ORACLE)
+def w_grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "vband", F.when(F.col("value") >= 50, "hi").otherwise("lo"))
+    return (ev.cube("event_type", "vband")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_v"))
+            .orderBy(F.asc_nulls_first("event_type"),
+                     F.asc_nulls_first("vband")))
+
+
+# ---------------------------------------------------------------------------
+# w105 — pivot: event types to columns of per-user counts (the
+# wide-table reshape). The pivot values are pinned explicitly, so the
+# plan is ONE aggregation pass (no distinct-values pre-query); the
+# oracle is conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_W105_ORACLE = """
+SELECT user_id,
+       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+         AS click,
+       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+         AS error,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+         AS purchase,
+       CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+         AS signup,
+       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+         AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register("event_type_pivot", _W105_ORACLE)
+def w_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (ev.groupBy("user_id")
+           .pivot("event_type", kinds)
+           .agg(F.count(F.lit(1))))
+    for k in kinds:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(0))
+                             .cast("bigint"))
+    return out.orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# w106 — unpivot (melt): the wide per-user count table back to long
+# (user_id, event_type, n) via the native unpivot; round-trips the
+# pivot. Oracle: the long-form aggregation directly.
+# ---------------------------------------------------------------------------
+
+_W106_ORACLE = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+@register("event_type_unpivot", _W106_ORACLE)
+def w_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = w_event_type_pivot(spark, sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    long = wide.unpivot("user_id", kinds, "event_type", "n")
+    return (long.filter(F.col("n") > 0)
+            .select("user_id", "event_type", F.col("n").cast("bigint"))
+            .orderBy("user_id", "event_type"))
+
+
+# ---------------------------------------------------------------------------
+# w107 — time-travel over the SCD2 view: the state of every user's
+# tracked attribute AS OF a cutoff instant (valid_from <= T < valid_to,
+# open current rows included) — the query pattern SCD2 exists to serve.
+# ---------------------------------------------------------------------------
+
+_W107_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+ch AS (SELECT user_id, event_type, ts, event_id FROM o
+       WHERE prev IS NULL OR prev <> event_type),
+iv AS (SELECT user_id, event_type, ts AS valid_from,
+              lead(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS valid_to
+       FROM ch)
+SELECT user_id, event_type AS state_at_cutoff, valid_from
+FROM iv
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+ORDER BY user_id
+"""
+
+
+@register("scd2_asof_state", _W107_ORACLE)
+def w_scd2_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.eventflow import scd2_intervals
+
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    iv = scd2_intervals(_read(spark, sf_dir, "events"), key="user_id",
+                        ts="ts", attr="event_type", tiebreak="event_id")
+    return (iv.filter((F.col("valid_from") <= cut)
+                      & (F.col("valid_to").isNull()
+                         | (F.col("valid_to") > cut)))
+            .select("user_id",
+                    F.col("event_type").alias("state_at_cutoff"),
+                    "valid_from")
+            .orderBy("user_id"))

@@ -80,6 +80,9 @@ AUDITED = [
     "incremental_view_merge",
     "trustrank_hosts",
     "zorder_keys",
+    "grouping_sets_cube",
+    "event_type_pivot",
+    "scd2_asof_state",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
