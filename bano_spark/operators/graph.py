@@ -194,3 +194,40 @@ def triangle_participation(edges: DataFrame, *, src: str = "src",
         F.explode(F.array("u", "x", "y")).alias("node"))
     return (corners.groupBy("node")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")))
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, *,
+                  src: str = "src", dst: str = "dst",
+                  node_col: str = "node", max_hops: int = 5) -> DataFrame:
+    """Unweighted shortest-path distances (BFS levels) from a seed set
+    over an UNDIRECTED graph, up to ``max_hops``. Returns (node, dist)
+    for reached nodes only.
+
+    Frontier expansion: each round joins the CURRENT frontier (nodes
+    first reached last round — not the whole visited set) against the
+    symmetrized edge list, anti-joins already-visited nodes, and
+    localCheckpoints both tables (flat lineage, the components.py
+    discipline). Per-round shuffle is O(frontier x avg-degree); rounds
+    are the graph diameter capped at max_hops — the textbook
+    distributed BFS shape."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct()
+           .persist())
+    visited = seeds.select(F.col(node_col).alias("node")).distinct() \
+        .withColumn("dist", F.lit(0))
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = (frontier.join(sym, frontier["node"] == sym["a"])
+               .select(F.col("b").alias("node"))
+               .distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("dist", F.lit(d))
+               .localCheckpoint(eager=False))
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

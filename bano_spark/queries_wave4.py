@@ -5155,3 +5155,113 @@ def w_scd2_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("event_type").alias("state_at_cutoff"),
                     "valid_from")
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# w108 — BFS shortest-path levels from a seed host over the undirected
+# co-citation graph: frontier-expansion rounds (frontier x edges,
+# anti-join visited, flat lineage per round). The oracle unrolls the
+# same level computation as chained CTEs taking per-node minima —
+# integer distances, no float concerns.
+# ---------------------------------------------------------------------------
+
+def _w108_oracle(max_hops: int = 5) -> str:
+    parts = [f"""
+WITH raw AS ({_w98_edges_sql('duckdb')}),
+sym AS (
+  SELECT s AS a, d AS b FROM raw WHERE s <> d
+  UNION SELECT d, s FROM raw WHERE s <> d
+),
+r0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS dist)"""]
+    for k in range(1, max_hops + 1):
+        parts.append(f""",
+r{k} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM r{k-1}
+    UNION ALL
+    SELECT sym.b AS node, r.dist + 1 AS dist
+    FROM r{k-1} r JOIN sym ON sym.a = r.node
+  ) u GROUP BY node)""")
+    parts.append(f"""
+SELECT node, dist FROM r{max_hops} ORDER BY node""")
+    return "".join(parts)
+
+
+@register("bfs_distances", _w108_oracle())
+def w_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.graph import bfs_distances
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    raw = spark.sql(_w98_edges_sql("spark"))
+    seeds = spark.createDataFrame([(0,)], "node bigint")
+    return (bfs_distances(raw, seeds, src="s", dst="d", max_hops=5)
+            .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# w109 — PMI token co-occurrence (the SGNS/word2vec co-occurrence
+# prestep): distinct-token pairs within documents, scored
+# pmi = ln(c_ab * D / (df_a * df_b)). The per-doc self-join is bounded
+# by the per-doc distinct-token count; at corpus scale the vocabulary
+# prefilter (same contract as inverted_index max_df) bounds the hot
+# end. Minimum pair support 5 keeps the estimate stable.
+# ---------------------------------------------------------------------------
+
+_W109_ORACLE = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+    FROM documents)
+  WHERE term <> ''
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tok GROUP BY term),
+dd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tok),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT p.term_a, p.term_b, CAST(p.c AS BIGINT) AS n_docs,
+       round(ln(p.c * dd.n / (fa.df * fb.df)), 6) AS pmi
+FROM pairs p
+JOIN df fa ON fa.term = p.term_a
+JOIN df fb ON fb.term = p.term_b
+CROSS JOIN dd
+WHERE p.c >= 5
+ORDER BY term_a, term_b
+"""
+
+
+@register("pmi_cooccurrence", _W109_ORACLE)
+def w_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split("text", r"\s+")).alias("term"))
+           .filter(F.col("term") != "")
+           .distinct())
+    df_t = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    n_docs = tok.agg(
+        F.countDistinct("doc_id").cast("double").alias("n"))
+    pairs = (tok.alias("a").join(
+        tok.alias("b"),
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("term_a"),
+                 F.col("b.term").alias("term_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .filter(F.col("c") >= 5))
+    return (pairs
+            .join(F.broadcast(df_t.withColumnRenamed("term", "term_a")
+                              .withColumnRenamed("df", "dfa")), "term_a")
+            .join(F.broadcast(df_t.withColumnRenamed("term", "term_b")
+                              .withColumnRenamed("df", "dfb")), "term_b")
+            .crossJoin(F.broadcast(n_docs))
+            .select("term_a", "term_b",
+                    F.col("c").cast("bigint").alias("n_docs"),
+                    F.round(F.log(F.col("c") * F.col("n")
+                                  / (F.col("dfa") * F.col("dfb"))), 6)
+                    .alias("pmi"))
+            .orderBy("term_a", "term_b"))

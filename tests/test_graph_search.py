@@ -230,3 +230,33 @@ def test_zorder_interleave_and_locality(spark):
             ks = sorted(got[(bx + i, by + j)]
                         for i in range(2) for j in range(2))
             assert ks[3] - ks[0] == 3
+
+
+def test_bfs_distances_vs_bruteforce(spark):
+    from collections import deque
+
+    from bano_spark.operators.graph import bfs_distances
+
+    rng = np.random.default_rng(33)
+    n = 30
+    edges = {(int(min(a, b)), int(max(a, b)))
+             for a, b in rng.integers(0, n, size=(60, 2)) if a != b}
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    seeds = spark.createDataFrame([(0,), (7,)], "node int")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(df, seeds, max_hops=4).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, q = {0: 0, 7: 0}, deque([0, 7])
+    while q:
+        u = q.popleft()
+        if want[u] >= 4:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want

@@ -83,6 +83,8 @@ AUDITED = [
     "grouping_sets_cube",
     "event_type_pivot",
     "scd2_asof_state",
+    "bfs_distances",
+    "pmi_cooccurrence",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
