@@ -5265,3 +5265,61 @@ def w_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   / (F.col("dfa") * F.col("dfb"))), 6)
                     .alias("pmi"))
             .orderBy("term_a", "term_b"))
+
+
+# ---------------------------------------------------------------------------
+# w110 — count-min sketch: the mergeable frequency sketch (Cormode &
+# Muthukrishnan) built distributed — depth-3 md5-derived bucket rows,
+# one partial-aggregated groupBy per (row, depth) pair; estimates are
+# the min over depths. Hashes derive from md5 so the oracle rebuilds
+# the IDENTICAL sketch in SQL; the exact count rides along, making the
+# overestimate property (est >= exact) visible in the checked output.
+# ---------------------------------------------------------------------------
+
+_W110_ORACLE = """
+WITH hk AS (
+  SELECT user_id, t.i,
+         CAST(CAST(concat('0x', substr(md5(CAST(t.i AS VARCHAR) || ':' ||
+                                       CAST(user_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % 256 AS INTEGER) AS bucket
+  FROM events, range(3) t(i)
+),
+counters AS (SELECT i, bucket, count(*) AS c FROM hk GROUP BY 1, 2),
+keys AS (SELECT DISTINCT user_id, i, bucket FROM hk),
+est AS (
+  SELECT k.user_id, min(c.c) AS est
+  FROM keys k JOIN counters c ON c.i = k.i AND c.bucket = k.bucket
+  GROUP BY k.user_id
+),
+exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY user_id)
+SELECT e.user_id, CAST(e.est AS BIGINT) AS est,
+       CAST(x.exact AS BIGINT) AS exact
+FROM est e JOIN exact x ON x.user_id = e.user_id
+ORDER BY e.user_id
+"""
+
+
+@register("cms_user_counts", _W110_ORACLE)
+def w_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").select("user_id")
+
+    def bucket(i):
+        return (F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.lit(i), F.col("user_id").cast("string"))), 1, 8),
+            16, 10).cast("bigint") % 256).cast("int")
+
+    hk = ev.select(
+        "user_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket"))
+            for i in range(3)])).alias("h")
+    ).select("user_id", F.col("h.i").alias("i"),
+             F.col("h.bucket").alias("bucket"))
+    counters = hk.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    keys = hk.distinct()
+    est = (keys.join(F.broadcast(counters), ["i", "bucket"])
+           .groupBy("user_id")
+           .agg(F.min("c").cast("bigint").alias("est")))
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact"))
+    return est.join(exact, "user_id").orderBy("user_id")

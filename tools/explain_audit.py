@@ -85,6 +85,7 @@ AUDITED = [
     "scd2_asof_state",
     "bfs_distances",
     "pmi_cooccurrence",
+    "cms_user_counts",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
@@ -136,6 +137,12 @@ CHECKS = [
     # (bounded to one partial row per partition by map-side combine).
     ("no single-partition exchange (except bounded global agg)",
      _single_partition_ok, True),
+    # the north rule's "no per-row Python in the hot path":
+    # BatchEvalPython is the row-at-a-time UDF operator; Arrow-batched
+    # operators (ArrowEvalPython, MapInArrow/MapInPandas, FlatMap*)
+    # are the sanctioned Python surface and do not trip this.
+    ("no row-at-a-time Python UDF (BatchEvalPython)",
+     lambda p: "BatchEvalPython" not in p, True),
 ]
 
 
