@@ -231,3 +231,55 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, *,
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited
+
+
+def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+         iters: int = 3, round_to: int = 12,
+         num_partitions: int | None = None) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999): synchronous mutual
+    reinforcement on a directed graph — auth(v) = sum of hub(u) over
+    in-edges, hub(u) = sum of auth(v) over out-edges, each vector
+    L1-normalized per iteration. Returns (node, hub, auth).
+
+    Same distributed discipline as :func:`pagerank`: the edge list is
+    partitioned once and persisted; each iteration shuffles only the
+    O(nodes) score vectors (map-side combined), localCheckpoints to
+    keep lineage flat, and rounds to `round_to` decimals so the
+    trajectory is engine-reproducible (L1 normalization — a scalar
+    aggregate + broadcast division — instead of the classic L2 keeps
+    the oracle free of sqrt while preserving the ranking fixpoint)."""
+    spark = edges.sparkSession
+    n_part = int(num_partitions or spark.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    e = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+         .distinct().repartition(n_part, "_s").persist())
+    nodes = (e.select(F.col("_s").alias("node"))
+             .unionByName(e.select(F.col("_d").alias("node")))
+             .distinct().persist())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "auth", F.lit(0.0))
+    hub = nodes.withColumn("s", F.round(F.lit(1.0 / n), round_to))
+
+    def _norm(scores):
+        tot = scores.agg(F.sum("s").alias("t")).first()["t"] or 1.0
+        return scores.select("node", F.round(F.col("s") / F.lit(tot),
+                                             round_to).alias("s"))
+
+    auth = None
+    for _ in range(iters):
+        auth = _norm(
+            hub.withColumnRenamed("node", "_s").join(e, "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("s").alias("s"))).localCheckpoint(eager=False)
+        hub = _norm(
+            auth.withColumnRenamed("node", "_d").join(e, "_d")
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum("s").alias("s"))).localCheckpoint(eager=False)
+    return (nodes
+            .join(hub.withColumnRenamed("s", "hub"), "node", "left")
+            .join(auth.withColumnRenamed("s", "auth"), "node", "left")
+            .select("node",
+                    F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+                    F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth")))

@@ -5323,3 +5323,55 @@ def w_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact"))
     return est.join(exact, "user_id").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# w111 — HITS hubs & authorities on the directed host graph: mutual
+# reinforcement with per-iteration L1 normalization (scalar aggregate
+# + broadcast division — no sqrt, so the unrolled SQL oracle replays
+# the trajectory exactly under the shared 12-decimal rounding).
+# ---------------------------------------------------------------------------
+
+def _w111_oracle(iters: int = 3) -> str:
+    parts = ["""
+WITH e AS (SELECT DISTINCT doc_id % 20 AS s, (doc_id * 7 + 3) % 20 AS d
+           FROM documents),
+nodes AS (SELECT DISTINCT s AS node FROM e
+          UNION SELECT DISTINCT d FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+h0 AS (SELECT node, round(1.0 / nn.n, 12) AS s FROM nodes CROSS JOIN nn)"""]
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        parts.append(f""",
+a{k}r AS (SELECT e.d AS node, sum(h.s) AS s
+          FROM {prev_h} h JOIN e ON e.s = h.node GROUP BY e.d),
+a{k} AS (SELECT node, round(s / (SELECT sum(s) FROM a{k}r), 12) AS s
+         FROM a{k}r),
+h{k}r AS (SELECT e.s AS node, sum(a.s) AS s
+          FROM a{k} a JOIN e ON e.d = a.node GROUP BY e.s),
+h{k} AS (SELECT node, round(s / (SELECT sum(s) FROM h{k}r), 12) AS s
+         FROM h{k}r)""")
+        prev_h = f"h{k}"
+    parts.append(f"""
+SELECT nodes.node AS host_id,
+       round(coalesce(h{iters}.s, 0.0), 6) + 0.0 AS hub,
+       round(coalesce(a{iters}.s, 0.0), 6) + 0.0 AS auth
+FROM nodes
+LEFT JOIN h{iters} ON h{iters}.node = nodes.node
+LEFT JOIN a{iters} ON a{iters}.node = nodes.node
+ORDER BY host_id""")
+    return "".join(parts)
+
+
+@register("hits_hosts", _w111_oracle())
+def w_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.graph import hits
+
+    docs = _read(spark, sf_dir, "documents")
+    edges = docs.select((F.col("doc_id") % 20).alias("src"),
+                        ((F.col("doc_id") * 7 + 3) % 20).alias("dst"))
+    out = hits(edges, iters=3)
+    return (out.select(F.col("node").alias("host_id"),
+                       (F.round("hub", 6) + 0.0).alias("hub"),
+                       (F.round("auth", 6) + 0.0).alias("auth"))
+            .orderBy("host_id"))

@@ -260,3 +260,37 @@ def test_bfs_distances_vs_bruteforce(spark):
                 want[v] = want[u] + 1
                 q.append(v)
     assert got == want
+
+
+def test_hits_matches_numpy(spark):
+    from bano_spark.operators.graph import hits
+
+    rng = np.random.default_rng(41)
+    n = 10
+    edges = {(int(a), int(b))
+             for a, b in rng.integers(0, n, size=(35, 2)) if a != b}
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(df, iters=3).collect()}
+
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[a, b] = 1.0
+    h = np.round(np.full(n, 1.0 / n), 12)
+    a = None
+    for _ in range(3):
+        a_raw = adj.T @ h
+        mask_a = adj.sum(axis=0) > 0  # nodes with in-edges
+        a = np.zeros(n)
+        a[mask_a] = np.round(a_raw[mask_a] / a_raw[mask_a].sum(), 12)
+        h_raw = adj @ a
+        mask_h = adj.sum(axis=1) > 0
+        h = np.zeros(n)
+        h[mask_h] = np.round(h_raw[mask_h] / h_raw[mask_h].sum(), 12)
+    active = sorted({x for e in edges for x in e})
+    for v in active:
+        assert got[v][0] == pytest.approx(h[v], abs=1e-9), v
+        assert got[v][1] == pytest.approx(a[v], abs=1e-9), v
+    # both scores are L1-normalized distributions
+    assert sum(x[0] for x in got.values()) == pytest.approx(1.0, abs=1e-6)
+    assert sum(x[1] for x in got.values()) == pytest.approx(1.0, abs=1e-6)

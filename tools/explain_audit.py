@@ -86,6 +86,7 @@ AUDITED = [
     "bfs_distances",
     "pmi_cooccurrence",
     "cms_user_counts",
+    "hits_hosts",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
