@@ -5375,3 +5375,104 @@ def w_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.round("hub", 6) + 0.0).alias("hub"),
                        (F.round("auth", 6) + 0.0).alias("auth"))
             .orderBy("host_id"))
+
+
+# ---------------------------------------------------------------------------
+# w112 — hopping (sliding) time windows: 2-hour windows every hour via
+# the native window() generator — each event lands in exactly 2
+# windows; per-window counts + distinct users. The oracle derives both
+# member window starts arithmetically.
+# ---------------------------------------------------------------------------
+
+_W112_ORACLE = """
+WITH w AS (
+  SELECT ts, user_id,
+         date_trunc('hour', ts) - INTERVAL (t.i) HOUR AS win_start
+  FROM events, range(2) t(i)
+)
+SELECT win_start, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY win_start ORDER BY win_start
+"""
+
+
+@register("hopping_window_counts", _W112_ORACLE)
+def w_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.countDistinct("user_id").cast("bigint").alias("n_users"))
+            .select(F.col("w.start").alias("win_start"),
+                    "n_events", "n_users")
+            .orderBy("win_start"))
+
+
+# ---------------------------------------------------------------------------
+# w113 — per-group exact percentile bands: p25/p50/p75/p90 of value
+# per event_type via ONE percentile-array aggregation + posexplode
+# (not four separate aggs). Spark percentile == DuckDB quantile_cont.
+# ---------------------------------------------------------------------------
+
+_W113_ORACLE = """
+SELECT event_type, p,
+       round(CASE p WHEN 0.25 THEN q[1] WHEN 0.5 THEN q[2]
+                    WHEN 0.75 THEN q[3] ELSE q[4] END, 6) AS v
+FROM (SELECT event_type,
+             quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS q
+      FROM events GROUP BY event_type)
+CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p)
+ORDER BY event_type, p
+"""
+
+
+@register("group_percentile_bands", _W113_ORACLE)
+def w_group_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    qs = [0.25, 0.5, 0.75, 0.9]
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.9D))")
+        .alias("q"))
+    return (agg.select(
+        "event_type",
+        F.posexplode(F.col("q")).alias("i", "v"))
+        .select("event_type",
+                F.element_at(F.lit(qs), F.col("i") + 1).alias("p"),
+                F.round("v", 6).alias("v"))
+        .orderBy("event_type", "p"))
+
+
+# ---------------------------------------------------------------------------
+# w114 — equi-width value histogram per event_type (10 bins over the
+# GLOBAL [min, max] so bins are comparable across groups): bin index
+# by floor arithmetic, identical in both engines; the max value is
+# clamped into the last bin.
+# ---------------------------------------------------------------------------
+
+_W114_ORACLE = """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+  SELECT event_type,
+         least(CAST(floor((value - mm.lo) / ((mm.hi - mm.lo) / 10.0))
+                    AS INTEGER), 9) AS bin
+  FROM events CROSS JOIN mm WHERE value IS NOT NULL
+)
+SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY event_type, bin ORDER BY event_type, bin
+"""
+
+
+@register("value_histogram", _W114_ORACLE)
+def w_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    return (ev.filter(F.col("value").isNotNull())
+            .crossJoin(F.broadcast(mm))
+            .select("event_type",
+                    F.least(
+                        F.floor((F.col("value") - F.col("lo"))
+                                / ((F.col("hi") - F.col("lo")) / 10.0))
+                        .cast("int"),
+                        F.lit(9)).alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy("event_type", "bin"))

@@ -87,6 +87,9 @@ AUDITED = [
     "pmi_cooccurrence",
     "cms_user_counts",
     "hits_hosts",
+    "hopping_window_counts",
+    "group_percentile_bands",
+    "value_histogram",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
