@@ -31,7 +31,12 @@ def build_bloom_words(keys: DataFrame, key_col: str, *,
                       num_hashes: int = 3) -> list[int]:
     """Distributed bloom build: returns the dense word array (python
     ints, one per 64 bits). The shuffle carries at most one row per
-    set word (<= num_bits/64 rows), never the key set."""
+    set word (<= num_bits/64 rows), never the key set. `num_bits`
+    rounds UP to a multiple of 64 — the probe side recovers the
+    modulus as len(words)*64, so build and probe must agree on it (a
+    truncated word array would hash probe keys with a different
+    modulus and silently drop true matches)."""
+    num_bits = ((num_bits + 63) // 64) * 64
     m, n_words = num_bits, num_bits // 64
     pos = F.explode(F.array(*[
         F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m))
@@ -71,7 +76,15 @@ def bloom_pruned_join(probe: DataFrame, build: DataFrame, key: str, *,
     """Exact `probe JOIN build ON key` with a bloom pre-filter on the
     probe side: rows whose key cannot be in `build` never reach the
     join shuffle. Output-identical to the plain join for any
-    `num_bits` (false positives are removed by the exact join)."""
+    `num_bits` (false positives are removed by the exact join).
+
+    Only inner and semi joins admit probe-side pruning: an outer or
+    anti join NEEDS the non-matching probe rows the filter removes,
+    so other `how` values are rejected rather than silently wrong."""
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"bloom_pruned_join: probe-side pruning breaks how={how!r}; "
+            "only inner/semi joins are supported")
     words = build_bloom_words(build.select(key).distinct(), key,
                               num_bits=num_bits, num_hashes=num_hashes)
     # xxhash64 is TYPE-sensitive (hash(int 5) != hash(bigint 5)): align

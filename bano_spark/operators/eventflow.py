@@ -22,13 +22,17 @@ def scd2_intervals(events: DataFrame, *, key: str, ts: str,
     stream into validity intervals of `attr` per `key` — one row per
     VALUE CHANGE with [valid_from, valid_to) half-open bounds
     (valid_to null on the current row). Consecutive duplicate values
-    merge into one interval. `tiebreak` must make (ts, tiebreak)
+    merge into one interval — including NULL values: change detection
+    is null-safe (eqNullSafe with an explicit first-row marker), so a
+    NULL attribute opens its own interval and consecutive NULLs merge
+    like any other repeated value. `tiebreak` must make (ts, tiebreak)
     unique per key."""
     w = Window.partitionBy(key).orderBy(F.asc(ts), F.asc(tiebreak))
     changed = (events
                .withColumn("_prev", F.lag(attr).over(w))
-               .filter(F.col("_prev").isNull()
-                       | (F.col("_prev") != F.col(attr))))
+               .withColumn("_rn", F.row_number().over(w))
+               .filter((F.col("_rn") == 1)
+                       | ~F.col("_prev").eqNullSafe(F.col(attr))))
     w2 = Window.partitionBy(key).orderBy(F.asc(ts), F.asc(tiebreak))
     return (changed
             .withColumn("valid_from", F.col(ts))
@@ -80,6 +84,11 @@ def retention_cohorts(events: DataFrame, *, key: str, ts: str,
     cohort's keys were active N periods later. Two aggregations and a
     broadcast-joined cohort map; offsets derive from day arithmetic
     (both truncations are period-aligned, so the division is exact)."""
+    if period not in ("week", "day"):
+        raise ValueError(
+            f"retention_cohorts: period={period!r} unsupported — offsets "
+            "derive from fixed-length day arithmetic, which only weeks "
+            "and days admit (months vary in length)")
     per = F.date_trunc(period, F.col(ts)).cast("date")
     active = events.select(F.col(key), per.alias("_p")).distinct()
     cohort = active.groupBy(key).agg(F.min("_p").alias("_cohort"))

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..cache import keep
+
 
 def pagerank(
     edges: DataFrame,
@@ -69,11 +71,10 @@ def pagerank(
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
                      w.alias("_w"))
     # nodes = union of endpoints; one distinct shuffle, reused all run
-    nodes = (e.select(F.col("_src").alias("node"))
-             .unionByName(e.select(F.col("_dst").alias("node")))
-             .distinct()
-             .repartition(n_part, "node")
-             .persist())
+    nodes = keep(e.select(F.col("_src").alias("node"))
+                 .unionByName(e.select(F.col("_dst").alias("node")))
+                 .distinct()
+                 .repartition(n_part, "node"))
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -81,27 +82,27 @@ def pagerank(
     outw = e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
     # per-edge transition probability, partitioned on src once for all
     # iterations (the rank join below reuses this exact layout)
-    norm = (e.join(outw, "_src")
-            .select("_src", "_dst", (F.col("_w") / F.col("_outw")).alias("_p"))
-            .repartition(n_part, "_src")
-            .persist())
+    norm = keep(e.join(outw, "_src")
+                .select("_src", "_dst",
+                        (F.col("_w") / F.col("_outw")).alias("_p"))
+                .repartition(n_part, "_src"))
     norm.count()  # materialize before looping
 
     if teleport is None:
-        t_nodes = nodes.withColumn("_t", F.lit(1.0 / n_nodes)).persist()
+        t_nodes = keep(nodes.withColumn("_t", F.lit(1.0 / n_nodes)))
     else:
         tcols = teleport.columns
         t_nodes = (nodes.join(
             teleport.select(F.col(tcols[0]).alias("node"),
                             F.col(tcols[1]).cast("double").alias("_t")),
             "node", "left")
-            .select("node", F.coalesce(F.col("_t"), F.lit(0.0)).alias("_t"))
-            .persist())
+            .select("node", F.coalesce(F.col("_t"), F.lit(0.0)).alias("_t")))
+        t_nodes = keep(t_nodes)
     ranks = t_nodes.select("node", F.round(F.col("_t"), round_to)
                            .alias("rank"))
 
     out_srcs = norm.select(F.col("_src").alias("node")).distinct()
-    dangling_nodes = nodes.join(out_srcs, "node", "left_anti").persist()
+    dangling_nodes = keep(nodes.join(out_srcs, "node", "left_anti"))
     # one cheap existence probe: a dangling-free graph (typical after
     # self-loop normalisation) skips the per-iteration mass aggregate
     has_dangling = dangling_nodes.limit(1).count() > 0
@@ -214,8 +215,8 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, *,
            .unionByName(edges.select(F.col(dst).alias("a"),
                                      F.col(src).alias("b")))
            .filter(F.col("a") != F.col("b"))
-           .distinct()
-           .persist())
+           .distinct())
+    sym = keep(sym)
     visited = seeds.select(F.col(node_col).alias("node")).distinct() \
         .withColumn("dist", F.lit(0))
     frontier = visited
@@ -248,14 +249,21 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     trajectory is engine-reproducible (L1 normalization — a scalar
     aggregate + broadcast division — instead of the classic L2 keeps
     the oracle free of sqrt while preserving the ranking fixpoint)."""
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
     spark = edges.sparkSession
     n_part = int(num_partitions or spark.conf.get(
         "spark.sql.shuffle.partitions", "32"))
     e = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-         .distinct().repartition(n_part, "_s").persist())
-    nodes = (e.select(F.col("_s").alias("node"))
-             .unionByName(e.select(F.col("_d").alias("node")))
-             .distinct().persist())
+         .distinct())
+    # two co-partitioned persisted copies: the auth step joins on _s,
+    # the hub step on _d — one copy would re-shuffle the full O(|E|)
+    # edge table on _d every iteration (review finding)
+    e_s = keep(e.repartition(n_part, "_s"))
+    e_d = keep(e.repartition(n_part, "_d"))
+    nodes = keep(e_s.select(F.col("_s").alias("node"))
+                 .unionByName(e_s.select(F.col("_d").alias("node")))
+                 .distinct())
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("hub", F.lit(0.0)).withColumn(
@@ -270,11 +278,11 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     auth = None
     for _ in range(iters):
         auth = _norm(
-            hub.withColumnRenamed("node", "_s").join(e, "_s")
+            hub.withColumnRenamed("node", "_s").join(e_s, "_s")
             .groupBy(F.col("_d").alias("node"))
             .agg(F.sum("s").alias("s"))).localCheckpoint(eager=False)
         hub = _norm(
-            auth.withColumnRenamed("node", "_d").join(e, "_d")
+            auth.withColumnRenamed("node", "_d").join(e_d, "_d")
             .groupBy(F.col("_s").alias("node"))
             .agg(F.sum("s").alias("s"))).localCheckpoint(eager=False)
     return (nodes

@@ -51,7 +51,11 @@ def allpairs_jaccard(docs: DataFrame, tau: float, *,
     # per-doc ordering sorts by the pair, and candidate equality joins
     # on the token itself (rank and term are 1:1)
     vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    ranked = tok.join(F.broadcast(vocab), "term")
+    # no broadcast hint: vocabularies are usually small enough that
+    # AQE broadcasts on its own, but a web-scale token universe (ids,
+    # hashes, typos) is not — forcing the hint would drive the driver
+    # into the 8 GB broadcast wall; let the optimizer size it
+    ranked = tok.join(vocab, "term")
 
     sized = ranked.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))

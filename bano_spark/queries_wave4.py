@@ -1032,7 +1032,8 @@ def w_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write(f"{tl.DEFAULT_ZOOM}/{tx}/{ty}\n")
     run_dirty_insee_stream(spark, tiles_dir, synth.commune_polygons_df(spark),
                            out_dir, ckpt)
-    return spark.read.parquet(out_dir).orderBy("insee_com")
+    # per-batch subdirs (idempotent replay sink) -> glob read
+    return spark.read.parquet(os.path.join(out_dir, "*")).orderBy("insee_com")
 
 
 # ---------------------------------------------------------------------------

@@ -34,12 +34,22 @@ def run_dirty_insee_stream(
     zoom: int = tl.DEFAULT_ZOOM,
 ):
     """availableNow pass over the expiry feed; each micro-batch writes
-    the distinct dirty INSEE list. Returns the finished query."""
+    the distinct dirty INSEE list. Returns the finished query.
+
+    The sink is IDEMPOTENT under micro-batch replay: each batch
+    overwrites its own ``batch-{id}`` subdirectory (foreachBatch hands
+    the stable batch_id over precisely for this), so a batch whose
+    write succeeded but whose checkpoint commit was lost re-executes
+    into the same path instead of appending duplicates. Consumers
+    read ``out_dir/*`` (see dirty_insee_frames)."""
+    import os
+
     feed = expire_feed(spark, tiles_dir)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         dirty = expired_tiles_to_insee(batch_df, commune_polys, zoom)
-        dirty.coalesce(1).write.mode("append").parquet(out_dir)
+        dirty.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch-{batch_id}"))
 
     q = (
         feed.writeStream.foreachBatch(on_batch)

@@ -77,3 +77,26 @@ def test_prefix_len_bound():
     assert _prefix_len(10, 1.0) == 1
     assert _prefix_len(10, 0.5) == 6
     assert _prefix_len(1, 0.8) == 1
+
+
+def test_bloom_join_rejects_outer_and_rounds_bits(spark):
+    import pytest as _pt
+
+    from bano_spark.operators.bloom import (bloom_might_contain,
+                                            bloom_pruned_join,
+                                            build_bloom_words)
+
+    probe = spark.createDataFrame([(1,), (2,)], "k int")
+    build = spark.createDataFrame([(1,)], "k int")
+    with _pt.raises(ValueError, match="left"):
+        bloom_pruned_join(probe, build, "k", how="left")
+    with _pt.raises(ValueError, match="left_anti"):
+        bloom_pruned_join(probe, build, "k", how="left_anti")
+
+    # non-multiple-of-64 num_bits rounds up consistently: build and
+    # probe agree on the modulus, no IndexError, no false negatives
+    words = build_bloom_words(build, "k", num_bits=1000)
+    assert len(words) * 64 == 1024
+    kept = probe.filter(
+        bloom_might_contain(words, probe["k"].cast("int"))).collect()
+    assert 1 in {r["k"] for r in kept}

@@ -159,3 +159,35 @@ def test_eventflow_random_logs_vs_bruteforce(spark):
                      default=None)
         want_f[k] = (t1, t2, t3)
     assert got_f == want_f
+
+
+def test_scd2_null_attribute_intervals(spark):
+    """NULL attribute values form their own intervals and consecutive
+    NULLs merge (review finding: non-null-safe comparison dropped the
+    NULL period entirely)."""
+    from bano_spark.operators.eventflow import scd2_intervals
+
+    rows = [(1, _ts(0), "a", 1), (1, _ts(1), None, 2), (1, _ts(2), None, 3),
+            (1, _ts(3), "b", 4), (2, _ts(0), None, 5), (2, _ts(1), None, 6)]
+    df = spark.createDataFrame(
+        rows, "k int, ts timestamp, attr string, eid int")
+    out = sorted(((r["k"], r["attr"], r["valid_from"], r["valid_to"])
+                  for r in scd2_intervals(df, key="k", ts="ts", attr="attr",
+                                          tiebreak="eid").collect()),
+                 key=lambda t: (t[0], t[2]))
+    assert out == [
+        (1, "a", _ts(0), _ts(1)),
+        (1, None, _ts(1), _ts(3)),   # NULL period kept, dups merged
+        (1, "b", _ts(3), None),
+        (2, None, _ts(0), None),     # all-NULL key -> one open interval
+    ]
+
+
+def test_retention_rejects_unsupported_period(spark):
+    import pytest as _pt
+
+    from bano_spark.operators.eventflow import retention_cohorts
+
+    df = spark.createDataFrame([(1, _ts(0))], "k int, ts timestamp")
+    with _pt.raises(ValueError, match="unsupported"):
+        retention_cohorts(df, key="k", ts="ts", period="month")

@@ -46,7 +46,8 @@ def test_streaming_dirty_insee(spark, tmp_path):
     communes = synth.commune_polygons_df(spark)
     out = tmp_path / "dirty"
     run_dirty_insee_stream(spark, str(feed), communes, str(out), str(tmp_path / "ck"))
-    got = sorted(r.insee_com for r in spark.read.parquet(str(out)).collect())
+    got = sorted(r.insee_com for r in
+                 spark.read.parquet(str(out / "*")).collect())
     assert got == ["01002", "75103"]
     # batch twin agrees
     batch = sorted(r.insee_com for r in
