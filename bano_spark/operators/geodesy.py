@@ -1,0 +1,201 @@
+"""Geodesic polyline math, geohash cell encoding, and the
+segment-segment intersection join — all pure JVM column expressions.
+
+Reference parity: BANO measures street extents with PostGIS geodesic
+calls (``ST_Length``/``ST_MaxDistance`` patterns in
+``bano/sql/export_*.sql``; the hull longest-line port lives in
+``operators/importance.py``). This module adds the remaining
+line-geometry members Spark lacks natively:
+
+- ``polyline_length_m``: per-feature geodesic length of an ordered
+  vertex array (``ST_Length(geography)``) — a ``zip_with`` over the
+  array with a haversine fold, zero shuffle, zero Python. At 100 TB
+  the length is computed where the row already lives; the only
+  shuffle in a typical "length per street" rollup is the final small
+  groupBy.
+- ``geohash_expr`` / ``geohash_sql``: base-32 geohash of (lon, lat)
+  at a fixed precision as ONE generated arithmetic expression —
+  quantize each axis to 5*p/2 bits, interleave with shift-and-mask
+  terms, index an alphabet literal. The same generator emits the
+  Spark and DuckDB dialects, so the oracle is the identical formula
+  rather than a reimplementation. Geohash keys give the engine a
+  shuffle-friendly spatial bucketing column (prefix = containment)
+  that needs no broadcast index at all — the cheap alternative to
+  the slippy-cell cover when polygon precision is not required.
+- ``segment_intersections_join``: all strictly-crossing segment pairs
+  between two line layers (road-graph conflation, overlay candidate
+  edges). Candidates come from a bbox cell-cover equi-join (same
+  discipline as ``pip_join``/``overlay.py`` — never a cross product);
+  the exact refine is the classic double-orientation (ccw) test,
+  expressed as column arithmetic so the whole operator stays in
+  whole-stage codegen. Strict crossings only (collinear overlaps and
+  endpoint touches excluded) keeps the predicate exact in IEEE
+  doubles on lattice fixtures — the same boundary-ambiguity
+  discipline the PIP fixtures use (synth.py refine notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_EARTH_R = 6371008.8
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters (mean Earth radius, matching
+    geo/geometry.py:157 so Arrow kernels and column plans agree)."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (F.pow(F.sin(dlat / 2), 2)
+         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+         * F.pow(F.sin(dlon / 2), 2))
+    return 2 * _EARTH_R * F.asin(F.sqrt(a))
+
+
+def polyline_length_m(verts_col: str = "verts") -> Column:
+    """Geodesic length of an ordered [[lon, lat], ...] vertex array.
+
+    ``zip_with(verts[:-1], verts[1:], haversine) |> aggregate(sum)``:
+    per-row array math in codegen — the distributed shape of
+    ``ST_Length(geography)``. Empty / single-vertex lines yield 0.0."""
+    v = verts_col
+    seg = (f"zip_with(slice({v}, 1, size({v}) - 1), "
+           f"slice({v}, 2, size({v}) - 1), "
+           "(p, q) -> 2 * 6371008.8 * asin(sqrt("
+           "pow(sin(radians(q[1] - p[1]) / 2), 2)"
+           " + cos(radians(p[1])) * cos(radians(q[1]))"
+           " * pow(sin(radians(q[0] - p[0]) / 2), 2))))")
+    return F.expr(
+        f"CASE WHEN size({v}) < 2 THEN 0.0D "
+        f"ELSE aggregate({seg}, 0.0D, (acc, x) -> acc + x) END")
+
+
+def _geohash_terms(precision: int):
+    """(axis bit-counts, interleave positions) for a geohash of
+    ``precision`` base-32 chars: 5p bits total, even bit indices from
+    the top are longitude."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    return total, lon_bits, lat_bits
+
+
+def _shr(dialect: str):
+    if dialect == "duckdb":
+        return lambda x, n: f"({x} >> {n})"
+    return lambda x, n: f"shiftright({x}, {n})"
+
+
+def geohash_quant_sql(lon: str, lat: str, precision: int = 6) -> tuple[str, str]:
+    """(ix, iy) axis-quantization expressions: clamp(floor(scaled)),
+    2^lon_bits cells over [-180, 180] and 2^lat_bits over [-90, 90].
+    Pure arithmetic — identical text in both dialects."""
+    _, lon_bits, lat_bits = _geohash_terms(precision)
+    ix = (f"least(CAST(floor(({lon} + 180.0) / 360.0 * {1 << lon_bits}) "
+          f"AS BIGINT), {(1 << lon_bits) - 1})")
+    iy = (f"least(CAST(floor(({lat} + 90.0) / 180.0 * {1 << lat_bits}) "
+          f"AS BIGINT), {(1 << lat_bits) - 1})")
+    return ix, iy
+
+
+def geohash_interleave_sql(ix: str, iy: str, precision: int = 6,
+                           dialect: str = "spark") -> str:
+    """Bit-interleave expression over quantized axes: geohash packs
+    5*precision bits, even positions FROM THE TOP are longitude."""
+    total, lon_bits, lat_bits = _geohash_terms(precision)
+    shr = _shr(dialect)
+    terms = []
+    for b in range(lon_bits):                 # lon fills even slots from top
+        pos = total - 1 - 2 * b
+        terms.append(f"(({shr(ix, lon_bits - 1 - b)} & 1) * {1 << pos})")
+    for b in range(lat_bits):
+        pos = total - 2 - 2 * b
+        terms.append(f"(({shr(iy, lat_bits - 1 - b)} & 1) * {1 << pos})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def geohash_chars_sql(g: str, precision: int = 6,
+                      dialect: str = "spark") -> str:
+    """Base-32 character expression over the interleaved bits ``g``."""
+    total = 5 * precision
+    shr = _shr(dialect)
+    return " || ".join(
+        f"substr('{_GH_ALPHABET}', "
+        f"CAST(({shr(g, total - 5 * (k + 1))} & 31) AS INTEGER) + 1, 1)"
+        for k in range(precision))
+
+
+def with_geohash(df: DataFrame, lon: str, lat: str, precision: int = 6,
+                 out: str = "geohash") -> DataFrame:
+    """Attach a geohash column via staged intermediates (each bit
+    expression is evaluated once, not once per output character)."""
+    ix, iy = geohash_quant_sql(lon, lat, precision)
+    return (df
+            .withColumn("_gix", F.expr(ix))
+            .withColumn("_giy", F.expr(iy))
+            .withColumn("_gg", F.expr(geohash_interleave_sql(
+                "_gix", "_giy", precision, "spark")))
+            .withColumn(out, F.expr(geohash_chars_sql(
+                "_gg", precision, "spark")))
+            .drop("_gix", "_giy", "_gg"))
+
+
+def _ccw(ax, ay, bx, by, cx, cy):
+    """Twice the signed area of (a, b, c) — positive when c is left of
+    a->b. Pure column arithmetic, exact for lattice coordinates."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def segments_cross(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> Column:
+    """Strict proper-crossing predicate: each segment's endpoints fall
+    on opposite sides of the other's supporting line."""
+    d1 = _ccw(ax1, ay1, ax2, ay2, bx1, by1)
+    d2 = _ccw(ax1, ay1, ax2, ay2, bx2, by2)
+    d3 = _ccw(bx1, by1, bx2, by2, ax1, ay1)
+    d4 = _ccw(bx1, by1, bx2, by2, ax2, ay2)
+    return (d1 * d2 < 0) & (d3 * d4 < 0)
+
+
+def _bbox_cells(df: DataFrame, sid: str, cell: float, tag: str) -> DataFrame:
+    """Explode each segment onto every grid cell its bbox covers.
+    Bounded-length segments touch O(1) cells, so the explode is a
+    small constant fan-out — candidates stay proportional to true
+    spatial proximity, exactly like polygon_cover in pip_join."""
+    cx1 = F.floor(F.least(f"{tag}x1", f"{tag}x2") / cell)
+    cx2 = F.floor(F.greatest(f"{tag}x1", f"{tag}x2") / cell)
+    cy1 = F.floor(F.least(f"{tag}y1", f"{tag}y2") / cell)
+    cy2 = F.floor(F.greatest(f"{tag}y1", f"{tag}y2") / cell)
+    return (df
+            .withColumn("_cx", F.explode(F.sequence(cx1, cx2)))
+            .withColumn("_cy", F.explode(F.sequence(cy1, cy2)))
+            .select(sid, f"{tag}x1", f"{tag}y1", f"{tag}x2", f"{tag}y2",
+                    "_cx", "_cy"))
+
+
+def segment_intersections_join(
+    segs_a: DataFrame,
+    segs_b: DataFrame,
+    *,
+    id_a: str = "a_id",
+    id_b: str = "b_id",
+    cell: float = 8.0,
+) -> DataFrame:
+    """All (id_a, id_b) pairs whose segments strictly cross.
+
+    ``segs_a`` needs columns (id_a, ax1, ay1, ax2, ay2); ``segs_b``
+    likewise with the ``b`` prefix. Plan shape: per-side bbox
+    cell-cover explode -> equi-join on the cell -> distinct pair +
+    coordinates -> ccw refine filter. Everything is codegen; the one
+    shuffle is the cell equi-join, keyed by spatial locality (salt the
+    cell id upstream for Paris-style hot cells, as pip_join does)."""
+    ca = _bbox_cells(segs_a, id_a, cell, "a")
+    cb = _bbox_cells(segs_b, id_b, cell, "b")
+    cand = (ca.join(cb, ["_cx", "_cy"])
+            .select(id_a, id_b, "ax1", "ay1", "ax2", "ay2",
+                    "bx1", "by1", "bx2", "by2")
+            .distinct())
+    keep = segments_cross(
+        F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"),
+        F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"))
+    return cand.filter(keep).select(id_a, id_b)

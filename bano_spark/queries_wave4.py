@@ -5477,3 +5477,161 @@ def w_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type", "bin")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
             .orderBy("event_type", "bin"))
+
+
+# ---------------------------------------------------------------------------
+# w115 — geodesic polyline length per street (ST_Length(geography)):
+# ordered vertex arrays fold through zip_with + aggregate haversine —
+# array math in codegen, zero Python, zero extra shuffle. The oracle
+# states the same sum as a lag-window over ordered vertices.
+# ---------------------------------------------------------------------------
+
+_W115_VERTS = """
+SELECT DISTINCT o_orderkey % 300 AS street_id, o_custkey % 12 AS j,
+       2.0 + 0.01 * (o_custkey % 12) + 0.001 * ((o_orderkey % 300) % 7) AS lon,
+       45.0 + 0.002 * (((o_orderkey % 300) + (o_custkey % 12)) % 13) AS lat
+FROM orders
+"""
+
+_W115_ORACLE = f"""
+WITH v AS ({_W115_VERTS}),
+d AS (
+  SELECT street_id, lon, lat,
+         lag(lon) OVER (PARTITION BY street_id ORDER BY j) AS plon,
+         lag(lat) OVER (PARTITION BY street_id ORDER BY j) AS plat
+  FROM v
+)
+SELECT street_id, CAST(count(*) AS INTEGER) AS n_verts,
+       round(coalesce(sum(
+         2 * 6371008.8 * asin(sqrt(
+             pow(sin(radians(lat - plat) / 2), 2)
+           + cos(radians(plat)) * cos(radians(lat))
+           * pow(sin(radians(lon - plon) / 2), 2)))), 0.0), 3) AS length_m
+FROM d GROUP BY street_id ORDER BY street_id
+"""
+
+
+@register("polyline_geodesic_length", _W115_ORACLE)
+def w_polyline_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.geodesy import polyline_length_m
+
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    v = spark.sql(_W115_VERTS)
+    lines = (v.groupBy("street_id")
+             .agg(F.sort_array(F.collect_list(
+                 F.struct("j", "lon", "lat"))).alias("ordered"))
+             .withColumn("verts", F.expr(
+                 "transform(ordered, p -> array(p.lon, p.lat))")))
+    return (lines.select(
+        "street_id",
+        F.size("verts").cast("int").alias("n_verts"),
+        F.round(polyline_length_m("verts"), 3).alias("length_m"))
+        .orderBy("street_id"))
+
+
+# ---------------------------------------------------------------------------
+# w116 — geohash cell rollup: base-32 geohash (precision 5) as staged
+# bit-interleave column arithmetic; engine and oracle SQL come from
+# the SAME generator (operators/geodesy.py), so the formula is shared
+# by construction rather than re-derived. Geohash prefixes give a
+# shuffle key with spatial locality — the index-free bucketing used
+# when polygon precision is not needed.
+# ---------------------------------------------------------------------------
+
+
+def _w116_oracle() -> str:
+    from bano_spark.operators.geodesy import (geohash_chars_sql,
+                                              geohash_interleave_sql,
+                                              geohash_quant_sql)
+
+    ix, iy = geohash_quant_sql("lon", "lat", 5)
+    inter = geohash_interleave_sql("_gix", "_giy", 5, "duckdb")
+    chars = geohash_chars_sql("_gg", 5, "duckdb")
+    return f"""
+WITH pts AS (
+  SELECT CASE WHEN user_id % 2 = 0
+              THEN 2.0 + (event_id % 1000) * 0.001
+              ELSE -61.5 + (event_id % 800) * 0.002 END AS lon,
+         CASE WHEN user_id % 2 = 0
+              THEN 48.0 + (user_id % 500) * 0.001
+              ELSE 16.0 + (user_id % 300) * 0.003 END AS lat
+  FROM events
+),
+q AS (SELECT {ix} AS _gix, {iy} AS _giy FROM pts),
+g AS (SELECT {inter} AS _gg FROM q)
+SELECT {chars} AS geohash, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+_W116_PTS = """
+SELECT CASE WHEN user_id % 2 = 0
+            THEN 2.0 + (event_id % 1000) * 0.001
+            ELSE -61.5 + (event_id % 800) * 0.002 END AS lon,
+       CASE WHEN user_id % 2 = 0
+            THEN 48.0 + (user_id % 500) * 0.001
+            ELSE 16.0 + (user_id % 300) * 0.003 END AS lat
+FROM events
+"""
+
+
+@register("geohash_cell_counts", _w116_oracle())
+def w_geohash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.geodesy import with_geohash
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    pts = spark.sql(_W116_PTS)
+    return (with_geohash(pts, "lon", "lat", precision=5)
+            .groupBy("geohash")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy("geohash"))
+
+
+# ---------------------------------------------------------------------------
+# w117 — segment-segment strict-crossing join (road-graph conflation /
+# overlay edges): bbox cell-cover equi-join for candidates, exact
+# double-orientation (ccw) refine as column arithmetic — the line-line
+# member of the spatial-join family, fully whole-stage-codegen. The
+# oracle states the same ccw predicate over the (fixture-scale) cross
+# join; coordinates are lattice integers so the strict test is exact
+# in both engines.
+# ---------------------------------------------------------------------------
+
+_W117_A = """
+SELECT DISTINCT l_orderkey % 200 AS a_id,
+       CAST((l_orderkey % 200) * 3 % 60 AS DOUBLE) AS ax1,
+       CAST((l_orderkey % 200) * 7 % 40 AS DOUBLE) AS ay1,
+       CAST((l_orderkey % 200) * 3 % 60 + 4 AS DOUBLE) AS ax2,
+       CAST((l_orderkey % 200) * 7 % 40 + 4 AS DOUBLE) AS ay2
+FROM lineitem
+"""
+
+_W117_B = """
+SELECT DISTINCT l_partkey % 200 AS b_id,
+       CAST((l_partkey % 200) * 5 % 60 AS DOUBLE) AS bx1,
+       CAST((l_partkey % 200) * 11 % 40 AS DOUBLE) AS by1,
+       CAST((l_partkey % 200) * 5 % 60 + 4 AS DOUBLE) AS bx2,
+       CAST((l_partkey % 200) * 11 % 40 - 4 AS DOUBLE) AS by2
+FROM lineitem
+"""
+
+_W117_ORACLE = f"""
+WITH a AS ({_W117_A}), b AS ({_W117_B})
+SELECT a_id, b_id FROM a CROSS JOIN b
+WHERE ((ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1))
+    * ((ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)) < 0
+  AND ((bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1))
+    * ((bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)) < 0
+ORDER BY a_id, b_id
+"""
+
+
+@register("segment_intersections", _W117_ORACLE)
+def w_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.geodesy import segment_intersections_join
+
+    _read(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    a = spark.sql(_W117_A)
+    b = spark.sql(_W117_B)
+    return (segment_intersections_join(a, b, cell=8.0)
+            .orderBy("a_id", "b_id"))
