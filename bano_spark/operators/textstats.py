@@ -230,3 +230,41 @@ def top_ngrams(docs: DataFrame, k: int = 50, n: int = 2,
                 % (n - 1, n))).alias("gram"))
             .groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("gram")).limit(k))
+
+
+def syllable_groups(col: Column) -> Column:
+    """Vowel-group count — the standard regex syllable proxy
+    ('[aeiouy]+' runs in lowercase text). Pure codegen
+    (regexp_count), identical semantics in DuckDB via
+    len(regexp_extract_all(...))."""
+    return F.regexp_count(F.lower(col), F.lit("[aeiouy]+")).cast("bigint")
+
+
+def sentence_count(col: Column, words: Column,
+                   words_per_sentence: int = 15) -> Column:
+    """Terminal-punctuation sentence count with a deterministic
+    fallback for punctuation-less corpora (token streams, ASR
+    transcripts): at least ceil(words / words_per_sentence), never 0
+    for nonempty text."""
+    punct = F.regexp_count(col, F.lit(r"[.!?]")).cast("bigint")
+    fallback = F.ceil(words.cast("double") / words_per_sentence).cast("bigint")
+    return F.greatest(punct, fallback, F.lit(1).cast("bigint"))
+
+
+def flesch_reading_ease(words: Column, sentences: Column,
+                        syllables: Column) -> Column:
+    """Flesch reading-ease over the proxy counts:
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)."""
+    w = words.cast("double")
+    return F.round(
+        F.lit(206.835)
+        - 1.015 * (w / sentences.cast("double"))
+        - 84.6 * (syllables.cast("double") / w), 4)
+
+
+def lexical_diversity(col: Column) -> Column:
+    """Type-token ratio: distinct tokens / tokens, round 6."""
+    toks = tokens(col)
+    return F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double"), 6)

@@ -5635,3 +5635,130 @@ def w_segment_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = spark.sql(_W117_B)
     return (segment_intersections_join(a, b, cell=8.0)
             .orderBy("a_id", "b_id"))
+
+
+# ---------------------------------------------------------------------------
+# w118 — readability profile (Flesch reading ease over regex proxies):
+# vowel-group syllables, terminal-punctuation sentences with a
+# deterministic words/15 fallback for punctuation-less corpora. All
+# regexp_count / split codegen — the cheap text-quality signal that
+# runs beside gopher_quality_flags in a curation sweep.
+# ---------------------------------------------------------------------------
+
+_W118_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+           AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syll,
+         CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_punct
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_words, n_syll,
+         greatest(n_punct,
+                  CAST(ceil(CAST(n_words AS DOUBLE) / 15) AS BIGINT),
+                  1) AS n_sent
+  FROM c
+)
+SELECT doc_id, n_words, n_syll, n_sent,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+             - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)),
+             4) AS flesch
+FROM s ORDER BY doc_id
+"""
+
+
+@register("readability_scores", _W118_ORACLE)
+def w_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators import textstats as ts
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    words = ts.token_count(t)
+    syll = ts.syllable_groups(t)
+    sent = ts.sentence_count(t, words)
+    return (docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        syll.alias("n_syll"),
+        sent.alias("n_sent"),
+        ts.flesch_reading_ease(words, sent, syll).alias("flesch"))
+        .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# w119 — lexical diversity (type-token ratio): distinct-token share
+# per document, the hapax-adjacent vocabulary-richness screen used in
+# quality filtering. Array ops in codegen; oracle via list_distinct.
+# ---------------------------------------------------------------------------
+
+_W119_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 6) AS ttr
+FROM t ORDER BY doc_id
+"""
+
+
+@register("lexical_diversity", _W119_ORACLE)
+def w_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators import textstats as ts
+    from bano_spark.operators.dedup import tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return (docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        ts.lexical_diversity(F.col("text")).alias("ttr"))
+        .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# w120 — sorted-neighborhood blocking (Hernandez-Stolfo SNM): pairs
+# within a window of the global (key, id) sort order, WITHOUT the
+# single-partition exchange of row_number() OVER (ORDER BY ...) — the
+# global rank comes from the two-pass distributed prefix sum, pairing
+# is a size-w explode + bigint equi-join. The oracle states the
+# textbook formulation directly.
+# ---------------------------------------------------------------------------
+
+_W120_ORACLE = """
+WITH k AS (
+  SELECT doc_id,
+         string_split(lower(text), ' ')[1] || ' '
+           || string_split(lower(text), ' ')[2] AS key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, key,
+         row_number() OVER (ORDER BY key, doc_id) AS rn
+  FROM k
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.key AS key_a, b.key AS key_b
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+ORDER BY id_a, id_b
+"""
+
+
+@register("sorted_neighborhood_pairs", _W120_ORACLE)
+def w_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.linkage import sorted_neighborhood_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    keyed = docs.select(
+        "doc_id",
+        F.concat_ws(" ", toks.getItem(0), toks.getItem(1)).alias("key"))
+    return (sorted_neighborhood_pairs(keyed, "key", "doc_id", window=4)
+            .orderBy("id_a", "id_b"))
