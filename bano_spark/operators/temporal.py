@@ -123,3 +123,32 @@ def interval_join(
     return (pb.join(ib, "_bin")
             .filter((F.col(begin) <= F.col(ts)) & (F.col(ts) < F.col(end)))
             .drop("_bin"))
+
+
+def time_range_rolling(df, part_col: str, ts_col: str, value_col: str,
+                       seconds: int = 3600):
+    """Time-range rolling aggregates: count and mean of ``value_col``
+    over [ts - seconds, ts] per partition key — the RANGE-frame window
+    (``RANGE BETWEEN INTERVAL x PRECEDING AND CURRENT ROW``) Spark
+    only exposes through rangeBetween on a numeric ordering. Epoch
+    seconds keep the frame arithmetic exact and identical to SQL
+    engines' interval frames (both bounds inclusive).
+
+    Scale shape: the window partitions by ``part_col`` — at 10^12
+    events the shuffle is one exchange on the partition key, every
+    frame evaluation is a per-partition sliding pass; no
+    single-partition exchange, no self-join blowup (the naive
+    range-self-join materializes O(rows x window-density) pairs)."""
+    from pyspark.sql import Window, functions as F
+
+    # TIMESTAMP_NTZ has no direct long cast; the NTZ->TZ hop applies a
+    # constant session offset, which cancels in frame differences.
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    w = (Window.partitionBy(part_col)
+         .orderBy(epoch)
+         .rangeBetween(-seconds, 0))
+    return (df
+            .withColumn("n_in_window",
+                        F.count(F.lit(1)).over(w).cast("bigint"))
+            .withColumn("avg_in_window",
+                        F.round(F.avg(F.col(value_col)).over(w), 6)))

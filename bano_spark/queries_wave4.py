@@ -5762,3 +5762,75 @@ def w_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", toks.getItem(0), toks.getItem(1)).alias("key"))
     return (sorted_neighborhood_pairs(keyed, "key", "doc_id", window=4)
             .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# w121 — time-RANGE rolling window (RANGE BETWEEN INTERVAL 1 HOUR
+# PRECEDING AND CURRENT ROW) per user: rangeBetween over epoch
+# seconds makes Spark's numeric frame exactly the SQL interval frame
+# (both bounds inclusive, ties are peers). Partitioned window — one
+# exchange on user_id, no self-join blowup.
+# ---------------------------------------------------------------------------
+
+_W121_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+       round(avg(value) OVER w, 6) AS avg_in_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+@register("rolling_time_window_avg", _W121_ORACLE)
+def w_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.temporal import time_range_rolling
+
+    ev = _read(spark, sf_dir, "events")
+    return (time_range_rolling(ev, "user_id", "ts", "value", seconds=3600)
+            .select("event_id", "user_id", "ts",
+                    "n_in_window", "avg_in_window")
+            .orderBy("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# w122 — windowed z-score anomaly screen: hourly event counts per
+# type, standardized against that type's own mean/stddev_samp across
+# hours; |z| > 1.5 flags burst/dropout hours. Two partial-agg
+# shuffles (hour rollup, type stats) + one broadcast-size join — the
+# drift/incident detector shape over 10^12-event telemetry.
+# ---------------------------------------------------------------------------
+
+_W122_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.hour, h.n,
+       round((h.n - s.mu) / s.sigma, 6) AS z
+FROM hourly h JOIN stats s USING (event_type)
+WHERE s.sigma > 0 AND abs((h.n - s.mu) / s.sigma) > 1.5
+ORDER BY h.event_type, h.hour
+"""
+
+
+@register("windowed_zscore_anomalies", _W122_ORACLE)
+def w_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    stats = (hourly.groupBy("event_type")
+             .agg(F.avg("n").alias("mu"),
+                  F.stddev_samp("n").alias("sigma")))
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (hourly.join(F.broadcast(stats), "event_type")
+            .filter((F.col("sigma") > 0) & (F.abs(z) > 1.5))
+            .select("event_type", "hour", "n", F.round(z, 6).alias("z"))
+            .orderBy("event_type", "hour"))
