@@ -291,3 +291,48 @@ def hits(edges: DataFrame, *, src: str = "src", dst: str = "dst",
             .select("node",
                     F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
                     F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth")))
+
+
+def k_core(edges: DataFrame, k: int, *, src: str = "src", dst: str = "dst",
+           max_iters: int = 200) -> DataFrame:
+    """k-core decomposition for a fixed k: iteratively peel nodes of
+    undirected degree < k until fixpoint; returns the surviving nodes
+    with their within-core degree (node, core_degree).
+
+    The dense-subgraph screen of web-graph curation (spam farms and
+    boilerplate link rings are high-core; genuine long-tail hosts peel
+    out early). Deterministic: the fixpoint is unique regardless of
+    peel order (the k-core is the maximal subgraph with min degree
+    >= k), so any engine computing it agrees exactly.
+
+    Scale shape: edges symmetrize + dedupe once; each round is two
+    semi-joins (keep edges whose BOTH endpoints are alive) + one
+    partial-agg degree count + a filter — all key-partitioned
+    shuffles, no driver data. The alive set localCheckpoints per
+    round (flat lineage, components.py discipline); rounds terminate
+    when the alive count stops shrinking — O(peel-depth) driver
+    actions, each O(1) rows. Real web graphs peel in tens of rounds;
+    ``max_iters`` is a loud runaway guard, not a silent cap."""
+    sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .filter(F.col("u") != F.col("v")))
+    und = (sym.unionByName(sym.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+           .distinct()
+           .localCheckpoint(eager=False))
+    alive = und.select(F.col("u").alias("node")).distinct() \
+               .localCheckpoint(eager=False)
+    n_alive = alive.count()
+    for _ in range(max_iters):
+        deg = (und
+               .join(alive.withColumnRenamed("node", "u"), "u")
+               .join(alive.withColumnRenamed("node", "v"), "v")
+               .groupBy("u").agg(F.count(F.lit(1)).alias("core_degree")))
+        nxt = (deg.filter(F.col("core_degree") >= k)
+               .localCheckpoint(eager=False))
+        n_nxt = nxt.count()
+        if n_nxt == n_alive:
+            return nxt.select(F.col("u").alias("node"),
+                              F.col("core_degree").cast("bigint"))
+        alive = nxt.select(F.col("u").alias("node"))
+        n_alive = n_nxt
+    raise RuntimeError(f"k_core: no fixpoint within {max_iters} rounds")

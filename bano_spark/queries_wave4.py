@@ -5834,3 +5834,64 @@ def w_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("sigma") > 0) & (F.abs(z) > 1.5))
             .select("event_type", "hour", "n", F.round(z, 6).alias("z"))
             .orderBy("event_type", "hour"))
+
+
+# ---------------------------------------------------------------------------
+# w123 — k-core decomposition (k=5) of the host graph: iterative
+# peeling to the unique fixpoint — the dense-subgraph screen (link
+# farms are high-core). The fixture embeds an 8-clique inside a
+# sparse deterministic graph so peeling is GRADUAL (14 rounds at this
+# scale) and the surviving core is non-trivial. The engine iterates
+# to the true fixpoint; the oracle unrolls 16 peel rounds as chained
+# CTEs — two more than the fixture needs, and extra rounds past the
+# fixpoint are no-ops, so both agree exactly.
+# ---------------------------------------------------------------------------
+
+_W123_EDGES = """
+und AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM raw WHERE u != v
+    UNION ALL SELECT v, u FROM raw WHERE u != v)
+)"""
+
+_W123_RAW = """
+raw AS MATERIALIZED (
+  SELECT doc_id % 40 AS u, (doc_id*11+5) % 40 AS v FROM documents
+  UNION ALL SELECT doc_id % 40, (doc_id*doc_id + 7) % 40 FROM documents
+  UNION ALL SELECT (doc_id*3+1) % 40, (doc_id*17+2) % 40 FROM documents
+  WHERE doc_id % 3 = 0
+  UNION ALL SELECT t1.i, t2.i FROM range(8) t1(i), range(8) t2(i)
+  WHERE t1.i < t2.i
+)"""
+
+
+def _w123_oracle(k: int = 5, rounds: int = 16) -> str:
+    parts = [f"WITH {_W123_RAW}, {_W123_EDGES},",
+             "a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)"]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT e.u AS node, count(*) AS d
+  FROM und e
+  JOIN a{i-1} x ON x.node = e.u
+  JOIN a{i-1} y ON y.node = e.v
+  GROUP BY e.u HAVING count(*) >= {k})""")
+    parts.append(f"""
+SELECT node, CAST(d AS BIGINT) AS core_degree
+FROM a{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+@register("kcore_nodes", _w123_oracle())
+def w_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.graph import k_core
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    raw = spark.sql(
+        "WITH " + _W123_RAW.replace(" MATERIALIZED", "")
+        .replace("range(8) t1(i), range(8) t2(i)",
+                 "range(8) t1, range(8) t2")
+        .replace("t1.i", "t1.id").replace("t2.i", "t2.id")
+        + " SELECT * FROM raw")
+    return (k_core(raw, 5, src="u", dst="v")
+            .orderBy("node"))

@@ -294,3 +294,34 @@ def test_hits_matches_numpy(spark):
     # both scores are L1-normalized distributions
     assert sum(x[0] for x in got.values()) == pytest.approx(1.0, abs=1e-6)
     assert sum(x[1] for x in got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_k_core_matches_bruteforce(spark):
+    import collections
+    import random
+
+    rng = random.Random(5)
+    edges = {(rng.randint(0, 25), rng.randint(0, 25)) for _ in range(120)}
+    edges |= {(i, j) for i in range(6) for j in range(6) if i < j}  # clique
+    df = spark.createDataFrame(
+        [(u, v) for u, v in edges], ["src", "dst"]).repartition(4)
+
+    from bano_spark.operators.graph import k_core
+
+    und = set()
+    for u, v in edges:
+        if u != v:
+            und.add((u, v)); und.add((v, u))
+    for k in (3, 5):
+        alive = {u for u, _ in und}
+        while True:
+            deg = collections.Counter(
+                u for u, v in und if u in alive and v in alive)
+            nxt = {n for n, d in deg.items() if d >= k}
+            if nxt == alive:
+                break
+            alive = nxt
+        want = {n: deg[n] for n in alive}
+        got = {r["node"]: r["core_degree"]
+               for r in k_core(df, k).collect()}
+        assert got == want, f"k={k}"
