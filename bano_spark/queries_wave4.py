@@ -5895,3 +5895,76 @@ def w_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " SELECT * FROM raw")
     return (k_core(raw, 5, src="u", dst="v")
             .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# w124 — watermark LATE-DATA EVICTION in append mode (§2.9): the
+# events table streams as THREE ordered file batches — batches 1-2
+# carry event_id % 4 != 0 (including the globally newest row), batch
+# 3 replays the % 4 == 0 slice, all of it older than the watermark
+# the first two batches established (max ts - 90 min). Three batches
+# because Spark filters late events with the PREVIOUS batch's
+# watermark (watermarkForLateEvents lags eviction by one trigger,
+# measured empirically on 4.1): the late slice must arrive two
+# triggers after the max-ts row for the drop to engage. Append mode
+# finalizes a window exactly once when the watermark passes its end;
+# the emitted counts are EXACTLY the on-time rows in windows ending
+# before the final watermark, which is what the oracle states. The
+# 90-minute delay is deliberately not a multiple of the window size
+# and the max ts is not hour-aligned, so no window end ever ties the
+# watermark and <-vs-<= boundary semantics cannot matter.
+# ---------------------------------------------------------------------------
+
+_W124_ORACLE = """
+WITH wm AS (
+  SELECT max(ts) - INTERVAL 90 MINUTE AS w FROM events WHERE event_id % 4 != 0
+)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events, wm
+WHERE event_id % 4 != 0
+  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("streaming_late_data_eviction", _W124_ORACLE)
+def w_stream_late_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from bano_spark.streaming.incremental import windowed_counts_append
+
+    ev = _read(spark, sf_dir, "events")
+    feed_dir = tempfile.mkdtemp(prefix="w124_feed_")
+    try:
+        b1 = os.path.join(feed_dir, "batch1")
+        b2 = os.path.join(feed_dir, "batch2")
+        b3 = os.path.join(feed_dir, "batch3")
+        on_time = ev.filter(F.col("event_id") % 4 != 0)
+        on_time.filter(F.col("event_id") % 8 >= 4).coalesce(1) \
+          .write.mode("overwrite").parquet(b1)
+        on_time.filter(F.col("event_id") % 8 < 4).coalesce(1) \
+          .write.mode("overwrite").parquet(b2)
+        ev.filter(F.col("event_id") % 4 == 0).coalesce(1) \
+          .write.mode("overwrite").parquet(b3)
+        # FileStreamSource orders by modification time: pin batch order
+        for d, t in ((b1, 1_000_000_000), (b2, 1_000_000_900),
+                     (b3, 1_000_001_800)):
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (t, t))
+        feed = (spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed_dir + "/*"))
+        agg = windowed_counts_append(feed)
+        qname = "w124_stream"
+        q = (agg.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = (spark.table(qname)
+               .orderBy("window_start", "event_type").collect())
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "window_start timestamp, event_type string, n bigint")

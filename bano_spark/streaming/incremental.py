@@ -133,3 +133,22 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame, *,
         & (r[right_ts] <= l[left_ts])
     )
     return l.join(r, cond, "inner").drop(r[key])
+
+
+def windowed_counts_append(feed: DataFrame, *, window: str = "1 hour",
+                           delay: str = "90 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts in APPEND mode: a window row
+    is emitted exactly once, when the watermark (max event time seen
+    in prior batches minus ``delay``) passes its end; input rows whose
+    window has already been finalized are dropped as too late. This is
+    the at-scale contract — complete mode re-emits all state per
+    trigger, append keeps state bounded to open windows and the sink
+    idempotent."""
+    from pyspark.sql import functions as F
+
+    return (feed
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", delay)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n"))
