@@ -5968,3 +5968,102 @@ def w_stream_late_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(feed_dir, ignore_errors=True)
     return spark.createDataFrame(
         out, "window_start timestamp, event_type string, n bigint")
+
+
+# ---------------------------------------------------------------------------
+# w125 — raster zonal statistics: a deterministic 421x20 value grid
+# (cell centers offset so none touches a zone edge) rolled up per
+# commune by center-in-zone through the PIP spatial_join — the
+# classic raster-x-vector analytics op, riding the join's broadcast/
+# shuffle probe and skew machinery. The oracle states center-in-zone
+# as strict half-plane tests against the commune VALUES table.
+# ---------------------------------------------------------------------------
+
+_W125_X0 = synth.REG0 - 2 * synth.W
+_W125_Y0 = synth.CY0
+_W125_CS = 499.0
+
+
+def _w125_cells(dialect: str) -> str:
+    if dialect == "duckdb":
+        grid = "FROM range(421) i(gi) CROSS JOIN range(20) j(gj)"
+        gi, gj = "i.gi", "j.gj"
+    else:
+        grid = "FROM range(421) AS i CROSS JOIN range(20) AS j"
+        gi, gj = "i.id", "j.id"
+    return f"""
+cells AS (
+  SELECT {_W125_X0!r} + ({gi} + 0.5) * {_W125_CS!r} AS x,
+         {_W125_Y0!r} + ({gj} + 0.5) * {_W125_CS!r} AS y,
+         CAST((({gi} * 7 + {gj} * 13) % 100) AS DOUBLE) / 10.0 AS val
+  {grid}
+)"""
+
+
+_W125_ORACLE = f"""
+WITH {_w125_cells('duckdb')}
+SELECT c.insee_com,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       round(avg(g.val), 6) AS mean_val,
+       round(sum(g.val), 6) AS sum_val
+FROM cells g
+JOIN {synth.communes_values_sql()}
+  ON g.x > c.xmin AND g.x < c.xmax AND g.y > c.ymin AND g.y < c.ymax
+GROUP BY c.insee_com ORDER BY c.insee_com
+"""
+
+
+@register("zonal_stats", _W125_ORACLE)
+def w_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.raster import zonal_stats
+
+    cells = spark.sql("WITH " + _w125_cells("spark") + " SELECT * FROM cells")
+    polys = synth.commune_polygons_df(spark)
+    return (zonal_stats(cells, polys, zone_id="insee_com", zoom=15,
+                        split_refine=True)
+            .orderBy("insee_com"))
+
+
+# ---------------------------------------------------------------------------
+# w126 — 3x3 focal mean on the sparse event-derived tile raster (map
+# algebra): absent neighbors contribute nothing; one 9-offset explode
+# + partial-agg groupBy + semi-join back to the input cell set, so
+# shuffle volume is 9x the OCCUPIED cells regardless of raster
+# extent. The oracle is the textbook neighborhood self-join.
+# ---------------------------------------------------------------------------
+
+
+def _w126_cells(dialect: str) -> str:
+    cell = "611.4962261962891"
+    return f"""
+pts AS ({synth.points_select_sql(dialect, "events")}),
+cells AS (
+  SELECT DISTINCT CAST(floor((x - (-20037508.34)) / {cell}) AS BIGINT) AS tx,
+         CAST(floor((20037508.34 - y) / {cell}) AS BIGINT) AS ty
+  FROM pts
+),
+vals AS (
+  SELECT tx, ty, CAST(((tx * 7 + ty * 13) % 100) AS DOUBLE) / 10.0 AS val
+  FROM cells
+)"""
+
+
+_W126_ORACLE = f"""
+WITH {_w126_cells('duckdb')}
+SELECT a.tx, a.ty,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       round(avg(b.val), 6) AS focal_mean
+FROM vals a JOIN vals b
+  ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+ AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+GROUP BY a.tx, a.ty ORDER BY a.tx, a.ty
+"""
+
+
+@register("raster_focal_mean", _W126_ORACLE)
+def w_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.raster import focal_mean
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    vals = spark.sql("WITH " + _w126_cells("spark") + " SELECT * FROM vals")
+    return focal_mean(vals).orderBy("tx", "ty")
