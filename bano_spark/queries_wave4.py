@@ -6067,3 +6067,87 @@ def w_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     _read(spark, sf_dir, "events").createOrReplaceTempView("events")
     vals = spark.sql("WITH " + _w126_cells("spark") + " SELECT * FROM vals")
     return focal_mean(vals).orderBy("tx", "ty")
+
+
+# ---------------------------------------------------------------------------
+# w127 — per-group simple linear regression (value ~ hour-of-day) via
+# the closed-form moment aggregates: slope = cov/var, intercept,
+# r-squared — one partial-agg shuffle per group, the regression
+# analytics member (trend-per-segment) at 10^12 rows. The oracle uses
+# DuckDB's native regr_slope/regr_intercept/regr_r2, so the engine's
+# moment algebra is checked against an independent implementation.
+# ---------------------------------------------------------------------------
+
+_W127_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, CAST(date_part('hour', ts) AS DOUBLE)), 6)
+         AS slope,
+       round(regr_intercept(value, CAST(date_part('hour', ts) AS DOUBLE)), 6)
+         AS intercept,
+       round(regr_r2(value, CAST(date_part('hour', ts) AS DOUBLE)), 6) AS r2
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("linear_fit_per_group", _W127_ORACLE)
+def w_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    yv = F.col("value")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg(x).alias("mx"), F.avg(yv).alias("my"),
+        F.covar_pop(x, yv).alias("cxy"),
+        F.var_pop(x).alias("vx"), F.var_pop(yv).alias("vy"))
+    slope = F.col("cxy") / F.col("vx")
+    intercept = F.col("my") - slope * F.col("mx")
+    r2 = (F.col("cxy") * F.col("cxy")) / (F.col("vx") * F.col("vy"))
+    return (agg.select(
+        "event_type", "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"))
+        .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# w128 — unigram token entropy per document (bits): the information-
+# density quality screen (repetitive boilerplate scores low, rich
+# prose high). explode -> per-(doc, token) counts -> per-doc entropy
+# via sum(p log2 p) — two partial-agg shuffles, no Python.
+# ---------------------------------------------------------------------------
+
+_W128_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS c
+       FROM tok GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       CAST(tot.n AS BIGINT) AS n_tokens,
+       round(-sum((tf.c / tot.n) * log2(tf.c / tot.n)), 6) AS entropy_bits
+FROM tf JOIN tot USING (doc_id)
+GROUP BY tf.doc_id, tot.n ORDER BY tf.doc_id
+"""
+
+
+@register("token_entropy", _W128_ORACLE)
+def w_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+          .groupBy("doc_id", "t")
+          .agg(F.count(F.lit(1)).cast("double").alias("c")))
+    tot = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (tf.join(tot, "doc_id")
+            .groupBy("doc_id", "n")
+            .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+            .select("doc_id", F.col("n").cast("bigint").alias("n_tokens"),
+                    "entropy_bits")
+            .orderBy("doc_id"))
