@@ -90,6 +90,19 @@ AUDITED = [
     "hopping_window_counts",
     "group_percentile_bands",
     "value_histogram",
+    "polyline_geodesic_length",
+    "geohash_cell_counts",
+    "segment_intersections",
+    "readability_scores",
+    "lexical_diversity",
+    "sorted_neighborhood_pairs",
+    "rolling_time_window_avg",
+    "windowed_zscore_anomalies",
+    "kcore_nodes",
+    "zonal_stats",
+    "raster_focal_mean",
+    "linear_fit_per_group",
+    "token_entropy",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
