@@ -79,3 +79,55 @@ def kmeans_assign(vecs: DataFrame, k: int = 4, iters: int = 2,
         cents = [new[j] for j in range(k)]
     return _assign(vecs, cents, vec_col, dim).select(
         id_col, "cluster", "dist")
+
+
+def dbscan(points: DataFrame, eps: float, min_pts: int, *,
+           id_col: str = "id", x: str = "x", y: str = "y",
+           zoom: int | None = None) -> DataFrame:
+    """Deterministic grid DBSCAN: (id, role, cluster) with role in
+    core/border/noise and cluster the MIN point id of the cluster's
+    core set (noise -> NULL cluster).
+
+    Semantics pinned for engine-independence (classic DBSCAN leaves
+    border assignment scan-order-dependent): a point is core when its
+    eps-neighborhood INCLUDING ITSELF holds >= min_pts points;
+    clusters are connected components of the core-core eps graph; a
+    border point joins the cluster of its minimum-labelled core
+    neighbor; everything else is noise. Every rule is order-free, so
+    any implementation produces identical output.
+
+    Scale shape: neighborhoods come from the auto-zoomed k-ring cell
+    join (`dwithin_pairs` — never a cross product, candidates bounded
+    by true spatial density); components run min-label pointer rounds
+    with per-round localCheckpoints. Pair volume is the sum of
+    squared neighborhood sizes — DBSCAN's intrinsic cost; hot cells
+    salt like every cell join in the engine."""
+    from .components import connected_components
+    from .knn_join import dwithin_pairs
+
+    pts = points.select(F.col(id_col).alias("_pid"), x, y)
+    kwargs = {} if zoom is None else {"zoom": zoom}
+    pairs = dwithin_pairs(
+        pts.withColumnRenamed("_pid", "_a"), pts.withColumnRenamed("_pid", "_b"),
+        eps, left_id="_a", right_id="_b", **kwargs).select("_a", "_b")
+    # neighborhood size includes the point itself (the (p, p) self pair)
+    nsize = pairs.groupBy("_a").agg(F.count(F.lit(1)).alias("_n"))
+    core = nsize.filter(F.col("_n") >= min_pts).select("_a").cache()
+    core_edges = (pairs.filter(F.col("_a") < F.col("_b"))
+                  .join(core, "_a")
+                  .join(core.withColumnRenamed("_a", "_b"), "_b"))
+    comp = connected_components(core_edges, src="_a", dst="_b") \
+        .withColumnRenamed("id", "_a").withColumnRenamed("comp", "_cl")
+    # singleton cores never appear in an edge: they label themselves
+    core_labels = (core.join(comp, "_a", "left")
+                   .select("_a", F.coalesce("_cl", F.col("_a")).alias("_cl")))
+    border = (pairs.join(core_labels.withColumnRenamed("_a", "_b"), "_b")
+              .filter(F.col("_a") != F.col("_b"))
+              .join(core_labels.select("_a"), "_a", "left_anti")
+              .groupBy("_a").agg(F.min("_cl").alias("_cl")))
+    labelled = (core_labels.withColumn("role", F.lit("core"))
+                .unionByName(border.withColumn("role", F.lit("border"))))
+    return (pts.join(labelled, pts["_pid"] == labelled["_a"], "left")
+            .select(F.col("_pid").alias(id_col),
+                    F.coalesce("role", F.lit("noise")).alias("role"),
+                    F.col("_cl").alias("cluster")))

@@ -6151,3 +6151,65 @@ def w_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("n").cast("bigint").alias("n_tokens"),
                     "entropy_bits")
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# w129 — DBSCAN over chain fixtures: 12 anchors, each a 1-D chain of
+# 3 + (a % 5) slots spaced 25 m (eps 60 -> each slot sees +-2 slots;
+# min_pts 5). Chains of length <= 4 go all-noise; length >= 5 yields
+# interior cores and end borders — the closed-form role/label rules
+# the oracle states directly (|N(k)| = min(k+2, L-1) - max(k-2, 0) + 1,
+# cluster = anchor's first core id, border iff a core sits within 2
+# slots). The engine runs the generic pipeline: auto-zoomed dwithin
+# pair join -> core filter -> min-label components -> border
+# attachment. Determinism is pinned by order-free rules (see
+# clustering.dbscan docstring).
+# ---------------------------------------------------------------------------
+
+
+def _w129_slots(dialect: str) -> str:
+    return """
+slots AS (
+  SELECT DISTINCT event_id % 12 AS a, event_id % 7 AS k
+  FROM events WHERE event_id % 7 < 3 + (event_id % 12) % 5
+),
+pts AS (
+  SELECT a * 100 + k AS id,
+         1000000.0 + a * 10000.0 + k * 25.0 AS x,
+         2000000.0 AS y,
+         a, k, 3 + (a % 5) AS L
+  FROM slots
+)"""
+
+
+_W129_ORACLE = f"""
+WITH {_w129_slots('duckdb')},
+sized AS (
+  SELECT id, a, k, L,
+         least(k + 2, L - 1) - greatest(k - 2, 0) + 1 AS nsize
+  FROM pts
+),
+cores AS (SELECT * FROM sized WHERE nsize >= 5),
+labels AS (SELECT a, min(id) AS cl FROM cores GROUP BY a)
+SELECT s.id,
+       CASE WHEN s.nsize >= 5 THEN 'core'
+            WHEN EXISTS (SELECT 1 FROM cores c
+                         WHERE c.a = s.a AND abs(c.k - s.k) <= 2)
+                 THEN 'border'
+            ELSE 'noise' END AS role,
+       CASE WHEN s.nsize >= 5 OR EXISTS (SELECT 1 FROM cores c
+                 WHERE c.a = s.a AND abs(c.k - s.k) <= 2)
+            THEN l.cl END AS cluster
+FROM sized s LEFT JOIN labels l ON l.a = s.a
+ORDER BY s.id
+"""
+
+
+@register("dbscan_chains", _W129_ORACLE)
+def w_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.clustering import dbscan
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    pts = spark.sql(
+        "WITH " + _w129_slots("spark") + " SELECT id, x, y FROM pts")
+    return dbscan(pts, 60.0, 5).orderBy("id")

@@ -251,3 +251,42 @@ def test_exact_quantiles_degenerate(spark):
     with_nulls = spark.createDataFrame(
         [(None,), (1.0,), (None,), (2.0,)], "x double")
     assert exact_quantiles(with_nulls, "x", [0.0, 1.0]) == [1.0, 2.0]
+
+
+def test_dbscan_matches_bruteforce(spark):
+    import random
+
+    from bano_spark.operators.clustering import dbscan
+
+    rng = random.Random(31)
+    pts = [(i, 1_000_000.0 + rng.randint(0, 300) * 10.0,
+            2_000_000.0 + rng.randint(0, 300) * 10.0) for i in range(250)]
+    eps, min_pts = 65.0, 4
+
+    def d2(p, q):
+        return (p[1] - q[1]) ** 2 + (p[2] - q[2]) ** 2
+
+    neigh = {p[0]: [q[0] for q in pts if d2(p, q) <= eps * eps] for p in pts}
+    cores = {i for i, ns in neigh.items() if len(ns) >= min_pts}
+    # components over core-core edges (min-label fixpoint)
+    label = {c: c for c in cores}
+    changed = True
+    while changed:
+        changed = False
+        for c in cores:
+            for n in neigh[c]:
+                if n in cores and label[n] < label[c]:
+                    label[c] = label[n]
+                    changed = True
+    want = {}
+    for i, _, _ in pts:
+        if i in cores:
+            want[i] = ("core", label[i])
+        else:
+            core_ns = [label[n] for n in neigh[i] if n in cores and n != i]
+            want[i] = ("border", min(core_ns)) if core_ns else ("noise", None)
+
+    df = spark.createDataFrame(pts, ["id", "x", "y"]).repartition(4)
+    got = {r["id"]: (r["role"], r["cluster"])
+           for r in dbscan(df, eps, min_pts).collect()}
+    assert got == want
