@@ -6213,3 +6213,62 @@ def w_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = spark.sql(
         "WITH " + _w129_slots("spark") + " SELECT id, x, y FROM pts")
     return dbscan(pts, 60.0, 5).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# w130 — Douglas-Peucker polyline simplification (ST_Simplify; BANO
+# bounds street-geometry vertex counts before export). Tent fixture
+# with a closed-form answer: 12 polylines, each a tent of L = 5 + a%4
+# vertices (x = k*1000, y rising linearly to height d = 10*(a%3) at
+# the apex m = L//2, falling linearly after). First DP chord is the
+# flat base, so every vertex's distance is its y (apex = d, unique
+# max); with eps = 15 the apex is kept iff d > 15, and the two
+# sub-chords are then exactly collinear with the remaining vertices,
+# so recursion stops. Kept set == {0, L-1} ∪ ({m} iff d > eps} — the
+# oracle states it directly.
+# ---------------------------------------------------------------------------
+
+
+def _w130_slots(dialect: str) -> str:
+    return """
+slots AS (
+  SELECT DISTINCT event_id % 12 AS a, event_id % 17 AS k
+  FROM events WHERE event_id % 17 < 5 + (event_id % 12) % 4
+)"""
+
+
+_W130_ORACLE = f"""
+WITH {_w130_slots('duckdb')},
+sized AS (
+  SELECT a, k, 5 + a % 4 AS L, 10 * (a % 3) AS d FROM slots
+)
+SELECT CAST(a AS BIGINT) AS line_id, CAST(k AS BIGINT) AS idx
+FROM sized
+WHERE k = 0 OR k = L - 1 OR (d > 15 AND k = L // 2)
+ORDER BY line_id, idx
+"""
+
+
+@register("simplify_polylines", _W130_ORACLE)
+def w_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.simplify import simplify_polylines
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    base = spark.sql("WITH " + _w130_slots("spark") + " SELECT a, k FROM slots")
+    L = F.lit(5) + F.col("a") % 4
+    m = F.floor(L / 2).cast("double")
+    d = (F.col("a") % 3).cast("double") * 10.0
+    k = F.col("k").cast("double")
+    y = F.when(k <= m, d * k / m).otherwise(
+        d * (L - 1 - k) / (L - 1 - m))
+    verts = (base.select(F.col("a").cast("bigint").alias("line_id"),
+                         F.col("k").cast("long").alias("k"),
+                         (k * 1000.0).alias("x"), y.alias("y"))
+             .groupBy("line_id")
+             .agg(F.array_sort(F.collect_list(F.struct("k", "x", "y")))
+                  .alias("vs"))
+             .select("line_id",
+                     F.transform("vs", lambda s: s["x"]).alias("xs"),
+                     F.transform("vs", lambda s: s["y"]).alias("ys")))
+    return (simplify_polylines(verts, 15.0, id_col="line_id")
+            .orderBy("line_id", "idx"))
