@@ -6272,3 +6272,91 @@ def w_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.transform("vs", lambda s: s["y"]).alias("ys")))
     return (simplify_polylines(verts, 15.0, id_col="line_id")
             .orderBy("line_id", "idx"))
+
+
+# ---------------------------------------------------------------------------
+# w131 — KMV distinct-count sketch: per-event-type distinct-user
+# estimate from the bottom-32 content-derived hashes, reported next to
+# the exact count so the estimator's error is visible in the result.
+# The oracle replays the identical md5 -> 52-bit uniform -> rank-k
+# pipeline; groups that don't fill the sketch take the exact branch.
+# ---------------------------------------------------------------------------
+
+_W131_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         (CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+               AS UBIGINT) + 0.5) / 4503599627370496.0 AS u
+  FROM events
+),
+r AS (SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM d),
+s AS (SELECT event_type,
+             CAST(count(*) FILTER (WHERE rn <= 32) AS BIGINT) AS sketch_size,
+             max(CASE WHEN rn = 32 THEN u END) AS uk
+      FROM r GROUP BY event_type),
+x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+             AS exact_distinct
+      FROM events GROUP BY event_type)
+SELECT s.event_type, x.exact_distinct, s.sketch_size,
+       round(CASE WHEN s.sketch_size < 32 THEN s.sketch_size * 1.0
+                  ELSE 31.0 / s.uk END, 6) AS kmv_estimate
+FROM s JOIN x USING (event_type) ORDER BY event_type
+"""
+
+
+@register("kmv_distinct_users", _W131_ORACLE)
+def w_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.sketches import kmv_distinct
+
+    ev = _read(spark, sf_dir, "events")
+    est = kmv_distinct(ev, "event_type", "user_id", k=32)
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return (est.join(exact, "event_type")
+            .select("event_type", "exact_distinct", "sketch_size",
+                    "kmv_estimate")
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# w132 — bigram LM cross-entropy per document (CCNet-style perplexity
+# screen): the LM is trained on the corpus itself in the same job
+# (add-0.5-smoothed bigram counts), each doc scored by mean -log2 p
+# of its bigram occurrences. The oracle trains and scores the same
+# closed-form model; docs with < 2 tokens drop out in both engines.
+# ---------------------------------------------------------------------------
+
+_W132_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+  FROM documents
+),
+big AS (
+  SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2
+  FROM tok, UNNEST(list_zip(ts[1:-2], ts[2:])) u(z)
+  WHERE len(ts) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY 1),
+voc AS (SELECT CAST(count(DISTINCT u.t) AS DOUBLE) AS v
+        FROM tok, UNNEST(ts) u(t)),
+model AS (
+  SELECT c2.w1, c2.w2,
+         (c2.n2 + 0.5) / (c1.n1 + 0.5 * voc.v) AS p
+  FROM c2 JOIN c1 USING (w1) CROSS JOIN voc
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(log2(m.p)), 6) AS xent_bits
+FROM big b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+@register("bigram_lm_perplexity", _W132_ORACLE)
+def w_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.lm import bigram_lm_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_lm_score(docs).orderBy("doc_id")
