@@ -1,0 +1,73 @@
+"""Hexagonal cell binning — the H3-style index next to tiles.py.
+
+The slippy-tile grid (geo/tiles.py) is the engine's workhorse cell
+index; hex grids are the other half of the H3/S2 story: equidistant
+neighbors (all 6 at the same center distance, vs 4+4 on squares), so
+k-ring density analytics don't carry the square grid's diagonal bias.
+This module bins EPSG:3857 points to pointy-top hexagons of a given
+circumradius via the classic axial/cube-rounding construction (the
+same cell-assignment math H3 uses per face, minus the icosahedron).
+
+Everything is generated ONCE as SQL text (`hex_steps`) and consumed by
+both engines — Spark via chained `F.expr` projections (whole-stage
+codegen), DuckDB verbatim as chained CTE selects — so cell ids agree
+bit-for-bit: the inputs are doubles, every literal is CAST to DOUBLE
+(DuckDB would otherwise read them as DECIMAL), and round() is
+half-away-from-zero in both engines.
+
+Scale shape: pure column arithmetic, no UDF, no shuffle; the (q, r)
+pair hashes well as a join/groupBy key and composes with the salting
+machinery exactly like tile ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SQRT3_3 = 0.5773502691896258  # sqrt(3)/3
+_THIRD = 0.3333333333333333
+_TWO_THIRDS = 0.6666666666666666
+
+
+def hex_steps(x: str, y: str, size: float) -> list[tuple[str, str]]:
+    """Ordered (name, sql_expr) steps from point columns to the axial
+    hex cell (hq, hr). Each expression may reference earlier names —
+    valid in both Spark SQL and DuckDB."""
+    s = repr(float(size))
+    return [
+        ("fq", f"(CAST({_SQRT3_3!r} AS DOUBLE) * {x} "
+               f"- CAST({_THIRD!r} AS DOUBLE) * {y}) / CAST({s} AS DOUBLE)"),
+        ("fr", f"(CAST({_TWO_THIRDS!r} AS DOUBLE) * {y}) / CAST({s} AS DOUBLE)"),
+        ("rx", "round(fq)"),
+        ("ry", "round(-fq - fr)"),
+        ("rz", "round(fr)"),
+        ("dx", "abs(rx - fq)"),
+        ("dy", "abs(ry - (-fq - fr))"),
+        ("dz", "abs(rz - fr)"),
+        ("hq", "CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz "
+               "ELSE rx END AS BIGINT)"),
+        ("hr", "CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz) "
+               "THEN -rx - ry ELSE rz END AS BIGINT)"),
+    ]
+
+
+def hex_cells_cte(src: str, size: float, *, x: str = "x", y: str = "y",
+                  keep: str = "*") -> str:
+    """DuckDB/Spark-SQL CTE chain binning ``src`` rows to hex cells;
+    exposes relation ``hexed`` with ``keep`` columns plus (hq, hr)."""
+    parts, prev = [], src
+    for i, (name, expr) in enumerate(hex_steps(x, y, size)):
+        rel = "hexed" if i == len(hex_steps(x, y, size)) - 1 else f"h{i}"
+        parts.append(f"{rel} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = rel
+    cleanup = (f"hexed_out AS (SELECT {keep}, hq, hr FROM hexed)")
+    return ",\n".join(parts) + ",\n" + cleanup
+
+
+def hex_bin(df: DataFrame, size: float, *, x: str = "x",
+            y: str = "y") -> DataFrame:
+    """Append axial hex cell columns (hq, hr) for EPSG:3857 points."""
+    out = df
+    for name, expr in hex_steps(x, y, size):
+        out = out.withColumn(name, F.expr(expr))
+    return out.drop("fq", "fr", "rx", "ry", "rz", "dx", "dy", "dz")

@@ -336,3 +336,54 @@ def k_core(edges: DataFrame, k: int, *, src: str = "src", dst: str = "dst",
         alive = nxt.select(F.col("u").alias("node"))
         n_alive = n_nxt
     raise RuntimeError(f"k_core: no fixpoint within {max_iters} rounds")
+
+
+def sssp_weighted(edges: DataFrame, seeds: DataFrame, *,
+                  src: str = "src", dst: str = "dst",
+                  weight: str = "w", node_col: str = "node",
+                  max_rounds: int = 30) -> DataFrame:
+    """Weighted single-source(-set) shortest paths by distributed
+    Bellman-Ford relaxation over an UNDIRECTED graph with non-negative
+    weights. Returns (node, dist) for reached nodes only.
+
+    Each round relaxes EVERY edge against the current tentative
+    distances (min over dist[u] + w), so round k holds exact
+    shortest-path distances using <= k edges; the loop stops at the
+    first round that improves nothing — the Bellman-Ford fixpoint,
+    reached after at most (longest shortest path in edges) rounds.
+
+    Scale shape: the symmetrized edge list is partitioned and
+    persisted once; each round is one equi-join shuffling the O(nodes)
+    distance vector plus a map-side-combined min-agg, and distances
+    are localCheckpoint()ed so lineage stays one round deep (the
+    components.py discipline). Convergence is detected with a single
+    (count, sum) aggregate pair — integer-valued doubles, so the sums
+    compare exactly regardless of partial-agg order. Negative weights
+    raise (a negative cycle would never converge).
+    """
+    if edges.filter(F.col(weight) < 0).limit(1).count() > 0:
+        raise ValueError("sssp_weighted: negative edge weight")
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                        F.col(weight).cast("double").alias("w"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b"),
+                                     F.col(weight).cast("double").alias("w")))
+           .filter(F.col("a") != F.col("b"))
+           .groupBy("a", "b").agg(F.min("w").alias("w")))
+    sym = keep(sym)
+    dist = (seeds.select(F.col(node_col).alias("node")).distinct()
+            .withColumn("dist", F.lit(0.0)))
+    stats = dist.agg(F.count("*"), F.sum("dist")).collect()[0]
+    for _ in range(max_rounds):
+        relaxed = (dist.join(sym, dist["node"] == sym["a"])
+                   .select(F.col("b").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        new = (dist.unionByName(relaxed)
+               .groupBy("node").agg(F.min("dist").alias("dist"))
+               .localCheckpoint(eager=False))
+        new_stats = new.agg(F.count("*"), F.sum("dist")).collect()[0]
+        dist = new
+        if tuple(new_stats) == tuple(stats):
+            break
+        stats = new_stats
+    return dist

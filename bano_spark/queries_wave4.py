@@ -6360,3 +6360,94 @@ def w_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return bigram_lm_score(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# w133 — hexagonal cell binning (H3-style axial cells via cube
+# rounding): event points bucketed to 700 m pointy-top hexes, count
+# per cell. Engine and oracle consume the SAME generated step
+# expressions (geo/hexgrid.hex_steps), so cell ids agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _w133_sql(dialect: str) -> str:
+    from bano_spark.geo.hexgrid import hex_cells_cte
+
+    pts = synth.points_select_sql(dialect, "events")
+    return (f"WITH pts AS ({pts}),\n"
+            + hex_cells_cte("pts", 700.0, keep="event_id")
+            + "\nSELECT hq, hr, CAST(count(*) AS BIGINT) AS n_points\n"
+              "FROM hexed_out GROUP BY hq, hr ORDER BY hq, hr")
+
+
+_W133_ORACLE = None  # built lazily below (needs the generator)
+
+
+@register("hex_bin_counts", _w133_sql("duckdb"))
+def w_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.geo.hexgrid import hex_bin
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    pts = spark.sql(synth.points_select_sql("spark", "events"))
+    return (hex_bin(pts, 700.0)
+            .groupBy("hq", "hr")
+            .agg(F.count("*").alias("n_points"))
+            .orderBy("hq", "hr"))
+
+
+# ---------------------------------------------------------------------------
+# w134 — weighted single-source shortest paths (Bellman-Ford): the
+# engine relaxes to the fixpoint with per-round localCheckpoints; the
+# oracle unrolls 12 relax rounds as chained CTEs (the 37-node dense
+# fixture converges in ~5; extra rounds past the fixpoint are no-ops,
+# the kcore_nodes discipline). Distances are sums of small integers
+# carried as doubles — exact in both engines.
+# ---------------------------------------------------------------------------
+
+_W134_EDGES = """
+e AS (
+  SELECT doc_id % 37 AS u, (doc_id * 13 + 3) % 37 AS v,
+         CAST(1 + (doc_id % 7) AS DOUBLE) AS w
+  FROM documents WHERE doc_id % 5 != 4
+  UNION ALL
+  SELECT doc_id % 37, (doc_id * doc_id + 5) % 37,
+         CAST(1 + ((doc_id * 3) % 4) AS DOUBLE)
+  FROM documents WHERE doc_id % 3 = 0
+)"""
+
+
+def _w134_oracle(rounds: int = 12) -> str:
+    parts = [f"WITH {_W134_EDGES},",
+             """
+sym AS MATERIALIZED (
+  SELECT a, b, min(w) AS w FROM (
+    SELECT u AS a, v AS b, w FROM e WHERE u != v
+    UNION ALL SELECT v, u, w FROM e WHERE u != v)
+  GROUP BY a, b),
+d0 AS (SELECT 0 AS node, CAST(0.0 AS DOUBLE) AS dist)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i-1}
+    UNION ALL
+    SELECT s.b AS node, d.dist + s.w AS dist
+    FROM sym s JOIN d{i-1} d ON d.node = s.a)
+  GROUP BY node)""")
+    parts.append(f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(dist AS DOUBLE) AS dist
+FROM d{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+@register("sssp_weighted", _w134_oracle())
+def w_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.graph import sssp_weighted
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql("WITH " + _W134_EDGES + " SELECT * FROM e")
+    seeds = spark.range(1).select(F.lit(0).cast("bigint").alias("node"))
+    out = sssp_weighted(edges, seeds, src="u", dst="v", weight="w")
+    return (out.select(F.col("node").cast("bigint").alias("node"),
+                       F.col("dist").cast("double").alias("dist"))
+            .orderBy("node"))
