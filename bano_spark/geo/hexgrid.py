@@ -71,3 +71,35 @@ def hex_bin(df: DataFrame, size: float, *, x: str = "x",
     for name, expr in hex_steps(x, y, size):
         out = out.withColumn(name, F.expr(expr))
     return out.drop("fq", "fr", "rx", "ry", "rz", "dx", "dy", "dz")
+
+
+def hex_kring_offsets(k: int) -> list[tuple[int, int]]:
+    """Axial offsets of the radius-k hex ring disk: all (dq, dr) with
+    hex distance max(|dq|, |dr|, |dq+dr|) <= k — 3k(k+1)+1 cells."""
+    return [(dq, dr)
+            for dq in range(-k, k + 1)
+            for dr in range(-k, k + 1)
+            if max(abs(dq), abs(dr), abs(dq + dr)) <= k]
+
+
+def hex_kring_smooth(cells: DataFrame, k: int = 1, *,
+                     val_col: str = "val") -> DataFrame:
+    """Mean of ``val_col`` over each OCCUPIED cell's k-ring disk,
+    counting only occupied neighbors (the sparse-raster convention of
+    operators/raster.focal_mean, on the hex lattice where all 6
+    immediate neighbors are equidistant — no diagonal bias).
+
+    Scale shape: one (3k(k+1)+1)-way offset explode + map-side partial
+    agg + semi-join back to the occupied set; shuffle volume scales
+    with occupied cells only, never the lattice extent."""
+    offs = F.array(*[F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+                     for dq, dr in hex_kring_offsets(k)])
+    contrib = (cells.select("hq", "hr", val_col,
+                            F.explode(offs).alias("o"))
+               .select((F.col("hq") + F.col("o.dq")).alias("hq"),
+                       (F.col("hr") + F.col("o.dr")).alias("hr"),
+                       F.col(val_col)))
+    agg = (contrib.groupBy("hq", "hr")
+           .agg(F.count("*").alias("n_neighbors"),
+                F.round(F.avg(val_col), 6).alias("ring_mean")))
+    return agg.join(cells.select("hq", "hr"), ["hq", "hr"])

@@ -199,3 +199,54 @@ def segment_intersections_join(
         F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"),
         F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"))
     return cand.filter(keep).select(id_a, id_b)
+
+
+def line_interpolate_point(frac: float, xs_col: str = "xs",
+                           ys_col: str = "ys") -> Column:
+    """Planar ``ST_LineInterpolatePoint``: the point at fraction
+    ``frac`` of a polyline's length, as struct(px, py) — one
+    ``aggregate`` fold over the vertex arrays, zero shuffle, zero
+    Python: at 10^12 lines the point is computed where the row lives.
+
+    Fold contract (what a SQL oracle replays): walk segments in
+    order, carrying cumulative length; the FIRST segment whose
+    cumulative end reaches frac * total_length hosts the point,
+    linearly interpolated; zero-length segments never host (they
+    cannot move the point — the next positive segment starts at the
+    same coordinates). frac=0 / frac=1 resolve to the endpoints of
+    the first / last positive segment. Single-vertex lines return
+    that vertex; empty lines return nulls.
+    """
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError("line_interpolate_point: frac outside [0, 1]")
+    xs, ys = xs_col, ys_col
+    n = f"size({xs})"
+    seg = (f"transform(sequence(0, {n} - 2), i -> "
+           f"sqrt(({xs}[i + 1] - {xs}[i]) * ({xs}[i + 1] - {xs}[i])"
+           f" + ({ys}[i + 1] - {ys}[i]) * ({ys}[i + 1] - {ys}[i])))")
+    total = f"aggregate({seg}, cast(0.0 as double), (a, l) -> a + l)"
+    fold = f"""
+    aggregate(
+      sequence(0, {n} - 2),
+      named_struct('cum', cast(0.0 as double),
+                   'px', cast(null as double), 'py', cast(null as double)),
+      (acc, i) -> CASE
+        WHEN acc.px IS NOT NULL THEN acc
+        WHEN _seg[i] > 0 AND acc.cum + _seg[i] >= _tgt THEN named_struct(
+          'cum', acc.cum + _seg[i],
+          'px', {xs}[i] + ({xs}[i + 1] - {xs}[i])
+                * ((_tgt - acc.cum) / _seg[i]),
+          'py', {ys}[i] + ({ys}[i + 1] - {ys}[i])
+                * ((_tgt - acc.cum) / _seg[i]))
+        ELSE named_struct('cum', acc.cum + _seg[i],
+                          'px', acc.px, 'py', acc.py) END,
+      acc -> named_struct('px', coalesce(acc.px, {xs}[{n} - 1]),
+                          'py', coalesce(acc.py, {ys}[{n} - 1])))
+    """
+    expr = (f"CASE WHEN {n} >= 2 THEN ({fold}) "
+            f"WHEN {n} = 1 THEN named_struct('px', {xs}[0], 'py', {ys}[0]) "
+            f"ELSE named_struct('px', cast(null as double), "
+            f"'py', cast(null as double)) END")
+    expr = expr.replace("_seg[i]", f"element_at({seg}, i + 1)")
+    expr = expr.replace("_tgt", f"(cast({frac!r} as double) * {total})")
+    return F.expr(expr)

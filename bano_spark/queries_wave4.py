@@ -6451,3 +6451,128 @@ def w_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select(F.col("node").cast("bigint").alias("node"),
                        F.col("dist").cast("double").alias("dist"))
             .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# w135 — hex k-ring smoothing (the north-star's "H3 k-ring
+# neighborhood" op on the real hex lattice): deterministic per-cell
+# values over the occupied event cells, mean over each cell's
+# radius-1 hex disk counting only occupied neighbors. The oracle is
+# the textbook hex-distance self-join
+# (max(|dq|, |dr|, |dq+dr|) <= 1); the engine is the 7-offset explode
+# whose shuffle scales with occupied cells, not pairs.
+# ---------------------------------------------------------------------------
+
+
+def _w135_vals(dialect: str) -> str:
+    from bano_spark.geo.hexgrid import hex_cells_cte
+
+    pts = synth.points_select_sql(dialect, "events")
+    return (f"pts AS ({pts}),\n"
+            + hex_cells_cte("pts", 700.0, keep="event_id")
+            + """,
+cells AS (SELECT hq, hr FROM hexed_out GROUP BY hq, hr),
+vals AS (
+  SELECT hq, hr,
+         CAST(((hq * 7 + hr * 13 + 100000000) % 100) AS DOUBLE) / 10.0 AS val
+  FROM cells
+)""")
+
+
+_W135_ORACLE = f"""
+WITH {_w135_vals('duckdb')}
+SELECT a.hq, a.hr, CAST(count(*) AS BIGINT) AS n_neighbors,
+       round(avg(b.val), 6) AS ring_mean
+FROM vals a JOIN vals b
+  ON greatest(abs(a.hq - b.hq), abs(a.hr - b.hr),
+              abs((a.hq + a.hr) - (b.hq + b.hr))) <= 1
+GROUP BY a.hq, a.hr ORDER BY a.hq, a.hr
+"""
+
+
+@register("hex_kring_smooth", _W135_ORACLE)
+def w_hex_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.geo.hexgrid import hex_kring_smooth
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    vals = spark.sql("WITH " + _w135_vals("spark") + " SELECT * FROM vals")
+    return (hex_kring_smooth(vals, k=1)
+            .select("hq", "hr", "n_neighbors", "ring_mean")
+            .orderBy("hq", "hr"))
+
+
+# ---------------------------------------------------------------------------
+# w136 — ST_LineInterpolatePoint (planar): the midpoint-along-length
+# of each polyline, computed in the engine as ONE aggregate() fold
+# over the vertex arrays (zero shuffle — the classic "label point on
+# a street" export op). The oracle replays the identical sequential
+# walk with window functions: running length via ordered sum (same
+# association order as the fold), total as the running sum's last
+# value, first segment whose cumulative end reaches half the total
+# hosts the point. x strictly increases with k, so no zero-length
+# segments arise in the fixture.
+# ---------------------------------------------------------------------------
+
+
+def _w136_verts(dialect: str) -> str:
+    return """
+slots AS (
+  SELECT DISTINCT event_id % 12 AS a, event_id % 17 AS k
+  FROM events WHERE event_id % 17 < 4 + (event_id % 12) % 5
+),
+verts AS (
+  SELECT a AS line_id, k,
+         CAST(k * 100 + (a * 37) % 50 AS DOUBLE) AS x,
+         CAST(((k * k * 7 + a * 13) % 90) * 3 AS DOUBLE) AS y
+  FROM slots
+)"""
+
+
+_W136_ORACLE = f"""
+WITH {_w136_verts('duckdb')},
+segs AS (
+  SELECT line_id, k, x, y,
+         lead(x) OVER (PARTITION BY line_id ORDER BY k) AS x2,
+         lead(y) OVER (PARTITION BY line_id ORDER BY k) AS y2
+  FROM verts
+),
+lens AS (
+  SELECT *, sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y)) AS len
+  FROM segs WHERE x2 IS NOT NULL
+),
+cum AS (
+  SELECT *, sum(len) OVER (PARTITION BY line_id ORDER BY k) AS cume
+  FROM lens
+),
+tot AS (
+  SELECT *, max(cume) OVER (PARTITION BY line_id) AS total FROM cum
+),
+hit AS (
+  SELECT *, row_number() OVER (PARTITION BY line_id ORDER BY k) AS rn
+  FROM tot WHERE cume >= 0.5 * total
+)
+SELECT CAST(line_id AS BIGINT) AS line_id,
+       round(x + (x2 - x) * ((0.5 * total - (cume - len)) / len), 6) AS px,
+       round(y + (y2 - y) * ((0.5 * total - (cume - len)) / len), 6) AS py
+FROM hit WHERE rn = 1 ORDER BY line_id
+"""
+
+
+@register("line_interpolate_midpoint", _W136_ORACLE)
+def w_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.geodesy import line_interpolate_point
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    verts = spark.sql("WITH " + _w136_verts("spark")
+                      + " SELECT * FROM verts")
+    lines = (verts.groupBy("line_id")
+             .agg(F.array_sort(F.collect_list(F.struct("k", "x", "y")))
+                  .alias("vs"))
+             .select(F.col("line_id").cast("bigint").alias("line_id"),
+                     F.transform("vs", lambda s: s["x"]).alias("xs"),
+                     F.transform("vs", lambda s: s["y"]).alias("ys")))
+    p = line_interpolate_point(0.5)
+    return (lines.select("line_id", p.alias("p"))
+            .select("line_id", F.round("p.px", 6).alias("px"),
+                    F.round("p.py", 6).alias("py"))
+            .orderBy("line_id"))

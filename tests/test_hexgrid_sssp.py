@@ -114,3 +114,57 @@ def test_sssp_rejects_negative_weights(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_kring_offsets_counts():
+    from bano_spark.geo.hexgrid import hex_kring_offsets
+    for k in (0, 1, 2, 3):
+        offs = hex_kring_offsets(k)
+        assert len(offs) == 3 * k * (k + 1) + 1
+        assert len(set(offs)) == len(offs) and (0, 0) in offs
+
+
+def test_hex_kring_smooth_isolated_cell(spark):
+    # one occupied cell far from everything: ring mean == own value
+    vals = spark.createDataFrame(
+        [(0, 0, 4.0), (100, 100, 8.0), (101, 100, 2.0)],
+        "hq bigint, hr bigint, val double")
+    from bano_spark.geo.hexgrid import hex_kring_smooth
+    out = {(r.hq, r.hr): (r.n_neighbors, r.ring_mean)
+           for r in hex_kring_smooth(vals, k=1).collect()}
+    assert out[(0, 0)] == (1, 4.0)
+    assert out[(100, 100)] == (2, 5.0)  # (101,100) is an axial neighbor
+    assert out[(101, 100)] == (2, 5.0)
+
+
+def _ref_interp(pts, frac):
+    lens = [math.hypot(pts[i + 1][0] - pts[i][0], pts[i + 1][1] - pts[i][1])
+            for i in range(len(pts) - 1)]
+    tgt = frac * sum(lens)
+    cum = 0.0
+    for i, ln in enumerate(lens):
+        if ln > 0 and cum + ln >= tgt:
+            t = (tgt - cum) / ln
+            return (pts[i][0] + (pts[i + 1][0] - pts[i][0]) * t,
+                    pts[i][1] + (pts[i + 1][1] - pts[i][1]) * t)
+        cum += ln
+    return pts[-1]
+
+
+def test_line_interpolate_matches_reference(spark):
+    from bano_spark.operators.geodesy import line_interpolate_point
+    rng = random.Random(17)
+    rows = []
+    expect = {}
+    for lid in range(40):
+        n = rng.randint(2, 10)
+        pts = [(rng.uniform(-50, 50), rng.uniform(-50, 50))
+               for _ in range(n)]
+        rows.append((lid, [p[0] for p in pts], [p[1] for p in pts]))
+        expect[lid] = _ref_interp(pts, 0.37)
+    df = spark.createDataFrame(rows,
+                               "id int, xs array<double>, ys array<double>")
+    out = {r.id: r.p for r in
+           df.select("id", line_interpolate_point(0.37).alias("p")).collect()}
+    for lid, (ex, ey) in expect.items():
+        assert abs(out[lid].px - ex) < 1e-9 and abs(out[lid].py - ey) < 1e-9
