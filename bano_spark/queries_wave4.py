@@ -6321,48 +6321,6 @@ def w_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# w132 — bigram LM cross-entropy per document (CCNet-style perplexity
-# screen): the LM is trained on the corpus itself in the same job
-# (add-0.5-smoothed bigram counts), each doc scored by mean -log2 p
-# of its bigram occurrences. The oracle trains and scores the same
-# closed-form model; docs with < 2 tokens drop out in both engines.
-# ---------------------------------------------------------------------------
-
-_W132_ORACLE = r"""
-WITH tok AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
-  FROM documents
-),
-big AS (
-  SELECT doc_id, u.z[1] AS w1, u.z[2] AS w2
-  FROM tok, UNNEST(list_zip(ts[1:-2], ts[2:])) u(z)
-  WHERE len(ts) >= 2
-),
-c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY 1, 2),
-c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY 1),
-voc AS (SELECT CAST(count(DISTINCT u.t) AS DOUBLE) AS v
-        FROM tok, UNNEST(ts) u(t)),
-model AS (
-  SELECT c2.w1, c2.w2,
-         (c2.n2 + 0.5) / (c1.n1 + 0.5 * voc.v) AS p
-  FROM c2 JOIN c1 USING (w1) CROSS JOIN voc
-)
-SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(-avg(log2(m.p)), 6) AS xent_bits
-FROM big b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
-GROUP BY b.doc_id ORDER BY b.doc_id
-"""
-
-
-@register("bigram_lm_perplexity", _W132_ORACLE)
-def w_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bano_spark.operators.lm import bigram_lm_score
-
-    docs = _read(spark, sf_dir, "documents")
-    return bigram_lm_score(docs).orderBy("doc_id")
-
-
-# ---------------------------------------------------------------------------
 # w133 — hexagonal cell binning (H3-style axial cells via cube
 # rounding): event points bucketed to 700 m pointy-top hexes, count
 # per cell. Engine and oracle consume the SAME generated step
