@@ -103,6 +103,13 @@ AUDITED = [
     "raster_focal_mean",
     "linear_fit_per_group",
     "token_entropy",
+    "dbscan_chains",
+    "simplify_polylines",
+    "kmv_distinct_users",
+    "hex_bin_counts",
+    "hex_kring_smooth",
+    "sssp_weighted",
+    "line_interpolate_midpoint",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
