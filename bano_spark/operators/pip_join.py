@@ -387,3 +387,48 @@ def spatial_join_left(
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(polygons.schema[c].dataType))
     return matched.unionByName(unmatched.select(matched.columns))
+
+
+def spatial_join_with_holes(
+    points: DataFrame,
+    polygons: DataFrame,
+    holes: DataFrame,
+    *,
+    point_key: str,
+    hole_id_col: str = "hole_id",
+    **kwargs,
+) -> DataFrame:
+    """PIP join against polygons WITH interior rings (PostGIS multiring
+    semantics: inside the outer ring AND inside no hole).
+
+    ``polygons`` is the usual (id_col, verts, payload...) outer-ring
+    table; ``holes`` carries one row per interior ring with its own
+    unique ``hole_id_col`` plus the owning polygon's id_col as payload
+    (hole ids must be unique across the table — the broadcast vertex
+    dict is keyed by them). Composition, not a new kernel: the
+    outer-ring :func:`spatial_join` runs as-is, a second spatial_join
+    finds (point, polygon) pairs landing in a hole, and a left-anti
+    join on (point_key, id_col) subtracts them — both legs ride the
+    full broadcast/shuffle/salt/split-refine machinery unchanged.
+
+    Scale shape: hole rings are boundary detail — nationally they are
+    few and small relative to outer rings, so the second join's cover
+    and candidate stream are marginal next to the first; the anti-join
+    is an equi-join on (point, polygon) keys only. Reference parity:
+    the reference stores commune polygons as PostGIS multipolygons
+    whose ST_Contains honors interior rings (enclave communes);
+    the single-ring fast path keeps exact parity everywhere else.
+    """
+    x = kwargs.get("x", "x")
+    y = kwargs.get("y", "y")
+    id_col = kwargs.get("id_col", "poly_id")
+    verts_col = kwargs.get("verts_col", "verts")
+    matched = spatial_join(points, polygons, **kwargs)
+    hole_kwargs = dict(kwargs)
+    hole_kwargs["id_col"] = hole_id_col
+    in_hole = (
+        spatial_join(points.select(point_key, x, y), holes, **hole_kwargs)
+        .select(point_key, id_col)
+        .distinct()
+    )
+    return matched.join(in_hole, [point_key, id_col], "left_anti")

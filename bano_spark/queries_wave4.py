@@ -6534,3 +6534,79 @@ def w_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("line_id", F.round("p.px", 6).alias("px"),
                     F.round("p.py", 6).alias("py"))
             .orderBy("line_id"))
+
+
+# ---------------------------------------------------------------------------
+# w137 — PIP join against polygons WITH interior rings (donut
+# communes — the enclave case PostGIS multipolygons encode): 10 zones
+# whose outer ring is a region strip and whose hole is an interior
+# box; points inside a hole must NOT match. The engine composes two
+# runs of the flagship spatial_join (outer match minus hole
+# anti-join); the oracle states outer-box containment AND NOT
+# hole-box containment directly. Zone bounds are emitted as shared
+# Python-formatted literals so both engines compare identical
+# doubles; synth points carry fractional offsets so no point ever
+# lies on a ring edge.
+# ---------------------------------------------------------------------------
+
+
+def _w137_zone_rows() -> list[tuple]:
+    rows = []
+    for i in range(10):
+        x0 = synth.REG0 + i * synth.W
+        x1 = x0 + synth.W
+        y0, y1 = synth.CY0, synth.CY1
+        rows.append((f"Z{i:02d}", x0, y0, x1, y1,
+                     x0 + 3000.0, y0 + 3000.0, x1 - 3000.0, y0 + 6000.0))
+    return rows
+
+
+def _w137_zones_sql() -> str:
+    vals = ",\n    ".join(
+        "('{}',{!r},{!r},{!r},{!r},{!r},{!r},{!r},{!r})".format(*r)
+        for r in _w137_zone_rows())
+    return ("(VALUES\n    " + vals +
+            ") AS z(zone_id, xmin, ymin, xmax, ymax,"
+            " hxmin, hymin, hxmax, hymax)")
+
+
+_W137_ORACLE = f"""
+WITH pts AS ({synth.points_select_sql('duckdb', 'events')})
+SELECT z.zone_id, CAST(count(*) AS BIGINT) AS n_points
+FROM pts p JOIN {_w137_zones_sql()}
+  ON p.x > z.xmin AND p.x < z.xmax AND p.y > z.ymin AND p.y < z.ymax
+ AND NOT (p.x > z.hxmin AND p.x < z.hxmax
+          AND p.y > z.hymin AND p.y < z.hymax)
+GROUP BY z.zone_id ORDER BY z.zone_id
+"""
+
+
+@register("pip_donut_holes", _W137_ORACLE)
+def w_pip_donut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from bano_spark.operators.pip_join import spatial_join_with_holes
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    pts = spark.sql(synth.points_select_sql("spark", "events"))
+    schema = T.StructType([
+        T.StructField("zone_id", T.StringType()),
+        T.StructField("verts", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    outer, inner = [], []
+    for zid, x0, y0, x1, y1, hx0, hy0, hx1, hy1 in _w137_zone_rows():
+        outer.append((zid, [[x0, y0], [x1, y0], [x1, y1], [x0, y1],
+                            [x0, y0]]))
+        inner.append((zid + "_h", zid,
+                      [[hx0, hy0], [hx1, hy0], [hx1, hy1], [hx0, hy1],
+                       [hx0, hy0]]))
+    polys = spark.createDataFrame(outer, schema)
+    holes = spark.createDataFrame(
+        inner, T.StructType([T.StructField("hole_id", T.StringType()),
+                             schema[0], schema[1]]))
+    joined = spatial_join_with_holes(
+        pts, polys, holes, point_key="event_id", id_col="zone_id",
+        zoom=12)
+    return (joined.groupBy("zone_id")
+            .agg(F.count("*").alias("n_points"))
+            .orderBy("zone_id"))
