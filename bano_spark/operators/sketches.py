@@ -66,3 +66,58 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
                                    F.col("sketch_size").cast("double"))
                             .otherwise(F.lit(float(k - 1)) / F.col("uk")),
                             6).alias("kmv_estimate")))
+
+
+def kmv_sketches(df: DataFrame, group_col: str, value_col: str,
+                 k: int = 32, prune_buckets: int = 16) -> DataFrame:
+    """(group, sketch) — each group's bottom-k hash array, ascending.
+    Same machinery as :func:`kmv_distinct` (lossless bucket pre-prune,
+    spill-able windows); the array is the MERGEABLE form of the sketch
+    — unions of groups are estimated from these k doubles alone,
+    never re-reading the data."""
+    u = uniform_hash(F.col(value_col)).alias("u")
+    d = df.select(F.col(group_col), u).distinct()
+    bucket = F.least(F.floor(F.col("u") * prune_buckets),
+                     F.lit(prune_buckets - 1))
+    pre = Window.partitionBy(group_col, "bucket").orderBy("u")
+    pruned = (d.withColumn("bucket", bucket)
+              .withColumn("brn", F.row_number().over(pre))
+              .filter(F.col("brn") <= k))
+    fin = Window.partitionBy(group_col).orderBy("u")
+    return (pruned.withColumn("rn", F.row_number().over(fin))
+            .filter(F.col("rn") <= k)
+            .groupBy(group_col)
+            .agg(F.array_sort(F.collect_list("u")).alias("sketch")))
+
+
+def kmv_set_estimates(sketches: DataFrame, group_col: str,
+                      k: int = 32) -> DataFrame:
+    """Pairwise |A ∪ B| and |A ∩ B| estimates for every group pair
+    (g1 < g2) from their bottom-k sketches (Beyer et al. 2007):
+    the union's bottom-k is the first k of the merged distinct hash
+    sets; intersection = (fraction of those present in BOTH sketches)
+    × union estimate. Under-filled union sketches are exact counts.
+
+    Scale shape: sketch rows are k doubles each; the pair join is
+    O(groups^2) rows of 2k doubles — group counts are small by
+    construction (sources, languages, depts), and everything after
+    the sketch build is pure array expressions in codegen."""
+    a = sketches.select(F.col(group_col).alias("g1"),
+                        F.col("sketch").alias("sa"))
+    b = sketches.select(F.col(group_col).alias("g2"),
+                        F.col("sketch").alias("sb"))
+    pairs = a.join(b, F.col("g1") < F.col("g2"))
+    merged = F.slice(F.array_sort(F.array_union("sa", "sb")), 1, k)
+    kk = F.size(F.col("m"))
+    full = kk >= k
+    uk = F.element_at(F.col("m"), k)
+    union_est = F.when(full, F.lit(float(k - 1)) / uk) \
+        .otherwise(kk.cast("double"))
+    inter_n = F.size(F.filter(
+        "m", lambda v: F.array_contains("sa", v)
+        & F.array_contains("sb", v)))
+    inter_est = inter_n.cast("double") / kk.cast("double") * union_est
+    return (pairs.withColumn("m", merged)
+            .select("g1", "g2",
+                    F.round(union_est, 6).alias("union_est"),
+                    F.round(inter_est, 6).alias("intersect_est")))

@@ -6610,3 +6610,52 @@ def w_pip_donut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("zone_id")
             .agg(F.count("*").alias("n_points"))
             .orderBy("zone_id"))
+
+
+# ---------------------------------------------------------------------------
+# w138 — mergeable-sketch set algebra: pairwise distinct-user union /
+# intersection estimates between event types from their bottom-32 KMV
+# sketches alone (Beyer et al. 2007) — the property that makes KMV a
+# distributed sketch (partial sketches merge; data is never re-read).
+# The oracle replays the identical hash -> bottom-k -> merge -> count
+# pipeline with DuckDB list functions.
+# ---------------------------------------------------------------------------
+
+_W138_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         (CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+               AS UBIGINT) + 0.5) / 4503599627370496.0 AS u
+  FROM events
+),
+r AS (SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM d),
+sk AS (SELECT event_type, list(u ORDER BY u) AS sketch
+       FROM r WHERE rn <= 32 GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS g1, b.event_type AS g2,
+         a.sketch AS sa, b.sketch AS sb,
+         list_sort(list_distinct(list_concat(a.sketch, b.sketch)))[1:32] AS m
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+)
+SELECT g1, g2,
+       round(CASE WHEN len(m) >= 32 THEN 31.0 / m[32]
+                  ELSE CAST(len(m) AS DOUBLE) END, 6) AS union_est,
+       round(CAST(len(list_filter(m, x -> list_contains(sa, x)
+                                     AND list_contains(sb, x))) AS DOUBLE)
+             / CAST(len(m) AS DOUBLE)
+             * CASE WHEN len(m) >= 32 THEN 31.0 / m[32]
+                    ELSE CAST(len(m) AS DOUBLE) END, 6) AS intersect_est
+FROM pairs ORDER BY g1, g2
+"""
+
+
+@register("kmv_set_estimates", _W138_ORACLE)
+def w_kmv_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.sketches import kmv_set_estimates, kmv_sketches
+
+    ev = _read(spark, sf_dir, "events")
+    sk = kmv_sketches(ev, "event_type", "user_id", k=32)
+    return (kmv_set_estimates(sk, "event_type", k=32)
+            .orderBy("g1", "g2"))

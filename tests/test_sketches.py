@@ -30,3 +30,27 @@ def test_kmv_prune_is_lossless(spark):
     b = sorted(map(tuple, kmv_distinct(df, "g", "v", k=16,
                                        prune_buckets=16).collect()))
     assert a == b
+
+
+def test_kmv_set_estimates_track_truth(spark):
+    # g1 = 0..3999, g2 = 2000..5999: union 6000, intersection 2000
+    rows = [("a", i) for i in range(4000)] + \
+           [("b", i) for i in range(2000, 6000)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    from bano_spark.operators.sketches import (kmv_set_estimates,
+                                               kmv_sketches)
+    sk = kmv_sketches(df, "g", "v", k=256)
+    est = kmv_set_estimates(sk, "g", k=256).collect()[0]
+    assert est.g1 == "a" and est.g2 == "b"
+    assert abs(est.union_est - 6000) / 6000 < 0.15
+    assert abs(est.intersect_est - 2000) / 2000 < 0.30
+
+
+def test_kmv_set_estimates_exact_when_underfilled(spark):
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(5, 15)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    from bano_spark.operators.sketches import (kmv_set_estimates,
+                                               kmv_sketches)
+    sk = kmv_sketches(df, "g", "v", k=64)
+    est = kmv_set_estimates(sk, "g", k=64).collect()[0]
+    assert est.union_est == 15.0 and est.intersect_est == 5.0
