@@ -387,3 +387,45 @@ def sssp_weighted(edges: DataFrame, seeds: DataFrame, *,
             break
         stats = new_stats
     return dist
+
+
+def label_propagation(edges: DataFrame, *, src: str = "src",
+                      dst: str = "dst", rounds: int = 4) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    UNDIRECTED graph, made deterministic: every node starts as its own
+    label; each round EVERY node simultaneously adopts the smallest
+    label among its neighbors' most frequent labels (count desc, label
+    asc); isolated nodes keep their label. Runs a FIXED number of
+    rounds — synchronous LPA can oscillate on bipartite structures, so
+    a fixpoint loop may never exit; a pinned round count keeps the
+    result a pure function of the input that an unrolled SQL oracle
+    replays exactly.
+
+    Scale shape: per round, one equi-join shipping the O(nodes) label
+    vector against the persisted symmetrized edge list, a map-side
+    combined (node, label) count, and a per-node window over that
+    node's distinct neighbor labels (bounded by degree); labels are
+    localCheckpoint()ed so lineage stays one round deep.
+    """
+    from pyspark.sql.window import Window
+
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    sym = keep(sym)
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("lbl", F.col("node")))
+    w = Window.partitionBy("node")
+    for _ in range(rounds):
+        cnt = (labels.join(sym, labels["node"] == sym["a"])
+               .groupBy(F.col("b").alias("node"), "lbl")
+               .agg(F.count("*").alias("c")))
+        pick = (cnt.withColumn("mc", F.max("c").over(w))
+                .filter(F.col("c") == F.col("mc"))
+                .groupBy("node").agg(F.min("lbl").alias("new_lbl")))
+        labels = (labels.join(pick, "node", "left")
+                  .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
+                  .localCheckpoint(eager=False))
+    return labels

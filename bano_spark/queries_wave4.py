@@ -6659,3 +6659,69 @@ def w_kmv_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = kmv_sketches(ev, "event_type", "user_id", k=32)
     return (kmv_set_estimates(sk, "event_type", k=32)
             .orderBy("g1", "g2"))
+
+
+# ---------------------------------------------------------------------------
+# w139 — synchronous label propagation communities (4 pinned rounds —
+# sync LPA can oscillate, so the round count is part of the operator
+# contract and the oracle unrolls exactly the same 4 rounds): two
+# embedded 8-cliques + sparse modular edges on 40 nodes; each round
+# every node adopts the min label among its neighbors' most frequent
+# labels. Completes the community family next to components, k-core
+# and the rank family.
+# ---------------------------------------------------------------------------
+
+
+def _w139_edges(dialect: str) -> str:
+    if dialect == "duckdb":
+        grid = "FROM range(8) t1(i), range(8) t2(i) WHERE t1.i < t2.i"
+        a, b = "t1.i", "t2.i"
+    else:
+        grid = "FROM range(8) t1, range(8) t2 WHERE t1.id < t2.id"
+        a, b = "t1.id", "t2.id"
+    return f"""
+raw AS (
+  SELECT doc_id % 40 AS u, (doc_id * 11 + 5) % 40 AS v
+  FROM documents WHERE doc_id % 4 = 1
+  UNION ALL SELECT {a}, {b} {grid}
+  UNION ALL SELECT 20 + {a}, 20 + {b} {grid}
+),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM raw WHERE u != v
+    UNION ALL SELECT v, u FROM raw WHERE u != v)
+)"""
+
+
+def _w139_oracle(rounds: int = 4) -> str:
+    parts = [f"WITH {_w139_edges('duckdb')},",
+             "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und)"]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+cnt{i} AS MATERIALIZED (
+  SELECT e.v AS node, l.lbl, count(*) AS c
+  FROM und e JOIN l{i-1} l ON l.node = e.u GROUP BY 1, 2),
+pick{i} AS (
+  SELECT node, min(lbl) AS lbl FROM (
+    SELECT node, lbl, c, max(c) OVER (PARTITION BY node) AS mc FROM cnt{i})
+  WHERE c = mc GROUP BY node),
+l{i} AS MATERIALIZED (
+  SELECT a.node, coalesce(p.lbl, a.lbl) AS lbl
+  FROM l{i-1} a LEFT JOIN pick{i} p USING (node))""")
+    parts.append(f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS label
+FROM l{rounds} ORDER BY node""")
+    return "".join(parts)
+
+
+@register("label_propagation", _w139_oracle())
+def w_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.graph import label_propagation
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    edges = spark.sql("WITH " + _w139_edges("spark")
+                      + " SELECT * FROM und")
+    out = label_propagation(edges, src="u", dst="v", rounds=4)
+    return (out.select(F.col("node").cast("bigint").alias("node"),
+                       F.col("lbl").cast("bigint").alias("label"))
+            .orderBy("node"))

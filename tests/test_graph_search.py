@@ -325,3 +325,32 @@ def test_k_core_matches_bruteforce(spark):
         got = {r["node"]: r["core_degree"]
                for r in k_core(df, k).collect()}
         assert got == want, f"k={k}"
+
+
+def test_label_propagation_two_cliques(spark):
+    from bano_spark.operators.graph import label_propagation
+    edges = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                edges.append((base + i, base + j))
+    edges.append((3, 10))  # one weak bridge
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r.node: r.lbl
+           for r in label_propagation(df, rounds=4).collect()}
+    # each clique converges to its min node's label
+    assert {out[i] for i in range(4)} == {0}
+    assert {out[i] for i in range(10, 14)} == {10}
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from bano_spark.operators.graph import label_propagation
+    import random
+    rng = random.Random(23)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(80)]
+    edges = [(u, v) for u, v in edges if u != v]
+    a = spark.createDataFrame(edges, "src int, dst int")
+    b = a.repartition(7)
+    ra = sorted(map(tuple, label_propagation(a, rounds=3).collect()))
+    rb = sorted(map(tuple, label_propagation(b, rounds=3).collect()))
+    assert ra == rb
