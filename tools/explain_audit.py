@@ -110,6 +110,9 @@ AUDITED = [
     "hex_kring_smooth",
     "sssp_weighted",
     "line_interpolate_midpoint",
+    "pip_donut_holes",
+    "kmv_set_estimates",
+    "label_propagation",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
