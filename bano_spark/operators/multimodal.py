@@ -149,3 +149,49 @@ def media_from_ids(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
 
     return ids.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         gen, MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("mean_amp", T.DoubleType()),
+])
+
+
+def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """payload binary -> (sample_rate, n_samples, duration_ms,
+    mean_amp) — the audio member of the decode family, completing the
+    image/audio/video triple. Same contract as :func:`image_features`:
+    a real deployment drops a soundfile/ffmpeg call into ``decode``;
+    the batch shape and output schema stay identical. The fake decoder
+    is pure header+content arithmetic (rate from the first byte, two
+    samples per post-header byte, amplitude = mean byte value), so a
+    SQL oracle recomputes every output from the media ids alone."""
+
+    def decode(batches):
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decoding requires an audio codec library not "
+                    "present in this container; pass fake=True for the "
+                    "deterministic stand-in")
+            ids, rates, counts, durs, amps = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                rate = 8000 + int(b[0]) % 4 * 4000 if len(b) else 8000
+                body = b[4:]
+                n = int(len(body)) * 2
+                ids.append(mid)
+                rates.append(rate)
+                counts.append(n)
+                durs.append(n * 1000 // rate)
+                amps.append(round(float(body.sum()) / (len(body) * 255.0), 6)
+                            if len(body) else 0.0)
+            yield pd.DataFrame({
+                "media_id": ids, "sample_rate": rates, "n_samples": counts,
+                "duration_ms": durs, "mean_amp": amps})
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload").mapInPandas(decode, AUDIO_FEATURES_SCHEMA)

@@ -6725,3 +6725,43 @@ def w_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select(F.col("node").cast("bigint").alias("node"),
                        F.col("lbl").cast("bigint").alias("label"))
             .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# w140 — audio feature plumbing (the audio member of the multimodal
+# decode family; codec honestly stubbed like image/video, fake path
+# fully derivable from ids): payload byte j = (id*7 + j) % 256,
+# length 32 + (id%5)*64, kind 'audio' iff id % 3 = 1. The oracle
+# recomputes rate/samples/duration/amplitude from that arithmetic.
+# ---------------------------------------------------------------------------
+
+_W140_ORACLE = """
+WITH au AS (
+  SELECT o_orderkey AS media_id,
+         (o_orderkey * 7) % 256 AS b0,
+         32 + (o_orderkey % 5) * 64 AS plen
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+amp AS (
+  SELECT a.media_id, sum((a.b0 + u.j) % 256) AS s
+  FROM au a, UNNEST(generate_series(4, a.plen - 1)) u(j)
+  GROUP BY a.media_id
+)
+SELECT a.media_id,
+       CAST(8000 + (a.b0 % 4) * 4000 AS INTEGER) AS sample_rate,
+       CAST((a.plen - 4) * 2 AS BIGINT) AS n_samples,
+       CAST((a.plen - 4) * 2 * 1000 // (8000 + (a.b0 % 4) * 4000)
+            AS BIGINT) AS duration_ms,
+       round(CAST(m.s AS DOUBLE) / ((a.plen - 4) * 255.0), 6) AS mean_amp
+FROM au a JOIN amp m USING (media_id) ORDER BY a.media_id
+"""
+
+
+@register("audio_features_meta", _W140_ORACLE)
+def w_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.multimodal import audio_features, media_from_ids
+
+    orders = _read(spark, sf_dir, "orders")
+    media = media_from_ids(
+        orders.select(F.col("o_orderkey").alias("media_id")))
+    return audio_features(media, fake=True).orderBy("media_id")

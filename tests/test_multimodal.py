@@ -41,3 +41,30 @@ def test_frame_sampling_one_to_many(spark):
     per = frames.groupBy("media_id").count().collect()
     assert all(r["count"] >= 1 for r in per)
     assert all(r.frame_idx % 2 == 0 for r in rows)
+
+
+def test_audio_features_fake_path(spark):
+    from bano_spark.operators.multimodal import audio_features, synth_media
+
+    media = synth_media(spark, 30)
+    out = audio_features(media, fake=True).collect()
+    # ids with id % 3 == 1 are audio
+    assert {r.media_id for r in out} == {i for i in range(30) if i % 3 == 1}
+    for r in out:
+        plen = 32 + (r.media_id % 5) * 64
+        assert r.n_samples == (plen - 4) * 2
+        assert r.sample_rate in (8000, 12000, 16000, 20000)
+        assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
+        assert 0.0 <= r.mean_amp <= 1.0
+
+
+def test_audio_features_codec_guard(spark):
+    from bano_spark.operators.multimodal import audio_features, synth_media
+
+    media = synth_media(spark, 6)
+    try:
+        audio_features(media, fake=False).collect()
+        assert False, "expected NotImplementedError via Py4J"
+    except Exception as ex:
+        assert "NotImplementedError" in str(type(ex)) or \
+            "audio codec" in str(ex)
