@@ -152,3 +152,40 @@ def time_range_rolling(df, part_col: str, ts_col: str, value_col: str,
                         F.count(F.lit(1)).over(w).cast("bigint"))
             .withColumn("avg_in_window",
                         F.round(F.avg(F.col(value_col)).over(w), 6)))
+
+
+def ewma_last(df: DataFrame, key_col: str, order_cols: list[str],
+              val_col: str, alpha: float = 0.5) -> DataFrame:
+    """Final exponentially-weighted moving average per key:
+    s_1 = v_1, s_i = alpha*v_i + (1-alpha)*s_{i-1} over rows ordered by
+    ``order_cols`` (which must be a total order within each key — pass
+    a tiebreaker column). Returns (key, n_rows, ewma).
+
+    The recursion is inherently sequential per key, so the engine runs
+    it as ONE aggregate() fold over each key's value array — the
+    line_interpolate_point discipline: a single groupBy shuffle, then
+    pure map work where the row lives; no window, no pow() (whose
+    last-ulp behavior differs across libm implementations — repeated
+    multiplication by the literal alpha reproduces bit-for-bit in any
+    engine with IEEE doubles, and a SQL oracle replays it with the
+    same fold, e.g. DuckDB list_reduce).
+
+    Memory note: the per-key array is the series length; for unbounded
+    series at 10^12 scale, pre-aggregate to coarser ticks first (the
+    rollup keeps EWMA semantics under any time-bucketing) — the same
+    contract as collect_list-based session features.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("ewma_last: alpha outside (0, 1]")
+    order_struct = F.struct(*[F.col(c) for c in order_cols],
+                            F.col(val_col).alias("_v"))
+    agged = (df.groupBy(key_col)
+             .agg(F.array_sort(F.collect_list(order_struct)).alias("os")))
+    a = repr(float(alpha))
+    fold = (f"aggregate(slice(vs, 2, size(vs) - 1), vs[0], "
+            f"(s, v) -> CAST({a} AS DOUBLE) * v "
+            f"+ CAST(1.0 - {a} AS DOUBLE) * s)")
+    return (agged
+            .withColumn("vs", F.expr("transform(os, o -> CAST(o._v AS DOUBLE))"))
+            .select(key_col, F.size("vs").cast("bigint").alias("n_rows"),
+                    F.expr(fold).alias("ewma")))

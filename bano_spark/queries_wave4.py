@@ -6765,3 +6765,35 @@ def w_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_from_ids(
         orders.select(F.col("o_orderkey").alias("media_id")))
     return audio_features(media, fake=True).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# w141 — per-user EWMA (final smoothed event value): the sequential
+# recursion s_i = a*v_i + (1-a)*s_{i-1} run as one aggregate() fold
+# per key — no window, no pow() (libm-dependent); alpha = 0.5 so
+# every step is exact halving. The oracle replays the IDENTICAL fold
+# with DuckDB list_reduce over the same (ts, event_id)-ordered lists.
+# ---------------------------------------------------------------------------
+
+_W141_ORACLE = """
+WITH s AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_rows,
+       round(list_reduce(vs, (s, v) -> CAST(0.5 AS DOUBLE) * v
+                                       + CAST(0.5 AS DOUBLE) * s), 6)
+           AS ewma
+FROM s ORDER BY user_id
+"""
+
+
+@register("ewma_per_user", _W141_ORACLE)
+def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.temporal import ewma_last
+
+    ev = _read(spark, sf_dir, "events")
+    out = ewma_last(ev, "user_id", ["ts", "event_id"], "value", alpha=0.5)
+    return (out.select("user_id", "n_rows",
+                       F.round("ewma", 6).alias("ewma"))
+            .orderBy("user_id"))

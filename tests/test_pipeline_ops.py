@@ -290,3 +290,37 @@ def test_dbscan_matches_bruteforce(spark):
     got = {r["id"]: (r["role"], r["cluster"])
            for r in dbscan(df, eps, min_pts).collect()}
     assert got == want
+
+
+def test_ewma_last_matches_sequential_reference(spark):
+    import random
+
+    from bano_spark.operators.temporal import ewma_last
+
+    rng = random.Random(31)
+    rows, expect = [], {}
+    for key in range(8):
+        n = rng.randint(1, 25)
+        vals = [rng.uniform(-10, 10) for _ in range(n)]
+        s = vals[0]
+        for v in vals[1:]:
+            s = 0.5 * v + 0.5 * s
+        expect[key] = (n, s)
+        rows += [(key, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, i int, v double")
+    out = {r.k: (r.n_rows, r.ewma)
+           for r in ewma_last(df, "k", ["i"], "v").collect()}
+    for key, (n, s) in expect.items():
+        assert out[key][0] == n
+        assert out[key][1] == s  # bit-exact: same fold, same constants
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    from bano_spark.operators.temporal import ewma_last
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "k int, i int, v double")
+    try:
+        ewma_last(df, "k", ["i"], "v", alpha=0.0)
+        assert False
+    except ValueError:
+        pass
