@@ -113,6 +113,8 @@ AUDITED = [
     "pip_donut_holes",
     "kmv_set_estimates",
     "label_propagation",
+    "audio_features_meta",
+    "ewma_per_user",
 ]
 
 def _single_partition_ok(plan: str) -> bool:
