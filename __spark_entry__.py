@@ -325,7 +325,9 @@ base AS (
 ),
 cumul AS (
   SELECT insee_com,
-         substring(insee_com, 1, 2) AS dept,
+         CASE WHEN substring(insee_com, 1, 2) = '97'
+              THEN substring(insee_com, 1, 3)
+              ELSE substring(insee_com, 1, 2) END AS dept,
          CASE WHEN o_orderkey % 23 = 0 THEN NULL
               ELSE insee_com || lpad(CAST(k1 AS {cast}), 4, '0') END AS fantoir,
          CASE sidx WHEN 0 THEN 'OSM' WHEN 1 THEN 'BAL' ELSE 'BAN' END AS source,

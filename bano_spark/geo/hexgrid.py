@@ -90,8 +90,11 @@ def hex_kring_smooth(cells: DataFrame, k: int = 1, *,
     immediate neighbors are equidistant — no diagonal bias).
 
     Scale shape: one (3k(k+1)+1)-way offset explode + map-side partial
-    agg + semi-join back to the occupied set; shuffle volume scales
-    with occupied cells only, never the lattice extent."""
+    agg + semi-join back to the occupied DISTINCT cell set (duplicate
+    (hq, hr) input rows still contribute each value to the ring means,
+    but the join-back never duplicates output rows — the same
+    dedup contract as raster.focal_mean; ADVICE r3); shuffle volume
+    scales with occupied cells only, never the lattice extent."""
     offs = F.array(*[F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
                      for dq, dr in hex_kring_offsets(k)])
     contrib = (cells.select("hq", "hr", val_col,
@@ -102,4 +105,4 @@ def hex_kring_smooth(cells: DataFrame, k: int = 1, *,
     agg = (contrib.groupBy("hq", "hr")
            .agg(F.count("*").alias("n_neighbors"),
                 F.round(F.avg(val_col), 6).alias("ring_mean")))
-    return agg.join(cells.select("hq", "hr"), ["hq", "hr"])
+    return agg.join(cells.select("hq", "hr").distinct(), ["hq", "hr"])

@@ -341,7 +341,7 @@ def k_core(edges: DataFrame, k: int, *, src: str = "src", dst: str = "dst",
 def sssp_weighted(edges: DataFrame, seeds: DataFrame, *,
                   src: str = "src", dst: str = "dst",
                   weight: str = "w", node_col: str = "node",
-                  max_rounds: int = 30) -> DataFrame:
+                  max_rounds: int = 100) -> DataFrame:
     """Weighted single-source(-set) shortest paths by distributed
     Bellman-Ford relaxation over an UNDIRECTED graph with non-negative
     weights. Returns (node, dist) for reached nodes only.
@@ -356,10 +356,14 @@ def sssp_weighted(edges: DataFrame, seeds: DataFrame, *,
     persisted once; each round is one equi-join shuffling the O(nodes)
     distance vector plus a map-side-combined min-agg, and distances
     are localCheckpoint()ed so lineage stays one round deep (the
-    components.py discipline). Convergence is detected with a single
-    (count, sum) aggregate pair — integer-valued doubles, so the sums
-    compare exactly regardless of partial-agg order. Negative weights
-    raise (a negative cycle would never converge).
+    components.py discipline). Convergence is detected STRUCTURALLY:
+    a per-round left join old-vs-new asks whether any node's tentative
+    distance strictly improved (or appeared) — exact for arbitrary
+    non-negative double weights, immune to partial-agg float-sum
+    ordering. Negative weights raise (a negative cycle would never
+    converge); like k_core, ``max_rounds`` is a loud runaway guard —
+    exceeding it raises instead of silently returning distances that
+    may still overestimate paths longer than max_rounds hops.
     """
     if edges.filter(F.col(weight) < 0).limit(1).count() > 0:
         raise ValueError("sssp_weighted: negative edge weight")
@@ -373,7 +377,6 @@ def sssp_weighted(edges: DataFrame, seeds: DataFrame, *,
     sym = keep(sym)
     dist = (seeds.select(F.col(node_col).alias("node")).distinct()
             .withColumn("dist", F.lit(0.0)))
-    stats = dist.agg(F.count("*"), F.sum("dist")).collect()[0]
     for _ in range(max_rounds):
         relaxed = (dist.join(sym, dist["node"] == sym["a"])
                    .select(F.col("b").alias("node"),
@@ -381,12 +384,21 @@ def sssp_weighted(edges: DataFrame, seeds: DataFrame, *,
         new = (dist.unionByName(relaxed)
                .groupBy("node").agg(F.min("dist").alias("dist"))
                .localCheckpoint(eager=False))
-        new_stats = new.agg(F.count("*"), F.sum("dist")).collect()[0]
+        # structural fixpoint test (ADVICE r3): any node whose min
+        # strictly dropped, or any newly reached node, means another
+        # round is needed — exact for any non-negative doubles
+        improved = (new.join(dist.withColumnRenamed("dist", "dist_prev"),
+                             "node", "left")
+                    .filter(F.col("dist_prev").isNull()
+                            | (F.col("dist") < F.col("dist_prev")))
+                    .limit(1).count())
         dist = new
-        if tuple(new_stats) == tuple(stats):
-            break
-        stats = new_stats
-    return dist
+        if improved == 0:
+            return dist
+    raise RuntimeError(
+        f"sssp_weighted: no Bellman-Ford fixpoint within {max_rounds} "
+        "rounds — distances for paths longer than that many hops would "
+        "be overestimates; raise max_rounds for high-diameter graphs")
 
 
 def label_propagation(edges: DataFrame, *, src: str = "src",

@@ -141,9 +141,14 @@ def time_range_rolling(df, part_col: str, ts_col: str, value_col: str,
     range-self-join materializes O(rows x window-density) pairs)."""
     from pyspark.sql import Window, functions as F
 
-    # TIMESTAMP_NTZ has no direct long cast; the NTZ->TZ hop applies a
-    # constant session offset, which cancels in frame differences.
-    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    # TIMESTAMP_NTZ has no direct long cast, and the NTZ->TZ hop's
+    # session offset is NOT constant across a DST transition (ADVICE
+    # r3) — so derive epoch from the wall-clock FIELDS instead: pure
+    # timezone-free arithmetic, identical to a SQL engine's RANGE
+    # INTERVAL frame over the naive timestamp under any session tz.
+    t = F.col(ts_col).cast("timestamp_ntz")
+    epoch = (F.datediff(F.to_date(t), F.lit("1970-01-01")).cast("long")
+             * 86400 + F.hour(t) * 3600 + F.minute(t) * 60 + F.second(t))
     w = (Window.partitionBy(part_col)
          .orderBy(epoch)
          .rangeBetween(-seconds, 0))

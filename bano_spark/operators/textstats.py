@@ -244,11 +244,15 @@ def sentence_count(col: Column, words: Column,
                    words_per_sentence: int = 15) -> Column:
     """Terminal-punctuation sentence count with a deterministic
     fallback for punctuation-less corpora (token streams, ASR
-    transcripts): at least ceil(words / words_per_sentence), never 0
-    for nonempty text."""
+    transcripts): ceil(words / words_per_sentence) ONLY when the text
+    has no terminal punctuation at all, never 0 for nonempty text.
+    A genuine punctuation count is authoritative — overriding it via
+    greatest() would inflate n_sent (and Flesch) for any prose whose
+    average sentence tops words_per_sentence words (ADVICE r3)."""
     punct = F.regexp_count(col, F.lit(r"[.!?]")).cast("bigint")
     fallback = F.ceil(words.cast("double") / words_per_sentence).cast("bigint")
-    return F.greatest(punct, fallback, F.lit(1).cast("bigint"))
+    return F.when(punct > 0, punct).otherwise(
+        F.greatest(fallback, F.lit(1).cast("bigint")))
 
 
 def flesch_reading_ease(words: Column, sentences: Column,

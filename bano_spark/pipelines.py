@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .functions.codes import dept_from_insee
 from .functions.normalize import normalize_udf
 from .operators import conciliation as conc
 from .operators.export import export_csv_lines
@@ -64,7 +65,9 @@ def pages_to_cumul(pages: DataFrame, normalize: bool = True) -> DataFrame:
     # expression tree per key (see tiles.tile_x for the same pathology)
     return recs.select(
         F.coalesce(F.col("insee_com"), F.lit("")).alias("insee_com"),
-        F.coalesce(F.substring("insee_com", 1, 2), F.lit("")).alias("dept"),
+        # C9 rule (helpers.py:97-101): 3-char dept for overseas 97x —
+        # a fixed 2-char prefix would bucket every DOM commune as "97"
+        F.coalesce(dept_from_insee(F.col("insee_com")), F.lit("")).alias("dept"),
         F.coalesce(F.col("fantoir"), F.lit("")).alias("fantoir"),
         F.upper(F.col("kind")).alias("source"),
         F.coalesce(F.col("numero"), F.lit("")).alias("numero"),

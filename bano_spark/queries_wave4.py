@@ -5657,9 +5657,10 @@ WITH c AS (
 ),
 s AS (
   SELECT doc_id, n_words, n_syll,
-         greatest(n_punct,
+         CASE WHEN n_punct > 0 THEN n_punct
+              ELSE greatest(
                   CAST(ceil(CAST(n_words AS DOUBLE) / 15) AS BIGINT),
-                  1) AS n_sent
+                  1) END AS n_sent
   FROM c
 )
 SELECT doc_id, n_words, n_syll, n_sent,
@@ -6797,3 +6798,131 @@ def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("user_id", "n_rows",
                        F.round("ewma", 6).alias("ewma"))
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# w142 — cumul dept rollup (C9 end-to-end): pages -> extract ->
+# pages_to_cumul, asserting the dept column obeys the overseas rule
+# (helpers.py:97-101 — 3-char 97x codes) on the DOM commune the synth
+# geography carries in slot 4 (VERDICT r3 item 2). The oracle re-derives
+# every page field from event_id with the same integer arithmetic and
+# applies the rule independently.
+# ---------------------------------------------------------------------------
+
+_W142_INSEE_N = [c[0] for c in synth.COMMUNES[:10]]
+_W142_INSEE_A = [c[0] for c in synth.COMMUNES[11:20]]
+
+_W142_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, (event_id * 2654435761) % 2147483648 AS u,
+         event_id % 4 AS kidx
+  FROM events
+),
+recs AS (
+  SELECT CASE WHEN u % 16 < 10
+              THEN CASE {" ".join(f"WHEN u % 16 = {i} THEN '{v}'" for i, v in enumerate(_W142_INSEE_N))} END
+              ELSE CASE {" ".join(f"WHEN (u // 16) % 9 = {i} THEN '{v}'" for i, v in enumerate(_W142_INSEE_A))} END
+         END AS insee_com
+  FROM base WHERE kidx != 3
+)
+SELECT CASE WHEN substring(insee_com, 1, 2) = '97'
+            THEN substring(insee_com, 1, 3)
+            ELSE substring(insee_com, 1, 2) END AS dept,
+       COUNT(*) AS n
+FROM recs GROUP BY 1 ORDER BY dept
+"""
+
+
+@register("cumul_dept_rollup", _W142_ORACLE)
+def w_cumul_dept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.pipelines import pages_to_cumul
+    from bano_spark.sources.pages import synth_pages_sql
+
+    ids = _read(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    pages = synth_pages_sql(spark, 0, ids=ids)
+    cumul = pages_to_cumul(pages, normalize=False)
+    return (cumul.groupBy("dept").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("dept"))
+
+
+# ---------------------------------------------------------------------------
+# w143 — CHARACTER-level exact-substring duplicate spans via
+# content-defined chunking (Lee et al. 2021 exact-substring dedup,
+# approximated at CDC-chunk rather than suffix-array granularity —
+# VERDICT r3 missing #2). The corpus plants shifted partial copies
+# (a z-prefix of varying length + a 300-char slice of the original)
+# AND single-giant-token duplicates (space-stripped 120-char slices
+# shared by two docs at different offsets) that word-13-grams provably
+# cannot see: a 1-token span has no 13-gram. The oracle restates the
+# whole operator — boundary rule, chunk hashing, run merge, min-span —
+# in DuckDB.
+# ---------------------------------------------------------------------------
+
+_W143_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         repeat('z', CAST(doc_id % 7 AS INT) + 1) || substr(text, 11, 300) AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         repeat('y', CAST(doc_id % 3 AS INT) + 1)
+           || replace(substr(text, 11, 120), ' ', '') || ' tail marker' AS text
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         'lead bit ' || replace(substr(text, 11, 120), ' ', '') AS text
+  FROM documents WHERE doc_id % 11 = 0
+)"""
+
+_W143_ORACLE = f"""
+WITH {_W143_CORPUS},
+bounds AS (
+  SELECT doc_id, text AS t,
+         list_sort(list_distinct(list_concat(
+             [0, length(text)],
+             CASE WHEN length(text) >= 16 THEN
+                  list_filter(generate_series(16, length(text)),
+                              i -> substr(md5(substr(text, CAST(i AS INT) - 15, 16)), 1, 1) = '0')
+             ELSE [] END))) AS bs
+  FROM corpus
+),
+pos AS (SELECT doc_id, t, unnest(bs) AS p FROM bounds),
+ch AS (
+  SELECT doc_id, p AS s,
+         lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS e, t
+  FROM pos
+),
+chunks AS (
+  SELECT doc_id, s, e, md5(substr(t, CAST(s AS INT) + 1, CAST(e - s AS INT))) AS h
+  FROM ch WHERE e IS NOT NULL AND e > s
+),
+dup AS (SELECT h FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+d AS (SELECT chunks.* FROM chunks JOIN dup USING (h)),
+runs AS (
+  SELECT *, CASE WHEN lag(e) OVER (PARTITION BY doc_id ORDER BY s) = s
+                 THEN 0 ELSE 1 END AS brk
+  FROM d
+),
+runs2 AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS rid FROM runs
+),
+spans AS (
+  SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+  FROM runs2 GROUP BY doc_id, rid
+  HAVING MAX(e) - MIN(s) >= 40
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(e - s) AS BIGINT) AS dup_chars
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("cdc_dup_spans", _W143_ORACLE)
+def w_cdc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.webtext import cdc_dup_spans
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql("WITH " + _W143_CORPUS + " SELECT * FROM corpus")
+    return cdc_dup_spans(corpus).orderBy("doc_id")

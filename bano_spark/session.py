@@ -49,8 +49,16 @@ def get_session(
         # concurrent sessions would fight over the derby lock
         .config("spark.sql.warehouse.dir",
                 f"/tmp/bano_spark_wh_{os.getpid()}")
+        # -Xms == -Xmx: G1 otherwise uncommits idle regions and returns
+        # their pages to the OS, and on this microVM every RE-touched
+        # page pays the ~80 MB/s host fault tax again (r4 root-cause
+        # study, tools/bench_firstrun_ab.py + bench.py header: first
+        # touch is the 10-60x first-big-run anomaly; bench sessions add
+        # -XX:+AlwaysPreTouch on top to pay the whole tax at startup).
+        # On a real cluster the same flags belong in executor options.
         .config("spark.driver.extraJavaOptions",
-                f"-Dderby.system.home=/tmp/bano_spark_derby_{os.getpid()}")
+                f"-Dderby.system.home=/tmp/bano_spark_derby_{os.getpid()} "
+                f"-Xms{os.environ.get('SPARK_DRIVER_MEM', f'{min(48, max(8, 2 * n))}g')}")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

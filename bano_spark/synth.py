@@ -13,7 +13,11 @@ text — one source of truth, zero drift.
 
 Commune layout (x strips, all sharing one y band):
 
-    01001..01005   dept 01, admin_level 8, slots 0..4
+    01001..01004   dept 01, admin_level 8, slots 0..3
+    97405          dept 974 (DOM — 3-char dept per helpers.py:97-101),
+                   admin_level 8, slot 4: keeps the C9 overseas rule
+                   live through every end-to-end path (pages -> cumul
+                   -> conciliation -> publish), per VERDICT r3 item 2
     02001..02005   dept 02, admin_level 8, slots 5..9  (02005 is 'IMAG')
     75056          level 8 umbrella over slots 10..18 (excluded from
                    tiling per the reference's NOT IN list,
@@ -35,8 +39,9 @@ PARIS0 = REG0 + 10 * W
 COMMUNES: list[tuple[str, str, int, float, float, float, float, str]] = (
     [
         (f"0100{i + 1}", "01", 8, REG0 + i * W, CY0, REG0 + (i + 1) * W, CY1, "VECT")
-        for i in range(5)
+        for i in range(4)
     ]
+    + [("97405", "974", 8, REG0 + 4 * W, CY0, REG0 + 5 * W, CY1, "VECT")]
     + [
         (f"0200{i + 1}", "02", 8, REG0 + (5 + i) * W, CY0, REG0 + (6 + i) * W, CY1,
          "IMAG" if i == 4 else "VECT")

@@ -28,9 +28,12 @@ def test_image_features_fake_decoder(spark):
 
 
 def test_decode_stub_raises_without_fake(spark):
+    if M.image_codec_available():
+        pytest.skip("Pillow importable — real decoder path active")
     media = M.synth_media(spark, 9, partitions=1)
-    with pytest.raises(Exception, match="NotImplementedError|image codec"):
-        M.image_features(media, fake=False).collect()
+    # plan-build-time raise (driver side), no job launched
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        M.image_features(media, fake=False)
 
 
 def test_frame_sampling_one_to_many(spark):
@@ -59,12 +62,56 @@ def test_audio_features_fake_path(spark):
 
 
 def test_audio_features_codec_guard(spark):
-    from bano_spark.operators.multimodal import audio_features, synth_media
+    if M.audio_codec_available():
+        pytest.skip("soundfile importable — real decoder path active")
+    media = M.synth_media(spark, 6)
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        M.audio_features(media, fake=False)
 
-    media = synth_media(spark, 6)
-    try:
-        audio_features(media, fake=False).collect()
-        assert False, "expected NotImplementedError via Py4J"
-    except Exception as ex:
-        assert "NotImplementedError" in str(type(ex)) or \
-            "audio codec" in str(ex)
+
+def test_video_codec_guard(spark):
+    if M.video_codec_available():
+        pytest.skip("PyAV/OpenCV importable — real demuxer path active")
+    media = M.synth_media(spark, 6)
+    with pytest.raises(NotImplementedError, match="PyAV|OpenCV"):
+        M.sample_frames(media, fake=False)
+
+
+# --- real-codec paths: run only where the optional dependency exists
+# (the Iceberg round-trip discipline — guarded, skipped in bare
+# containers, exercised wherever a user drops the lib in) ---
+
+
+def test_image_features_real_pillow(spark):
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10), color=(255, 0, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()),
+          {"mime": "image/png", "n_bytes": len(buf.getvalue()),
+           "source_url": "mem://red.png"})], M.MEDIA_SCHEMA)
+    row = M.image_features(media, fake=False).collect()[0]
+    assert (row.width, row.height, row.n_channels) == (20, 10, 3)
+    assert abs(row.mean_pixel - (255 / 3) / 255.0) < 1e-6  # solid red
+    assert len(row.phash) == 16
+
+
+def test_audio_features_real_soundfile(spark):
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    sf.write(buf, np.zeros(1600), 16000, format="WAV", subtype="PCM_16")
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(buf.getvalue()),
+          {"mime": "audio/wav", "n_bytes": len(buf.getvalue()),
+           "source_url": "mem://silence.wav"})], M.MEDIA_SCHEMA)
+    row = M.audio_features(media, fake=False).collect()[0]
+    assert row.sample_rate == 16000
+    assert row.n_samples == 1600
+    assert row.duration_ms == 100
+    assert row.mean_amp == 0.0

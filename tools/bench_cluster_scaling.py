@@ -89,7 +89,36 @@ spark.stop()
 """
 
 
+def wait_quiet_window(threshold: float = 3.0, sustain_sec: int = 60,
+                      timeout_sec: int = 3600) -> float:
+    """Block until the 1-minute load average stays under ``threshold``
+    for ``sustain_sec`` consecutive seconds (sampled every 5s) — the
+    start-gate protocol BENCH.md proposes (VERDICT r3 item 7): a
+    below-threshold INSTANT at start is not enough on a box with
+    multi-minute external bursts; the burst must have drained.
+    Returns the load at gate-open; raises after ``timeout_sec``."""
+    import time
+
+    t0 = time.time()
+    quiet_since = None
+    while time.time() - t0 < timeout_sec:
+        load = os.getloadavg()[0]
+        now = time.time()
+        if load < threshold:
+            quiet_since = quiet_since or now
+            if now - quiet_since >= sustain_sec:
+                return round(load, 1)
+        else:
+            quiet_since = None
+        time.sleep(5)
+    raise SystemExit(
+        f"no quiet window (sustained 1m load < {threshold} for "
+        f"{sustain_sec}s) within {timeout_sec}s — aborting rather than "
+        "recording a burst-contaminated scaling sample")
+
+
 def run_level(workers: int, cores: int, mem_mb: int, pages: int) -> dict:
+    gate_load = wait_quiet_window()
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(workers), str(cores),
          str(mem_mb), str(pages)],
@@ -99,7 +128,9 @@ def run_level(workers: int, cores: int, mem_mb: int, pages: int) -> dict:
         raise SystemExit(f"level workers={workers} failed rc={out.returncode}")
     line = [l for l in out.stdout.strip().splitlines()
             if l.startswith("{")][-1]
-    return json.loads(line)
+    rec = json.loads(line)
+    rec["load_1m_at_gate_open"] = gate_load
+    return rec
 
 
 def main() -> None:

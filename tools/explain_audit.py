@@ -1,7 +1,14 @@
-"""Explain-plan audit: print the physical plan of each headline query
-and check the properties that matter at 100 TB — broadcast joins where
-the build side is small, whole-stage codegen coverage, no Cartesian
-products, parquet filter/column pushdown. Writes EXPLAIN.md.
+"""Explain-plan audit: print the physical plan of EVERY registered
+query and check the properties that matter at 100 TB — broadcast joins
+where the build side is small, whole-stage codegen coverage, no
+Cartesian products, parquet filter/column pushdown, no single-partition
+exchanges outside bounded global aggregates, no row-at-a-time Python.
+Writes EXPLAIN.md.
+
+The audited set is DERIVED FROM THE REGISTRY (__spark_entry__.queries())
+— not hand-maintained (VERDICT r3 item 3: a fixed list left ~90 wave-3/4
+queries unaudited, and this file's own history shows unaudited plans can
+hide single-partition exchanges).
 
 Usage: python tools/explain_audit.py [sf_dir]
 """
@@ -18,104 +25,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as E
 from bano_spark.session import get_session
-
-AUDITED = [
-    "pip_count_per_commune",
-    "end_to_end_csv_export",
-    "dup_span_stats",
-    "knn_nearest_points",
-    "json_voies_export",
-    "benchmark_decontamination",
-    "canonical_url",
-    "street_line_merge",
-    "conciliation_export",
-    "knn_name_match",
-    "postal_smallest_polygon",
-    "minhash_lsh_pairs",
-    "ann_cosine_topk",
-    "ivf_topk",
-    "cog_enrichment_join",
-    "windowed_event_counts",
-    "token_budget_selection",
-    "minhash_lsh_safe_pairs",
-    "json_lieux_dits_export",
-    "dup_span_removal",
-    "host_quality_rollup",
-    "ivf_topk_nprobe",
-    "communes_summary_rollup",
-    "bigram_lm_score",
-    "sessionize_events",
-    "tiles_vectorize",
-    "semdedup_prune",
-    "dsir_importance",
-    "tile_pyramid",
-    "source_mixing",
-    "top_ngrams",
-    "dwithin_pairs",
-    "asof_join_events",
-    "interval_join_events",
-    "exact_quantiles",
-    "kmeans_assign",
-    "pq_adc_topk",
-    "pagerank_hosts",
-    "inverted_index",
-    "bm25_topk",
-    "weighted_sample",
-    "weighted_sample_per_source",
-    "bloom_pruned_join",
-    "allpairs_jaccard",
-    "json_props_parse",
-    "doclen_quantile_rank",
-    "source_kl_divergence",
-    "embedding_covariance",
-    "mad_outliers",
-    "scd2_intervals",
-    "cdc_apply",
-    "event_funnel",
-    "retention_cohorts",
-    "polygon_intersects_join",
-    "triangle_participation",
-    "event_transitions",
-    "pareto_skyline",
-    "incremental_view_merge",
-    "trustrank_hosts",
-    "zorder_keys",
-    "grouping_sets_cube",
-    "event_type_pivot",
-    "scd2_asof_state",
-    "bfs_distances",
-    "pmi_cooccurrence",
-    "cms_user_counts",
-    "hits_hosts",
-    "hopping_window_counts",
-    "group_percentile_bands",
-    "value_histogram",
-    "polyline_geodesic_length",
-    "geohash_cell_counts",
-    "segment_intersections",
-    "readability_scores",
-    "lexical_diversity",
-    "sorted_neighborhood_pairs",
-    "rolling_time_window_avg",
-    "windowed_zscore_anomalies",
-    "kcore_nodes",
-    "zonal_stats",
-    "raster_focal_mean",
-    "linear_fit_per_group",
-    "token_entropy",
-    "dbscan_chains",
-    "simplify_polylines",
-    "kmv_distinct_users",
-    "hex_bin_counts",
-    "hex_kring_smooth",
-    "sssp_weighted",
-    "line_interpolate_midpoint",
-    "pip_donut_holes",
-    "kmv_set_estimates",
-    "label_propagation",
-    "audio_features_meta",
-    "ewma_per_user",
-]
 
 def _single_partition_ok(plan: str) -> bool:
     """True when every Exchange SinglePartition in the formatted plan
@@ -181,17 +90,28 @@ def main() -> None:
                         extra={"spark.sql.adaptive.enabled": "false"})  # AQE off: show final codegen ids in explain
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
-    lines = ["# EXPLAIN — physical-plan audit of headline queries",
+    audited = sorted(qs)  # the WHOLE registry, no hand-maintained list
+    lines = [f"# EXPLAIN — physical-plan audit of ALL {len(audited)} "
+             "registered queries",
              "", f"Input: `{sf_dir}`; checks: no cartesian/nested-loop joins,",
              "whole-stage codegen, broadcast for small build sides, scan",
-             "pruning. Regenerate: `python tools/explain_audit.py`.", ""]
+             "pruning, no unbounded single-partition exchange, no",
+             "row-at-a-time Python. Audited set = sorted(queries()) —",
+             "regenerate with `python tools/explain_audit.py`.", ""]
     failures = 0
-    for name in AUDITED:
-        df = qs[name](spark, sf_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain(mode="formatted")
-        plan = buf.getvalue()
+    for name in audited:
+        try:
+            df = qs[name](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain(mode="formatted")
+            plan = buf.getvalue()
+        except Exception as ex:  # a query that cannot even plan FAILS
+            failures += 1
+            lines += [f"## {name}", "",
+                      f"- [FAIL] plan construction raised: {ex!r}", ""]
+            print(name, "ERROR", repr(ex))
+            continue
 
         lines.append(f"## {name}")
         lines.append("")
