@@ -56,11 +56,26 @@ n_workers = int(sys.argv[1]); cores = int(sys.argv[2])
 mem_mb = int(sys.argv[3]); n_pages = int(sys.argv[4])
 total = n_workers * cores
 os.environ["SPARK_GRAFT_CPUS"] = str(total)
+exec_heap_mb = mem_mb - 512
+t_up0 = time.time()
 spark = (
     SparkSession.builder
     .master(f"local-cluster[{n_workers},{cores},{mem_mb}]")
     .appName(f"cluster-scaling-{n_workers}x{cores}")
-    .config("spark.executor.memory", f"{mem_mb - 512}m")
+    .config("spark.executor.memory", f"{exec_heap_mb}m")
+    # -Xms == -Xmx + AlwaysPreTouch on EVERY executor JVM: this microVM
+    # host-faults guest pages on first touch at ~80 MB/s (root-caused in
+    # BENCH.md round 4, AB_FIRSTRUN.jsonl). Without pre-touch each fresh
+    # executor pays that tax DURING the timed runs — the 10-47x same-level
+    # spreads in the two rejected r3 confirmation attempts — and G1's idle
+    # region uncommit re-exposes it even after a full-size warmup. With it,
+    # the tax lands at executor startup (disclosed as exec_up_sec) and the
+    # timed region measures the engine on already-faulted pages — the
+    # steady state of long-lived executors on a real cluster.
+    .config("spark.executor.extraJavaOptions",
+            f"-Xms{exec_heap_mb}m -XX:+AlwaysPreTouch")
+    .config("spark.driver.memory", "4g")
+    .config("spark.driver.extraJavaOptions", "-Xms4g -XX:+AlwaysPreTouch")
     .config("spark.sql.shuffle.partitions", str(max(total, 16)))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -73,16 +88,29 @@ spark.sparkContext.setLogLevel("ERROR")
 spark.sparkContext.addPyFile("build/bano_spark.zip")
 import bench
 
+# Block until every executor has registered (pre-touch serializes their
+# startup); a timed run scheduled onto a partial cluster is not a
+# measurement of the requested topology.
+while int(spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()) < n_workers + 1:
+    time.sleep(1)
+exec_up_sec = round(time.time() - t_up0, 1)
+
 # FULL-SIZE warmup: every executor JVM must JIT the generated code and
 # every python worker must import numpy + the engine zip before timing
+t_w0 = time.time()
 bench.pages_pipeline(spark, n_pages)
-runs = []
+warmup_sec = round(time.time() - t_w0, 1)
+runs, loads = [], []
 for _ in range(3):
+    l0 = os.getloadavg()[0]
     t0 = time.time(); bench.pages_pipeline(spark, n_pages)
     runs.append(time.time() - t0)
+    loads.append([round(l0, 1), round(os.getloadavg()[0], 1)])
 dt = sorted(runs)[1]
 print(json.dumps({"workers": n_workers, "cores_per_worker": cores,
                   "sec": round(dt, 2), "runs_sec": [round(r, 2) for r in runs],
+                  "load_1m_per_run": loads,
+                  "exec_up_sec": exec_up_sec, "warmup_sec": warmup_sec,
                   "load_1m": round(os.getloadavg()[0], 1),
                   "pages_per_sec": round(n_pages / dt, 1)}))
 spark.stop()
