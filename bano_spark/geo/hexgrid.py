@@ -106,3 +106,35 @@ def hex_kring_smooth(cells: DataFrame, k: int = 1, *,
            .agg(F.count("*").alias("n_neighbors"),
                 F.round(F.avg(val_col), 6).alias("ring_mean")))
     return agg.join(cells.select("hq", "hr").distinct(), ["hq", "hr"])
+
+
+def hex_kring_weighted(cells: DataFrame, k: int = 2, *,
+                       val_col: str = "val") -> DataFrame:
+    """Distance-decay smoothing (discrete KDE) over each occupied
+    cell's k-ring disk: weight (k + 1 - ring) per neighbor — integer
+    numerators, so the weighted sums are exact in doubles regardless
+    of aggregation order, and ONE final division per cell is
+    IEEE-identical across engines (the hex_kring_smooth discipline,
+    plus triangular distance decay).
+
+    Same scale shape as hex_kring_smooth: bounded offset explode,
+    map-side partial agg, distinct join-back."""
+    terms = []
+    for dq, dr in hex_kring_offsets(k):
+        ring = max(abs(dq), abs(dr), abs(dq + dr))
+        terms.append((dq, dr, k + 1 - ring))
+    offs = F.array(*[F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"),
+                              F.lit(w).alias("w"))
+                     for dq, dr, w in terms])
+    contrib = (cells.select("hq", "hr", val_col,
+                            F.explode(offs).alias("o"))
+               .select((F.col("hq") + F.col("o.dq")).alias("hq"),
+                       (F.col("hr") + F.col("o.dr")).alias("hr"),
+                       (F.col(val_col) * F.col("o.w")).alias("wv"),
+                       F.col("o.w").alias("w")))
+    agg = (contrib.groupBy("hq", "hr")
+           .agg(F.sum("wv").alias("_swv"), F.sum("w").alias("_sw")))
+    return (agg.join(cells.select("hq", "hr").distinct(), ["hq", "hr"])
+            .select("hq", "hr",
+                    F.col("_sw").cast("bigint").alias("w_total"),
+                    F.round(F.col("_swv") / F.col("_sw"), 6).alias("kde")))

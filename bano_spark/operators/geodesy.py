@@ -250,3 +250,37 @@ def line_interpolate_point(frac: float, xs_col: str = "xs",
     expr = expr.replace("_seg[i]", f"element_at({seg}, i + 1)")
     expr = expr.replace("_tgt", f"(cast({frac!r} as double) * {total})")
     return F.expr(expr)
+
+
+def spherical_ring_area_m2(verts_col: str = "verts",
+                           merc_r: float = 6378137.0) -> Column:
+    """Spherical surface area (m^2) of a closed EPSG:3857 ring.
+
+    Inverse-Mercator each vertex to (lambda, phi) radians, then the
+    discrete spherical trapezoid sum (turf.js ``ringArea`` / Chamberlain
+    & Duquette, public formulation):
+
+        area = | sum_i (lam_{i+1} - lam_i) * (2 + sin phi_i
+                                                + sin phi_{i+1}) | * R^2 / 2
+
+    evaluated as one ``aggregate`` over the zipped consecutive-vertex
+    pairs — per-row array math in whole-stage codegen, the same
+    distributed shape as :func:`polyline_length_m` (the area is
+    computed where the polygon row lives; a per-dept rollup afterwards
+    is the only shuffle).
+
+    Replaces the reference's PostGIS ``ST_Area(geography)`` calls
+    (bano/sql import statistics) with a Spark-native column kernel;
+    the planar shoelace twin is operators/streets.py's centroid
+    kernel."""
+    v = verts_col
+    lam = f"(element_at(element_at({v}, i), 1) / CAST({merc_r!r} AS DOUBLE))"
+    lam2 = f"(element_at(element_at({v}, i + 1), 1) / CAST({merc_r!r} AS DOUBLE))"
+    sphi = (f"sin(2.0 * atan(exp(element_at(element_at({v}, i), 2) "
+            f"/ CAST({merc_r!r} AS DOUBLE))) - pi() / 2.0)")
+    sphi2 = (f"sin(2.0 * atan(exp(element_at(element_at({v}, i + 1), 2) "
+             f"/ CAST({merc_r!r} AS DOUBLE))) - pi() / 2.0)")
+    body = (f"aggregate(sequence(1, size({v}) - 1), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + ({lam2} - {lam}) * (2.0 + {sphi} + {sphi2}))")
+    return F.expr(f"abs({body}) * CAST({_EARTH_R!r} AS DOUBLE) "
+                  f"* CAST({_EARTH_R!r} AS DOUBLE) / 2.0")

@@ -1,0 +1,170 @@
+"""Trajectory analytics: stay-point detection, per-track stats, and
+move-direction histograms over ordered (id, x, y) point sequences.
+
+The reference pipeline has no movement data, but its point streams
+(OSM diff ingest, bano/sources/osm.py) are exactly the shape a GPS /
+check-in feed takes at web scale: (user, ts, x, y) events. These
+operators add the standard trajectory-warehouse members on top of the
+engine's EPSG:3857 point algebra:
+
+- ``staypoints``: runs of consecutive pings within ``radius`` meters
+  of their predecessor, the classic stay-point segmentation (Li et
+  al., "Mining user similarity based on location history", public
+  formulation) expressed as gaps-and-islands: a per-track lag
+  distance, a break flag, a running sum of breaks as the run id, then
+  one groupBy — every window is PARTITIONED BY the track key, so the
+  whole operator is embarrassingly parallel across users and never
+  sees a global window or a cross product.
+- ``trajectory_stats``: per-track step/displacement aggregates (total
+  path length, longest step, net displacement, straightness index).
+  One partitioned lag + one groupBy.
+- ``move_sectors``: per-step 8-sector compass classification done with
+  pure sign/ratio comparisons against tan(22.5 deg) — no atan2, so
+  the classification is exact on integer-valued step vectors and
+  engine-portable bit-for-bit (the same transcendental-free
+  discipline as geo/geometry.py's orientation tests).
+
+Scale shape: all three are (window partitioned by track) + (groupBy
+track or sector) — shuffle volume is O(points) once, keyed by the
+track id; skewed mega-tracks can be salted like any hot key, and the
+sector rollup is an 8-key aggregate with map-side partial
+aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# tan(pi/8): sector half-angle boundary for the 8-way compass split
+_TAN225 = 0.41421356237309503
+
+SECTORS = ["N", "NE", "E", "SE", "S", "SW", "W", "NW"]
+
+
+def _steps(traj: DataFrame, track_col: str, order_cols: list[str],
+           x: str, y: str) -> DataFrame:
+    w = Window.partitionBy(track_col).orderBy(*[F.asc(c) for c in order_cols])
+    return (traj
+            .withColumn("_px", F.lag(x).over(w))
+            .withColumn("_py", F.lag(y).over(w)))
+
+
+def staypoints(
+    traj: DataFrame,
+    *,
+    track_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    x: str = "x",
+    y: str = "y",
+    ts_col: str = "ts",
+    radius: float = 50.0,
+    min_pts: int = 3,
+) -> DataFrame:
+    """Stay points per track: maximal runs of consecutive points each
+    within ``radius`` m of the previous point, kept when the run has
+    >= ``min_pts`` points. Returns one row per stay with the run's
+    centroid (mean x/y) and time span.
+
+    A new run starts at the first point of a track and at every step
+    longer than ``radius``; the run id is the running count of such
+    breaks — windows partitioned by track only."""
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(track_col).orderBy(*[F.asc(c) for c in order_cols])
+    d2 = ((F.col(x) - F.col("_px")) ** 2 + (F.col(y) - F.col("_py")) ** 2)
+    stepped = (_steps(traj, track_col, order_cols, x, y)
+               .withColumn("_brk", F.when(
+                   F.col("_px").isNull()
+                   | (d2 > F.lit(float(radius) ** 2)), 1).otherwise(0))
+               .withColumn("_run", F.sum("_brk").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (stepped.groupBy(track_col, "_run")
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 # sum-then-divide: integer-valued sums are exact, the
+                 # single division is IEEE-identical across engines
+                 (F.sum(x) / F.count(F.lit(1))).alias("cx"),
+                 (F.sum(y) / F.count(F.lit(1))).alias("cy"),
+                 F.min(ts_col).alias("ts_start"),
+                 F.max(ts_col).alias("ts_end"))
+            .filter(F.col("n_pts") >= min_pts)
+            .drop("_run"))
+
+
+def trajectory_stats(
+    traj: DataFrame,
+    *,
+    track_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    x: str = "x",
+    y: str = "y",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-track movement profile: n_points, total path length, max
+    single step, net displacement (first point -> last point), and the
+    straightness index net/total (1.0 = straight line, rounded from
+    the ROUNDED terms so both engines divide identical inputs)."""
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(track_col).orderBy(*[F.asc(c) for c in order_cols])
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d = F.sqrt((F.col(x) - F.col("_px")) ** 2 + (F.col(y) - F.col("_py")) ** 2)
+    stepped = (_steps(traj, track_col, order_cols, x, y)
+               .withColumn("_d", d)
+               .withColumn("_fx", F.first(x).over(wall))
+               .withColumn("_fy", F.first(y).over(wall))
+               .withColumn("_lx", F.last(x).over(wall))
+               .withColumn("_ly", F.last(y).over(wall)))
+    net = F.sqrt((F.col("_lx") - F.col("_fx")) ** 2
+                 + (F.col("_ly") - F.col("_fy")) ** 2)
+    agg = (stepped.groupBy(track_col)
+           .agg(F.count(F.lit(1)).alias("n_points"),
+                F.round(F.coalesce(F.sum("_d"), F.lit(0.0)), 3)
+                .alias("total_dist_m"),
+                F.round(F.coalesce(F.max("_d"), F.lit(0.0)), 3)
+                .alias("max_step_m"),
+                F.round(F.first(net), 3).alias("net_disp_m")))
+    return agg.withColumn(
+        "straightness",
+        F.when(F.col("total_dist_m") > 0,
+               F.round(F.col("net_disp_m") / F.col("total_dist_m"), 6))
+        .otherwise(F.lit(None).cast("double")))
+
+
+def sector_expr(dx, dy):
+    """8-way compass sector of a step vector via sign / tan(22.5 deg)
+    ratio comparisons only — exact on integer-valued steps, no atan2."""
+    adx, ady = F.abs(dx), F.abs(dy)
+    t = F.lit(_TAN225)
+    return (F.when(adx <= t * ady, F.when(dy > 0, "N").otherwise("S"))
+            .when(ady <= t * adx, F.when(dx > 0, "E").otherwise("W"))
+            .when((dx > 0) & (dy > 0), "NE")
+            .when((dx > 0) & (dy < 0), "SE")
+            .when((dx < 0) & (dy < 0), "SW")
+            .otherwise("NW"))
+
+
+def move_sectors(
+    traj: DataFrame,
+    *,
+    track_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    x: str = "x",
+    y: str = "y",
+    ts_col: str = "ts",
+    min_move: float = 0.0,
+) -> DataFrame:
+    """Histogram of step directions over all tracks: per compass
+    sector, the number of steps, distinct tracks moving that way, and
+    the summed step length. Steps with length <= ``min_move`` (GPS
+    jitter inside a stay) are excluded."""
+    order_cols = order_cols or [ts_col]
+    dx = F.col(x) - F.col("_px")
+    dy = F.col(y) - F.col("_py")
+    d = F.sqrt(dx ** 2 + dy ** 2)
+    stepped = (_steps(traj, track_col, order_cols, x, y)
+               .filter(F.col("_px").isNotNull())
+               .withColumn("_d", d)
+               .filter(F.col("_d") > F.lit(float(min_move)))
+               .withColumn("sector", sector_expr(dx, dy)))
+    return (stepped.groupBy("sector")
+            .agg(F.count(F.lit(1)).alias("n_moves"),
+                 F.countDistinct(track_col).alias("n_tracks"),
+                 F.round(F.sum("_d"), 3).alias("total_dist_m")))

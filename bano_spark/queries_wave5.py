@@ -1,0 +1,504 @@
+"""Wave-5 driver queries: trajectory analytics, spatial anti-join
+coverage gaps, geodesic polygon area, Moran's I spatial
+autocorrelation, map-matching, asymmetric containment dedup, hex KDE
+smoothing, and a stream-static enrichment join — each with a DuckDB
+oracle over the same shared fixtures (synth.py one-source-of-truth
+discipline: a single emitter builds both dialects).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from bano_spark import synth
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_TAN225 = "0.41421356237309503"
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _traj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(synth.traj_select_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# v01 — stay-point detection (trajectory segmentation): maximal runs
+# of consecutive pings within 50 m, kept at >= 3 points. Engine:
+# operators/trajectory.staypoints (partitioned lag + running break
+# sum + one groupBy); oracle: the same gaps-and-islands statement in
+# DuckDB SQL. Fixture: synth.traj_select_sql — 60% dwell (<= ~14 m
+# wobble), 40% jumps >= ~490 m, so the 50 m radius is unambiguous.
+# ---------------------------------------------------------------------------
+
+_V01_ORACLE = f"""
+WITH t AS ({synth.traj_select_sql('duckdb')}),
+s AS (
+  SELECT user_id, ts, event_id, x, y,
+         lag(x) OVER w AS px, lag(y) OVER w AS py
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+b AS (
+  SELECT *, CASE WHEN px IS NULL
+                   OR (x - px) * (x - px) + (y - py) * (y - py) > 2500.0
+            THEN 1 ELSE 0 END AS brk
+  FROM s
+),
+r AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM b
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pts,
+       sum(x) / count(*) AS cx, sum(y) / count(*) AS cy,
+       min(ts) AS ts_start, max(ts) AS ts_end
+FROM r GROUP BY user_id, run HAVING count(*) >= 3
+ORDER BY user_id, ts_start
+"""
+
+
+@register("staypoint_runs", _V01_ORACLE)
+def v_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.trajectory import staypoints
+
+    out = staypoints(_traj(spark, sf_dir), radius=50.0, min_pts=3)
+    return (out.select("user_id", "n_pts", "cx", "cy", "ts_start", "ts_end")
+            .orderBy("user_id", "ts_start"))
+
+
+# ---------------------------------------------------------------------------
+# v02 — per-track movement profile: path length, longest step, net
+# displacement, straightness (net/total over the ROUNDED terms so
+# both engines divide identical inputs).
+# ---------------------------------------------------------------------------
+
+_V02_ORACLE = f"""
+WITH t AS ({synth.traj_select_sql('duckdb')}),
+s AS (
+  SELECT user_id, x, y,
+         lag(x) OVER w AS px, lag(y) OVER w AS py,
+         first_value(x) OVER w2 AS fx, first_value(y) OVER w2 AS fy,
+         last_value(x) OVER w2 AS lx, last_value(y) OVER w2 AS ly
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+d AS (
+  SELECT user_id,
+         sqrt((x - px) * (x - px) + (y - py) * (y - py)) AS step,
+         sqrt((lx - fx) * (lx - fx) + (ly - fy) * (ly - fy)) AS net
+  FROM s
+),
+a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+         round(coalesce(sum(step), 0.0), 3) AS total_dist_m,
+         round(coalesce(max(step), 0.0), 3) AS max_step_m,
+         round(any_value(net), 3) AS net_disp_m
+  FROM d GROUP BY user_id
+)
+SELECT user_id, n_points, total_dist_m, max_step_m, net_disp_m,
+       CASE WHEN total_dist_m > 0
+            THEN round(net_disp_m / total_dist_m, 6) END AS straightness
+FROM a ORDER BY user_id
+"""
+
+
+@register("trajectory_profile", _V02_ORACLE)
+def v_traj_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.trajectory import trajectory_stats
+
+    out = trajectory_stats(_traj(spark, sf_dir))
+    return (out.select("user_id", "n_points", "total_dist_m", "max_step_m",
+                       "net_disp_m", "straightness")
+            .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# v03 — move-direction histogram: every step > 50 m classified into 8
+# compass sectors with pure sign / tan(22.5 deg) comparisons (no
+# atan2 — exact on integer step vectors, engine-portable). The oracle
+# repeats the identical comparison cascade.
+# ---------------------------------------------------------------------------
+
+_V03_SECTOR = f"""
+CASE WHEN abs(dx) <= {_TAN225} * abs(dy)
+       THEN CASE WHEN dy > 0 THEN 'N' ELSE 'S' END
+     WHEN abs(dy) <= {_TAN225} * abs(dx)
+       THEN CASE WHEN dx > 0 THEN 'E' ELSE 'W' END
+     WHEN dx > 0 AND dy > 0 THEN 'NE'
+     WHEN dx > 0 AND dy < 0 THEN 'SE'
+     WHEN dx < 0 AND dy < 0 THEN 'SW'
+     ELSE 'NW' END
+"""
+
+_V03_ORACLE = f"""
+WITH t AS ({synth.traj_select_sql('duckdb')}),
+s AS (
+  SELECT user_id,
+         x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT user_id, dx, dy, sqrt(dx * dx + dy * dy) AS d,
+         {_V03_SECTOR} AS sector
+  FROM s WHERE dx IS NOT NULL AND dx * dx + dy * dy > 2500.0
+)
+SELECT sector, CAST(count(*) AS BIGINT) AS n_moves,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_tracks,
+       round(sum(d), 3) AS total_dist_m
+FROM m GROUP BY sector ORDER BY sector
+"""
+
+
+@register("move_sector_histogram", _V03_ORACLE)
+def v_move_sectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.trajectory import move_sectors
+
+    out = move_sectors(_traj(spark, sf_dir), min_move=50.0)
+    return (out.select("sector", "n_moves", "n_tracks", "total_dist_m")
+            .orderBy("sector"))
+
+
+# ---------------------------------------------------------------------------
+# v04 — spatial ANTI-join (coverage gaps): points contained by NO
+# level-8 commune. Engine: the flagship cell-bucketed PIP join as the
+# probe side of a left_anti on the point key — gap detection with the
+# same broadcast/shuffle/salt machinery as the inner join. Fixture
+# deliberately spills east of Paris and north of the band.
+# ---------------------------------------------------------------------------
+
+_V04_ORACLE = f"""
+WITH p AS ({synth.gap_points_select_sql('duckdb')})
+SELECT p.event_id, p.x, p.y
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM {synth.communes_values_sql()}
+  WHERE c.admin_level = 8
+    AND p.x > c.xmin AND p.x < c.xmax
+    AND p.y > c.ymin AND p.y < c.ymax)
+ORDER BY p.event_id
+"""
+
+
+@register("pip_coverage_gaps", _V04_ORACLE)
+def v_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.pip_join import spatial_join
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    pts = spark.sql(synth.gap_points_select_sql("spark"))
+    polys = synth.commune_polygons_df(spark).filter(F.col("admin_level") == 8)
+    matched = spatial_join(pts, polys, id_col="insee_com")
+    gaps = pts.join(matched.select("event_id").distinct(),
+                    "event_id", "left_anti")
+    return gaps.select("event_id", "x", "y").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# v05 — geodesic (spherical) polygon area per commune: inverse-
+# Mercator + the discrete spherical trapezoid sum as ONE aggregate()
+# fold over the ring (operators/geodesy.spherical_ring_area_m2 —
+# ST_Area(geography) as a column kernel). The oracle is the CLOSED
+# FORM for a Mercator rectangle, R^2 * dlambda * dsin(phi) — a
+# different algebraic route to the same number, so the hash match
+# checks the math, not the code.
+# ---------------------------------------------------------------------------
+
+_V05_ORACLE = f"""
+SELECT insee_com,
+       round(6371008.8 * 6371008.8
+             * ((xmax - xmin) / 6378137.0)
+             * (sin(2.0 * atan(exp(ymax / 6378137.0)) - pi() / 2.0)
+                - sin(2.0 * atan(exp(ymin / 6378137.0)) - pi() / 2.0))
+             / 1000000.0, 6) AS area_km2
+FROM {synth.communes_values_sql()}
+ORDER BY insee_com
+"""
+
+
+@register("spherical_commune_area", _V05_ORACLE)
+def v_spherical_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.geodesy import spherical_ring_area_m2
+
+    polys = synth.commune_polygons_df(spark)
+    return (polys.select(
+        "insee_com",
+        F.round(spherical_ring_area_m2("verts") / 1e6, 6).alias("area_km2"))
+        .orderBy("insee_com"))
+
+
+# ---------------------------------------------------------------------------
+# v06 — global Moran's I over the 700 m hex-binned point counts:
+# "do dense cells neighbor dense cells?" Engine: 6-offset explode +
+# equi-join on the cell key (operators/spatialstats.moran_i_hex);
+# oracle: the textbook hex-distance self-join in one SQL statement.
+# ---------------------------------------------------------------------------
+
+
+def _v06_cells(dialect: str) -> str:
+    from bano_spark.geo.hexgrid import hex_cells_cte
+
+    pts = synth.points_select_sql(dialect, "events")
+    return (f"pts AS ({pts}),\n"
+            + hex_cells_cte("pts", 700.0, keep="event_id")
+            + ",\ncells AS (SELECT hq, hr, CAST(count(*) AS DOUBLE) AS val\n"
+              "           FROM hexed_out GROUP BY hq, hr)")
+
+
+_V06_ORACLE = f"""
+WITH {_v06_cells('duckdb')},
+st AS (SELECT count(*) AS n, sum(val) / count(*) AS m FROM cells),
+dev AS (SELECT hq, hr, val - (SELECT m FROM st) AS dev FROM cells),
+prs AS (
+  SELECT a.dev AS da, b.dev AS db
+  FROM dev a JOIN dev b
+    ON ((b.hq = a.hq + 1 AND b.hr = a.hr)
+     OR (b.hq = a.hq - 1 AND b.hr = a.hr)
+     OR (b.hq = a.hq AND b.hr = a.hr + 1)
+     OR (b.hq = a.hq AND b.hr = a.hr - 1)
+     OR (b.hq = a.hq + 1 AND b.hr = a.hr - 1)
+     OR (b.hq = a.hq - 1 AND b.hr = a.hr + 1))
+)
+SELECT CAST((SELECT n FROM st) AS INT) AS n_cells,
+       CAST(count(*) AS BIGINT) AS w_pairs,
+       round((CAST((SELECT n FROM st) AS DOUBLE) / count(*))
+             * sum(da * db)
+             / (SELECT sum(dev * dev) FROM dev), 6) AS moran_i
+FROM prs
+"""
+
+
+@register("moran_i_hex", _V06_ORACLE)
+def v_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.spatialstats import moran_i_hex
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    cells = spark.sql("WITH " + _v06_cells("spark") + " SELECT * FROM cells")
+    return moran_i_hex(cells, val_col="val")
+
+
+# ---------------------------------------------------------------------------
+# v07 — map-matching: snap each point (every 3rd event) to its
+# nearest street segment within 500 m. Engine: expanded-bbox cell
+# cover + home-cell equi-join + clamped projection + partitioned
+# top-1 window (operators/mapmatch.snap_to_segments); oracle: the
+# brute-force point x segment product with the identical projection
+# arithmetic — an O(n*m) route the engine never takes.
+# ---------------------------------------------------------------------------
+
+_V07_ORACLE = f"""
+WITH p AS ({synth.points_select_sql('duckdb')}),
+ps AS (SELECT * FROM p WHERE event_id % 3 = 0),
+segs AS ({synth.segments_select_sql('duckdb')}),
+cand AS (
+  SELECT ps.event_id, s.seg_id, ps.x, ps.y, s.x1, s.y1,
+         s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy,
+         (s.x2 - s.x1) * (s.x2 - s.x1)
+           + (s.y2 - s.y1) * (s.y2 - s.y1) AS d2seg
+  FROM ps, segs s
+),
+proj AS (
+  SELECT event_id, seg_id, x, y, x1, y1, dx, dy,
+         least(greatest(CASE WHEN d2seg > 0
+              THEN ((x - x1) * dx + (y - y1) * dy) / d2seg
+              ELSE 0.0 END, 0.0), 1.0) AS tc
+  FROM cand
+),
+scored AS (
+  SELECT event_id, seg_id,
+         x1 + tc * dx AS sx, y1 + tc * dy AS sy,
+         (x - (x1 + tc * dx)) * (x - (x1 + tc * dx))
+           + (y - (y1 + tc * dy)) * (y - (y1 + tc * dy)) AS d2
+  FROM proj
+),
+best AS (
+  SELECT event_id, seg_id, sx, sy, d2,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY d2, seg_id) AS rk
+  FROM scored WHERE d2 <= 250000.0
+)
+SELECT event_id, seg_id, round(sx, 6) AS snap_x, round(sy, 6) AS snap_y,
+       round(sqrt(d2), 3) AS dist_m
+FROM best WHERE rk = 1 ORDER BY event_id
+"""
+
+
+@register("map_match_segments", _V07_ORACLE)
+def v_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.mapmatch import snap_to_segments
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    pts = (spark.sql(synth.points_select_sql("spark"))
+           .filter(F.col("event_id") % 3 == 0))
+    segs = spark.sql(synth.segments_select_sql("spark"))
+    return snap_to_segments(pts, segs, 500.0).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# v08 — asymmetric near-CONTAINMENT dedup (doc-in-doc): directed
+# pairs with |A∩B| / |A| >= 0.9 over distinct tokens — the inclusion
+# case Jaccard structurally misses (a half-length excerpt of a page
+# has jac ~0.5 but containment ~1.0). Corpus: every 7th document plus
+# its front-half excerpt, so the fixture PROVES the operator catches
+# pairs allpairs_jaccard(0.8) does not. Engine: prefix-filtered
+# candidate join (operators/setsim.containment_pairs); oracle: the
+# full token-intersection join.
+# ---------------------------------------------------------------------------
+
+_V08_CORPUS = {
+    "duckdb": """
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, greatest(n_chars // 2, 20))
+  FROM documents WHERE doc_id % 7 = 0
+)""",
+    "spark": """
+SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id + 1000000, substring(text, 1, greatest(CAST(n_chars div 2 AS INT), 20))
+FROM documents WHERE doc_id % 7 = 0
+""",
+}
+
+_V08_ORACLE = rf"""
+WITH {_V08_CORPUS['duckdb']},
+tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+    FROM corpus)
+  WHERE term <> ''
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS DOUBLE) AS c
+          FROM tok a JOIN tok b ON a.term = b.term
+                                AND a.doc_id != b.doc_id
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, round(i.c / sa.n, 6) AS containment
+FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+WHERE i.c / sa.n >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+@register("containment_pairs", _V08_ORACLE)
+def v_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.setsim import containment_pairs
+
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    corpus = spark.sql(_V08_CORPUS["spark"])
+    return containment_pairs(corpus, 0.9).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# v09 — distance-decay hex smoothing (discrete KDE): triangular
+# weights (k + 1 - ring) over each occupied cell's radius-2 disk.
+# Integer weight numerators keep the weighted sums exact in doubles
+# regardless of aggregation order (hex_kring_smooth discipline).
+# ---------------------------------------------------------------------------
+
+
+def _v09_vals(dialect: str) -> str:
+    return (_v06_cells(dialect)
+            + """,
+vals AS (
+  SELECT hq, hr,
+         CAST(((hq * 7 + hr * 13 + 100000000) % 100) AS DOUBLE) / 10.0 AS val
+  FROM cells
+)""")
+
+
+_V09_RING = ("greatest(abs(a.hq - b.hq), abs(a.hr - b.hr), "
+             "abs((a.hq + a.hr) - (b.hq + b.hr)))")
+
+_V09_ORACLE = f"""
+WITH {_v09_vals('duckdb')}
+SELECT a.hq, a.hr,
+       CAST(sum(3 - {_V09_RING}) AS BIGINT) AS w_total,
+       round(sum(b.val * (3 - {_V09_RING}))
+             / sum(3 - {_V09_RING}), 6) AS kde
+FROM vals a JOIN vals b ON {_V09_RING} <= 2
+GROUP BY a.hq, a.hr ORDER BY a.hq, a.hr
+"""
+
+
+@register("hex_kde_weighted", _V09_ORACLE)
+def v_hex_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.geo.hexgrid import hex_kring_weighted
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    vals = spark.sql("WITH " + _v09_vals("spark") + " SELECT * FROM vals")
+    return (hex_kring_weighted(vals, k=2)
+            .select("hq", "hr", "w_total", "kde")
+            .orderBy("hq", "hr"))
+
+
+# ---------------------------------------------------------------------------
+# v10 — stream-static enrichment join: the event stream joins the
+# static commune dimension (broadcast inside each micro-batch — the
+# canonical streaming enrich), then rolls up hourly counts per dept.
+# Structured Streaming supports stream-static inner joins stateless-
+# ly; the oracle is the batch equivalent over the same derivation.
+# ---------------------------------------------------------------------------
+
+
+def _v10_insee_case(col: str) -> str:
+    return "CASE " + " ".join(
+        f"WHEN {col} % 10 = {i} THEN '{synth.COMMUNES[i][0]}'"
+        for i in range(10)
+    ) + " END"
+
+
+_V10_ORACLE = f"""
+SELECT date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS window_start,
+       c.dept, CAST(count(*) AS BIGINT) AS n
+FROM events e
+JOIN {synth.communes_values_sql()}
+  ON c.insee_com = {_v10_insee_case('e.event_id')}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("streaming_static_enrich", _V10_ORACLE)
+def v_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = synth.communes_df(spark).select("insee_com", "dept")
+    feed = (spark.readStream.schema(
+        _read(spark, sf_dir, "events").schema).parquet(sf_dir.rstrip("/"))
+        .filter(F.input_file_name().endswith("events.parquet")))
+    enriched = (feed
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .withColumn("insee_com",
+                            F.expr(_v10_insee_case("event_id")))
+                .join(F.broadcast(dim), "insee_com"))
+    agg = (enriched
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "dept")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("w.start").alias("window_start"), "dept", "n"))
+    qname = "v10_stream"
+    q = (agg.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table(qname).orderBy("window_start", "dept")
+    rows = out.collect()
+    q.stop()
+    return spark.createDataFrame(rows, out.schema)

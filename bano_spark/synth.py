@@ -261,3 +261,95 @@ def points_df(spark, sf_dir: str):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     events.createOrReplaceTempView("events")
     return spark.sql(points_select_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Wave-5 fixtures: trajectories, coverage-gap points, street segments.
+# Same one-source-of-truth discipline as points_select_sql: a single
+# emitter produces both dialects, integer arithmetic end-to-end so the
+# engine and the oracle derive bit-identical coordinates.
+# ---------------------------------------------------------------------------
+
+# unit step vectors of the 8 compass sectors, index = (u div 10) % 8
+_SECTOR_UNITS = [(0, 1), (1, 1), (1, 0), (1, -1),
+                 (0, -1), (-1, -1), (-1, 0), (-1, 1)]
+
+
+def traj_select_sql(dialect: str, table: str = "events") -> str:
+    """Per-user trajectory points from ``table``: each user walks from
+    a home cell; 60% of pings dwell (<= ~14 m wobble), 40% jump
+    500-1100 m in one of 8 compass directions. Every coordinate is an
+    integer-valued double built from window sums of integers —
+    bit-identical across engines.
+
+    Emits a SELECT with (user_id, ts, event_id, seq, x, y)."""
+    d = " div " if dialect == "spark" else " // "
+    ux = "CASE (u" + d + "10) % 8 " + " ".join(
+        f"WHEN {i} THEN {vx}" for i, (vx, _) in enumerate(_SECTOR_UNITS)
+    ) + " END"
+    uy = "CASE (u" + d + "10) % 8 " + " ".join(
+        f"WHEN {i} THEN {vy}" for i, (_, vy) in enumerate(_SECTOR_UNITS)
+    ) + " END"
+    return f"""
+SELECT user_id, ts, event_id,
+       CAST(seq AS INT) AS seq,
+       CAST(1000003.0 + (user_id % 97) * 20000
+            + SUM(jx) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            + wx AS DOUBLE) AS x,
+       CAST(2000003.0 + ((user_id * 31) % 53) * 20000
+            + SUM(jy) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            + wy AS DOUBLE) AS y
+FROM (
+  SELECT user_id, ts, event_id, u,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         CASE WHEN u % 10 < 6 THEN 0
+              ELSE (500 + (u % 7) * 100) * ({ux}) END AS jx,
+         CASE WHEN u % 10 < 6 THEN 0
+              ELSE (500 + (u % 7) * 100) * ({uy}) END AS jy,
+         u % 11 AS wx, (u{d}11) % 11 AS wy
+  FROM (SELECT user_id, ts, event_id,
+               (event_id * 2654435761 + 11) % 2147483648 AS u
+        FROM {table})
+)
+"""
+
+
+def gap_points_select_sql(dialect: str, table: str = "events") -> str:
+    """Point derivation that deliberately spills OUTSIDE the commune
+    band: x slots 0..20 (19-20 lie east of Paris) and y up to
+    REGY0 + 12000 (the band ends at REGY0 + 9503) — the coverage-gap
+    fixture for the spatial anti-join. Offsets 0.5 / 0.25 keep every
+    point strictly off polygon edges (synth.py refine notes)."""
+    d = " div " if dialect == "spark" else " // "
+    return f"""
+SELECT {"event_id"},
+       CAST({REG0!r} + (u % 21) * {W!r} + ((u{d}21) % 9000) + 0.5
+            AS DOUBLE) AS x,
+       CAST({REGY0!r} + ((u{d}189000) % 12000) + 0.25 AS DOUBLE) AS y
+FROM (SELECT event_id, (event_id * 2654435761 + 23) % 2147483648 AS u
+      FROM {table})
+"""
+
+
+def segments_select_sql(dialect: str, table: str = "orders") -> str:
+    """Deterministic street segments inside the commune band: one per
+    distinct ``o_orderkey % 500``, anchored in an x slot 0..18 with an
+    integer direction/length drawn from the key hash. Endpoints are
+    integer-valued doubles; segment lengths span 100..2000 m."""
+    d = " div " if dialect == "spark" else " // "
+    return f"""
+SELECT DISTINCT seg_id,
+       CAST({REG0!r} + (v % 19) * {W!r} + ((v{d}19) % 8000) AS DOUBLE) AS x1,
+       CAST({REGY0!r} + ((v{d}152000) % 8000) AS DOUBLE) AS y1,
+       CAST({REG0!r} + (v % 19) * {W!r} + ((v{d}19) % 8000)
+            + (100 + (v{d}3) % 1900) * (CASE (v{d}7) % 3
+                 WHEN 0 THEN -1 WHEN 1 THEN 0 ELSE 1 END) AS DOUBLE) AS x2,
+       CAST({REGY0!r} + ((v{d}152000) % 8000)
+            + (100 + (v{d}5) % 1900) * (CASE (v{d}11) % 3
+                 WHEN 0 THEN -1 WHEN 1 THEN 0 ELSE 1 END) AS DOUBLE) AS y2
+FROM (SELECT o_orderkey % 500 AS seg_id,
+             ((o_orderkey % 500) * 2654435761 + 37) % 2147483648 AS v
+      FROM {table})
+"""

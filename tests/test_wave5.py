@@ -1,0 +1,227 @@
+"""Wave-5 operator tests: trajectories, map-matching, spatial stats,
+spherical area, containment, coverage gaps."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# trajectory
+# ---------------------------------------------------------------------------
+
+
+def test_staypoints_islands(spark):
+    # user 1: dwell (3 pts within 50 m), jump 1000 m, dwell (2 pts —
+    # below min_pts), user 2: one long dwell of 4
+    rows = [
+        (1, 1, 0.0, 0.0), (1, 2, 10.0, 0.0), (1, 3, 20.0, 5.0),
+        (1, 4, 1020.0, 5.0), (1, 5, 1030.0, 5.0),
+        (2, 1, 500.0, 500.0), (2, 2, 505.0, 500.0),
+        (2, 3, 510.0, 500.0), (2, 4, 515.0, 500.0),
+    ]
+    from bano_spark.operators.trajectory import staypoints
+
+    df = _df(spark, rows, "user_id long, ts long, x double, y double")
+    out = staypoints(df, radius=50.0, min_pts=3).orderBy("user_id").collect()
+    assert len(out) == 2
+    u1, u2 = out
+    assert (u1["user_id"], u1["n_pts"]) == (1, 3)
+    assert u1["cx"] == pytest.approx(10.0)
+    assert (u2["user_id"], u2["n_pts"]) == (2, 4)
+    assert u2["cx"] == pytest.approx(507.5)
+
+
+def test_trajectory_stats_straightness(spark):
+    # straight east walk: straightness 1; back-and-forth: net 0
+    rows = [(1, i, float(i * 100), 0.0) for i in range(1, 5)]
+    rows += [(2, 1, 0.0, 0.0), (2, 2, 100.0, 0.0), (2, 3, 0.0, 0.0)]
+    from bano_spark.operators.trajectory import trajectory_stats
+
+    df = _df(spark, rows, "user_id long, ts long, x double, y double")
+    out = {r["user_id"]: r for r in trajectory_stats(df).collect()}
+    assert out[1]["total_dist_m"] == pytest.approx(300.0)
+    assert out[1]["straightness"] == pytest.approx(1.0)
+    assert out[2]["total_dist_m"] == pytest.approx(200.0)
+    assert out[2]["net_disp_m"] == 0.0
+    assert out[2]["straightness"] == 0.0
+
+
+def test_move_sectors_classification(spark):
+    # one step per compass direction, magnitude 100 (+ jitter on N)
+    steps = {"N": (5.0, 100.0), "NE": (100.0, 100.0), "E": (100.0, -5.0),
+             "SE": (100.0, -100.0), "S": (0.0, -100.0), "SW": (-100.0, -100.0),
+             "W": (-100.0, 0.0), "NW": (-100.0, 100.0)}
+    rows = []
+    for i, (sec, (dx, dy)) in enumerate(sorted(steps.items())):
+        rows += [(i, 1, 0.0, 0.0), (i, 2, dx, dy)]
+    from bano_spark.operators.trajectory import move_sectors
+
+    df = _df(spark, rows, "user_id long, ts long, x double, y double")
+    out = {r["sector"]: r["n_moves"]
+           for r in move_sectors(df, min_move=50.0).collect()}
+    assert out == {s: 1 for s in steps}
+
+
+def test_move_sectors_min_move_excludes_jitter(spark):
+    rows = [(1, 1, 0.0, 0.0), (1, 2, 3.0, 4.0), (1, 3, 3.0, 104.0)]
+    from bano_spark.operators.trajectory import move_sectors
+
+    df = _df(spark, rows, "user_id long, ts long, x double, y double")
+    out = move_sectors(df, min_move=50.0).collect()
+    assert len(out) == 1 and out[0]["sector"] == "N" and out[0]["n_moves"] == 1
+
+
+# ---------------------------------------------------------------------------
+# map-matching
+# ---------------------------------------------------------------------------
+
+
+def test_snap_to_segments_picks_nearest_and_clamps(spark):
+    segs = _df(spark, [
+        (1, 0.0, 0.0, 1000.0, 0.0),      # horizontal
+        (2, 0.0, 500.0, 1000.0, 500.0),  # farther horizontal
+        (3, 5000.0, 0.0, 5000.0, 0.0),   # degenerate point-segment
+    ], "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    pts = _df(spark, [
+        (10, 400.0, 100.0),   # 100 m to seg 1, 400 m to seg 2
+        (11, 1200.0, 30.0),   # beyond seg 1's end: clamped to (1000, 0)
+        (12, 5000.0, 90.0),   # 90 m above the degenerate segment
+        (13, 9999.0, 9999.0),  # nothing in range -> dropped
+    ], "event_id long, x double, y double")
+    from bano_spark.operators.mapmatch import snap_to_segments
+
+    out = {r["event_id"]: r
+           for r in snap_to_segments(pts, segs, 500.0).collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[10]["seg_id"] == 1 and out[10]["dist_m"] == pytest.approx(100.0)
+    assert (out[11]["snap_x"], out[11]["snap_y"]) == (1000.0, 0.0)
+    assert out[11]["dist_m"] == pytest.approx(math.hypot(200.0, 30.0), abs=1e-3)
+    assert out[12]["seg_id"] == 3 and out[12]["dist_m"] == pytest.approx(90.0)
+
+
+def test_snap_tie_breaks_by_seg_id(spark):
+    segs = _df(spark, [
+        (7, 0.0, 100.0, 1000.0, 100.0),
+        (4, 0.0, -100.0, 1000.0, -100.0),
+    ], "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    pts = _df(spark, [(1, 500.0, 0.0)], "event_id long, x double, y double")
+    from bano_spark.operators.mapmatch import snap_to_segments
+
+    out = snap_to_segments(pts, segs, 500.0).collect()
+    assert len(out) == 1 and out[0]["seg_id"] == 4  # equidistant -> min id
+
+
+# ---------------------------------------------------------------------------
+# spatial stats / geodesy / hex KDE
+# ---------------------------------------------------------------------------
+
+
+def test_moran_positive_for_clustered_lattice(spark):
+    # two blobs: values 10 in one corner, 0 elsewhere -> positive I
+    cells = [(q, r, 10.0 if q < 2 and r < 2 else 0.0)
+             for q in range(5) for r in range(5)]
+    from bano_spark.operators.spatialstats import moran_i_hex
+
+    df = _df(spark, cells, "hq long, hr long, val double")
+    row = moran_i_hex(df).collect()[0]
+    assert row["n_cells"] == 25
+    assert row["moran_i"] > 0.3
+
+
+def test_moran_negative_for_checkerboard(spark):
+    cells = [(q, r, float((q + r) % 2))
+             for q in range(6) for r in range(6)]
+    from bano_spark.operators.spatialstats import moran_i_hex
+
+    df = _df(spark, cells, "hq long, hr long, val double")
+    # hex ring-1 includes (1,-1)/(-1,1) which SHARE parity on q+r, so
+    # the checkerboard is not perfectly anti-correlated — but still < 0
+    assert moran_i_hex(df).collect()[0]["moran_i"] < 0
+
+
+def test_spherical_area_matches_closed_form(spark):
+    from bano_spark.operators.geodesy import spherical_ring_area_m2
+
+    x0, y0, x1, y1 = 1000003.0, 2000000.0, 1010003.0, 2009503.0
+    ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+    df = spark.createDataFrame([(ring,)], "verts array<array<double>>")
+    got = df.select(spherical_ring_area_m2("verts").alias("a")).first()["a"]
+    r_m, r_e = 6378137.0, 6371008.8
+    lam0, lam1 = x0 / r_m, x1 / r_m
+    phi0 = 2 * math.atan(math.exp(y0 / r_m)) - math.pi / 2
+    phi1 = 2 * math.atan(math.exp(y1 / r_m)) - math.pi / 2
+    want = r_e * r_e * (lam1 - lam0) * (math.sin(phi1) - math.sin(phi0))
+    assert got == pytest.approx(want, rel=1e-9)
+    # sanity: ~10 km x ~9.5 km at ~17.5 deg N, Mercator shrink ~cos(phi)^2
+    assert got == pytest.approx(10000.0 * 9503.0 * math.cos(phi0) ** 2,
+                                rel=0.01)
+
+
+def test_hex_kde_weights(spark):
+    # single occupied cell with a lone neighbor at ring 2
+    from bano_spark.geo.hexgrid import hex_kring_weighted
+
+    df = _df(spark, [(0, 0, 9.0), (2, 0, 3.0)], "hq long, hr long, val double")
+    out = {(r["hq"], r["hr"]): r for r in hex_kring_weighted(df, k=2).collect()}
+    # cell (0,0): itself w=3 val 9, ring-2 neighbor w=1 val 3 -> 30/4
+    assert out[(0, 0)]["w_total"] == 4
+    assert out[(0, 0)]["kde"] == pytest.approx(30.0 / 4.0)
+    assert out[(2, 0)]["kde"] == pytest.approx((3 * 3.0 + 1 * 9.0) / 4.0)
+
+
+# ---------------------------------------------------------------------------
+# containment vs jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    big = " ".join(f"tok{i}" for i in range(40))
+    half = " ".join(f"tok{i}" for i in range(20))
+    docs = _df(spark, [(1, big), (2, half)], "doc_id long, text string")
+    from bano_spark.operators.setsim import allpairs_jaccard, containment_pairs
+
+    jac = allpairs_jaccard(docs, 0.8).collect()
+    assert jac == []  # jaccard is 0.5 — invisible at tau 0.8
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in containment_pairs(docs, 0.9).collect()}
+    assert cont == {(2, 1): 1.0}  # half IS contained in big; not vice versa
+
+
+def test_containment_prefix_bound_exact_boundary(spark):
+    # |A| = 20, tau = 0.9 -> may miss exactly 2 tokens; engine must
+    # still find the pair when A misses exactly floor((1-tau)|A|)
+    a = " ".join(f"t{i}" for i in range(20))
+    b = " ".join(f"t{i}" for i in range(2, 20)) + " z1 z2 z3 z4"
+    docs = _df(spark, [(1, a), (2, b)], "doc_id long, text string")
+    from bano_spark.operators.setsim import containment_pairs
+
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in containment_pairs(docs, 0.9).collect()}
+    assert got == {(1, 2): 0.9}
+
+
+# ---------------------------------------------------------------------------
+# coverage gaps (engine path on the synth fixture)
+# ---------------------------------------------------------------------------
+
+
+def test_coverage_gap_antijoin(spark):
+    from bano_spark import synth
+    from bano_spark.operators.pip_join import spatial_join
+
+    pts = _df(spark, [
+        (1, 1005003.5, 2000500.25),   # inside 01001
+        (2, 1500003.5, 2000500.25),   # east of everything
+        (3, 1005003.5, 2500000.25),   # north of the band
+    ], "event_id long, x double, y double")
+    polys = synth.commune_polygons_df(spark).filter(F.col("admin_level") == 8)
+    matched = spatial_join(pts, polys, id_col="insee_com")
+    gaps = pts.join(matched.select("event_id").distinct(),
+                    "event_id", "left_anti")
+    assert sorted(r["event_id"] for r in gaps.collect()) == [2, 3]
