@@ -172,3 +172,16 @@ def zorder_sql(tx: str, ty: str, bits: int = 16) -> str:
         terms.append(f"((({tx} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({ty} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def rect_cover_sequence(xmin, ymin, xmax, ymax, z: int):
+    """(tx_seq, ty_seq) column pair: the slippy-cell index ranges a
+    bbox covers at zoom ``z`` — explode both for the full cover. The
+    per-rect cell count is (w/cell + 2) * (h/cell + 2): bounded by
+    geometry, so the explode is never a blowup (pip_join's cover
+    discipline)."""
+    tx0 = tile_x(xmin, z)
+    tx1 = tile_x(xmax, z)
+    ty0 = tile_y(ymax, z)  # slippy y grows southward
+    ty1 = tile_y(ymin, z)
+    return F.sequence(tx0, tx1), F.sequence(ty0, ty1)

@@ -241,3 +241,43 @@ def minhash_jaccard_estimate(sig: DataFrame, pairs: DataFrame,
     return j.select(
         "id_a", "id_b",
         (matches.cast("double") / float(n_hashes)).alias("est_jaccard"))
+
+
+def minhash_containment_estimate(sig: DataFrame, sizes: DataFrame,
+                                 pairs: DataFrame, id_col: str = "doc_id",
+                                 n_hashes: int = 8) -> DataFrame:
+    """Sketch-based CONTAINMENT estimate for candidate pairs: from the
+    minhash Jaccard estimate J and the exact per-doc distinct-shingle
+    counts (na, nb), invert J = I / (na + nb - I) to the intersection
+    estimate I = J * (na + nb) / (1 + J), then C(a in b) = I / na —
+    the asymmetric doc-in-doc signal (setsim.containment_pairs is the
+    exact text-reading twin) at sketch cost: O(pairs * n_hashes), no
+    text access, so a 10^12-doc verify step never rereads the corpus.
+
+    ``sizes`` carries (id_col, n_shingles). All arithmetic is exact
+    rationals through IEEE-identical divisions — oracle-reproducible
+    bit-for-bit."""
+    est = minhash_jaccard_estimate(sig, pairs, id_col=id_col,
+                                   n_hashes=n_hashes)
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_shingles").alias("nb"))
+    inter = (F.col("est_jaccard") * (F.col("na") + F.col("nb"))
+             / (F.lit(1.0) + F.col("est_jaccard")))
+    return (est.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    F.round("est_jaccard", 6).alias("est_jaccard"),
+                    F.round(inter / F.col("na"), 6).alias("est_cont_a_in_b"),
+                    F.round(inter / F.col("nb"), 6).alias("est_cont_b_in_a")))
+
+
+def shingle_counts(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
+    """(id, n_shingles): distinct word-shingle count per document —
+    the exact size term the containment estimator needs; one pass,
+    pure array expressions."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingles_expr(text_col, shingle_n)))
+        .cast("bigint").alias("n_shingles"))

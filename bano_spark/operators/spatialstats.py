@@ -61,3 +61,49 @@ def moran_i_hex(cells: DataFrame, *, val_col: str = "val",
                     F.round((F.lit(float(n)) / F.col("w_pairs"))
                             * F.col("cross") / F.col("ss"), round_to)
                     .alias("moran_i")))
+
+
+def getis_ord_hex(cells: DataFrame, k: int = 1, *, val_col: str = "val",
+                  round_to: int = 6) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-score per occupied hex cell over the
+    k-ring disk (weights 1, self included — the * variant; public
+    formulation: Getis & Ord 1992):
+
+        Gi* = (S_i - mean * m_i)
+              / (s * sqrt((n * m_i - m_i^2) / (n - 1)))
+
+    with S_i the ring sum, m_i the OCCUPIED ring size (sparse-lattice
+    convention, matching hexgrid.hex_kring_smooth), mean/s the global
+    moments. Global moments come from one exact aggregate (integer
+    sums) shipped as literals; ring sums from the bounded offset
+    explode — the same two-pass shape as :func:`moran_i_hex`."""
+    from ..geo.hexgrid import hex_kring_offsets
+
+    g = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(val_col) / F.count(F.lit(1))).alias("mean"),
+        (F.sum(F.col(val_col) ** 2) / F.count(F.lit(1))).alias("msq"),
+    ).collect()[0]
+    n, mean = int(g["n"]), float(g["mean"])
+    import math
+
+    s = math.sqrt(float(g["msq"]) - mean * mean)
+
+    offs = F.array(*[F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+                     for dq, dr in hex_kring_offsets(k)])
+    contrib = (cells.select("hq", "hr", val_col,
+                            F.explode(offs).alias("o"))
+               .select((F.col("hq") + F.col("o.dq")).alias("hq"),
+                       (F.col("hr") + F.col("o.dr")).alias("hr"),
+                       F.col(val_col)))
+    rings = (contrib.groupBy("hq", "hr")
+             .agg(F.sum(val_col).alias("s_i"),
+                  F.count(F.lit(1)).alias("m_i")))
+    out = rings.join(cells.select("hq", "hr").distinct(), ["hq", "hr"])
+    m_i = F.col("m_i").cast("double")
+    denom = F.lit(s) * F.sqrt((F.lit(float(n)) * m_i - m_i * m_i)
+                              / F.lit(float(n - 1)))
+    return out.select(
+        "hq", "hr", F.col("m_i").cast("bigint").alias("ring_size"),
+        F.round((F.col("s_i") - F.lit(mean) * m_i) / denom, round_to)
+        .alias("gi_z"))

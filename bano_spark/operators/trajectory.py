@@ -168,3 +168,44 @@ def move_sectors(
             .agg(F.count(F.lit(1)).alias("n_moves"),
                  F.countDistinct(track_col).alias("n_tracks"),
                  F.round(F.sum("_d"), 3).alias("total_dist_m")))
+
+
+def od_matrix(
+    traj: DataFrame,
+    zoom: int = 12,
+    *,
+    track_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    x: str = "x",
+    y: str = "y",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Origin-destination matrix at slippy-cell resolution: each
+    track's first and last point are binned to their zoom-``zoom``
+    cells and the (origin_cell -> destination_cell) flows counted —
+    the standard OD rollup of mobility warehouses.
+
+    One partitioned window (first/last per track), one row per track,
+    one groupBy on the four cell indices: shuffle is O(tracks), and
+    the cell binning is the engine's pure-arithmetic tile math."""
+    from ..geo import tiles
+
+    order_cols = order_cols or [ts_col]
+    w = (Window.partitionBy(track_col)
+         .orderBy(*[F.asc(c) for c in order_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    ends = (traj
+            .withColumn("_ox", F.first(x).over(w))
+            .withColumn("_oy", F.first(y).over(w))
+            .withColumn("_dx", F.last(x).over(w))
+            .withColumn("_dy", F.last(y).over(w))
+            .groupBy(track_col)
+            .agg(F.first("_ox").alias("ox"), F.first("_oy").alias("oy"),
+                 F.first("_dx").alias("dx"), F.first("_dy").alias("dy")))
+    binned = (ends
+              .withColumn("o_tx", tiles.tile_x(F.col("ox"), zoom))
+              .withColumn("o_ty", tiles.tile_y(F.col("oy"), zoom))
+              .withColumn("d_tx", tiles.tile_x(F.col("dx"), zoom))
+              .withColumn("d_ty", tiles.tile_y(F.col("dy"), zoom)))
+    return (binned.groupBy("o_tx", "o_ty", "d_tx", "d_ty")
+            .agg(F.count(F.lit(1)).alias("n_trips")))

@@ -502,3 +502,261 @@ def v_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     q.stop()
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# v11 — origin-destination matrix: each user's first -> last point
+# binned to zoom-12 slippy cells, flows counted. Engine: one
+# partitioned first/last window + one groupBy on the four cell
+# indices (operators/trajectory.od_matrix); oracle: the same tile
+# arithmetic inline.
+# ---------------------------------------------------------------------------
+
+
+def _v11_oracle() -> str:
+    from bano_spark.geo import tiles
+
+    cs = repr(tiles.cell_size(12))
+    return f"""
+WITH t AS ({synth.traj_select_sql('duckdb')}),
+e AS (
+  SELECT user_id,
+         first_value(x) OVER w AS ox, first_value(y) OVER w AS oy,
+         last_value(x) OVER w AS dx, last_value(y) OVER w AS dy,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+ends AS (SELECT * FROM e WHERE rn = 1)
+SELECT CAST(floor((ox - ({tiles.ORIGIN!r})) / {cs}) AS BIGINT) AS o_tx,
+       CAST(floor(({-tiles.ORIGIN!r} - oy) / {cs}) AS BIGINT) AS o_ty,
+       CAST(floor((dx - ({tiles.ORIGIN!r})) / {cs}) AS BIGINT) AS d_tx,
+       CAST(floor(({-tiles.ORIGIN!r} - dy) / {cs}) AS BIGINT) AS d_ty,
+       CAST(count(*) AS BIGINT) AS n_trips
+FROM ends GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+"""
+
+
+@register("od_matrix_tiles", _v11_oracle())
+def v_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.trajectory import od_matrix
+
+    out = od_matrix(_traj(spark, sf_dir), zoom=12)
+    return (out.select("o_tx", "o_ty", "d_tx", "d_ty", "n_trips")
+            .orderBy("o_tx", "o_ty", "d_tx", "d_ty"))
+
+
+# ---------------------------------------------------------------------------
+# v12 — Getis-Ord Gi* hot spots over the hex-binned counts: local
+# z-score of each cell's ring-1 disk sum against the global moments.
+# The oracle repeats the identical formula with the identical
+# operation order (all moments from exact integer sums).
+# ---------------------------------------------------------------------------
+
+_V12_ORACLE = f"""
+WITH {_v06_cells('duckdb')},
+st AS (SELECT count(*) AS n, sum(val) / count(*) AS m,
+              sum(val * val) / count(*) AS msq
+       FROM cells),
+rings AS (
+  SELECT a.hq, a.hr, sum(b.val) AS s_i,
+         CAST(count(*) AS DOUBLE) AS m_i
+  FROM cells a JOIN cells b
+    ON greatest(abs(a.hq - b.hq), abs(a.hr - b.hr),
+                abs((a.hq + a.hr) - (b.hq + b.hr))) <= 1
+  GROUP BY a.hq, a.hr
+)
+SELECT hq, hr, CAST(m_i AS BIGINT) AS ring_size,
+       round((s_i - (SELECT m FROM st) * m_i)
+             / (sqrt((SELECT msq FROM st)
+                     - (SELECT m FROM st) * (SELECT m FROM st))
+                * sqrt((CAST((SELECT n FROM st) AS DOUBLE) * m_i - m_i * m_i)
+                       / CAST((SELECT n FROM st) - 1 AS DOUBLE))), 6) AS gi_z
+FROM rings ORDER BY hq, hr
+"""
+
+
+@register("getis_ord_hotspots", _V12_ORACLE)
+def v_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.spatialstats import getis_ord_hex
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    cells = spark.sql("WITH " + _v06_cells("spark") + " SELECT * FROM cells")
+    return (getis_ord_hex(cells, k=1, val_col="val")
+            .orderBy("hq", "hr"))
+
+
+# ---------------------------------------------------------------------------
+# v13 — morphological classification of the occupied cell set:
+# interior (erosion), boundary (set minus erosion), halo (dilation
+# minus set) — the raster dilate/erode pair on the sparse hex
+# lattice. Oracle: EXISTS/NOT EXISTS over the 6-neighbor VALUES list.
+# ---------------------------------------------------------------------------
+
+_V13_ORACLE = f"""
+WITH {_v06_cells('duckdb')},
+occ AS (SELECT DISTINCT hq, hr FROM cells),
+nbr AS (
+  SELECT a.hq + d.dq AS hq, a.hr + d.dr AS hr
+  FROM occ a, (VALUES (1, 0), (-1, 0), (0, 1),
+                      (0, -1), (1, -1), (-1, 1)) d(dq, dr)
+),
+cnt AS (SELECT hq, hr, count(*) AS n FROM nbr GROUP BY hq, hr)
+SELECT o.hq, o.hr,
+       CASE WHEN coalesce(c.n, 0) = 6 THEN 'interior'
+            ELSE 'boundary' END AS cls,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_occ_nbrs
+FROM occ o LEFT JOIN cnt c ON c.hq = o.hq AND c.hr = o.hr
+UNION ALL
+SELECT c.hq, c.hr, 'halo', CAST(c.n AS BIGINT)
+FROM cnt c
+WHERE NOT EXISTS (SELECT 1 FROM occ o
+                  WHERE o.hq = c.hq AND o.hr = c.hr)
+ORDER BY hq, hr, cls
+"""
+
+
+@register("hex_morphology_classes", _V13_ORACLE)
+def v_hex_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.geo.hexgrid import hex_morphology
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    cells = spark.sql("WITH " + _v06_cells("spark") + " SELECT * FROM cells")
+    return (hex_morphology(cells)
+            .withColumn("n_occ_nbrs", F.col("n_occ_nbrs").cast("bigint"))
+            .orderBy("hq", "hr", "cls"))
+
+
+# ---------------------------------------------------------------------------
+# v14 — sketch-based containment estimate on LSH candidate pairs:
+# invert the minhash Jaccard estimate to an intersection estimate
+# (I = J(na+nb)/(1+J)) and divide by the exact per-doc distinct-
+# shingle counts — the O(pairs * n_hashes) doc-in-doc verify that
+# never rereads text (setsim.containment_pairs is the exact twin).
+# The sig/band SQL below is kept textually identical to
+# __spark_entry__._sig_cte / the q21 bands (the oracle gate proves
+# both against the same engine output; a direct import would be
+# circular at module-import time).
+# ---------------------------------------------------------------------------
+
+_V14_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_V14_SHINGLES = (f"CASE WHEN len({_V14_TOKS}) >= 3 THEN "
+                 f"list_transform(generate_series(0, len({_V14_TOKS}) - 3), "
+                 f"i -> array_to_string(list_slice({_V14_TOKS}, i + 1, i + 3), ' ')) "
+                 f"ELSE [array_to_string({_V14_TOKS}, ' ')] END")
+
+
+def _v14_sig_cte() -> str:
+    mins = ",\n         ".join(
+        f"list_min(list_transform(m{i // 4}, x -> substr(x, {8 * (i % 4) + 1}, 8))) AS h{i}"
+        for i in range(8))
+    blocks = ",\n               ".join(
+        f"list_transform(sh, s -> md5('b{b}|' || s)) AS m{b}" for b in range(2))
+    return (f"sig AS (SELECT doc_id,\n         {mins}\n"
+            f"  FROM (SELECT doc_id,\n               {blocks}\n"
+            f"        FROM (SELECT doc_id, {_V14_SHINGLES} AS sh FROM documents)))")
+
+
+_V14_ORACLE = f"""
+WITH {_v14_sig_cte()},
+sizes AS (
+  SELECT doc_id, CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles
+  FROM (SELECT doc_id, {_V14_SHINGLES} AS sh FROM documents)
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                            AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.id_a, p.id_b,
+         CAST({' + '.join(f'CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END'
+                          for i in range(8))} AS DOUBLE) / 8.0 AS ej
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b
+)
+SELECT e.id_a, e.id_b, round(e.ej, 6) AS est_jaccard,
+       round((e.ej * (za.n_shingles + zb.n_shingles) / (1.0 + e.ej))
+             / za.n_shingles, 6) AS est_cont_a_in_b,
+       round((e.ej * (za.n_shingles + zb.n_shingles) / (1.0 + e.ej))
+             / zb.n_shingles, 6) AS est_cont_b_in_a
+FROM est e
+JOIN sizes za ON za.doc_id = e.id_a
+JOIN sizes zb ON zb.doc_id = e.id_b
+ORDER BY id_a, id_b
+"""
+
+
+@register("minhash_containment_est", _V14_ORACLE)
+def v_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import (lsh_candidate_pairs,
+                                            minhash_containment_estimate,
+                                            minhash_signature,
+                                            shingle_counts)
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = minhash_signature(docs)
+    pairs = lsh_candidate_pairs(sig)
+    sizes = shingle_counts(docs)
+    return (minhash_containment_estimate(sig, sizes, pairs)
+            .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# v15 — dissolve-by-attribute as distinct cell cover: per dept, the
+# number (and area) of distinct zoom-14 slippy cells covered by any
+# of its commune bboxes — overlapping geometries (the Paris umbrella
+# over its 9 arrondissements) count once, which IS the dissolve
+# semantics, computed without any polygon union: a bounded cover
+# explode + DISTINCT + groupBy, linear in total covered area.
+# ---------------------------------------------------------------------------
+
+
+def _v15_oracle() -> str:
+    from bano_spark.geo import tiles
+
+    cs = repr(tiles.cell_size(14))
+    km2 = repr(tiles.cell_size(14) * tiles.cell_size(14) / 1e6)
+    return f"""
+WITH r AS (
+  SELECT c.dept,
+         CAST(floor((c.xmin - ({tiles.ORIGIN!r})) / {cs}) AS BIGINT) AS tx0,
+         CAST(floor((c.xmax - ({tiles.ORIGIN!r})) / {cs}) AS BIGINT) AS tx1,
+         CAST(floor(({-tiles.ORIGIN!r} - c.ymax) / {cs}) AS BIGINT) AS ty0,
+         CAST(floor(({-tiles.ORIGIN!r} - c.ymin) / {cs}) AS BIGINT) AS ty1
+  FROM {synth.communes_values_sql()}
+),
+ex AS (SELECT dept, unnest(generate_series(tx0, tx1)) AS tx, ty0, ty1 FROM r),
+ey AS (SELECT dept, tx, unnest(generate_series(ty0, ty1)) AS ty FROM ex),
+cov AS (SELECT DISTINCT dept, tx, ty FROM ey)
+SELECT dept, CAST(count(*) AS BIGINT) AS n_cells,
+       round(count(*) * CAST({km2} AS DOUBLE), 6) AS area_km2
+FROM cov GROUP BY dept ORDER BY dept
+"""
+
+
+@register("dissolve_cell_area", _v15_oracle())
+def v_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.geo import tiles
+
+    polys = synth.communes_df(spark)
+    txs, tys = tiles.rect_cover_sequence(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), 14)
+    cov = (polys.select("dept", F.explode(txs).alias("tx"), tys.alias("_tys"))
+           .select("dept", "tx", F.explode("_tys").alias("ty"))
+           .distinct())
+    km2 = tiles.cell_size(14) * tiles.cell_size(14) / 1e6
+    return (cov.groupBy("dept")
+            .agg(F.count(F.lit(1)).alias("n_cells"))
+            .select("dept", "n_cells",
+                    F.round(F.col("n_cells") * F.lit(km2), 6).alias("area_km2"))
+            .orderBy("dept"))

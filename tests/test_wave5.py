@@ -225,3 +225,82 @@ def test_coverage_gap_antijoin(spark):
     gaps = pts.join(matched.select("event_id").distinct(),
                     "event_id", "left_anti")
     assert sorted(r["event_id"] for r in gaps.collect()) == [2, 3]
+
+
+# ---------------------------------------------------------------------------
+# wave 5b: OD matrix, Getis-Ord, morphology, sketch containment
+# ---------------------------------------------------------------------------
+
+
+def test_od_matrix_first_last(spark):
+    from bano_spark.geo import tiles
+    from bano_spark.operators.trajectory import od_matrix
+
+    rows = [(1, 1, 0.0, 0.0), (1, 2, 50000.0, 0.0), (1, 3, 100000.0, 0.0),
+            (2, 1, 0.0, 0.0), (2, 2, 100000.0, 0.0)]
+    df = _df(spark, rows, "user_id long, ts long, x double, y double")
+    out = od_matrix(df, zoom=12).collect()
+    assert len(out) == 1  # both users share the same O and D cells
+    r = out[0]
+    assert r["n_trips"] == 2
+    assert r["d_tx"] - r["o_tx"] == int(100000.0 // tiles.cell_size(12))
+
+
+def test_getis_ord_hotspot_sign(spark):
+    from bano_spark.operators.spatialstats import getis_ord_hex
+
+    cells = [(q, r, 100.0 if (q, r) == (2, 2) else 1.0)
+             for q in range(5) for r in range(5)]
+    df = _df(spark, cells, "hq long, hr long, val double")
+    out = {(r["hq"], r["hr"]): r["gi_z"] for r in getis_ord_hex(df).collect()}
+    # the outlier inflates the global s, capping its own z — still
+    # clearly the hottest cell on the lattice
+    assert out[(2, 2)] > 1.5 and out[(2, 2)] == max(out.values())
+    assert out[(0, 0)] < 0            # a cold corner
+
+
+def test_hex_morphology_classes(spark):
+    from bano_spark.geo.hexgrid import hex_morphology
+
+    # a filled ring-1 disk: center is interior, the 6 ring cells are
+    # boundary, and the halo is ring 2 (12 cells)
+    from bano_spark.geo.hexgrid import hex_kring_offsets
+
+    disk = [(dq, dr) for dq, dr in hex_kring_offsets(1)]
+    df = _df(spark, [(q, r, 1.0) for q, r in disk],
+             "hq long, hr long, val double")
+    out = hex_morphology(df).collect()
+    by_cls = {}
+    for r in out:
+        by_cls.setdefault(r["cls"], []).append((r["hq"], r["hr"]))
+    assert by_cls["interior"] == [(0, 0)]
+    assert len(by_cls["boundary"]) == 6
+    assert len(by_cls["halo"]) == 12
+
+
+def test_minhash_containment_estimate_exact_dup(spark):
+    from bano_spark.operators.dedup import (lsh_candidate_pairs,
+                                            minhash_containment_estimate,
+                                            minhash_signature,
+                                            shingle_counts)
+
+    text = " ".join(f"w{i}" for i in range(30))
+    docs = _df(spark, [(1, text), (2, text)], "doc_id long, text string")
+    sig = minhash_signature(docs)
+    pairs = lsh_candidate_pairs(sig)
+    out = minhash_containment_estimate(sig, shingle_counts(docs),
+                                       pairs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # identical docs: est J = 1, I = (na+nb)/2 = na -> containment 1
+    assert r["est_jaccard"] == 1.0
+    assert r["est_cont_a_in_b"] == 1.0 and r["est_cont_b_in_a"] == 1.0
+
+
+def test_shingle_counts(spark):
+    from bano_spark.operators.dedup import shingle_counts
+
+    docs = _df(spark, [(1, "a b c d"), (2, "x y")],
+               "doc_id long, text string")
+    got = {r["doc_id"]: r["n_shingles"] for r in shingle_counts(docs).collect()}
+    assert got == {1: 2, 2: 1}  # 3-shingles: "a b c","b c d"; short doc -> 1
