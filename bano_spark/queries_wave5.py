@@ -760,3 +760,91 @@ def v_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("dept", "n_cells",
                     F.round(F.col("n_cells") * F.lit(km2), 6).alias("area_km2"))
             .orderBy("dept"))
+
+
+# ---------------------------------------------------------------------------
+# v16 — STREAMING stay-point detection: the stateful incremental form
+# of staypoint_runs (applyInPandasWithState, keyed on the track id).
+# The feed is the trajectory fixture split into three time-ordered
+# file batches (maxFilesPerTrigger=1), so runs genuinely close across
+# micro-batch seams; the operator emits each run when a later
+# out-of-radius ping closes it, so the oracle is the batch islands
+# result RESTRICTED TO CLOSED RUNS (every run but each user's last).
+# ---------------------------------------------------------------------------
+
+_V16_ORACLE = f"""
+WITH t AS ({synth.traj_select_sql('duckdb')}),
+s AS (
+  SELECT user_id, seq, x, y,
+         lag(x) OVER w AS px, lag(y) OVER w AS py
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+b AS (
+  SELECT *, CASE WHEN px IS NULL
+                   OR (x - px) * (x - px) + (y - py) * (y - py) > 2500.0
+            THEN 1 ELSE 0 END AS brk
+  FROM s
+),
+r AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY seq
+                           ROWS UNBOUNDED PRECEDING) AS run
+  FROM b
+),
+runs AS (
+  SELECT user_id, run, CAST(count(*) AS BIGINT) AS n_pts,
+         sum(x) / count(*) AS cx, sum(y) / count(*) AS cy,
+         CAST(min(seq) AS BIGINT) AS seq_start,
+         CAST(max(seq) AS BIGINT) AS seq_end
+  FROM r GROUP BY user_id, run
+),
+mx AS (SELECT user_id, max(run) AS mr FROM runs GROUP BY user_id)
+SELECT runs.user_id AS user_id, runs.n_pts, runs.cx, runs.cy,
+       runs.seq_start, runs.seq_end
+FROM runs JOIN mx ON mx.user_id = runs.user_id
+WHERE runs.run < mx.mr AND n_pts >= 3
+ORDER BY runs.user_id, runs.seq_start
+"""
+
+
+@register("streaming_staypoint_runs", _V16_ORACLE)
+def v_streaming_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from bano_spark.streaming.stateful import streaming_staypoints
+
+    traj = _traj(spark, sf_dir).select("user_id", "ts", "event_id",
+                                       "seq", "x", "y")
+    feed_dir = tempfile.mkdtemp(prefix="v16_feed_")
+    try:
+        bounds = [(None, 20), (20, 40), (40, None)]
+        for i, (lo, hi) in enumerate(bounds):
+            part = traj
+            if lo is not None:
+                part = part.filter(F.col("seq") > lo)
+            if hi is not None:
+                part = part.filter(F.col("seq") <= hi)
+            part.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(feed_dir, f"batch{i}"))
+        # FileStreamSource orders by modification time: pin batch order
+        for i in range(3):
+            d = os.path.join(feed_dir, f"batch{i}")
+            t = 1_000_000_000 + i * 900
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (t, t))
+        feed = (spark.readStream.schema(traj.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed_dir + "/*"))
+        out = streaming_staypoints(feed.groupBy("user_id"))
+        qname = "v16_stream"
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = (spark.table(qname)
+                .orderBy("user_id", "seq_start").collect())
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "user_id bigint, n_pts bigint, cx double, cy double, "
+              "seq_start bigint, seq_end bigint")

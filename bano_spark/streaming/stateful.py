@@ -100,3 +100,103 @@ def streaming_exact_dedup(grouped, id_col: str = "doc_id"):
     return grouped.applyInPandasWithState(
         fn, DEDUP_OUTPUT_SCHEMA, DEDUP_STATE_SCHEMA, "update",
         GroupStateTimeout.NoTimeout)
+
+
+STAY_STATE_SCHEMA = StructType([
+    StructField("px", DoubleType()),
+    StructField("py", DoubleType()),
+    StructField("run_n", LongType()),
+    StructField("run_sx", DoubleType()),
+    StructField("run_sy", DoubleType()),
+    StructField("seq_start", LongType()),
+    StructField("seq", LongType()),
+])
+
+STAY_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_pts", LongType()),
+    StructField("cx", DoubleType()),
+    StructField("cy", DoubleType()),
+    StructField("seq_start", LongType()),
+    StructField("seq_end", LongType()),
+])
+
+
+def streaming_staypoints(grouped, *, radius: float = 50.0, min_pts: int = 3,
+                         x: str = "x", y: str = "y",
+                         order_cols: tuple[str, ...] = ("ts", "event_id")):
+    """Stateful stay-point segmentation over a per-user ping stream:
+    the per-key state carries the previous point and the OPEN run's
+    accumulators (count, coordinate sums, start sequence); each
+    micro-batch folds its (time-ordered) rows in, EMITS every run the
+    batch closes with >= min_pts points, and leaves the still-open run
+    in state — the incremental form of
+    operators/trajectory.staypoints, converging to exactly the batch
+    islands result restricted to CLOSED runs (a run only closes when a
+    later out-of-radius ping arrives, so the last run per user is
+    never emitted; the oracle states the same restriction).
+
+    Within each batch the break/run assignment is vectorized numpy
+    (shifted distances + cumsum); only the state seam touches
+    scalars. Centroid sums are exact integer-valued doubles, one
+    division at emit time — engine-portable bit-for-bit.
+
+    Scale shape: keyed state on the track id, O(points) through the
+    operator once; mega-track skew handled upstream exactly as in the
+    batch operator (salt or time-split the key)."""
+    import numpy as np
+
+    r2 = float(radius) ** 2
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            px, py, run_n, run_sx, run_sy, seq_start, seq = state.get
+        else:
+            px = py = None
+            run_n, run_sx, run_sy, seq_start, seq = 0, 0.0, 0.0, 1, 0
+        out = {"user_id": [], "n_pts": [], "cx": [], "cy": [],
+               "seq_start": [], "seq_end": []}
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(list(order_cols))
+            xs = pdf[x].to_numpy(dtype=float)
+            ys = pdf[y].to_numpy(dtype=float)
+            pxs = np.concatenate(([px if px is not None else np.nan], xs[:-1]))
+            pys = np.concatenate(([py if py is not None else np.nan], ys[:-1]))
+            d2 = (xs - pxs) ** 2 + (ys - pys) ** 2
+            brk = ~(d2 <= r2)  # NaN (no previous point) breaks too
+            # run index within this batch: 0 = continuation of the open
+            # run, 1.. = runs started by this batch's breaks
+            rid = np.cumsum(brk)
+            for r in range(0, int(rid[-1]) + 1):
+                m = rid == r
+                n_m = int(m.sum())
+                if n_m == 0:
+                    continue
+                first_seq = seq + int(np.argmax(m)) + 1
+                if r == 0:
+                    run_n += n_m
+                    run_sx += float(xs[m].sum())
+                    run_sy += float(ys[m].sum())
+                else:
+                    # a break: the previous run is now CLOSED
+                    if run_n >= min_pts:
+                        out["user_id"].append(key[0])
+                        out["n_pts"].append(run_n)
+                        out["cx"].append(run_sx / run_n)
+                        out["cy"].append(run_sy / run_n)
+                        out["seq_start"].append(seq_start)
+                        out["seq_end"].append(first_seq - 1)
+                    run_n = n_m
+                    run_sx = float(xs[m].sum())
+                    run_sy = float(ys[m].sum())
+                    seq_start = first_seq
+            seq += len(xs)
+            px, py = float(xs[-1]), float(ys[-1])
+        state.update((px, py, run_n, run_sx, run_sy, seq_start, seq))
+        yield pd.DataFrame(out)
+
+    return grouped.applyInPandasWithState(
+        fn, STAY_OUTPUT_SCHEMA, STAY_STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout)

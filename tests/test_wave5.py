@@ -304,3 +304,37 @@ def test_shingle_counts(spark):
                "doc_id long, text string")
     got = {r["doc_id"]: r["n_shingles"] for r in shingle_counts(docs).collect()}
     assert got == {1: 2, 2: 1}  # 3-shingles: "a b c","b c d"; short doc -> 1
+
+
+def test_streaming_staypoints_closes_runs_across_batch_seam(spark, tmp_path):
+    """A dwell run that SPANS the micro-batch seam must come out as
+    one stay; the final open run must not be emitted."""
+    import os
+
+    from bano_spark.streaming.stateful import streaming_staypoints
+
+    # user 1: dwell of 4 (rows 2 in batch A, 2 in batch B), jump,
+    # dwell of 3 (still open at stream end -> not emitted)
+    rows_a = [(1, 1, 1, 0.0, 0.0), (1, 2, 2, 10.0, 0.0)]
+    rows_b = [(1, 3, 3, 20.0, 0.0), (1, 4, 4, 30.0, 0.0),
+              (1, 5, 5, 1030.0, 0.0), (1, 6, 6, 1040.0, 0.0),
+              (1, 7, 7, 1050.0, 0.0)]
+    schema = "user_id long, ts long, event_id long, x double, y double"
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(da)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(db)
+    for d, t in ((da, 1_000_000_000), (db, 1_000_000_900)):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+    feed = (spark.readStream.schema(
+        spark.createDataFrame(rows_a, schema).schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(tmp_path) + "/*"))
+    out = streaming_staypoints(feed.groupBy("user_id"))
+    q = (out.writeStream.format("memory").queryName("t_stay")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("t_stay").collect()
+    q.stop()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_pts"], r["cx"], r["seq_start"], r["seq_end"]) == (4, 15.0, 1, 4)
