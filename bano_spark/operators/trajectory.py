@@ -209,3 +209,45 @@ def od_matrix(
               .withColumn("d_ty", tiles.tile_y(F.col("dy"), zoom)))
     return (binned.groupBy("o_tx", "o_ty", "d_tx", "d_ty")
             .agg(F.count(F.lit(1)).alias("n_trips")))
+
+
+def trip_legs(
+    traj: DataFrame,
+    *,
+    track_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    x: str = "x",
+    y: str = "y",
+    ts_col: str = "ts",
+    radius: float = 50.0,
+) -> DataFrame:
+    """Trips between stays: maximal runs of consecutive MOVING steps
+    (step length > ``radius``), the complement of :func:`staypoints`
+    under the same break rule. One row per leg with step count, total
+    length and endpoints-by-sequence. Same islands construction, same
+    scale shape (per-track windows + one groupBy)."""
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(track_col).orderBy(*[F.asc(c) for c in order_cols])
+    d2 = ((F.col(x) - F.col("_px")) ** 2 + (F.col(y) - F.col("_py")) ** 2)
+    stepped = (_steps(traj, track_col, order_cols, x, y)
+               .filter(F.col("_px").isNotNull())
+               .withColumn("_mov", F.when(
+                   d2 > F.lit(float(radius) ** 2), 1).otherwise(0))
+               .withColumn("_d", F.sqrt(d2))
+               # a leg starts where a moving step follows a non-moving
+               # one (or the track start): island id = running count of
+               # such starts, counted over moving steps only
+               .withColumn("_prevmov", F.lag("_mov").over(w))
+               .withColumn("_start", F.when(
+                   (F.col("_mov") == 1)
+                   & (F.coalesce(F.col("_prevmov"), F.lit(0)) == 0),
+                   1).otherwise(0))
+               .withColumn("_leg", F.sum("_start").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (stepped.filter(F.col("_mov") == 1)
+            .groupBy(track_col, "_leg")
+            .agg(F.count(F.lit(1)).alias("n_steps"),
+                 F.round(F.sum("_d"), 3).alias("leg_dist_m"),
+                 F.min(ts_col).alias("ts_start"),
+                 F.max(ts_col).alias("ts_end"))
+            .withColumnRenamed("_leg", "leg"))

@@ -323,3 +323,27 @@ def cdc_dup_spans(docs: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_spans"),
                  F.sum(F.col("e") - F.col("s")).cast("bigint")
                  .alias("dup_chars")))
+
+
+def latest_capture(pages: DataFrame, key_col: str = "page_key",
+                   ts_col: str = "warc_ts",
+                   tiebreak_col: str = "url") -> DataFrame:
+    """Crawl-recency dedup: one row per page key — the LATEST capture
+    (max ``ts_col``, ties broken by max ``tiebreak_col``) plus the
+    capture count. The standard Common-Crawl "keep the freshest
+    snapshot per URL" step before any content dedup.
+
+    One partitioned window over the key — shuffle O(rows) keyed by
+    page key; a hot key (a URL recrawled millions of times) is just a
+    heavy window partition and salts like any other (two-stage: per-
+    salt max, then max-of-max)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.desc(ts_col), F.desc(tiebreak_col)))
+    return (pages
+            .withColumn("_rk", F.row_number().over(w))
+            .withColumn("n_captures",
+                        F.count(F.lit(1)).over(Window.partitionBy(key_col)))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk"))

@@ -848,3 +848,100 @@ def v_streaming_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id bigint, n_pts bigint, cx double, cy double, "
               "seq_start bigint, seq_end bigint")
+
+
+# ---------------------------------------------------------------------------
+# v17 — crawl-recency dedup (keep the freshest capture per page): 4
+# consecutive page ids form one logical page recrawled 4 times; keep
+# the max (warc_ts, url) capture + the capture count. Engine: one
+# partitioned window over the synthesized pages table
+# (operators/webtext.latest_capture); oracle re-derives url/warc_ts
+# from DuckDB's range() — no page body needed.
+# ---------------------------------------------------------------------------
+
+_V17_N = 4000
+
+_V17_ORACLE = f"""
+WITH p AS (
+  SELECT id,
+         'https://crawl.example/'
+           || (['ban', 'osm', 'bal', 'fantoir'])[CAST(id % 4 AS INT) + 1]
+           || '/' || lpad(CAST(id AS VARCHAR), 10, '0') AS url,
+         TIMESTAMP '2024-10-16 00:00:00'
+           + to_seconds(CAST(id % 86400 AS BIGINT)) AS warc_ts
+  FROM range(0, {_V17_N}) t(id)
+),
+r AS (
+  SELECT *, id // 4 AS page_key,
+         row_number() OVER (PARTITION BY id // 4
+                            ORDER BY warc_ts DESC, url DESC) AS rk,
+         CAST(count(*) OVER (PARTITION BY id // 4) AS BIGINT) AS n_captures
+  FROM p
+)
+SELECT page_key, url, warc_ts, n_captures
+FROM r WHERE rk = 1 ORDER BY page_key
+"""
+
+
+@register("latest_capture_per_page", _V17_ORACLE)
+def v_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.webtext import latest_capture
+    from bano_spark.sources.pages import synth_pages_sql
+
+    pages = synth_pages_sql(spark, _V17_N)
+    keyed = pages.withColumn(
+        "page_key",
+        F.expr("CAST(substring_index(url, '/', -1) AS BIGINT) div 4"))
+    return (latest_capture(keyed)
+            .select("page_key", "url", "warc_ts", "n_captures")
+            .orderBy("page_key"))
+
+
+# ---------------------------------------------------------------------------
+# v18 — trip legs (the complement of staypoint_runs under the same
+# break rule): maximal runs of consecutive moving steps, with step
+# count, path length, and time span per leg.
+# ---------------------------------------------------------------------------
+
+_V18_ORACLE = f"""
+WITH t AS ({synth.traj_select_sql('duckdb')}),
+s AS (
+  SELECT user_id, ts, x, y,
+         lag(x) OVER w AS px, lag(y) OVER w AS py
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+m AS (
+  SELECT user_id, ts,
+         sqrt((x - px) * (x - px) + (y - py) * (y - py)) AS d,
+         CASE WHEN (x - px) * (x - px) + (y - py) * (y - py) > 2500.0
+              THEN 1 ELSE 0 END AS mov
+  FROM s WHERE px IS NOT NULL
+),
+st AS (
+  SELECT *, CASE WHEN mov = 1
+                  AND coalesce(lag(mov) OVER (PARTITION BY user_id
+                                              ORDER BY ts), 0) = 0
+            THEN 1 ELSE 0 END AS strt
+  FROM m
+),
+r AS (
+  SELECT *, SUM(strt) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS leg
+  FROM st
+)
+SELECT user_id, leg, CAST(count(*) AS BIGINT) AS n_steps,
+       round(sum(d), 3) AS leg_dist_m,
+       min(ts) AS ts_start, max(ts) AS ts_end
+FROM r WHERE mov = 1
+GROUP BY user_id, leg ORDER BY user_id, leg
+"""
+
+
+@register("trip_legs", _V18_ORACLE)
+def v_trip_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.trajectory import trip_legs
+
+    out = trip_legs(_traj(spark, sf_dir), radius=50.0)
+    return (out.select("user_id", "leg", "n_steps", "leg_dist_m",
+                       "ts_start", "ts_end")
+            .orderBy("user_id", "leg"))

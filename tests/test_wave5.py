@@ -338,3 +338,32 @@ def test_streaming_staypoints_closes_runs_across_batch_seam(spark, tmp_path):
     assert len(got) == 1
     r = got[0]
     assert (r["n_pts"], r["cx"], r["seq_start"], r["seq_end"]) == (4, 15.0, 1, 4)
+
+
+def test_latest_capture_keeps_freshest(spark):
+    from bano_spark.operators.webtext import latest_capture
+
+    rows = [(1, "2024-01-01 10:00:00", "u/a"),
+            (1, "2024-01-02 10:00:00", "u/b"),
+            (1, "2024-01-02 10:00:00", "u/c"),  # ts tie -> max url wins
+            (2, "2024-01-01 00:00:00", "u/d")]
+    df = spark.createDataFrame(
+        rows, "page_key long, warc_ts string, url string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    out = {r["page_key"]: r for r in latest_capture(df).collect()}
+    assert out[1]["url"] == "u/c" and out[1]["n_captures"] == 3
+    assert out[2]["url"] == "u/d" and out[2]["n_captures"] == 1
+
+
+def test_trip_legs_complement_staypoints(spark):
+    from bano_spark.operators.trajectory import trip_legs
+
+    # dwell(3) -> 2 moving steps -> dwell(2) -> 1 moving step
+    rows = [(1, 1, 0.0, 0.0), (1, 2, 10.0, 0.0), (1, 3, 20.0, 0.0),
+            (1, 4, 1020.0, 0.0), (1, 5, 2020.0, 0.0),
+            (1, 6, 2030.0, 0.0),
+            (1, 7, 3030.0, 0.0)]
+    df = _df(spark, rows, "user_id long, ts long, x double, y double")
+    out = trip_legs(df, radius=50.0).orderBy("leg").collect()
+    assert [(r["leg"], r["n_steps"], r["leg_dist_m"]) for r in out] == [
+        (1, 2, 2000.0), (2, 1, 1000.0)]
