@@ -146,3 +146,75 @@ def test_cells_to_rings_invariants(data):
         + sum(1 for (x, y) in cells if (x, y + 1) in cells)
     assert round(net, 6) == len(cells)
     assert per == 4 * len(cells) - 2 * adj
+
+
+# ---------------------------------------------------------------------------
+# wave-5 kernels
+# ---------------------------------------------------------------------------
+
+_TAN225 = 0.41421356237309503
+
+
+def _sector_cascade(dx: float, dy: float) -> str:
+    """Python twin of trajectory.sector_expr's comparison cascade."""
+    adx, ady = abs(dx), abs(dy)
+    if adx <= _TAN225 * ady:
+        return "N" if dy > 0 else "S"
+    if ady <= _TAN225 * adx:
+        return "E" if dx > 0 else "W"
+    if dx > 0 and dy > 0:
+        return "NE"
+    if dx > 0 and dy < 0:
+        return "SE"
+    if dx < 0 and dy < 0:
+        return "SW"
+    return "NW"
+
+
+@given(dx=st.integers(min_value=-10**6, max_value=10**6),
+       dy=st.integers(min_value=-10**6, max_value=10**6))
+@settings(max_examples=500, deadline=None)
+def test_sector_cascade_matches_atan2(dx, dy):
+    """The transcendental-free comparison cascade must agree with the
+    atan2 ground truth for every nonzero integer step vector (exact
+    ties with tan(22.5 deg) are impossible on integers)."""
+    import math
+
+    if dx == 0 and dy == 0:
+        return
+    ang = math.degrees(math.atan2(dx, dy)) % 360.0  # 0 = North, cw
+    idx = int(((ang + 22.5) % 360.0) // 45.0)
+    want = ["N", "NE", "E", "SE", "S", "SW", "W", "NW"][idx]
+    assert _sector_cascade(float(dx), float(dy)) == want
+
+
+@given(k=st.integers(min_value=0, max_value=6))
+@settings(max_examples=20, deadline=None)
+def test_hex_kring_disk_size_and_distance(k):
+    from bano_spark.geo.hexgrid import hex_kring_offsets
+
+    offs = hex_kring_offsets(k)
+    assert len(offs) == 3 * k * (k + 1) + 1
+    assert len(set(offs)) == len(offs)
+    for dq, dr in offs:
+        assert max(abs(dq), abs(dr), abs(dq + dr)) <= k
+    # symmetry: the disk is closed under negation
+    assert set(offs) == {(-dq, -dr) for dq, dr in offs}
+
+
+@given(px=st.integers(-1000, 1000), py=st.integers(-1000, 1000),
+       x1=st.integers(-1000, 1000), y1=st.integers(-1000, 1000),
+       x2=st.integers(-1000, 1000), y2=st.integers(-1000, 1000))
+@settings(max_examples=300, deadline=None)
+def test_clamped_projection_is_optimal(px, py, x1, y1, x2, y2):
+    """The closed-form clamped projection (mapmatch/w31 kernel) must
+    never be beaten by any sampled point on the segment."""
+    dx, dy = x2 - x1, y2 - y1
+    d2seg = dx * dx + dy * dy
+    t = ((px - x1) * dx + (py - y1) * dy) / d2seg if d2seg > 0 else 0.0
+    tc = min(max(t, 0.0), 1.0)
+    best = (px - (x1 + tc * dx)) ** 2 + (py - (y1 + tc * dy)) ** 2
+    for i in range(21):
+        ts = i / 20.0
+        d2 = (px - (x1 + ts * dx)) ** 2 + (py - (y1 + ts * dy)) ** 2
+        assert best <= d2 + 1e-6 * max(1.0, d2)

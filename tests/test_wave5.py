@@ -367,3 +367,19 @@ def test_trip_legs_complement_staypoints(spark):
     out = trip_legs(df, radius=50.0).orderBy("leg").collect()
     assert [(r["leg"], r["n_steps"], r["leg_dist_m"]) for r in out] == [
         (1, 2, 2000.0), (2, 1, 1000.0)]
+
+
+def test_staypoints_partitioning_invariance(spark):
+    """Same output at any input partitioning — the per-track windows
+    must fully determine the result."""
+    from bano_spark import synth
+    from bano_spark.operators.trajectory import staypoints
+
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .createOrReplaceTempView("events")
+    traj = spark.sql(synth.traj_select_sql("spark"))
+    a = staypoints(traj.repartition(7), radius=50.0, min_pts=3) \
+        .orderBy("user_id", "ts_start").collect()
+    b = staypoints(traj.coalesce(1), radius=50.0, min_pts=3) \
+        .orderBy("user_id", "ts_start").collect()
+    assert a == b and len(a) > 0
