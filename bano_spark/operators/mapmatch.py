@@ -54,10 +54,13 @@ def snap_to_segments(
     max_zoom: int = 18,
     broadcast_segments: bool | None = None,
     broadcast_max_rows: int = 1_000_000,
+    with_t: bool = False,
 ) -> DataFrame:
     """Nearest segment within ``max_dist`` meters per point. Segments
     carry (seg_id, x1, y1, x2, y2). Returns (point_id, seg_id, snap_x,
     snap_y, dist_m); points with no segment in range are dropped.
+    ``with_t=True`` appends ``t`` — the clamped projection parameter in
+    [0, 1] along the segment (address-interpolation consumers).
 
     Ties on exact distance^2 break deterministically by seg_id."""
     zoom = min(max_zoom, max(0, int(math.floor(
@@ -102,14 +105,18 @@ def snap_to_segments(
     snap_y = F.col("y1") + tc * dy
     d2 = ((F.col(x) - snap_x) ** 2 + (F.col(y) - snap_y) ** 2)
     scored = (cand.withColumn("_sx", snap_x).withColumn("_sy", snap_y)
+              .withColumn("_tc", tc)
               .withColumn("_d2", d2)
               .filter(F.col("_d2") <= F.lit(float(max_dist) ** 2)))
 
     # 4. nearest per point, deterministic tie-break
     w = Window.partitionBy(point_id).orderBy(F.asc("_d2"), F.asc(seg_id))
+    cols = [point_id, seg_id,
+            F.round("_sx", 6).alias("snap_x"),
+            F.round("_sy", 6).alias("snap_y"),
+            F.round(F.sqrt("_d2"), 3).alias("dist_m")]
+    if with_t:
+        cols.append(F.col("_tc").alias("t"))
     return (scored.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
-            .select(point_id, seg_id,
-                    F.round("_sx", 6).alias("snap_x"),
-                    F.round("_sy", 6).alias("snap_y"),
-                    F.round(F.sqrt("_d2"), 3).alias("dist_m")))
+            .select(*cols))

@@ -945,3 +945,90 @@ def v_trip_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("user_id", "leg", "n_steps", "leg_dist_m",
                        "ts_start", "ts_end")
             .orderBy("user_id", "leg"))
+
+
+# ---------------------------------------------------------------------------
+# v19 — TIGER-style address-range interpolation: numbered points snap
+# to their nearest street segment (within 100 m), split by
+# housenumber parity (the odd/even side convention the reference's
+# rapprochement relies on), and each (segment, side) publishes its
+# interpolation range + a monotonicity quality bit (zero order
+# inversions of the (t, num) sequence in either direction). Oracle:
+# the brute-force nearest join + the same window statement.
+# ---------------------------------------------------------------------------
+
+_V19_NUM = "1 + ((event_id * 2654435761) % 2147483648{d}5) % 199"
+
+_V19_ORACLE = f"""
+WITH p AS ({synth.points_select_sql('duckdb')}),
+pn AS (
+  SELECT event_id, x, y,
+         CAST({_V19_NUM.format(d=' // ')} AS BIGINT) AS num
+  FROM p WHERE event_id % 3 = 1
+),
+segs AS ({synth.segments_select_sql('duckdb')}),
+cand AS (
+  SELECT pn.event_id, pn.num, s.seg_id, pn.x, pn.y, s.x1, s.y1,
+         s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy,
+         (s.x2 - s.x1) * (s.x2 - s.x1)
+           + (s.y2 - s.y1) * (s.y2 - s.y1) AS d2seg
+  FROM pn, segs s
+),
+proj AS (
+  SELECT event_id, num, seg_id, x, y, x1, y1, dx, dy,
+         least(greatest(CASE WHEN d2seg > 0
+              THEN ((x - x1) * dx + (y - y1) * dy) / d2seg
+              ELSE 0.0 END, 0.0), 1.0) AS tc
+  FROM cand
+),
+scored AS (
+  SELECT event_id, num, seg_id, tc,
+         (x - (x1 + tc * dx)) * (x - (x1 + tc * dx))
+           + (y - (y1 + tc * dy)) * (y - (y1 + tc * dy)) AS d2
+  FROM proj
+),
+best AS (
+  SELECT event_id, num, seg_id, tc,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY d2, seg_id) AS rk
+  FROM scored WHERE d2 <= 10000.0
+),
+sided AS (
+  SELECT seg_id, event_id, num, tc,
+         CASE WHEN num % 2 = 0 THEN 'even' ELSE 'odd' END AS side
+  FROM best WHERE rk = 1
+),
+seq AS (
+  SELECT *, lag(num) OVER (PARTITION BY seg_id, side
+                           ORDER BY tc, num, event_id) AS pnum
+  FROM sided
+),
+inv AS (
+  SELECT seg_id, side, num, tc,
+         CASE WHEN pnum IS NOT NULL AND num < pnum THEN 1 ELSE 0 END AS up,
+         CASE WHEN pnum IS NOT NULL AND num > pnum THEN 1 ELSE 0 END AS dn
+  FROM seq
+)
+SELECT seg_id, side, CAST(count(*) AS BIGINT) AS n_points,
+       min(num) AS num_min, max(num) AS num_max,
+       round(min(tc), 6) AS t_min, round(max(tc), 6) AS t_max,
+       (sum(up) = 0 OR sum(dn) = 0) AS monotone
+FROM inv GROUP BY seg_id, side ORDER BY seg_id, side
+"""
+
+
+@register("address_range_interpolation", _V19_ORACLE)
+def v_address_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.interpolation import address_ranges
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    pts = (spark.sql(synth.points_select_sql("spark"))
+           .filter(F.col("event_id") % 3 == 1)
+           .withColumn("num", F.expr(
+               f"CAST({_V19_NUM.format(d=' div ')} AS BIGINT)")))
+    segs = spark.sql(synth.segments_select_sql("spark"))
+    out = address_ranges(pts, segs, 100.0, point_id="event_id")
+    return (out.select("seg_id", "side", "n_points", "num_min", "num_max",
+                       "t_min", "t_max", "monotone")
+            .orderBy("seg_id", "side"))

@@ -383,3 +383,36 @@ def test_staypoints_partitioning_invariance(spark):
     b = staypoints(traj.coalesce(1), radius=50.0, min_pts=3) \
         .orderBy("user_id", "ts_start").collect()
     assert a == b and len(a) > 0
+
+
+def test_address_ranges_sides_and_monotone(spark):
+    from bano_spark.operators.interpolation import address_ranges
+
+    segs = _df(spark, [(1, 0.0, 0.0, 1000.0, 0.0)],
+               "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    # odd numbers increase along the axis (monotone); even numbers
+    # scrambled (1000 at t=.1, 2 at t=.5, 500 at t=.9 -> inversions
+    # both ways)
+    pts = _df(spark, [
+        (1, 1, 100.0, 10.0), (2, 5, 500.0, 10.0), (3, 17, 900.0, 10.0),
+        (4, 1000, 100.0, -10.0), (5, 2, 500.0, -10.0),
+        (6, 500, 900.0, -10.0),
+    ], "point_id long, num long, x double, y double")
+    out = {r["side"]: r
+           for r in address_ranges(pts, segs, 50.0).collect()}
+    odd, even = out["odd"], out["even"]
+    assert (odd["num_min"], odd["num_max"], odd["monotone"]) == (1, 17, True)
+    assert (even["num_min"], even["num_max"], even["monotone"]) == (2, 1000, False)
+    assert odd["t_min"] == pytest.approx(0.1) and odd["t_max"] == pytest.approx(0.9)
+
+
+def test_address_ranges_descending_is_monotone(spark):
+    from bano_spark.operators.interpolation import address_ranges
+
+    segs = _df(spark, [(1, 0.0, 0.0, 1000.0, 0.0)],
+               "seg_id long, x1 double, y1 double, x2 double, y2 double")
+    pts = _df(spark, [(1, 9, 100.0, 5.0), (2, 5, 500.0, 5.0),
+                      (3, 1, 900.0, 5.0)],
+              "point_id long, num long, x double, y double")
+    out = address_ranges(pts, segs, 50.0).collect()
+    assert len(out) == 1 and out[0]["monotone"] is True  # strictly falling
