@@ -78,3 +78,58 @@ def polygon_intersects_join(
             yield b.filter(pa_.array(keep)).select([id_a, id_b])
 
     return pairs.mapInArrow(refine, out_schema)
+
+
+def bbox_intersection_areas(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    zoom: int = 10,
+) -> DataFrame:
+    """Axis-aligned overlay: for every (left, right) bbox pair that
+    OVERLAPS (positive-area intersection), the exact intersection
+    area — the rectangle special case of ST_Intersection + ST_Area
+    the reference's postal/commune containment queries reduce to on
+    envelope geometries (general rings go through
+    :func:`polygon_intersects_join`'s refine kernel instead).
+
+    Candidates come from a shared cell-cover equi-join (each bbox
+    explodes its zoom-``zoom`` cover; pairs sharing >= 1 cell) and
+    are deduplicated per pair via the representative-cell trick: a
+    pair is KEPT only in the top-left cell of the intersection, so no
+    distinct shuffle over the candidate set is ever needed — the same
+    discipline as dwithin's single-home-cell guarantee.
+
+    Both frames carry (id, xmin, ymin, xmax, ymax). Scale shape: two
+    bounded cover explodes + one equi-join + a column filter; shuffle
+    O(covers), never O(|L| x |R|)."""
+    from ..geo import tiles
+
+    def cover(df, id_col, prefix):
+        txs, tys = tiles.rect_cover_sequence(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), zoom)
+        return (df.select(
+            F.col(id_col),
+            F.col("xmin").alias(f"{prefix}x0"),
+            F.col("ymin").alias(f"{prefix}y0"),
+            F.col("xmax").alias(f"{prefix}x1"),
+            F.col("ymax").alias(f"{prefix}y1"),
+            F.explode(txs).alias("_cx"), tys.alias("_tys"))
+            .select("*", F.explode("_tys").alias("_cy")).drop("_tys"))
+
+    lt = cover(left, left_id, "l")
+    rt = cover(right, right_id, "r")
+    ix0 = F.greatest("lx0", "rx0")
+    iy0 = F.greatest("ly0", "ry0")
+    ix1 = F.least("lx1", "rx1")
+    iy1 = F.least("ly1", "ry1")
+    # representative cell of the intersection: its top-left corner's
+    # cell — each overlapping pair matches in exactly one shared cell
+    rep = ((F.col("_cx") == tiles.tile_x(ix0, zoom))
+           & (F.col("_cy") == tiles.tile_y(iy1, zoom)))
+    return (lt.join(rt, ["_cx", "_cy"])
+            .filter((ix1 > ix0) & (iy1 > iy0) & rep)
+            .select(F.col(left_id), F.col(right_id),
+                    F.round((ix1 - ix0) * (iy1 - iy0), 6).alias("inter_area")))

@@ -1032,3 +1032,47 @@ def v_address_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select("seg_id", "side", "n_points", "num_min", "num_max",
                        "t_min", "t_max", "monotone")
             .orderBy("seg_id", "side"))
+
+
+# ---------------------------------------------------------------------------
+# v20 — axis-aligned overlay with exact intersection AREAS: commune
+# bboxes x postal bboxes. Candidates from a shared cell-cover
+# equi-join, deduped pair-per-representative-cell (the top-left cell
+# of the intersection) so no distinct shuffle exists; the oracle is
+# the direct O(n*m) overlap product.
+# ---------------------------------------------------------------------------
+
+_V20_ORACLE = f"""
+SELECT c.insee_com, pp.code_postal,
+       round((least(c.xmax, pp.xmax) - greatest(c.xmin, pp.xmin))
+             * (least(c.ymax, pp.ymax) - greatest(c.ymin, pp.ymin)),
+             6) AS inter_area
+FROM {synth.communes_values_sql()}, {synth.postal_values_sql()}
+WHERE least(c.xmax, pp.xmax) > greatest(c.xmin, pp.xmin)
+  AND least(c.ymax, pp.ymax) > greatest(c.ymin, pp.ymin)
+ORDER BY insee_com, code_postal
+"""
+
+
+@register("rect_intersection_areas", _V20_ORACLE)
+def v_rect_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.overlay import bbox_intersection_areas
+
+    communes = synth.communes_df(spark).select(
+        F.col("insee_com"), "xmin", "ymin", "xmax", "ymax")
+    # the postal fixture ships rings; rebuild its bbox columns from synth
+    from pyspark.sql import types as T
+
+    rows = [(p[0], p[1], p[2], p[3], p[4]) for p in synth.POSTAL]
+    schema = T.StructType([
+        T.StructField("code_postal", T.StringType()),
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ])
+    postal = spark.createDataFrame(rows, schema)
+    out = bbox_intersection_areas(communes, postal,
+                                  left_id="insee_com",
+                                  right_id="code_postal")
+    return out.orderBy("insee_com", "code_postal")

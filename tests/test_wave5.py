@@ -416,3 +416,20 @@ def test_address_ranges_descending_is_monotone(spark):
               "point_id long, num long, x double, y double")
     out = address_ranges(pts, segs, 50.0).collect()
     assert len(out) == 1 and out[0]["monotone"] is True  # strictly falling
+
+
+def test_bbox_intersection_dedup_across_cells(spark):
+    """A pair whose shared cover spans MANY cells must emit exactly one
+    row (representative-cell dedup), with the exact clip area."""
+    from bano_spark.operators.overlay import bbox_intersection_areas
+
+    left = _df(spark, [(1, 0.0, 0.0, 300000.0, 300000.0)],
+               "left_id long, xmin double, ymin double, xmax double, ymax double")
+    right = _df(spark, [(7, 100000.0, 100000.0, 500000.0, 250000.0),
+                        (8, 400000.0, 400000.0, 500000.0, 500000.0)],
+                "right_id long, xmin double, ymin double, xmax double, ymax double")
+    out = bbox_intersection_areas(left, right, zoom=10).collect()
+    assert len(out) == 1  # pair (1,7) once; (1,8) disjoint
+    r = out[0]
+    assert (r["left_id"], r["right_id"]) == (1, 7)
+    assert r["inter_area"] == 200000.0 * 150000.0
