@@ -251,3 +251,100 @@ def trip_legs(
                  F.min(ts_col).alias("ts_start"),
                  F.max(ts_col).alias("ts_end"))
             .withColumnRenamed("_leg", "leg"))
+
+
+def turn_classification(
+    traj: DataFrame,
+    *,
+    track_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    x: str = "x",
+    y: str = "y",
+    ts_col: str = "ts",
+    min_move: float = 0.0,
+) -> DataFrame:
+    """Turn-behavior histogram: consecutive MOVE vector pairs
+    classified as straight (|angle| < 45 deg), left, right, or u_turn
+    (|angle| > 135 deg) — entirely with cross/dot sign comparisons
+    (tan 45 = 1, so |angle| < 45 iff dot > 0 and |cross| < dot;
+    |angle| > 135 iff dot < 0 and |cross| < -dot): exact on
+    integer-valued steps, no transcendental anywhere.
+
+    Steps <= ``min_move`` are excluded BEFORE pairing (jitter inside a
+    stay must not read as a u-turn), so the classified pairs are
+    consecutive genuine moves. Same scale shape as move_sectors: one
+    per-track window chain + a 4-key aggregate."""
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(track_col).orderBy(*[F.asc(c) for c in order_cols])
+    dx = F.col(x) - F.col("_px")
+    dy = F.col(y) - F.col("_py")
+    d2 = dx ** 2 + dy ** 2
+    moves = (_steps(traj, track_col, order_cols, x, y)
+             .filter(F.col("_px").isNotNull())
+             .withColumn("_dx", dx).withColumn("_dy", dy)
+             .filter(d2 > F.lit(float(min_move) ** 2)))
+    paired = (moves
+              .withColumn("_pdx", F.lag("_dx").over(w))
+              .withColumn("_pdy", F.lag("_dy").over(w))
+              .filter(F.col("_pdx").isNotNull()))
+    dot = F.col("_pdx") * F.col("_dx") + F.col("_pdy") * F.col("_dy")
+    cross = F.col("_pdx") * F.col("_dy") - F.col("_pdy") * F.col("_dx")
+    turn = (F.when((dot > 0) & (F.abs(cross) < dot), "straight")
+            .when((dot < 0) & (F.abs(cross) < -dot), "u_turn")
+            .when(cross > 0, "left")
+            .otherwise("right"))
+    return (paired.withColumn("turn", turn)
+            .groupBy("turn")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.countDistinct(track_col).alias("n_tracks")))
+
+
+def colocation_pairs(
+    traj: DataFrame,
+    dist: float,
+    *,
+    track_col: str = "user_id",
+    bucket_col: str = "bucket",
+    point_id: str = "event_id",
+    x: str = "x",
+    y: str = "y",
+    min_cooccurrences: int = 1,
+) -> DataFrame:
+    """Co-location (companionship) mining: pairs of DISTINCT tracks
+    observed within ``dist`` meters in the same time bucket, with the
+    number of distinct co-located buckets per pair — the standard
+    trajectory-mining join behind contact graphs and travel-party
+    detection (public formulation: co-location pattern mining).
+
+    Candidates come from :func:`knn_join.dwithin_pairs` with the
+    bucket as an extra equality key — the self-join is bounded by
+    (cell x bucket) occupancy, never all-pairs; pair aggregation is
+    one groupBy on (track_a, track_b).
+
+    Point-level pairs within the SAME track are excluded; a pair of
+    tracks co-located at several points of one bucket counts that
+    bucket once (count DISTINCT buckets)."""
+    from .knn_join import dwithin_pairs
+
+    pts = traj.select(F.col(point_id), F.col(track_col), F.col(bucket_col),
+                      F.col(x), F.col(y))
+    pairs = dwithin_pairs(
+        pts.withColumnRenamed(track_col, "_trk"),
+        pts.withColumnRenamed(track_col, "_trk2"),
+        dist, left_id=point_id, right_id=point_id,
+        dedup_pairs=True, keys=(bucket_col,))
+    # join the track ids back on both point ids
+    a = pts.select(F.col(point_id).alias(f"{point_id}_a"),
+                   F.col(track_col).alias("track_a"))
+    b = pts.select(F.col(point_id).alias(f"{point_id}_b"),
+                   F.col(track_col).alias("track_b"))
+    joined = (pairs.join(a, f"{point_id}_a").join(b, f"{point_id}_b")
+              .filter(F.col("track_a") != F.col("track_b")))
+    # unordered track pair
+    ta = F.least("track_a", "track_b")
+    tb = F.greatest("track_a", "track_b")
+    return (joined.select(ta.alias("track_a"), tb.alias("track_b"),
+                          F.col(bucket_col))
+            .groupBy("track_a", "track_b")
+            .agg(F.countDistinct(bucket_col).alias("n_buckets"))
+            .filter(F.col("n_buckets") >= min_cooccurrences))

@@ -1076,3 +1076,166 @@ def v_rect_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   left_id="insee_com",
                                   right_id="code_postal")
     return out.orderBy("insee_com", "code_postal")
+
+
+# ---------------------------------------------------------------------------
+# v21 — turn-behavior histogram: consecutive genuine-move vector
+# pairs classified straight/left/right/u-turn with cross/dot sign
+# comparisons only (tan 45 = 1 makes the 45/135-degree boundaries
+# pure |cross| vs +-dot tests — exact on integer steps). The fixture
+# walks in 8 compass directions, so every pair sits EXACTLY on a
+# boundary or a sector center; both engines resolve identically.
+# ---------------------------------------------------------------------------
+
+_V21_ORACLE = f"""
+WITH t AS ({synth.traj_select_sql('duckdb')}),
+s AS (
+  SELECT user_id, ts, event_id,
+         x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+mv AS (
+  SELECT user_id, ts, event_id, dx, dy
+  FROM s WHERE dx IS NOT NULL AND dx * dx + dy * dy > 2500.0
+),
+pr AS (
+  SELECT user_id, dx, dy,
+         lag(dx) OVER w AS pdx, lag(dy) OVER w AS pdy
+  FROM mv WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+cl AS (
+  SELECT user_id,
+         CASE WHEN pdx * dx + pdy * dy > 0
+                   AND abs(pdx * dy - pdy * dx) < pdx * dx + pdy * dy
+              THEN 'straight'
+              WHEN pdx * dx + pdy * dy < 0
+                   AND abs(pdx * dy - pdy * dx) < -(pdx * dx + pdy * dy)
+              THEN 'u_turn'
+              WHEN pdx * dy - pdy * dx > 0 THEN 'left'
+              ELSE 'right' END AS turn
+  FROM pr WHERE pdx IS NOT NULL
+)
+SELECT turn, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_tracks
+FROM cl GROUP BY turn ORDER BY turn
+"""
+
+
+@register("turn_classification_histogram", _V21_ORACLE)
+def v_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.trajectory import turn_classification
+
+    out = turn_classification(_traj(spark, sf_dir), min_move=50.0)
+    return out.select("turn", "n_turns", "n_tracks").orderBy("turn")
+
+
+# ---------------------------------------------------------------------------
+# v22 — co-location (companionship) mining: distinct track pairs
+# within 2 km in the same 5-ping time bucket, counting distinct
+# co-located buckets per pair. Engine: dwithin_pairs with the bucket
+# as an extra equality key (candidates bounded by cell x bucket
+# occupancy); oracle: the bucket-keyed brute-force self-join.
+# ---------------------------------------------------------------------------
+
+_V22_DIST = 2000.0
+
+
+def _v22_points(dialect: str) -> str:
+    """Co-location fixture: 10 shared home squares (2 km side), 15
+    users each, one position per ping — users of one home are often
+    within 2 km of each other in the same bucket; users of different
+    homes never are (homes 5 km apart). Same exact-integer emitter
+    discipline as synth.py."""
+    d = " div " if dialect == "spark" else " // "
+    return f"""
+SELECT user_id, event_id,
+       CAST(1000003.0 + (user_id % 10) * 5000 + (u % 2000) AS DOUBLE) AS x,
+       CAST(2000003.0 + ((u{d}2000) % 2000) AS DOUBLE) AS y,
+       seq{d}5 AS bucket
+FROM (SELECT user_id, event_id,
+             (event_id * 2654435761 + 31) % 2147483648 AS u,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS seq
+      FROM events)
+"""
+
+
+_V22_ORACLE = f"""
+WITH tb AS ({_v22_points('duckdb')}),
+p AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, a.bucket
+  FROM tb a JOIN tb b
+    ON a.bucket = b.bucket AND a.event_id < b.event_id
+   AND a.user_id != b.user_id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {_V22_DIST * _V22_DIST!r}
+)
+SELECT least(ua, ub) AS track_a, greatest(ua, ub) AS track_b,
+       CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("colocation_pairs", _V22_ORACLE)
+def v_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.trajectory import colocation_pairs
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    traj = spark.sql(_v22_points("spark"))
+    out = colocation_pairs(traj, _V22_DIST)
+    return (out.select("track_a", "track_b", "n_buckets")
+            .orderBy("track_a", "track_b"))
+
+
+# ---------------------------------------------------------------------------
+# v23 — lag-1 autocorrelation per key: Pearson r over (v_t, v_{t-1})
+# pairs, computed from the five raw sums with IDENTICAL operation
+# order in both engines (no corr() built-in on either side, so the
+# formula — not a library — is what's checked).
+# ---------------------------------------------------------------------------
+
+_V23_ORACLE = """
+WITH s AS (
+  SELECT user_id, value AS vx,
+         lag(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS vy
+  FROM events
+),
+p AS (SELECT user_id, vx, vy FROM s WHERE vy IS NOT NULL),
+a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         sum(vx) AS sx, sum(vy) AS sy, sum(vx * vy) AS sxy,
+         sum(vx * vx) AS sxx, sum(vy * vy) AS syy
+  FROM p GROUP BY user_id
+)
+SELECT user_id, n,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+             6) AS lag1_r
+FROM a WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+ORDER BY user_id
+"""
+
+
+@register("lag1_autocorrelation", _V23_ORACLE)
+def v_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    p = (ev.withColumn("vy", F.lag("value").over(w))
+         .filter(F.col("vy").isNotNull())
+         .withColumnRenamed("value", "vx"))
+    a = (p.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("vx").alias("sx"), F.sum("vy").alias("sy"),
+              F.sum(F.col("vx") * F.col("vy")).alias("sxy"),
+              F.sum(F.col("vx") * F.col("vx")).alias("sxx"),
+              F.sum(F.col("vy") * F.col("vy")).alias("syy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den2 = ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+    return (a.filter(den2 > 0)
+            .select("user_id", "n",
+                    F.round(num / F.sqrt(den2), 6).alias("lag1_r"))
+            .orderBy("user_id"))

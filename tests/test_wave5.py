@@ -433,3 +433,37 @@ def test_bbox_intersection_dedup_across_cells(spark):
     r = out[0]
     assert (r["left_id"], r["right_id"]) == (1, 7)
     assert r["inter_area"] == 200000.0 * 150000.0
+
+
+def test_turn_classification_exact_angles(spark):
+    from bano_spark.operators.trajectory import turn_classification
+
+    # E then E (straight), E then N (left 90), E then S (right 90),
+    # E then W (u-turn); one user per case, jitter step filtered out
+    cases = {"straight": (100.0, 0.0), "left": (0.0, 100.0),
+             "right": (0.0, -100.0), "u_turn": (-100.0, 0.0)}
+    rows = []
+    for i, (name, (dx, dy)) in enumerate(sorted(cases.items())):
+        rows += [(i, 1, 0.0, 0.0), (i, 2, 100.0, 0.0),
+                 (i, 3, 100.0 + dx, dy)]
+    df = _df(spark, rows, "user_id long, ts long, x double, y double")
+    out = {r["turn"]: r["n_turns"]
+           for r in turn_classification(df, min_move=50.0).collect()}
+    assert out == {t: 1 for t in cases}
+
+
+def test_colocation_same_bucket_and_distance_required(spark):
+    from bano_spark.operators.trajectory import colocation_pairs
+
+    rows = [
+        # users 1/2: together in bucket 0 (50 m apart), bucket 1 far
+        (1, 1, 0, 0.0, 0.0), (2, 2, 0, 50.0, 0.0),
+        (1, 3, 1, 0.0, 0.0), (2, 4, 1, 50000.0, 0.0),
+        # users 1/3: close but DIFFERENT buckets -> no pair
+        (3, 5, 2, 0.0, 10.0), (1, 6, 3, 0.0, 0.0),
+    ]
+    df = _df(spark, rows,
+             "user_id long, event_id long, bucket long, x double, y double")
+    out = colocation_pairs(df, 200.0).collect()
+    assert len(out) == 1
+    assert (out[0]["track_a"], out[0]["track_b"], out[0]["n_buckets"]) == (1, 2, 1)
