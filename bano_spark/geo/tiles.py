@@ -185,3 +185,40 @@ def rect_cover_sequence(xmin, ymin, xmax, ymax, z: int):
     ty0 = tile_y(ymax, z)  # slippy y grows southward
     ty1 = tile_y(ymin, z)
     return F.sequence(tx0, tx1), F.sequence(ty0, ty1)
+
+
+def compact_cells(cells, zoom: int, levels: int = 1):
+    """H3-style ``compact``: replace every complete 4-child quad of
+    zoom-``zoom`` cells by its parent, iterating up to ``levels``
+    times — the mixed-resolution cover that ships interior area as
+    coarse cells and boundary as fine ones (the standalone form of
+    pip_join's quadtree-compacted broadcast cover).
+
+    ``cells``: DataFrame with (tx, ty) at ``zoom``. Returns
+    (z, tx, ty) mixed-resolution rows covering exactly the same area.
+
+    Scale shape per level: one groupBy on the parent key (count == 4
+    -> promote) + one anti-join for the kept children — shuffle
+    O(cells), output strictly smaller whenever any quad is full."""
+    from pyspark.sql import functions as F
+
+    out = []
+    cur = cells.select("tx", "ty").distinct()
+    z = zoom
+    for _ in range(levels):
+        parented = cur.withColumn("ptx", F.expr("tx div 2")) \
+                      .withColumn("pty", F.expr("ty div 2"))
+        full = (parented.groupBy("ptx", "pty")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") == 4)
+                .select("ptx", "pty"))
+        kept = (parented.join(full, ["ptx", "pty"], "left_anti")
+                .select(F.lit(z).alias("z"), "tx", "ty"))
+        out.append(kept)
+        cur = full.select(F.col("ptx").alias("tx"),
+                          F.col("pty").alias("ty"))
+        z -= 1
+    res = cur.select(F.lit(z).alias("z"), "tx", "ty")
+    for kept in out:
+        res = res.unionByName(kept)
+    return res

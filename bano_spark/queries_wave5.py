@@ -1239,3 +1239,148 @@ def v_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "n",
                     F.round(num / F.sqrt(den2), 6).alias("lag1_r"))
             .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# v24 — polyline resampling (ST_LineInterpolatePoint at k fractions):
+# 5 equally spaced points along each polyline, each an aggregate()
+# fold over the vertex arrays (zero shuffle; the w136 midpoint op
+# generalized to a fraction grid). The oracle replays the ordered
+# walk once per fraction.
+# ---------------------------------------------------------------------------
+
+_V24_FRACS = [i / 6.0 for i in range(1, 6)]
+
+
+def _v24_verts(dialect: str) -> str:
+    return """
+slots AS (
+  SELECT DISTINCT event_id % 12 AS a, event_id % 17 AS k
+  FROM events WHERE event_id % 17 < 4 + (event_id % 12) % 5
+),
+verts AS (
+  SELECT a AS line_id, k,
+         CAST(k * 100 + (a * 37) % 50 AS DOUBLE) AS x,
+         CAST(((k * k * 7 + a * 13) % 90) * 3 AS DOUBLE) AS y
+  FROM slots
+)"""
+
+
+def _v24_oracle() -> str:
+    fr = ", ".join(f"({i}, CAST({f!r} AS DOUBLE))"
+                   for i, f in enumerate(_V24_FRACS))
+    return f"""
+WITH {_v24_verts('duckdb')},
+fr(i, frac) AS (VALUES {fr}),
+segs AS (
+  SELECT line_id, k, x, y,
+         lead(x) OVER (PARTITION BY line_id ORDER BY k) AS x2,
+         lead(y) OVER (PARTITION BY line_id ORDER BY k) AS y2
+  FROM verts
+),
+lens AS (
+  SELECT *, sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y)) AS len
+  FROM segs WHERE x2 IS NOT NULL
+),
+cum AS (
+  SELECT *, sum(len) OVER (PARTITION BY line_id ORDER BY k) AS cume
+  FROM lens
+),
+tot AS (
+  SELECT *, max(cume) OVER (PARTITION BY line_id) AS total FROM cum
+),
+hit AS (
+  SELECT t.*, f.i, f.frac,
+         row_number() OVER (PARTITION BY t.line_id, f.i
+                            ORDER BY t.k) AS rn
+  FROM tot t JOIN fr f ON t.cume >= f.frac * t.total
+)
+SELECT CAST(line_id AS BIGINT) AS line_id, CAST(i AS INT) AS i,
+       round(x + (x2 - x) * ((frac * total - (cume - len)) / len), 6) AS px,
+       round(y + (y2 - y) * ((frac * total - (cume - len)) / len), 6) AS py
+FROM hit WHERE rn = 1 ORDER BY line_id, i
+"""
+
+
+@register("polyline_resample", _v24_oracle())
+def v_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.geodesy import line_interpolate_point
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    verts = spark.sql("WITH " + _v24_verts("spark") + " SELECT * FROM verts")
+    lines = (verts.groupBy("line_id")
+             .agg(F.array_sort(F.collect_list(F.struct("k", "x", "y")))
+                  .alias("vs"))
+             .select(F.col("line_id").cast("bigint").alias("line_id"),
+                     F.transform("vs", lambda s: s["x"]).alias("xs"),
+                     F.transform("vs", lambda s: s["y"]).alias("ys")))
+    samples = F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 line_interpolate_point(f, "xs", "ys").alias("p"))
+        for i, f in enumerate(_V24_FRACS)])
+    return (lines.select("line_id", F.explode(samples).alias("e"))
+            .select("line_id", F.col("e.i").alias("i"),
+                    F.round("e.p.px", 6).alias("px"),
+                    F.round("e.p.py", 6).alias("py"))
+            .orderBy("line_id", "i"))
+
+
+# ---------------------------------------------------------------------------
+# v25 — H3-style cell-set compaction: the commune cover at zoom 15
+# compacted two levels (complete 4-child quads promote to their
+# parent, twice) — interior area ships as coarse cells, boundary as
+# fine ones, total coverage identical. Oracle: the same promotion
+# unrolled as two CTE rounds.
+# ---------------------------------------------------------------------------
+
+
+def _v25_cov(dialect: str) -> str:
+    from bano_spark.geo import tiles
+
+    cs = repr(tiles.cell_size(15))
+    return f"""
+r AS (
+  SELECT CAST(floor((c.xmin - ({tiles.ORIGIN!r})) / {cs}) AS BIGINT) AS tx0,
+         CAST(floor((c.xmax - ({tiles.ORIGIN!r})) / {cs}) AS BIGINT) AS tx1,
+         CAST(floor(({-tiles.ORIGIN!r} - c.ymax) / {cs}) AS BIGINT) AS ty0,
+         CAST(floor(({-tiles.ORIGIN!r} - c.ymin) / {cs}) AS BIGINT) AS ty1
+  FROM {synth.communes_values_sql()}
+  WHERE c.admin_level = 8
+)"""
+
+
+_V25_ORACLE = f"""
+WITH {_v25_cov('duckdb')},
+ex AS (SELECT unnest(generate_series(tx0, tx1)) AS tx, ty0, ty1 FROM r),
+c15 AS (SELECT DISTINCT tx, unnest(generate_series(ty0, ty1)) AS ty FROM ex),
+p14 AS (SELECT tx // 2 AS tx, ty // 2 AS ty FROM c15
+        GROUP BY 1, 2 HAVING count(*) = 4),
+k15 AS (SELECT 15 AS z, c.tx, c.ty FROM c15 c
+        WHERE NOT EXISTS (SELECT 1 FROM p14 p
+                          WHERE p.tx = c.tx // 2 AND p.ty = c.ty // 2)),
+p13 AS (SELECT tx // 2 AS tx, ty // 2 AS ty FROM p14
+        GROUP BY 1, 2 HAVING count(*) = 4),
+k14 AS (SELECT 14 AS z, c.tx, c.ty FROM p14 c
+        WHERE NOT EXISTS (SELECT 1 FROM p13 p
+                          WHERE p.tx = c.tx // 2 AND p.ty = c.ty // 2)),
+k13 AS (SELECT 13 AS z, tx, ty FROM p13)
+SELECT CAST(z AS INT) AS z, tx, ty FROM k13
+UNION ALL SELECT CAST(z AS INT), tx, ty FROM k14
+UNION ALL SELECT CAST(z AS INT), tx, ty FROM k15
+ORDER BY z, tx, ty
+"""
+
+
+@register("compact_cell_cover", _V25_ORACLE)
+def v_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.geo import tiles
+
+    polys = synth.communes_df(spark).filter(F.col("admin_level") == 8)
+    txs, tys = tiles.rect_cover_sequence(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), 15)
+    cov = (polys.select(F.explode(txs).alias("tx"), tys.alias("_tys"))
+           .select("tx", F.explode("_tys").alias("ty"))
+           .distinct())
+    return (tiles.compact_cells(cov, 15, levels=2)
+            .select(F.col("z").cast("int").alias("z"), "tx", "ty")
+            .orderBy("z", "tx", "ty"))

@@ -467,3 +467,38 @@ def test_colocation_same_bucket_and_distance_required(spark):
     out = colocation_pairs(df, 200.0).collect()
     assert len(out) == 1
     assert (out[0]["track_a"], out[0]["track_b"], out[0]["n_buckets"]) == (1, 2, 1)
+
+
+def test_compact_cells_exact_coverage(spark):
+    """A full 4x4 block plus one stray cell: compaction at 2 levels
+    must produce one z-2 parent + the stray at z, and expand back to
+    exactly the input set."""
+    from bano_spark.geo.tiles import compact_cells
+
+    block = [(tx, ty) for tx in range(8, 12) for ty in range(20, 24)]
+    cells = block + [(100, 200)]
+    df = _df(spark, cells, "tx long, ty long")
+    out = compact_cells(df, 10, levels=2).collect()
+    got = sorted((r["z"], r["tx"], r["ty"]) for r in out)
+    assert got == [(8, 2, 5), (10, 100, 200)]
+    # expand the compacted set back to z10 and compare with the input
+    expanded = set()
+    for z, tx, ty in got:
+        f = 2 ** (10 - z)
+        for ax in range(tx * f, (tx + 1) * f):
+            for ay in range(ty * f, (ty + 1) * f):
+                expanded.add((ax, ay))
+    assert expanded == set(cells)
+
+
+def test_polyline_resample_on_straight_line(spark):
+    from bano_spark.operators.geodesy import line_interpolate_point
+
+    df = spark.createDataFrame(
+        [([0.0, 600.0], [0.0, 0.0])], "xs array<double>, ys array<double>")
+    pts = df.select(*[
+        line_interpolate_point(i / 6.0, "xs", "ys").alias(f"p{i}")
+        for i in range(1, 6)])
+    row = pts.first()
+    for i in range(1, 6):
+        assert row[f"p{i}"]["px"] == pytest.approx(i * 100.0)
