@@ -222,3 +222,23 @@ def compact_cells(cells, zoom: int, levels: int = 1):
     for kept in out:
         res = res.unionByName(kept)
     return res
+
+
+def uncompact_cells(cells, zoom: int):
+    """Inverse of :func:`compact_cells`: expand a mixed-resolution
+    (z, tx, ty) set back to uniform zoom-``zoom`` cells (each parent
+    emits its 4^(zoom - z) descendants via two bounded sequence
+    explodes). compact |> uncompact == identity on the cell set —
+    asserted by the round-trip query's oracle, which derives the
+    uniform cover directly and never compacts."""
+    from pyspark.sql import functions as F
+
+    f = F.expr(f"CAST(shiftleft(1, {zoom} - z) AS BIGINT)")
+    return (cells
+            .withColumn("_tx0", F.col("tx") * f)
+            .withColumn("_ty0", F.col("ty") * f)
+            .withColumn("tx", F.explode(
+                F.sequence(F.col("_tx0"), F.col("_tx0") + f - 1)))
+            .withColumn("ty", F.explode(
+                F.sequence(F.col("_ty0"), F.col("_ty0") + f - 1)))
+            .select("tx", "ty").distinct())

@@ -281,3 +281,50 @@ def shingle_counts(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.size(F.array_distinct(shingles_expr(text_col, shingle_n)))
         .cast("bigint").alias("n_shingles"))
+
+
+def simhash_hamming_pairs(sim: DataFrame, max_hamming: int = 3,
+                          id_col: str = "doc_id", sim_col: str = "simhash",
+                          n_bits: int = 16, n_bands: int = 4) -> DataFrame:
+    """All pairs with simhash Hamming distance <= ``max_hamming``
+    (Manku et al. 2007, public formulation): split the n_bits
+    fingerprint into ``n_bands`` bit-bands; by pigeonhole, any pair
+    within distance < n_bands agrees on at least one whole band, so
+    candidates are ONE equi-join on (band index, band value) — never
+    an all-pairs product — and the exact Hamming verify
+    (bit_count(xor)) runs on candidates only.
+
+    Requires max_hamming < n_bands (the completeness condition; a
+    loud error otherwise, not silent under-recall). Scale shape:
+    identical to minhash LSH banding — bucket sizes bounded by band
+    collision rates; degenerate buckets (all-identical content) are
+    collapsed upstream by exact_representatives exactly as in the
+    minhash path."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(pigeonhole completeness); got n_bands={n_bands}")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col(sim_col), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("val"))
+        for b in range(n_bands)])
+    exploded = (sim.select(F.col(id_col), F.col(sim_col),
+                           F.explode(bands).alias("b"))
+                .select(id_col, sim_col,
+                        F.col("b.band").alias("band"),
+                        F.col("b.val").alias("val")))
+    a = exploded.select(F.col(id_col).alias("id_a"),
+                        F.col(sim_col).alias("_sa"), "band", "val")
+    b = exploded.select(F.col(id_col).alias("id_b"),
+                        F.col(sim_col).alias("_sb"), "band", "val")
+    cand = (a.join(b, ["band", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_sa", "_sb")
+            .distinct())
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1384,3 +1384,74 @@ def v_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (tiles.compact_cells(cov, 15, levels=2)
             .select(F.col("z").cast("int").alias("z"), "tx", "ty")
             .orderBy("z", "tx", "ty"))
+
+
+# ---------------------------------------------------------------------------
+# v26 — simhash Hamming-ball pair join (Manku et al.): all document
+# pairs within Hamming distance 3 of each other's 16-bit simhash.
+# Candidates from the 4-bit-band pigeonhole equi-join (distance < 4
+# guarantees a whole band agrees), exact bit_count(xor) verify on
+# candidates only. Oracle: the brute-force Hamming product over the
+# SQL simhash twin.
+# ---------------------------------------------------------------------------
+
+
+def _v26_oracle() -> str:
+    from bano_spark.operators.dedup import simhash_bits
+
+    votes = ",\n         ".join(
+        f"sum({e}) AS v{j}" for j, e in enumerate(simhash_bits(16, " // ")))
+    bits = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)"
+                      for j in range(16))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_V14_TOKS})) AS tok FROM documents
+),
+votes AS (SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@register("simhash_hamming_pairs", _v26_oracle())
+def v_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    sh = simhash(_read(spark, sf_dir, "documents"))
+    return simhash_hamming_pairs(sh, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# v27 — compact/uncompact round-trip: the commune cover compacted two
+# levels and expanded back must equal the uniform zoom-15 cover. The
+# oracle derives the uniform cover DIRECTLY (it never compacts), so
+# the hash match proves compact |> uncompact == identity on real
+# geometry, not just on toy quads.
+# ---------------------------------------------------------------------------
+
+_V27_ORACLE = f"""
+WITH {_v25_cov('duckdb')},
+ex AS (SELECT unnest(generate_series(tx0, tx1)) AS tx, ty0, ty1 FROM r),
+c15 AS (SELECT DISTINCT tx, unnest(generate_series(ty0, ty1)) AS ty FROM ex)
+SELECT tx, ty FROM c15 ORDER BY tx, ty
+"""
+
+
+@register("uncompact_roundtrip", _V27_ORACLE)
+def v_uncompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.geo import tiles
+
+    polys = synth.communes_df(spark).filter(F.col("admin_level") == 8)
+    txs, tys = tiles.rect_cover_sequence(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), 15)
+    cov = (polys.select(F.explode(txs).alias("tx"), tys.alias("_tys"))
+           .select("tx", F.explode("_tys").alias("ty"))
+           .distinct())
+    compacted = tiles.compact_cells(cov, 15, levels=2)
+    return tiles.uncompact_cells(compacted, 15).orderBy("tx", "ty")

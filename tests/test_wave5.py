@@ -502,3 +502,35 @@ def test_polyline_resample_on_straight_line(spark):
     row = pts.first()
     for i in range(1, 6):
         assert row[f"p{i}"]["px"] == pytest.approx(i * 100.0)
+
+
+def test_simhash_hamming_pigeonhole_completeness(spark):
+    """Pairs at exactly max_hamming must be found whichever bits
+    differ (the pigeonhole guarantee), and the completeness
+    precondition must fail loudly."""
+    from bano_spark.operators.dedup import simhash_hamming_pairs
+
+    base = 0b1010_1100_0011_0101
+    rows = [(1, base),
+            (2, base ^ 0b0000_0000_0000_0111),   # 3 bits, one band
+            (3, base ^ 0b1000_0100_0010_0000),   # 3 bits, three bands
+            (4, base ^ 0b1111_0000_0000_1111)]   # 8 bits -> excluded
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_hamming_pairs(df, max_hamming=3).collect()}
+    assert out[(1, 2)] == 3 and out[(1, 3)] == 3
+    assert (1, 4) not in out and (2, 4) not in out
+    assert (2, 3) not in out  # those two differ by 6 bits
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        simhash_hamming_pairs(df, max_hamming=4)
+
+
+def test_uncompact_inverts_compact(spark):
+    from bano_spark.geo.tiles import compact_cells, uncompact_cells
+
+    cells = ([(tx, ty) for tx in range(8, 12) for ty in range(20, 24)]
+             + [(0, 0), (5, 9)])
+    df = _df(spark, cells, "tx long, ty long")
+    back = uncompact_cells(compact_cells(df, 10, levels=2), 10).collect()
+    assert sorted((r["tx"], r["ty"]) for r in back) == sorted(cells)
