@@ -82,19 +82,23 @@ def main():
 
     from bano_spark.operators.trajectory import staypoints, trip_legs
 
-    # 1000 pings per track. The per-user ping stride must not share
-    # structure with the dwell hash: a fixed stride s makes u mod 10
-    # walk a constant-step orbit, and for some strides that orbit has
-    # no 3 consecutive dwell values at all (found the hard way with a
-    # 100000-ping stride: zero stays in 10M pings).
+    # 1000 pings per track, dwell decided by a NON-AFFINE double hash:
+    # any single multiplicative hash is affine in id, so a fixed
+    # per-track ping stride makes its mod-10 value walk a constant-
+    # step orbit — and for some strides (100000, 50000...) that orbit
+    # contains no 3 consecutive dwell values at all (zero stays in
+    # 10M pings, found the hard way; the assert below now guards it).
+    # The floor-division between the two multiplies breaks linearity;
+    # verified 3-runs exist for strides 1..123457.
     n_tracks = max(n_pings // 1000, 1)
+    hh = ("(((id * 2654435761 % 2147483648) div 1024) * 2654435761"
+          " + id * 2654435761 % 2147483648) % 2147483648")
     traj = spark.range(n_pings).selectExpr(
         f"id % {n_tracks} AS user_id",
         "id AS ts",
         f"CAST(1000003.0 + (id % {n_tracks}) * 500 + "
-        "CASE WHEN (id * 2654435761 % 2147483648) % 10 < 6 THEN "
-        "(id * 2654435761 % 2147483648) % 11 ELSE "
-        "500 + (id * 2654435761 % 2147483648) % 700 END AS DOUBLE) AS x",
+        f"CASE WHEN ({hh}) % 10 < 6 THEN ({hh}) % 11 ELSE "
+        f"500 + ({hh}) % 700 END AS DOUBLE) AS x",
         "CAST(2000003.0 + (id * 40503 % 2147483648) % 11 AS DOUBLE) AS y")
     staypoints(traj, order_cols=["ts"]).count()  # warmup
     t0 = time.time()
