@@ -1,0 +1,153 @@
+"""Crawl-infrastructure operators: registrable-domain (public-suffix
+longest-match), robots.txt longest-prefix decisions, politeness
+frontier scheduling, and link-graph extraction from raw HTML.
+
+The reference pipeline harvests its sources from the open web (ref
+`bano/sources/cadastre_gouv.py:14-45` scrapes per-department pages);
+these operators are the Spark-native generalization a 100 TB
+Common-Crawl-style corpus needs: every one is a broadcast equi-join
+or a per-host window — no global windows, no per-row Python.
+
+Scale shape:
+- ``registrable_domain``: candidate suffixes are the last 1..3 labels
+  of each host (a bounded explode, <=3 rows/host), joined broadcast
+  against the public-suffix table (~9k rows in production), longest
+  match picked by one max_by per row id. No shuffle beyond the final
+  groupBy(id) — and that groupBy is map-side combinable.
+- ``robots_decide``: the rule table (one site's robots.txt rules,
+  thousands at most per host, millions overall) is deduped then
+  broadcast; the prefix test is ``substr(path, 1, len(prefix)) =
+  prefix`` evaluated inside the join, so codegen keeps it JVM-side.
+  Longest-prefix-wins via max_by over (prefix_len, !allow) — the
+  disallow-wins tiebreak of the Google robots.txt spec's "least
+  restrictive on tie" INVERTED deliberately: a conservative crawler
+  treats a tied allow/disallow as disallow (documented choice).
+- ``frontier_waves``: one window per host (politeness: wave k = the
+  k-th fetch from that host), never a global row_number — the global
+  schedule is (wave, priority DESC) which any range-partitioned sort
+  realizes without a single-partition exchange.
+- ``extract_links``: regexp_extract_all (JVM codegen) + explode; the
+  HTML column never crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def suffix_candidates(host_col: str, max_labels: int = 3) -> Column:
+    """Array of the last 1..max_labels dot-joined label groups of a
+    host — the candidate public suffixes, longest first.
+    'h1.d4.co.uk' -> ['d4.co.uk', 'co.uk', 'uk'] (max_labels=3)."""
+    parts = F.split(F.col(host_col), r"\.")
+    n = F.size(parts)
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.least(n, F.lit(max_labels))),
+            lambda k: F.array_join(F.slice(parts, n - k + 1, k), "."),
+        ),
+        lambda s: s != "",
+    )
+
+
+def registrable_domain(df: DataFrame, suffixes: DataFrame,
+                       host_col: str = "host",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Longest public-suffix match per host: returns
+    (id, host, suffix, registrable) where registrable is the label
+    immediately left of the matched suffix joined back on
+    ('example' + '.co.uk'). Hosts matching no suffix are dropped
+    (unknown TLD — production crawlers quarantine these).
+
+    ``suffixes`` must have a single 'suffix' string column; it is
+    always broadcast (the full publicsuffix.org list is ~9k rows).
+    """
+    cand = df.select(
+        F.col(id_col), F.col(host_col).alias("host"),
+        F.explode(suffix_candidates(host_col)).alias("suffix"))
+    hit = cand.join(F.broadcast(suffixes.select("suffix").distinct()),
+                    "suffix")
+    best = (hit.groupBy(id_col)
+            .agg(F.max_by(F.struct("suffix", "host"),
+                          F.length("suffix")).alias("m"))
+            .select(id_col, F.col("m.host").alias("host"),
+                    F.col("m.suffix").alias("suffix")))
+    rest = F.expr("substring(host, 1, length(host) - length(suffix) - 1)")
+    label = F.element_at(F.split(rest, r"\."), -1)
+    return best.withColumn(
+        "registrable", F.concat(label, F.lit("."), F.col("suffix")))
+
+
+def dedupe_rules(rules: DataFrame) -> DataFrame:
+    """Collapse duplicate (host, prefix) robots rules: disallow wins
+    (min over booleans = AND)."""
+    return rules.groupBy("host", "prefix").agg(F.min("allow").alias("allow"))
+
+
+def robots_decide(urls: DataFrame, rules: DataFrame,
+                  id_col: str = "doc_id", host_col: str = "host",
+                  path_col: str = "path") -> DataFrame:
+    """Longest-prefix robots decision per URL: the applicable rule is
+    the longest prefix of ``path`` among the URL's host's rules;
+    length ties break toward disallow; URLs with no applicable rule
+    default to allowed (the robots.txt spec default).
+
+    Returns (id, host, path, matched_prefix, allowed)."""
+    r = dedupe_rules(rules)
+    u = urls.select(id_col, host_col, path_col)
+    j = u.join(
+        F.broadcast(r),
+        (u[host_col] == r["host"])
+        & (F.expr(f"substring({path_col}, 1, length(prefix))")
+           == r["prefix"]),
+        "left",
+    ).select(u[id_col], u[host_col].alias("host"), u[path_col].alias("path"),
+             r["prefix"], r["allow"])
+    best = (j.groupBy(id_col, "host", "path")
+            .agg(F.max_by(
+                F.struct("prefix", "allow"),
+                # no rule -> length -1 sorts below every real rule;
+                # disallow outranks allow at equal length
+                F.struct(
+                    F.coalesce(F.length("prefix"), F.lit(-1)).alias("l"),
+                    F.when(F.col("allow") == False, 1)  # noqa: E712
+                     .otherwise(0).alias("d"))).alias("m")))
+    return best.select(
+        id_col, "host", "path",
+        F.col("m.prefix").alias("matched_prefix"),
+        F.coalesce(F.col("m.allow"), F.lit(True)).alias("allowed"))
+
+
+def frontier_waves(urls: DataFrame, host_col: str = "host",
+                   priority_col: str = "priority",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Politeness scheduling: wave k = the k-th URL fetched from its
+    host (per-host rank by priority DESC, id ASC for determinism).
+    The realized global order is (wave, priority DESC, id) — a
+    range-partitioned sort, never a global row_number."""
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(id_col))
+    return urls.withColumn("wave", F.row_number().over(w).cast("bigint"))
+
+
+_HREF_RE = r'<a href="([^"]+)">([^<]*)</a>'
+
+
+def extract_links(pages: DataFrame, html_col: str = "html",
+                  src_col: str = "src_host",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(src_host, href, anchor, dst_host) edge list from raw HTML via
+    one regexp_extract_all pass (JVM codegen; the HTML column never
+    reaches Python). Relative hrefs get dst_host = src_host."""
+    hrefs = F.expr(f"regexp_extract_all({html_col}, '{_HREF_RE}', 1)")
+    anchors = F.expr(f"regexp_extract_all({html_col}, '{_HREF_RE}', 2)")
+    e = (pages.select(
+            F.col(id_col), F.col(src_col),
+            F.explode(F.arrays_zip(hrefs.alias("href"),
+                                   anchors.alias("anchor"))).alias("l"))
+         .select(id_col, src_col, F.col("l.href").alias("href"),
+                 F.col("l.anchor").alias("anchor")))
+    dst = F.when(F.col("href").startswith("https://"),
+                 F.regexp_extract("href", r"https://([^/]+)", 1)) \
+           .otherwise(F.col(src_col))
+    return e.withColumn("dst_host", dst)

@@ -353,3 +353,94 @@ FROM (SELECT o_orderkey % 500 AS seg_id,
              ((o_orderkey % 500) * 2654435761 + 37) % 2147483648 AS v
       FROM {table})
 """
+
+
+# ---------------------------------------------------------------------------
+# Wave-8 fixtures: crawl-infrastructure URLs, robots rules, and link
+# HTML. Same one-source-of-truth discipline: one emitter per fixture
+# produces both dialects; every derived value is integer/string
+# arithmetic that is bit-identical in Spark SQL and DuckDB (both
+# accept CAST(x AS STRING) and '||' concatenation).
+# ---------------------------------------------------------------------------
+
+# public-suffix sample: mixes one- and two-label suffixes so the
+# longest-suffix-match operator has real work to do (after the
+# publicsuffix.org list shape; the real list is ~9k rows and would be
+# broadcast the same way)
+URL_SUFFIXES = ["com", "org", "io", "fr", "co.uk", "gouv.fr"]
+
+
+def _host_expr(dialect: str, v: str) -> str:
+    """Host from an integer hash expression ``v``: optional 'h<k>.'
+    sub-label (4 of 5 hosts), a 'd<k>' domain label, and a suffix
+    drawn from URL_SUFFIXES (including two-label suffixes)."""
+    d = " div " if dialect == "spark" else " // "
+    suffix = ("CASE (" + v + d + "11) % 6 " + " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(URL_SUFFIXES)) + " END")
+    sub = (f"CASE WHEN ({v}) % 5 = 0 THEN '' "
+           f"ELSE 'h' || CAST(({v}) % 7 AS STRING) || '.' END")
+    dom = f"'d' || CAST(({v}{d}5) % 50 AS STRING)"
+    return f"({sub} || {dom} || '.' || ({suffix}))"
+
+
+def urls_select_sql(dialect: str, table: str = "documents") -> str:
+    """One deterministic crawl-frontier URL per document:
+    (doc_id, url, host, path, priority)."""
+    d = " div " if dialect == "spark" else " // "
+    host = _host_expr(dialect, "u")
+    return f"""
+SELECT doc_id,
+       'https://' || {host} || '/p/' || CAST((u{d}13) % 23 AS STRING)
+           || '/page' || CAST(u % 97 AS STRING) AS url,
+       {host} AS host,
+       '/p/' || CAST((u{d}13) % 23 AS STRING)
+           || '/page' || CAST(u % 97 AS STRING) AS path,
+       CAST((u{d}3) % 100 AS BIGINT) AS priority
+FROM (SELECT doc_id, (doc_id * 2654435761 + 71) % 2147483648 AS u
+      FROM {table})
+"""
+
+
+def robots_rules_select_sql(dialect: str, table: str = "supplier") -> str:
+    """Deterministic robots.txt path rules keyed by supplier:
+    (host, prefix, allow). Hosts share the construction of
+    urls_select_sql so a useful fraction of frontier URLs has at
+    least one applicable rule; prefixes nest ('/p' vs '/p/<k>') so
+    longest-prefix-wins is exercised, and duplicated (host, prefix)
+    pairs with conflicting allow bits exercise the disallow-wins
+    dedup."""
+    d = " div " if dialect == "spark" else " // "
+    host = _host_expr(dialect, "v")
+    return f"""
+SELECT {host} AS host,
+       CASE WHEN v % 4 = 0 THEN '/p'
+            ELSE '/p/' || CAST((v{d}17) % 23 AS STRING) END AS prefix,
+       (v{d}2) % 3 > 0 AS allow
+FROM (SELECT (s_suppkey * 2654435761 + 71) % 2147483648 AS v
+      FROM {table})
+"""
+
+
+def link_html_select_sql(dialect: str, table: str = "documents") -> str:
+    """Synthetic page HTML with 1-2 anchor tags per document:
+    (doc_id, src_host, html). Target hosts reuse _host_expr under
+    fresh salts; anchor text is a small token vocabulary."""
+    d = " div " if dialect == "spark" else " // "
+    src = _host_expr(dialect, "u")
+    h1 = _host_expr(dialect, "w1")
+    h2 = _host_expr(dialect, "w2")
+    return f"""
+SELECT doc_id, {src} AS src_host,
+       '<p>intro</p><a href="https://' || {h1} || '/l/'
+         || CAST(w1 % 13 AS STRING) || '">w' || CAST(w1 % 50 AS STRING)
+         || '</a> filler text'
+         || CASE WHEN u % 3 = 0 THEN '' ELSE
+            ' <a href="https://' || {h2} || '/l/'
+            || CAST(w2 % 13 AS STRING) || '">w' || CAST(w2 % 50 AS STRING)
+            || '</a>' END AS html
+FROM (SELECT doc_id,
+             (doc_id * 2654435761 + 71) % 2147483648 AS u,
+             (doc_id * 2654435761 + 101) % 2147483648 AS w1,
+             (doc_id * 2654435761 + 131) % 2147483648 AS w2
+      FROM {table})
+"""
