@@ -62,9 +62,13 @@ def registrable_domain(df: DataFrame, suffixes: DataFrame,
     ``suffixes`` must have a single 'suffix' string column; it is
     always broadcast (the full publicsuffix.org list is ~9k rows).
     """
-    cand = df.select(
-        F.col(id_col), F.col(host_col).alias("host"),
-        F.explode(suffix_candidates(host_col)).alias("suffix"))
+    # two-step select: referencing the 'host' alias inside the same
+    # select's explode resolves as a lateral column alias, which Spark
+    # cannot place under a Generate node
+    base = df.select(F.col(id_col), F.col(host_col).alias("host"))
+    cand = base.select(
+        F.col(id_col), F.col("host"),
+        F.explode(suffix_candidates("host")).alias("suffix"))
     hit = cand.join(F.broadcast(suffixes.select("suffix").distinct()),
                     "suffix")
     best = (hit.groupBy(id_col)
@@ -151,3 +155,45 @@ def extract_links(pages: DataFrame, html_col: str = "html",
                  F.regexp_extract("href", r"https://([^/]+)", 1)) \
            .otherwise(F.col(src_col))
     return e.withColumn("dst_host", dst)
+
+
+def path_depth_stats(urls: DataFrame, host_col: str = "host",
+                     path_col: str = "path") -> DataFrame:
+    """Crawl-trap detection features per host: URL count, max path
+    depth (number of '/'-separated segments), mean depth, distinct
+    paths, and the distinct-path ratio. Calendar/session traps show
+    up as deep paths with a distinct ratio near 1 at high volume.
+
+    One groupBy(host) with map-side combinable aggregates; depth is
+    pure string arithmetic (no split-explode needed).
+    """
+    depth = (F.length(path_col)
+             - F.length(F.regexp_replace(F.col(path_col), "/", "")))
+    return (urls
+            .select(host_col, depth.alias("_d"), F.col(path_col))
+            .groupBy(host_col)
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.max("_d").alias("max_depth"),
+                 (F.sum("_d") / F.count(F.lit(1))).alias("mean_depth"),
+                 F.countDistinct(path_col).alias("n_paths"))
+            .withColumn("distinct_ratio",
+                        F.col("n_paths") / F.col("n_urls")))
+
+
+def link_reciprocity(edges: DataFrame, src_col: str = "src_host",
+                     dst_col: str = "dst_host") -> DataFrame:
+    """Host-graph reciprocity: of the distinct directed host->host
+    edges (self-loops excluded), the fraction whose reverse edge also
+    exists — one distinct + one self-equi-join on the reversed key,
+    never a cross product. Returns a single row
+    (n_edges, n_reciprocal, reciprocity)."""
+    e = (edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    rec = e.join(rev, ["a", "b"], "left_semi")
+    return (e.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(F.broadcast(
+                rec.agg(F.count(F.lit(1)).alias("n_reciprocal"))))
+            .select("n_edges", "n_reciprocal",
+                    (F.col("n_reciprocal") / F.col("n_edges"))
+                    .alias("reciprocity")))

@@ -15,7 +15,7 @@ the DuckDB oracle verifies them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 TOKEN_SPLIT = r"\s+"
 # inside Spark SQL expr text, the backslash needs escaping once more
@@ -328,3 +328,41 @@ def simhash_hamming_pairs(sim: DataFrame, max_hamming: int = 3,
     return (cand.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): hash every k-token gram, slide a w-gram window, keep
+    the minimum hash of each full window; the distinct kept hashes are
+    the document's fingerprint set. Guarantees detection of shared
+    runs of at least w + k - 1 tokens between documents — the
+    shifted/partial-overlap coverage word-13-gram dup spans miss.
+
+    Hashes are 8-hex-char md5 prefixes (string min == integer min for
+    fixed-width hex — the minhash idiom of this module), so the whole
+    operator is codegen'd expressions + one distinct: per-doc work is
+    linear, the only shuffle is the final (id, fp) distinct, and no
+    text crosses into Python.
+    """
+    n = k
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    sh = F.expr(
+        f"CASE WHEN size(_toks) >= {n} THEN "
+        f"transform(sequence(0, size(_toks) - {n}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {n}))) "
+        f"ELSE array(concat_ws(' ', _toks)) END")
+    grams = (toked.select(F.col(id_col),
+                          F.posexplode(sh).alias("pos", "g"))
+             .select(id_col, "pos",
+                     F.substring(F.md5(F.concat(F.lit("w|"), F.col("g"))),
+                                 1, 8).alias("h")))
+    win = Window.partitionBy(id_col).orderBy("pos") \
+                .rowsBetween(Window.currentRow, w - 1)
+    fp = (grams.select(F.col(id_col),
+                       F.min("h").over(win).alias("fp"),
+                       F.count(F.lit(1)).over(win).alias("_n"))
+          .filter(F.col("_n") == w)
+          .select(id_col, "fp").distinct())
+    return fp

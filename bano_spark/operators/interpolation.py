@@ -71,3 +71,46 @@ def address_ranges(
                  F.round(F.max("t"), 6).alias("t_max"),
                  ((F.sum("_inv_up") == 0) | (F.sum("_inv_dn") == 0))
                  .alias("monotone")))
+
+
+def idw_interpolate(nodes: DataFrame, samples: DataFrame, radius: float,
+                    power: int = 2,
+                    node_id: str = "node_id", nx: str = "nx", ny: str = "ny",
+                    x_col: str = "x", y_col: str = "y",
+                    value_col: str = "value") -> DataFrame:
+    """Inverse-distance-weighted interpolation (Shepard 1968): the
+    value at each node is sum(w_i v_i) / sum(w_i) over the samples
+    within ``radius``, w_i = 1 / d_i^power. Nodes with no sample in
+    range are dropped (a geostatistics NULL, not a zero).
+
+    Scale shape: the node <-> sample pairing is a k-ring bucketed
+    equi-join at cell size ``radius`` — each node sees only the
+    samples of its 9 surrounding cells, so the join output is
+    O(nodes * local sample density), never nodes x samples. The
+    weight/value sums are one map-side-combinable groupBy(node).
+    Only power=2 keeps d^power exact (d2 itself); other powers go
+    through pow() doubles.
+    """
+    cell = float(radius)
+    s = samples.select(
+        F.col(x_col).alias("sx"), F.col(y_col).alias("sy"),
+        F.col(value_col).alias("sv"),
+        F.floor(F.col(x_col) / cell).alias("cx"),
+        F.floor(F.col(y_col) / cell).alias("cy"))
+    offs = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("o")
+    n = (nodes.select(node_id, nx, ny, offs)
+         .select(node_id, nx, ny,
+                 (F.floor(F.col(nx) / cell) + F.col("o.dx")).alias("cx"),
+                 (F.floor(F.col(ny) / cell) + F.col("o.dy")).alias("cy")))
+    d2 = ((F.col(nx) - F.col("sx")) ** 2 + (F.col(ny) - F.col("sy")) ** 2)
+    w = (F.lit(1.0) / d2 if power == 2
+         else F.lit(1.0) / F.pow(F.sqrt(d2), float(power)))
+    j = (n.join(s, ["cx", "cy"])
+         .filter(d2 <= F.lit(cell * cell))
+         .select(node_id, nx, ny, w.alias("w"),
+                 (w * F.col("sv")).alias("wv")))
+    return (j.groupBy(node_id, nx, ny)
+            .agg((F.sum("wv") / F.sum("w")).alias("idw_value"),
+                 F.count(F.lit(1)).alias("n_samples")))

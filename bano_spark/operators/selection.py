@@ -282,3 +282,47 @@ def source_mixing_weights(docs: DataFrame, alpha: float = 0.7,
             F.floor(F.col("weight") * F.lit(float(budget_tokens)))
             .cast("bigint"))
     return out
+
+
+def waterfill_allocation(counts: DataFrame, budget: int,
+                         key_col: str = "host",
+                         n_col: str = "n") -> DataFrame:
+    """Max-min fair (water-filling) budget allocation: find the
+    threshold t with sum(min(n_k, t)) = budget and give every key
+    alloc_k = min(n_k, t) — the standard fair split of a crawl/fetch
+    budget across hosts (small hosts fully served, mega-hosts capped
+    at the water level).
+
+    Distributed shape: one groupBy upstream produced ``counts``; the
+    sorted prefix sum comes from distributed_cumsum (bucketed
+    composite prefix sum — no single-partition window); the water
+    level is solved in closed form from the LAST fully-served key's
+    prefix row, an O(1) driver value shipped back as a literal.
+    """
+    c = counts.select(F.col(key_col), F.col(n_col).cast("bigint").alias("n"))
+    withcum = distributed_cumsum(
+        c, "n", [F.col("n"), F.col(key_col)], "n",
+        out_col="cum", tiebreak_col=key_col)
+    withrank = distributed_cumsum(
+        withcum.withColumn("_one", F.lit(1)), "n",
+        [F.col("n"), F.col(key_col)], "_one",
+        out_col="i", tiebreak_col=key_col).drop("_one")
+    tot = withrank.agg(F.max("i").alias("h")).first()
+    h = tot["h"] or 0
+    if h == 0:
+        return c.select(key_col, F.col("n").alias("n_urls"),
+                        F.lit(0.0).alias("alloc")).limit(0)
+    feas = (withrank
+            .filter(F.col("cum") + (F.lit(h) - F.col("i")) * F.col("n")
+                    <= F.lit(budget))
+            .agg(F.max_by(F.struct("i", "cum"), "i").alias("m"))
+            .first())
+    ist = feas["m"]["i"] if feas["m"] is not None else 0
+    cumst = feas["m"]["cum"] if feas["m"] is not None else 0
+    if ist >= h:
+        alloc = F.col("n").cast("double")  # budget >= total demand
+    else:
+        t = (budget - cumst) / float(h - ist)
+        alloc = F.least(F.col("n").cast("double"), F.lit(t))
+    return withrank.select(F.col(key_col), F.col("n").alias("n_urls"),
+                           alloc.alias("alloc"))

@@ -107,3 +107,86 @@ def getis_ord_hex(cells: DataFrame, k: int = 1, *, val_col: str = "val",
         "hq", "hr", F.col("m_i").cast("bigint").alias("ring_size"),
         F.round((F.col("s_i") - F.lit(mean) * m_i) / denom, round_to)
         .alias("gi_z"))
+
+
+def ripley_k(points: DataFrame, rs: list[float], area: float,
+             x_col: str = "x", y_col: str = "y",
+             id_col: str = "event_id") -> DataFrame:
+    """Ripley's K function at distances ``rs`` (no edge correction —
+    the naive estimator K(r) = A / (n (n-1)) * #{ordered pairs i != j
+    with d_ij <= r}; Ripley 1976). K(r) > pi r^2 flags clustering at
+    scale r, < pi r^2 regularity.
+
+    Scale shape: pair counting is a k-ring bucketed self-join at cell
+    size max(rs) — each point joins only its own and 8 neighboring
+    cells, never the full point set, so the join output is
+    O(n * local density), not O(n^2). Counts are exact integers; n
+    and the counts reach the driver as one O(|rs|) aggregate row.
+    Distances compare squared (no sqrt on the hot path).
+    """
+    rmax = max(rs)
+    cell = float(rmax)
+    pts = points.select(
+        F.col(id_col).alias("pid"), F.col(x_col).alias("px"),
+        F.col(y_col).alias("py"),
+        F.floor(F.col(x_col) / cell).alias("cx"),
+        F.floor(F.col(y_col) / cell).alias("cy"))
+    offs = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("o")
+    probe = (pts.select("pid", "px", "py", "cx", "cy", offs)
+             .select("pid", "px", "py",
+                     (F.col("cx") + F.col("o.dx")).alias("cx"),
+                     (F.col("cy") + F.col("o.dy")).alias("cy")))
+    j = probe.join(
+        pts.select(F.col("pid").alias("qid"), F.col("px").alias("qx"),
+                   F.col("py").alias("qy"), "cx", "cy"),
+        ["cx", "cy"]).filter(F.col("pid") != F.col("qid"))
+    d2 = ((F.col("px") - F.col("qx")) ** 2
+          + (F.col("py") - F.col("qy")) ** 2)
+    counts = j.agg(*[
+        F.sum(F.when(d2 <= F.lit(float(r) * float(r)), 1).otherwise(0))
+        .alias(f"c{i}") for i, r in enumerate(rs)])
+    n = points.count()
+    denom = float(n) * float(n - 1)
+    return counts.select(F.explode(F.array(*[
+        F.struct(F.lit(float(r)).alias("r"),
+                 (F.col(f"c{i}") * F.lit(area) / F.lit(denom))
+                 .alias("k_est"),
+                 F.col(f"c{i}").cast("bigint").alias("n_pairs"))
+        for i, r in enumerate(rs)])).alias("e")).select(
+            "e.r", "e.k_est", "e.n_pairs")
+
+
+def hausdorff_pairs(traj: DataFrame, pairs: DataFrame,
+                    track_col: str = "user_id",
+                    x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Discrete Hausdorff distance between paired point tracks:
+    H(A, B) = max(h(A,B), h(B,A)) with h(A,B) = max over a in A of
+    min over b in B of d(a, b) — the standard similarity measure for
+    GPS traces / polyline shapes.
+
+    ``pairs`` carries (id_a, id_b) track-id pairs. Scale shape: the
+    point-level join is confined WITHIN each pair (join key = pair
+    row), so the blow-up is bounded by the longest single track
+    squared — never corpus-wide; both directed maxima come from one
+    joined frame via two grouped mins + one max, all map-side
+    combinable. Distances stay squared until the final sqrt.
+    """
+    a = traj.select(F.col(track_col).alias("id_a"),
+                    F.col(x_col).alias("ax"), F.col(y_col).alias("ay"))
+    b = traj.select(F.col(track_col).alias("id_b"),
+                    F.col(x_col).alias("bx"), F.col(y_col).alias("by"))
+    j = (pairs.join(a, "id_a").join(b, "id_b")
+         .withColumn("d2", (F.col("ax") - F.col("bx")) ** 2
+                     + (F.col("ay") - F.col("by")) ** 2))
+    hab = (j.groupBy("id_a", "id_b", "ax", "ay")
+           .agg(F.min("d2").alias("dmin"))
+           .groupBy("id_a", "id_b").agg(F.max("dmin").alias("h_ab")))
+    hba = (j.groupBy("id_a", "id_b", "bx", "by")
+           .agg(F.min("d2").alias("dmin"))
+           .groupBy("id_a", "id_b").agg(F.max("dmin").alias("h_ba")))
+    return (hab.join(hba, ["id_a", "id_b"])
+            .select("id_a", "id_b",
+                    F.sqrt(F.greatest("h_ab", "h_ba"))
+                    .alias("hausdorff")))

@@ -194,3 +194,86 @@ def ewma_last(df: DataFrame, key_col: str, order_cols: list[str],
             .withColumn("vs", F.expr("transform(os, o -> CAST(o._v AS DOUBLE))"))
             .select(key_col, F.size("vs").cast("bigint").alias("n_rows"),
                     F.expr(fold).alias("ewma")))
+
+
+def gap_fill(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+             grid: DataFrame) -> DataFrame:
+    """Resample an irregular per-key series onto a supplied time grid
+    with forward fill (last observation carried forward): the filled
+    value at grid instant g is the latest observation with ts <= g.
+
+    ``grid`` must have (key_col, grid ``ts_col`` rows). Implemented as
+    the classic union trick — observations and grid markers interleave
+    in one partitioned ordered window and `last(value, ignorenulls)`
+    carries the observation forward — so the whole operator is a
+    single per-key sort, no as-of join, no per-key loop. At equal
+    timestamps the observation sorts before the marker (is_grid
+    tiebreak), so an observation exactly on a grid instant is
+    included. Keys with no prior observation fill NULL.
+    """
+    obs = df.select(F.col(key_col), F.col(ts_col),
+                    F.col(value_col).alias("_v"), F.lit(0).alias("_g"))
+    mark = grid.select(F.col(key_col), F.col(ts_col),
+                       F.lit(None).cast(obs.schema["_v"].dataType).alias("_v"),
+                       F.lit(1).alias("_g"))
+    w = (Window.partitionBy(key_col).orderBy(ts_col, "_g")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (obs.unionByName(mark)
+            .withColumn("filled", F.last("_v", ignorenulls=True).over(w))
+            .filter(F.col("_g") == 1)
+            .select(key_col, ts_col, "filled"))
+
+
+def time_weighted_average(df: DataFrame, key_col: str, ts_col: str,
+                          value_col: str,
+                          order_cols: list[str] | None = None) -> DataFrame:
+    """Per-key time-weighted average: each observation's value is held
+    until the next observation, TWA = sum(v_i * dt_i) / sum(dt_i) over
+    the intervals between consecutive observations (the last
+    observation carries no weight — the standard left-Riemann TWA of
+    a step series). One lead window + one groupBy; dt in seconds as
+    an exact microsecond-integer ratio.
+    """
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    # TIMESTAMP_NTZ columns cast through the session zone; the engine
+    # pins spark.sql.session.timeZone=UTC (session.py), so the cast is
+    # offset-free and dt differences are exact microsecond integers
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    stepped = df.select(
+        F.col(key_col), F.col(value_col).alias("_v"),
+        ((F.lead(us).over(w) - us) / F.lit(1e6)).alias("_dt"))
+    return (stepped.filter(F.col("_dt").isNotNull())
+            .groupBy(key_col)
+            .agg((F.sum(F.col("_v") * F.col("_dt")) / F.sum("_dt"))
+                 .alias("twa"),
+                 F.sum("_dt").alias("span_sec")))
+
+
+def cusum(df: DataFrame, key_col: str, value_col: str,
+          order_cols: list[str], target: float, slack: float,
+          threshold: float) -> DataFrame:
+    """One-sided upper CUSUM per key: S_i = max(0, S_{i-1} + x_i -
+    target - slack), alarm when S_i > threshold (Page 1954).
+
+    The recursion is rewritten with the reflection identity
+    S_i = cs_i - min(0, min_{j<=i} cs_j) where cs is the running sum
+    of y_i = x_i - target - slack — two ordered window passes, no
+    recursion, no per-key loop, exact for integer-valued series.
+    Returns per key: max_cusum, first alarm position (row number, 1
+    when the first point already alarms; NULL if never), n_alarms.
+    """
+    k = F.lit(target + slack)
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cs = F.sum(F.col(value_col) - k).over(run)
+    s = (df.withColumn("_cs", cs)
+         .withColumn("_s", F.col("_cs")
+                     - F.least(F.lit(0.0), F.min("_cs").over(run)))
+         .withColumn("_seq", F.row_number().over(w)))
+    return (s.groupBy(key_col)
+            .agg(F.max("_s").alias("max_cusum"),
+                 F.min(F.when(F.col("_s") > threshold, F.col("_seq")))
+                 .alias("first_alarm_seq"),
+                 F.sum(F.when(F.col("_s") > threshold, 1).otherwise(0))
+                 .alias("n_alarms")))

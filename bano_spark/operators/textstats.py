@@ -272,3 +272,75 @@ def lexical_diversity(col: Column) -> Column:
     return F.round(
         F.size(F.array_distinct(toks)).cast("double")
         / F.size(toks).cast("double"), 6)
+
+
+def zipf_slope(docs: DataFrame, text_col: str = "text",
+               min_freq: int = 1) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS slope
+    of ln(freq) on ln(rank) (rank by freq DESC, token ASC for
+    determinism). A healthy natural-language corpus sits near -1;
+    the slope is a standard one-number drift detector for a crawl
+    snapshot (template explosions flatten it, boilerplate steepens
+    it).
+
+    Scale shape: one token-count groupBy (map-side combinable) over
+    the corpus collapses to vocabulary size; the rank over the
+    vocabulary comes from selection.distributed_cumsum (bucketed
+    composite prefix sum — NO single-partition window, the r1
+    token_budget lesson), and the OLS terms are one final aggregate
+    row.
+    """
+    from .selection import distributed_cumsum
+
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    freq = (toks.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+            .filter(F.col("f") >= min_freq)
+            .withColumn("_one", F.lit(1)))
+    ranked_rows = distributed_cumsum(
+        freq, "f", [F.col("f").desc(), F.col("t")], "_one",
+        out_col="rank", descending=True, tiebreak_col="t")
+    ranked = ranked_rows.select(
+        F.ln(F.col("rank").cast("double")).alias("lx"),
+        F.ln(F.col("f").cast("double")).alias("ly"))
+    return ranked.agg(
+        ((F.sum(F.col("lx") * F.col("ly"))
+          - F.sum("lx") * F.sum("ly") / F.count(F.lit(1)))
+         / (F.sum(F.col("lx") * F.col("lx"))
+            - F.sum("lx") * F.sum("lx") / F.count(F.lit(1))))
+        .alias("zipf_slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"))
+
+
+def source_kl_divergence(docs: DataFrame, text_col: str = "text",
+                         source_col: str = "source") -> DataFrame:
+    """Per-source KL divergence of the add-one-smoothed unigram
+    distribution from the corpus distribution:
+    KL(P_s || Q) = sum over the CORPUS vocabulary of P_s(t) *
+    ln(P_s(t)/Q(t)), P_s(t) = (c_st + 1)/(n_s + V), Q likewise over
+    the whole corpus — the drift detector for a new crawl source
+    (high KL = the source's language diverges from the mix).
+
+    The vocabulary x sources frame is a broadcast nested-loop of
+    O(sources) rows against the vocab (the source_mixing discipline:
+    bounded by the tiny side, not a data cross product); zero counts
+    per source are materialized by that join, which is what makes the
+    smoothed sum correct.
+    """
+    toks = docs.select(F.col(source_col).alias("src"),
+                       F.explode(tokens(F.col(text_col))).alias("t"))
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("ct"))
+    per_src = toks.groupBy("src", "t").agg(F.count(F.lit(1)).alias("cst"))
+    n_src = toks.groupBy("src").agg(F.count(F.lit(1)).alias("ns"))
+    totals = vocab.agg(F.sum("ct").alias("nq"),
+                       F.count(F.lit(1)).alias("v")).first()
+    nq, v = totals["nq"], totals["v"]
+    full = (vocab.crossJoin(F.broadcast(n_src))
+            .join(per_src, ["src", "t"], "left")
+            .select("src", "ns", "ct",
+                    F.coalesce(F.col("cst"), F.lit(0)).alias("cst")))
+    p = (F.col("cst") + 1) / (F.col("ns") + F.lit(v))
+    q = (F.col("ct") + 1) / F.lit(float(nq + v))
+    return (full.groupBy("src")
+            .agg(F.sum(p * F.log(p / q)).alias("kl"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_vocab"))
+            .withColumnRenamed("src", source_col))

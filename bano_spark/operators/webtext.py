@@ -347,3 +347,42 @@ def latest_capture(pages: DataFrame, key_col: str = "page_key",
                         F.count(F.lit(1)).over(Window.partitionBy(key_col)))
             .filter(F.col("_rk") == 1)
             .drop("_rk"))
+
+
+def line_dedup(lines: DataFrame, id_col: str = "doc_id",
+               pos_col: str = "line_no", line_col: str = "line") -> DataFrame:
+    """C4-style global line deduplication (Raffel et al. 2020 keep one
+    occurrence of every three-sentence span; here the unit is a line):
+    a line occurrence survives iff it is the corpus-wide first by
+    (doc_id, line_no). Returns one row per document:
+    (id, n_lines, n_kept, kept_text) with kept lines re-joined in
+    original order.
+
+    Scale shape: the keeper is found with groupBy(line).min — a
+    map-side-combinable aggregation that collapses mega-duplicated
+    boilerplate lines to ONE row per distinct line before the shuffle
+    (a window over partitionBy(line) would ship every occurrence of
+    the hottest boilerplate line to a single task; the groupBy ships
+    one partial per map task). The join back is on the line hash, not
+    the raw text, so wide lines cross the shuffle once.
+    """
+    h = F.md5(F.col(line_col)).alias("lh")
+    occ = lines.select(F.col(id_col), F.col(pos_col), F.col(line_col), h)
+    keep = (occ.groupBy("lh")
+            .agg(F.min(F.struct(id_col, pos_col)).alias("k"))
+            .select("lh", F.col(f"k.{id_col}").alias("_kid"),
+                    F.col(f"k.{pos_col}").alias("_kpos")))
+    tagged = occ.join(keep, "lh").withColumn(
+        "kept", (F.col(id_col) == F.col("_kid"))
+                & (F.col(pos_col) == F.col("_kpos")))
+    return (tagged.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("kept"),
+                                    F.struct(F.col(pos_col).alias("p"),
+                                             F.col(line_col).alias("l"))))),
+                         lambda s: s["l"]),
+                     "\n").alias("kept_text")))

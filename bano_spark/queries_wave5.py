@@ -929,7 +929,8 @@ r AS (
                             ROWS UNBOUNDED PRECEDING) AS leg
   FROM st
 )
-SELECT user_id, leg, CAST(count(*) AS BIGINT) AS n_steps,
+SELECT user_id, CAST(leg AS BIGINT) AS leg,
+       CAST(count(*) AS BIGINT) AS n_steps,
        round(sum(d), 3) AS leg_dist_m,
        min(ts) AS ts_start, max(ts) AS ts_end
 FROM r WHERE mov = 1

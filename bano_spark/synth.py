@@ -444,3 +444,99 @@ FROM (SELECT doc_id,
              (doc_id * 2654435761 + 131) % 2147483648 AS w2
       FROM {table})
 """
+
+
+# ---------------------------------------------------------------------------
+# Wave-8 fixtures (continued): document lines, clustered dense points,
+# lattice nodes, and an integer-valued drifting series. Everything is
+# integer/string arithmetic, bit-identical across engines; doubles
+# appear only as exact integer-valued casts.
+# ---------------------------------------------------------------------------
+
+
+def lines_select_sql(dialect: str, table: str = "documents",
+                     chunk: int = 8) -> str:
+    """Chunk each document's token stream into ``chunk``-token pseudo
+    lines (doc_id, line_no, line). Every third line (by a doc/line
+    hash) is replaced with one of 7 boilerplate strings so the corpus
+    carries the heavy cross-document line duplication C4-style line
+    dedup exists to remove; the remaining lines are near-unique.
+    """
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        return f"""
+SELECT doc_id, line_no,
+       CASE WHEN (doc_id * 7 + line_no) % 3 = 0
+            THEN 'boiler plate line ' || CAST((doc_id div 11 + line_no) % 7 AS STRING)
+            ELSE array_join(slice({toks}, line_no * {chunk} + 1, {chunk}), ' ')
+       END AS line
+FROM (SELECT doc_id, text FROM {table}) t
+LATERAL VIEW explode(sequence(0,
+    CAST(ceil(size({toks}) / {chunk}.0) AS INT) - 1)) e AS line_no
+"""
+    return f"""
+SELECT doc_id, line_no,
+       CASE WHEN (doc_id * 7 + line_no) % 3 = 0
+            THEN 'boiler plate line ' || CAST((doc_id // 11 + line_no) % 7 AS STRING)
+            ELSE array_to_string(
+                   toks[line_no * {chunk} + 1 : line_no * {chunk} + {chunk}], ' ')
+       END AS line
+FROM (SELECT doc_id,
+             unnest(generate_series(0,
+                 CAST(ceil(len(toks) / {chunk}.0) AS INT) - 1)) AS line_no,
+             toks
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {table}))
+"""
+
+
+def dense_points_select_sql(dialect: str, table: str = "events",
+                            modulus: int = 19) -> str:
+    """A bounded clustered point set in the 4000 x 4000 unit box:
+    ~70% of points fall within +-200 of one of 25 cluster centres,
+    30% are uniform — the clustering Ripley's K exists to detect.
+    Sampled as event_id % modulus = 3 so the oracle's O(n^2)
+    self-join stays small at gate scale. (value) is an integer-valued
+    double for the IDW fixture."""
+    d = " div " if dialect == "spark" else " // "
+    cx = f"(400 + ((u{d}7) % 5) * 700)"
+    cy = f"(400 + ((u{d}13) % 5) * 700)"
+    return f"""
+SELECT event_id,
+       CAST(CASE WHEN u % 10 < 7
+            THEN {cx} + ((u{d}10) % 401) - 200
+            ELSE (u{d}10) % 4000 END + 0.5 AS DOUBLE) AS x,
+       CAST(CASE WHEN u % 10 < 7
+            THEN {cy} + ((u{d}4010) % 401) - 200
+            ELSE (u{d}4010) % 4000 END + 0.25 AS DOUBLE) AS y,
+       CAST((u{d}31) % 100 AS DOUBLE) AS value
+FROM (SELECT event_id, (event_id * 2654435761 + 47) % 2147483648 AS u
+      FROM {table} WHERE event_id % {modulus} = 3)
+"""
+
+
+def grid_nodes_select_sql(dialect: str, table: str = "supplier") -> str:
+    """An 8 x 8 lattice of interpolation nodes over the same 4000-unit
+    box as dense_points_select_sql (node spacing 500, offset 250)."""
+    d = " div " if dialect == "spark" else " // "
+    return f"""
+SELECT DISTINCT s_suppkey % 64 AS node_id,
+       CAST(250 + ((s_suppkey % 64) % 8) * 500 AS DOUBLE) AS nx,
+       CAST(250 + ((s_suppkey % 64){d}8) * 500 AS DOUBLE) AS ny
+FROM {table}
+"""
+
+
+def series_select_sql(dialect: str, table: str = "events") -> str:
+    """Per-user integer-valued measurement series with an injected
+    +300 level shift after the 50th observation — the CUSUM drift
+    fixture. (user_id, ts, event_id, seq, v); v stays integer so
+    running sums are exact in both engines."""
+    return f"""
+SELECT user_id, ts, event_id, seq,
+       CAST((u % 400) + CASE WHEN seq > 50 THEN 300 ELSE 0 END AS DOUBLE) AS v
+FROM (SELECT user_id, ts, event_id,
+             (event_id * 2654435761 + 5) % 2147483648 AS u,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS seq
+      FROM {table})
+"""
