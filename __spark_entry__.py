@@ -1822,6 +1822,7 @@ from bano_spark import queries_wave4 as _w4  # noqa: E402
 from bano_spark import queries_wave5 as _w5  # noqa: E402
 from bano_spark import queries_wave8 as _w8  # noqa: E402
 from bano_spark import queries_wave9 as _w9  # noqa: E402
+from bano_spark import queries_wave10 as _w10  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1831,6 +1832,8 @@ _QUERIES.update(_w8.QUERIES)
 _ORACLES.update(_w8.ORACLES)
 _QUERIES.update(_w9.QUERIES)
 _ORACLES.update(_w9.ORACLES)
+_QUERIES.update(_w10.QUERIES)
+_ORACLES.update(_w10.ORACLES)
 
 
 # ---------------------------------------------------------------------------

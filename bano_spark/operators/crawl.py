@@ -197,3 +197,47 @@ def link_reciprocity(edges: DataFrame, src_col: str = "src_host",
             .select("n_edges", "n_reciprocal",
                     (F.col("n_reciprocal") / F.col("n_edges"))
                     .alias("reciprocity")))
+
+
+def change_rate(captures: DataFrame, now: str, *,
+                page_col: str = "page_key", ts_col: str = "ts",
+                version_col: str = "version",
+                order_cols: list | None = None) -> DataFrame:
+    """Recrawl scheduling from capture history: per page, the observed
+    content-change rate (changes between consecutive captures / days
+    of observed span — the MLE of a Poisson change process sampled at
+    the capture instants) and the staleness priority
+    rate * days_since_last_capture = the expected number of missed
+    changes, the classic freshness-driven recrawl ordering (Cho &
+    Garcia-Molina 2003's uniform-vs-proportional allocation takes
+    this as input).
+
+    One partitioned lag window + one groupBy(page); ``now`` is an
+    explicit literal so runs are reproducible. Pages with a
+    degenerate span (a single capture) get rate 0 — never NULL/inf.
+    """
+    from pyspark.sql.window import Window
+
+    order_cols = order_cols or [F.col(ts_col)]
+    w = Window.partitionBy(page_col).orderBy(*order_cols)
+    changed = (F.lag(version_col).over(w).isNotNull()
+               & (F.col(version_col) != F.lag(version_col).over(w)))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per = (captures
+           .withColumn("_chg", F.when(changed, 1).otherwise(0))
+           .groupBy(page_col)
+           .agg(F.count(F.lit(1)).alias("n_captures"),
+                F.sum("_chg").alias("n_changes"),
+                F.min(us).alias("_first_us"),
+                F.max(us).alias("_last_us")))
+    day_us = 86400.0 * 1e6
+    span_days = (F.col("_last_us") - F.col("_first_us")) / F.lit(day_us)
+    now_us = F.unix_micros(F.to_timestamp(F.lit(now)))
+    age_days = (now_us - F.col("_last_us")) / F.lit(day_us)
+    rate = F.when(span_days > 0,
+                  F.col("n_changes") / span_days).otherwise(F.lit(0.0))
+    return per.select(
+        page_col, "n_captures", "n_changes",
+        rate.alias("change_rate_per_day"),
+        age_days.alias("age_days"),
+        (rate * age_days).alias("priority"))

@@ -121,3 +121,138 @@ def kmv_set_estimates(sketches: DataFrame, group_col: str,
             .select("g1", "g2",
                     F.round(union_est, 6).alias("union_est"),
                     F.round(inter_est, 6).alias("intersect_est")))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007)
+# ---------------------------------------------------------------------------
+
+_HLL_BITS = 60  # 15 md5 hex chars: register index bits + rank suffix
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_register_cols(col: Column, p: int) -> tuple[Column, Column]:
+    """(register index, rank) of a value under the shared portable
+    hash: h = first 15 md5 hex chars as a 60-bit integer, index = low
+    p bits, rank = 1 + leading zeros of the remaining (60-p)-bit
+    suffix. Everything is integer bit arithmetic both engines compute
+    identically (bin() is unpadded in Spark AND DuckDB), so a SQL
+    oracle replays the sketch bit-for-bit — the same determinism
+    contract as :func:`uniform_hash`."""
+    m = 1 << p
+    wbits = _HLL_BITS - p
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+               16, 10).cast("bigint")
+    idx = h.bitwiseAND(F.lit(m - 1))
+    w = F.shiftright(h, p)
+    rank = (F.when(w == F.lit(0), F.lit(wbits + 1))
+            .otherwise(F.lit(wbits + 1) - F.length(F.bin(w))))
+    return idx, rank
+
+
+def hll_sketch(df: DataFrame, group_col: str, value_col: str,
+               p: int = 6, out_col: str = "registers") -> DataFrame:
+    """(group, registers) — the dense m = 2^p register array (max rank
+    per register, 0 for never-hit) per group: the MERGEABLE form.
+
+    Scale shape: one groupBy(group, idx) with a map-side-combinable
+    max collapses any number of rows to <= m rows per group BEFORE the
+    second shuffle; the dense array comes from a map lookup over
+    sequence(0, m-1) — empty registers are materialized by transform,
+    never by exploding a grid."""
+    m = 1 << p
+    idx, rank = hll_register_cols(F.col(value_col), p)
+    regs = (df.select(F.col(group_col), idx.alias("_idx"),
+                      rank.alias("_rank"))
+            .groupBy(group_col, "_idx")
+            .agg(F.max("_rank").alias("_mx")))
+    return (regs.groupBy(group_col)
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("_idx", "_mx"))).alias("_mp"))
+            .select(F.col(group_col),
+                    F.expr(f"transform(sequence(0, {m - 1}), "
+                           f"i -> coalesce(_mp[i], 0))").alias(out_col)))
+
+
+def hll_merge(sketches: DataFrame, p: int,
+              reg_col: str = "registers") -> DataFrame:
+    """Union all sketch rows into ONE merged register array
+    (element-wise max — the HLL union is exact: the merged sketch IS
+    the sketch of the concatenated streams). Returns a single row.
+    posexplode is O(rows x m); rows here are group counts."""
+    m = 1 << p
+    ex = sketches.select(F.posexplode(reg_col).alias("_pos", "_r"))
+    return (ex.groupBy("_pos").agg(F.max("_r").alias("_mx"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("_pos", "_mx"))).alias("_mp"))
+            .select(F.expr(f"transform(sequence(0, {m - 1}), "
+                           f"i -> coalesce(_mp[i], 0))").alias(reg_col)))
+
+
+def hll_estimate_col(reg_col: str, p: int) -> Column:
+    """The HLL cardinality estimate of a dense register-array column:
+    raw = alpha_m * m^2 / sum(2^-M_j), with the small-range linear-
+    counting correction E = m * ln(m / V) when raw <= 2.5m and V
+    (empty registers) > 0. The indicator sum runs in ARRAY order
+    (aggregate()), so the engine-side float fold is deterministic."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    z = F.expr(f"aggregate({reg_col}, CAST(0.0 AS DOUBLE), "
+               f"(acc, r) -> acc + power(2.0, -CAST(r AS DOUBLE)))")
+    v = F.expr(f"size(filter({reg_col}, r -> r = 0))").cast("double")
+    raw = F.lit(alpha * m * m) / z
+    return (F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                   F.lit(float(m)) * F.log(F.lit(float(m)) / v))
+            .otherwise(raw))
+
+
+def hll_oracle_cte(source_select: str, group_expr: str, value_expr: str,
+                   p: int = 6) -> str:
+    """The DuckDB replay of hll_sketch + hll_estimate_col as a WITH
+    body: yields columns (grp, hll_z, hll_v, hll_estimate_raw) — one
+    generator, so the engine and the oracle share the bit layout and
+    the correction constants by construction."""
+    m = 1 << p
+    wbits = _HLL_BITS - p
+    alpha = _hll_alpha(m)
+    return f"""
+hll_src AS ({source_select}),
+hll_h AS (
+  SELECT {group_expr} AS grp,
+         CAST(concat('0x', substr(md5(CAST({value_expr} AS VARCHAR)),
+                                  1, 15)) AS UBIGINT) AS hv
+  FROM hll_src
+),
+hll_r AS (
+  SELECT grp, hv & {m - 1} AS idx,
+         CASE WHEN (hv >> {p}) = 0 THEN {wbits + 1}
+              ELSE {wbits + 1} - length(bin(hv >> {p})) END AS rnk
+  FROM hll_h
+),
+hll_mx AS (SELECT grp, idx, max(rnk) AS mx FROM hll_r GROUP BY grp, idx),
+hll_grid AS (
+  SELECT g.grp, i.idx
+  FROM (SELECT DISTINCT grp FROM hll_mx) g
+  CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS idx) i
+),
+hll_reg AS (
+  SELECT hll_grid.grp, hll_grid.idx, coalesce(hll_mx.mx, 0) AS m
+  FROM hll_grid LEFT JOIN hll_mx
+    ON hll_mx.grp = hll_grid.grp AND hll_mx.idx = hll_grid.idx
+),
+hll_est AS (
+  SELECT grp, sum(power(2.0, -m)) AS hll_z,
+         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS hll_v
+  FROM hll_reg GROUP BY grp
+),
+hll_out AS (
+  SELECT grp, hll_z, hll_v,
+         CASE WHEN ({alpha} * {m * m} / hll_z) <= {2.5 * m} AND hll_v > 0
+              THEN {float(m)} * ln({float(m)} / hll_v)
+              ELSE {alpha} * {m * m} / hll_z END AS hll_estimate
+  FROM hll_est
+)"""

@@ -277,3 +277,51 @@ def cusum(df: DataFrame, key_col: str, value_col: str,
                  .alias("first_alarm_seq"),
                  F.sum(F.when(F.col("_s") > threshold, 1).otherwise(0))
                  .alias("n_alarms")))
+
+
+def theil_sen(df: DataFrame, key_col: str, x_col: str, y_col: str,
+              out_col: str = "theil_sen_slope") -> DataFrame:
+    """Per-key Theil-Sen estimator: the median of all pairwise slopes
+    (y_j - y_i) / (x_j - x_i) over x_i < x_j — the robust slope with a
+    29.3% breakdown point (Sen 1968), immune to the level shifts and
+    outliers that drag OLS (the CUSUM fixture's +300 step is exactly
+    such a contaminant). Median = exact interpolated percentile(0.5),
+    matching DuckDB's quantile_cont.
+
+    Scale shape: the pair generation is a per-key equi-join —
+    O(n_k^2) rows per key, never across keys. That quadratic is the
+    estimator's definition; the contract is bounded per-key series
+    (sessions, days, devices). For unbounded keys the standard remedy
+    is upstream per-key sampling or the repeated-median variant —
+    callers pick the bound, this operator never hides it.
+    """
+    a = df.select(F.col(key_col), F.col(x_col).cast("double").alias("_x1"),
+                  F.col(y_col).cast("double").alias("_y1"))
+    b = df.select(F.col(key_col), F.col(x_col).cast("double").alias("_x2"),
+                  F.col(y_col).cast("double").alias("_y2"))
+    pairs = (a.join(b, key_col)
+             .filter(F.col("_x1") < F.col("_x2"))
+             .withColumn("_s", (F.col("_y2") - F.col("_y1"))
+                         / (F.col("_x2") - F.col("_x1"))))
+    return (pairs.groupBy(key_col)
+            .agg(F.expr("percentile(_s, 0.5)").alias(out_col),
+                 F.count(F.lit(1)).alias("n_pairs")))
+
+
+def ols_slope(df: DataFrame, key_col: str, x_col: str, y_col: str,
+              out_col: str = "ols_slope") -> DataFrame:
+    """Per-key ordinary-least-squares slope from one pass of additive
+    sufficient statistics (n, sum x, sum y, sum xy, sum x^2) — the
+    non-robust twin theil_sen is compared against."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"), F.sum(x * x).alias("_sxx"))
+    return agg.select(
+        F.col(key_col),
+        ((F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_n"))
+         / (F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n")))
+        .alias(out_col),
+        F.col("_n").cast("bigint").alias("n_obs"))

@@ -540,3 +540,21 @@ FROM (SELECT user_id, ts, event_id,
                                 ORDER BY ts, event_id) AS seq
       FROM {table})
 """
+
+
+def captures_select_sql(dialect: str, table: str = "events") -> str:
+    """Per-page capture history for recrawl scheduling: 8 consecutive
+    event ids form one logical page's captures at the events table's
+    real timestamps; ``version`` is a small-alphabet content hash
+    whose alphabet size (2-5) varies per page, so observed change
+    rates spread across pages. Single-capture degenerate pages do not
+    occur (ids are contiguous), but the operator guards span 0
+    anyway."""
+    d = " div " if dialect == "spark" else " // "
+    return f"""
+SELECT event_id, event_id{d}8 AS page_key, ts,
+       CAST(u % ((event_id{d}8) % 4 + 2) AS BIGINT) AS version
+FROM (SELECT event_id, ts,
+             (event_id * 2654435761 + 11) % 2147483648 AS u
+      FROM {table})
+"""
