@@ -1823,6 +1823,7 @@ from bano_spark import queries_wave5 as _w5  # noqa: E402
 from bano_spark import queries_wave8 as _w8  # noqa: E402
 from bano_spark import queries_wave9 as _w9  # noqa: E402
 from bano_spark import queries_wave10 as _w10  # noqa: E402
+from bano_spark import queries_wave11 as _w11  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1834,6 +1835,8 @@ _QUERIES.update(_w9.QUERIES)
 _ORACLES.update(_w9.ORACLES)
 _QUERIES.update(_w10.QUERIES)
 _ORACLES.update(_w10.ORACLES)
+_QUERIES.update(_w11.QUERIES)
+_ORACLES.update(_w11.ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -325,3 +325,35 @@ def ols_slope(df: DataFrame, key_col: str, x_col: str, y_col: str,
          / (F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n")))
         .alias(out_col),
         F.col("_n").cast("bigint").alias("n_obs"))
+
+
+def interarrival_burstiness(df: DataFrame, key_col: str, ts_col: str,
+                            order_cols: list | None = None) -> DataFrame:
+    """Per-key burstiness of the inter-arrival process (Goh &
+    Barabasi 2008): B = (sigma - mu) / (sigma + mu) over the gaps
+    between consecutive events — -1 perfectly regular, 0 Poisson,
+    -> 1 extremely bursty. The session/crawl politeness planner's
+    heavy-tail detector.
+
+    One partitioned lag + one groupBy; variance from explicit
+    sufficient statistics (sum, sum of squares) so the float
+    expression is identical in any SQL engine (library var_pop
+    implementations differ numerically). Keys with < 2 events drop
+    (no gap exists)."""
+    order_cols = order_cols or [F.col(ts_col)]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (df.withColumn("_dt", (us - F.lag(us).over(w)) / F.lit(1e6))
+            .filter(F.col("_dt").isNotNull()))
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("_dt").alias("_s"),
+        F.sum(F.col("_dt") * F.col("_dt")).alias("_s2"))
+    n = F.col("n_gaps").cast("double")
+    mu = F.col("_s") / n
+    sigma = F.sqrt(F.col("_s2") / n - mu * mu)
+    return agg.select(
+        key_col, "n_gaps", mu.alias("mean_gap_sec"),
+        sigma.alias("std_gap_sec"),
+        F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu))
+        .otherwise(F.lit(0.0)).alias("burstiness"))

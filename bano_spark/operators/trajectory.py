@@ -348,3 +348,113 @@ def colocation_pairs(
             .groupBy("track_a", "track_b")
             .agg(F.countDistinct(bucket_col).alias("n_buckets"))
             .filter(F.col("n_buckets") >= min_cooccurrences))
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping (exact, relational)
+# ---------------------------------------------------------------------------
+
+def dtw_pairs(traj: DataFrame, pairs: DataFrame, r: int, *,
+              track_col: str = "user_id", order_col: str = "seq",
+              x_col: str = "x", y_col: str = "y",
+              id_a: str = "id_a", id_b: str = "id_b",
+              checkpoint_every: int = 4) -> DataFrame:
+    """EXACT dynamic time warping distance between paired tracks,
+    each truncated to its first ``r`` points (pairs where either
+    track is shorter are dropped — deterministic at any input scale).
+
+    The DP recurrence D[i][j] = c[i][j] + min(D[i-1][j], D[i][j-1],
+    D[i-1][j-1]) looks irreducibly sequential, but each ROW linearizes:
+    with E[j] = min(D[i-1][j], D[i-1][j-1]) and P the prefix sum of
+    row i's costs, D[i][j] = P[j] + min_{k<=j}(E[k] - P[k-1]) — ONE
+    prefix sum + ONE running min per row, both ordinary partitioned
+    windows. The i-loop is r driver iterations over a frame keyed by
+    pair; every pair advances in parallel inside each iteration.
+
+    Scale shape: per iteration one equi-join on the pair key plus two
+    partitioned windows over r rows per pair — O(pairs x r) per round,
+    r rounds, no per-row Python, no cross product (the cost matrix is
+    the definitional r^2 rows per pair). ``dtw_cte_sql`` renders the
+    SAME step table as chained CTEs for a SQL oracle.
+    """
+    pts = (traj.select(F.col(track_col).alias("_t"),
+                       F.col(order_col).alias("_s"),
+                       F.col(x_col).cast("double").alias("_x"),
+                       F.col(y_col).cast("double").alias("_y"))
+           .filter(F.col("_s") <= r))
+    full = (pts.groupBy("_t").agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") == r).select("_t"))
+    pts = pts.join(full, "_t")
+    a = pts.select(F.col("_t").alias(id_a), F.col("_s").alias("_i"),
+                   F.col("_x").alias("_ax"), F.col("_y").alias("_ay"))
+    b = pts.select(F.col("_t").alias(id_b), F.col("_s").alias("_j"),
+                   F.col("_x").alias("_bx"), F.col("_y").alias("_by"))
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    wp = Window.partitionBy(id_a, id_b, "_i").orderBy("_j")
+    cost = (pairs.join(a, id_a).join(b, id_b)
+            .select(id_a, id_b, "_i", "_j",
+                    F.sqrt(dx * dx + dy * dy).alias("_c"))
+            .withColumn("_pp", F.sum("_c").over(wp)))
+    cost = cost.localCheckpoint(eager=True)  # the loop scans it r-1 times
+
+    d = (cost.filter(F.col("_i") == 1)
+         .select(id_a, id_b, "_j", F.col("_pp").alias("_d")))
+    wj = Window.partitionBy(id_a, id_b).orderBy("_j")
+    wmin = wj.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for i in range(2, r + 1):
+        dprev = d.withColumn("_dl", F.lag("_d").over(wj))
+        row = cost.filter(F.col("_i") == i)
+        e = F.least(F.col("_d"),
+                    F.coalesce(F.col("_dl"), F.lit(float("inf"))))
+        step = (row.join(dprev, [id_a, id_b, "_j"])
+                .withColumn("_g", e - (F.col("_pp") - F.col("_c")))
+                .select(id_a, id_b, "_j",
+                        (F.col("_pp") + F.min("_g").over(wmin))
+                        .alias("_d")))
+        if i % checkpoint_every == 0:
+            step = step.localCheckpoint(eager=True)
+        d = step
+    return (d.filter(F.col("_j") == r)
+            .select(id_a, id_b, F.col("_d").alias("dtw")))
+
+
+def dtw_cte_sql(cost_select: str, r: int, dialect: str,
+                id_cols: str = "id_a, id_b") -> str:
+    """The dtw_pairs step table as chained CTEs over ``cost_select``
+    (which must yield columns ``{id_cols}, i, j, c`` — the full r x r
+    cost matrix per pair): one source of truth for the rearranged DP
+    algebra, two engines. Emits a WITH body ending in CTE ``dtw_d{r}``
+    holding (id_cols, j, d); select ``WHERE j = {r}`` for the answer."""
+    inf = ("CAST('infinity' AS DOUBLE)" if dialect == "duckdb"
+           else "CAST('Infinity' AS DOUBLE)")
+    on = " AND ".join(f"d.{c.strip()} = p.{c.strip()}"
+                      for c in id_cols.split(","))
+    part = id_cols
+    parts = [f"""
+dtw_p AS (
+  SELECT {id_cols}, i, j, c,
+         sum(c) OVER (PARTITION BY {part}, i ORDER BY j) AS pp
+  FROM ({cost_select})
+),
+dtw_d1 AS (SELECT {id_cols}, j, pp AS d FROM dtw_p WHERE i = 1)"""]
+    for i in range(2, r + 1):
+        parts.append(f""",
+dtw_e{i} AS (
+  SELECT p.*, least(d.d, coalesce(
+             lag(d.d) OVER (PARTITION BY {_pfx(part, 'p')}
+                            ORDER BY p.j), {inf})) AS e
+  FROM dtw_p p JOIN dtw_d{i - 1} d ON {on} AND d.j = p.j
+  WHERE p.i = {i}
+),
+dtw_d{i} AS (
+  SELECT {id_cols}, j,
+         pp + min(e - (pp - c)) OVER (PARTITION BY {part} ORDER BY j
+                                      ROWS UNBOUNDED PRECEDING) AS d
+  FROM dtw_e{i}
+)""")
+    return "".join(parts)
+
+
+def _pfx(cols: str, alias: str) -> str:
+    return ", ".join(f"{alias}.{c.strip()}" for c in cols.split(","))

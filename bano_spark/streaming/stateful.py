@@ -200,3 +200,55 @@ def streaming_staypoints(grouped, *, radius: float = 50.0, min_pts: int = 3,
     return grouped.applyInPandasWithState(
         fn, STAY_OUTPUT_SCHEMA, STAY_STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout)
+
+
+def streaming_hll(grouped, p: int = 6, key_name: str = "event_type",
+                  key_type=None):
+    """Stateful streaming HyperLogLog: per group the state is the
+    dense m = 2^p register array; each micro-batch folds the batch's
+    (idx, rank) pairs in with element-wise max and emits the updated
+    registers + a monotone n_seen counter (the upsert-ordering key).
+    Converges to EXACTLY the batch hll_sketch registers — the
+    mergeable-sketch property is what makes the incremental fold
+    correct under replay and reordering.
+
+    The md5/bit math runs JVM-side upstream (hll_register_cols):
+    only two small ints per row cross into Python. State is m bytes
+    of ranks per key, the whole point of sketching a 10^12-row
+    stream."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    m = 1 << p
+    key_type = key_type or StringType()
+    state_schema = StructType([
+        StructField("registers", ArrayType(IntegerType())),
+        StructField("n_seen", LongType()),
+    ])
+    output_schema = StructType([
+        StructField(key_name, key_type),
+        StructField("registers", ArrayType(IntegerType())),
+        StructField("n_seen", LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            regs, n = state.get
+            regs = list(regs)
+        else:
+            regs, n = [0] * m, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            best = pdf.groupby("idx")["rank"].max()
+            for idx, rank in best.items():
+                i, r = int(idx), int(rank)
+                if r > regs[i]:
+                    regs[i] = r
+        state.update((regs, n))
+        yield pd.DataFrame({key_name: [key[0]], "registers": [regs],
+                            "n_seen": [n]})
+
+    return grouped.applyInPandasWithState(
+        fn, output_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)

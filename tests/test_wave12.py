@@ -1,0 +1,53 @@
+"""Wave-12 streaming test: the stateful HLL's converged register
+state across multiple micro-batches equals the batch sketch exactly
+(mergeable max-fold), so the streaming estimate is the batch
+estimate."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_streaming_hll_converges_to_batch_sketch(spark, tmp_path):
+    from bano_spark.operators.sketches import hll_register_cols, hll_sketch
+    from bano_spark.streaming.stateful import streaming_hll
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    # two files => two micro-batches; overlapping values across them
+    pd.DataFrame({"g": ["a"] * 40 + ["b"] * 30,
+                  "v": [f"u{i}" for i in range(40)]
+                  + [f"u{i}" for i in range(30)]}).to_parquet(
+        src / "f1.parquet")
+    pd.DataFrame({"g": ["a"] * 20 + ["b"] * 25,
+                  "v": [f"u{i}" for i in range(30, 50)]
+                  + [f"w{i}" for i in range(25)]}).to_parquet(
+        src / "f2.parquet")
+
+    feed = (spark.readStream.schema("g string, v string")
+            .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    idx, rank = hll_register_cols(F.col("v"), 6)
+    out = streaming_hll(
+        feed.select("g", idx.cast("int").alias("idx"),
+                    rank.cast("int").alias("rank")).groupBy("g"),
+        p=6, key_name="g")
+    q = (out.writeStream.format("memory").queryName("hll_test")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    final = {}
+    for r in spark.table("hll_test").collect():
+        prev = final.get(r.g)
+        if prev is None or r.n_seen >= prev[0]:
+            final[r.g] = (r.n_seen, list(r.registers))
+
+    batch = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(50)]
+        + [("b", f"u{i}") for i in range(30)]
+        + [("b", f"w{i}") for i in range(25)], "g string, v string")
+    expected = {r["g"]: list(r["registers"])
+                for r in hll_sketch(batch, "g", "v", p=6).collect()}
+    assert final["a"][1] == expected["a"]
+    assert final["b"][1] == expected["b"]
+    assert final["a"][0] == 60 and final["b"][0] == 55  # rows folded

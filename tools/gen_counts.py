@@ -27,8 +27,8 @@ def patch_readme(n_q: int, n_o: int) -> None:
     s = re.sub(r"\d+ driver queries, ALL \d+ oracle-checked",
                f"{n_q} driver queries, ALL {n_o} oracle-checked", s)
     s = re.sub(r"\(\d+/\d+ PASS at", f"({n_o}/{n_o} PASS at", s)
-    s = re.sub(r"\*\*\d+ registered\nqueries",
-               f"**{n_q} registered\nqueries", s)
+    s = re.sub(r"\*\*\d+ registered(\s)queries",
+               f"**{n_q} registered\\1queries", s)
     open(p, "w").write(s)
 
 
