@@ -1824,6 +1824,7 @@ from bano_spark import queries_wave8 as _w8  # noqa: E402
 from bano_spark import queries_wave9 as _w9  # noqa: E402
 from bano_spark import queries_wave10 as _w10  # noqa: E402
 from bano_spark import queries_wave11 as _w11  # noqa: E402
+from bano_spark import queries_wave13 as _w13  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1837,6 +1838,8 @@ _QUERIES.update(_w10.QUERIES)
 _ORACLES.update(_w10.ORACLES)
 _QUERIES.update(_w11.QUERIES)
 _ORACLES.update(_w11.ORACLES)
+_QUERIES.update(_w13.QUERIES)
+_ORACLES.update(_w13.ORACLES)
 
 
 # ---------------------------------------------------------------------------

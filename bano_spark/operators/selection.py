@@ -326,3 +326,54 @@ def waterfill_allocation(counts: DataFrame, budget: int,
         alloc = F.least(F.col("n").cast("double"), F.lit(t))
     return withrank.select(F.col(key_col), F.col("n").alias("n_urls"),
                            alloc.alias("alloc"))
+
+
+def weighted_median(df: DataFrame, group_col: str, value_col: str,
+                    weight_col: str) -> DataFrame:
+    """Per-group lower weighted median: the smallest value v whose
+    cumulative weight (value-ordered, ties accumulated together by
+    the RANGE default frame) reaches half the group's total —
+    deterministic for any weights, exact for integer weights, and
+    identical in any engine with standard window semantics.
+
+    One ordered window + one groupBy, both partitioned by the group —
+    embarrassingly parallel across groups, no global sort anywhere."""
+    w_tot = Window.partitionBy(group_col)
+    w_cum = Window.partitionBy(group_col).orderBy(value_col)
+    with_c = df.select(
+        F.col(group_col), F.col(value_col),
+        F.col(weight_col).alias("_w")) \
+        .withColumn("_tot", F.sum("_w").over(w_tot)) \
+        .withColumn("_cum", F.sum("_w").over(w_cum))
+    return (with_c.groupBy(group_col)
+            .agg(F.min(F.when(F.lit(2) * F.col("_cum") >= F.col("_tot"),
+                              F.col(value_col))).alias("weighted_median"),
+                 F.max("_tot").alias("total_weight")))
+
+
+def gini_concentration(counts: DataFrame, key_col: str,
+                       n_col: str = "n") -> DataFrame:
+    """Gini coefficient of a count distribution (host attention, token
+    budgets, per-commune address mass): with x sorted ascending and
+    i the 1-based rank, G = (2 * sum(i * x_i) - (n + 1) * sum(x))
+    / (n * sum(x)) — 0 perfectly equal, -> 1 winner-take-all. The
+    concentration screen next to the waterfill allocation.
+
+    The global rank comes from distributed_cumsum's bucketed composite
+    prefix sum (rank = cumsum of ones over the (value, key) total
+    order — no single-partition window at ANY key count); the three
+    moments are one scalar aggregate."""
+    c = counts.select(F.col(key_col),
+                      F.col(n_col).cast("double").alias("_x"))
+    ranked = distributed_cumsum(
+        c.withColumn("_one", F.lit(1)), "_x",
+        [F.col("_x"), F.col(key_col)], "_one",
+        out_col="_i", tiebreak_col=key_col).drop("_one")
+    agg = ranked.agg(F.count(F.lit(1)).cast("double").alias("_n"),
+                     F.sum("_x").alias("_sx"),
+                     F.sum(F.col("_i") * F.col("_x")).alias("_six"))
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n_keys"),
+        F.col("_sx").alias("total"),
+        ((F.lit(2.0) * F.col("_six") - (F.col("_n") + 1) * F.col("_sx"))
+         / (F.col("_n") * F.col("_sx"))).alias("gini"))

@@ -277,3 +277,41 @@ def clark_evans(points: DataFrame, area: float, cell: float, *,
         expected.alias("expected_nn"),
         (F.col("mean_nn") / expected).alias("r_index"),
         ((F.col("mean_nn") - expected) / se).alias("z_score"))
+
+
+def mann_kendall(df: DataFrame, key_cols: list, time_col: str,
+                 value_col: str) -> DataFrame:
+    """Per-key Mann-Kendall trend test (the nonparametric core of
+    emerging-hot-spot analysis over space-time bins): S = sum over
+    ordered period pairs of sign(v_j - v_i), tie-corrected variance
+    Var = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18, and the
+    continuity-corrected z ((S-1)/sd for S>0, (S+1)/sd for S<0, 0 at
+    S=0). Integer-valued series keep S and Var exact.
+
+    The pair join is confined WITHIN each key (bounded period counts
+    — days/weeks — so O(n_k^2) is a constant); tie groups come from
+    one groupBy (key, value). Keys partition freely."""
+    a = df.select(*key_cols, F.col(time_col).alias("_ti"),
+                  F.col(value_col).alias("_vi"))
+    b = df.select(*key_cols, F.col(time_col).alias("_tj"),
+                  F.col(value_col).alias("_vj"))
+    keys = [str(k) for k in key_cols]
+    pairs = (a.join(b, keys).filter(F.col("_ti") < F.col("_tj")))
+    s = (pairs.groupBy(*keys)
+         .agg(F.sum(F.signum(F.col("_vj") - F.col("_vi"))
+                    .cast("bigint")).alias("s")))
+    n = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_periods"))
+    t = F.col("_tn").cast("double")
+    ties = (df.groupBy(*keys, value_col)
+            .agg(F.count(F.lit(1)).alias("_tn"))
+            .groupBy(*keys)
+            .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("_tie")))
+    nn = F.col("n_periods").cast("double")
+    var = (nn * (nn - 1) * (2 * nn + 5) - F.col("_tie")) / F.lit(18.0)
+    sd = F.sqrt(var)
+    z = (F.when(F.col("s") > 0, (F.col("s") - 1) / sd)
+         .when(F.col("s") < 0, (F.col("s") + 1) / sd)
+         .otherwise(F.lit(0.0)))
+    return (s.join(n, keys).join(ties, keys)
+            .select(*keys, "n_periods", "s", var.alias("var_s"),
+                    F.when(var > 0, z).otherwise(F.lit(0.0)).alias("z")))

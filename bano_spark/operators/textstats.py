@@ -344,3 +344,97 @@ def source_kl_divergence(docs: DataFrame, text_col: str = "text",
             .agg(F.sum(p * F.log(p / q)).alias("kl"),
                  F.count(F.lit(1)).cast("bigint").alias("n_vocab"))
             .withColumnRenamed("src", source_col))
+
+
+def heaps_law(docs: DataFrame, text_col: str = "text",
+              doc_col: str = "doc_id",
+              checkpoints: int = 10) -> DataFrame:
+    """Heaps' law fit V(n) = K * n^beta: vocabulary growth against
+    corpus position, the standard sublinearity check of a healthy
+    natural-language corpus (beta ~ 0.4-0.6; synthetic/boilerplate
+    text bends it). Each token's FIRST global occurrence position is
+    min(global position); V(n_k) at ``checkpoints`` evenly spaced
+    prefixes comes from conditional sums in ONE aggregate pass (the
+    ripley ladder discipline), and (K, beta) from the closed-form OLS
+    of ln V on ln n computed in-engine (no driver libm).
+
+    Scale shape: the global token position NEVER sorts tokens through
+    one partition — per-doc counts get a distributed prefix sum
+    (bucketed composite cumsum) and each token adds its in-doc offset.
+    Everything else is two map-side-combinable aggregations.
+    """
+    from bano_spark.operators.dedup import tokens
+    from bano_spark.operators.selection import distributed_cumsum
+
+    tok = docs.select(F.col(doc_col).alias("_d"),
+                      F.posexplode(tokens(F.col(text_col)))
+                      .alias("_p", "_t"))
+    per_doc = tok.groupBy("_d").agg(F.count(F.lit(1)).alias("_n"))
+    offs = distributed_cumsum(per_doc, "_d", [F.col("_d")], "_n",
+                              out_col="_cum", tiebreak_col="_d")
+    offs = offs.withColumn("_off", F.col("_cum") - F.col("_n"))
+    gp = (tok.join(offs.select("_d", "_off"), "_d")
+          .select("_t", (F.col("_off") + F.col("_p") + 1).alias("_gp")))
+    fp = gp.groupBy("_t").agg(F.min("_gp").alias("_fp"))
+    n_total = int(per_doc.agg(F.sum("_n")).first()[0] or 0)
+    ladder = [max(1, (k * n_total) // checkpoints)
+              for k in range(1, checkpoints + 1)]
+    vs = fp.agg(*[F.sum(F.when(F.col("_fp") <= nk, 1).otherwise(0))
+                  .alias(f"_v{i}") for i, nk in enumerate(ladder)])
+    # OLS of ln v on ln n over the checkpoint ladder, in-engine
+    pts = [(F.log(F.lit(float(nk))), F.log(F.col(f"_v{i}").cast("double")))
+           for i, nk in enumerate(ladder)]
+    c = float(len(ladder))
+    sx = sum((p[0] for p in pts[1:]), pts[0][0])
+    sy = sum((p[1] for p in pts[1:]), pts[0][1])
+    sxy = sum((p[0] * p[1] for p in pts[1:]), pts[0][0] * pts[0][1])
+    sxx = sum((p[0] * p[0] for p in pts[1:]), pts[0][0] * pts[0][0])
+    beta = (sxy - sx * sy / c) / (sxx - sx * sx / c)
+    kk = F.exp((sy - beta * sx) / c)
+    return vs.select(
+        F.lit(n_total).cast("bigint").alias("n_tokens"),
+        F.col(f"_v{checkpoints - 1}").cast("bigint").alias("n_vocab"),
+        beta.alias("heaps_beta"), kk.alias("heaps_k"))
+
+
+def log_odds_keywords(docs: DataFrame, text_col: str = "text",
+                      source_col: str = "source", k: int = 3) -> DataFrame:
+    """Per-source distinguishing keywords by log-odds z-score with the
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    "Fightin' Words"): prior counts = the corpus counts themselves
+    (a_w = y_w, a0 = N), delta = ln((y_sw + a_w)/(n_s + a0 - y_sw -
+    a_w)) - ln((y_w + a_w)/(N + a0 - y_w - a_w)), var = 1/(y_sw + a_w)
+    + 1/(y_w + a_w), z = delta / sqrt(var). Top-k per source by z
+    (ties to the lexicographically smaller token).
+
+    Two map-side-combinable count aggregations + one broadcast of the
+    per-source totals; candidates are only tokens PRESENT in the
+    source (absent tokens have negative delta and can never enter a
+    top-k by z), so no zero materialization. The per-source top-k is
+    a partitioned window over the source's vocabulary."""
+    from pyspark.sql.window import Window
+
+    from bano_spark.operators.dedup import tokens
+
+    toks = docs.select(F.col(source_col).alias("_src"),
+                       F.explode(tokens(F.col(text_col))).alias("_t"))
+    ysw = toks.groupBy("_src", "_t").agg(F.count(F.lit(1)).alias("_ysw"))
+    yw = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_yw"))
+    ns = toks.groupBy("_src").agg(F.count(F.lit(1)).alias("_ns"))
+    n_total = float(toks.count())
+    j = (ysw.join(yw, "_t").join(F.broadcast(ns), "_src"))
+    aw = F.col("_yw").cast("double")
+    a0 = F.lit(n_total)
+    num1 = F.col("_ysw") + aw
+    den1 = F.col("_ns") + a0 - F.col("_ysw") - aw
+    num2 = F.col("_yw") + aw
+    den2 = F.lit(n_total) + a0 - F.col("_yw") - aw
+    delta = F.log(num1 / den1) - F.log(num2 / den2)
+    var = 1.0 / num1 + 1.0 / num2
+    scored = j.select(F.col("_src").alias(source_col),
+                      F.col("_t").alias("token"),
+                      F.col("_ysw").alias("n_in_source"),
+                      (delta / F.sqrt(var)).alias("z"))
+    w = Window.partitionBy(source_col).orderBy(F.desc("z"), "token")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
