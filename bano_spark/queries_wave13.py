@@ -297,3 +297,52 @@ def z_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("var_s", 6).alias("var_s"),
                        F.round("z", 6).alias("z"))
             .orderBy("cx", "cy"))
+
+
+# ---------------------------------------------------------------------------
+# z26 — STREAMING CUSUM: per-key drift alarms maintained in FOUR
+# numbers of state per key (constant memory at any stream length) via
+# the reflection identity with carry-in, vectorized per batch. The
+# converged summary equals batch temporal.cusum exactly for the
+# integer series, so the SAME oracle gates it (cusum_drift's SQL).
+# ---------------------------------------------------------------------------
+
+from bano_spark.queries_wave8 import _X09_ORACLE  # noqa: E402
+
+
+@register("streaming_cusum_drift", _X09_ORACLE)
+def z_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from bano_spark.streaming.stateful import streaming_cusum
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("events")
+    series = spark.sql(synth.series_select_sql("spark"))
+    feed_dir = tempfile.mkdtemp(prefix="bano_cusum_feed_")
+    # one materialized feed file = one ordered micro-batch (the
+    # ordered-feed contract; the unit test proves the multi-batch fold)
+    series.select("user_id", "seq", "v").coalesce(1) \
+        .write.mode("overwrite").parquet(feed_dir)
+    feed = (spark.readStream.schema("user_id bigint, seq int, v double")
+            .parquet(feed_dir))
+    out = streaming_cusum(feed.groupBy("user_id"),
+                          target=200.0, slack=50.0, threshold=2000.0)
+    ckpt = tempfile.mkdtemp(prefix="bano_cusum_ckpt_")
+    qname = "z26_cusum"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    tbl = spark.table(qname)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    final = (tbl.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1))
+    rows = final.select("user_id", "max_cusum", "first_alarm_seq",
+                        "n_alarms").collect()
+    q.stop()
+    conv = spark.createDataFrame(
+        rows, "user_id bigint, max_cusum double, "
+              "first_alarm_seq bigint, n_alarms bigint")
+    return (conv.select("user_id", "max_cusum", "first_alarm_seq",
+                        "n_alarms").orderBy("user_id"))

@@ -252,3 +252,74 @@ def streaming_hll(grouped, p: int = 6, key_name: str = "event_type",
     return grouped.applyInPandasWithState(
         fn, output_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def streaming_cusum(grouped, target: float, slack: float,
+                    threshold: float, *, key_name: str = "user_id",
+                    key_type=None, value_col: str = "v",
+                    order_col: str = "seq"):
+    """Stateful streaming one-sided CUSUM: per key the state is FOUR
+    numbers (running S, running max, alarm count, first alarm) plus a
+    seen counter — constant memory per key at any stream length, the
+    streaming twin of temporal.cusum (whose batch reflection identity
+    equals this direct recursion exactly for integer-valued series).
+
+    Contract: micro-batches must arrive in event order per key (rows
+    WITHIN a batch are sorted here); a replayed/backfilled feed in
+    file order satisfies it — the standard pairing is an upstream
+    watermark reorder. Emits the updated per-key summary each batch —
+    the drift-alarm upsert feed."""
+    k = float(target + slack)
+    key_type = key_type or LongType()
+    state_schema = StructType([
+        StructField("s", DoubleType()),
+        StructField("smax", DoubleType()),
+        StructField("alarms", LongType()),
+        StructField("first_alarm", LongType()),
+        StructField("n_seen", LongType()),
+    ])
+    output_schema = StructType([
+        StructField(key_name, key_type),
+        StructField("max_cusum", DoubleType()),
+        StructField("first_alarm_seq", LongType()),
+        StructField("n_alarms", LongType()),
+        StructField("n_seen", LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        # vectorized batch fold: with carry-in S0 and P the prefix sum
+        # of y = v - k, S_i = max(0, P_i - min_{m<i} P_m, S0 + P_i)
+        # (P_0 = 0) — the reflection identity with initial state,
+        # exact for integer series, no per-row Python.
+        import numpy as np
+
+        if state.exists:
+            s, smax, alarms, first, n = state.get
+        else:
+            s, smax, alarms, first, n = 0.0, 0.0, 0, None, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(order_col)
+            n += len(pdf)
+            y = pdf[value_col].to_numpy(dtype="float64") - k
+            p = np.cumsum(y)
+            runmin_prev = np.minimum.accumulate(
+                np.concatenate([[0.0], p]))[:-1]
+            sv = np.maximum(np.maximum(0.0, p - runmin_prev), s + p)
+            over = sv > threshold
+            if over.any():
+                alarms += int(over.sum())
+                if first is None:
+                    first = int(pdf[order_col].to_numpy()[
+                        int(np.argmax(over))])
+            smax = max(smax, float(sv.max()))
+            s = float(sv[-1])
+        state.update((s, smax, alarms, first, n))
+        yield pd.DataFrame({key_name: [key[0]], "max_cusum": [smax],
+                            "first_alarm_seq": [first],
+                            "n_alarms": [alarms], "n_seen": [n]})
+
+    return grouped.applyInPandasWithState(
+        fn, output_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)

@@ -51,3 +51,44 @@ def test_streaming_hll_converges_to_batch_sketch(spark, tmp_path):
     assert final["a"][1] == expected["a"]
     assert final["b"][1] == expected["b"]
     assert final["a"][0] == 60 and final["b"][0] == 55  # rows folded
+
+
+def test_streaming_cusum_across_batch_seams(spark, tmp_path):
+    """The carry-in reflection fold across two micro-batches equals
+    the single-pass recursion: the level shift lands mid-stream and
+    the alarm fires in batch 2 with state carried from batch 1."""
+    from bano_spark.streaming.stateful import streaming_cusum
+
+    xs = [3.0, 1.0, 7.0, 0.0, 9.0, 9.0, 2.0, 8.0, 8.0, 8.0]
+    target, slack, h = 4.0, 1.0, 6.0
+    s, smax, alarms, first = 0.0, 0.0, 0, None
+    for i, x in enumerate(xs, 1):
+        s = max(0.0, s + x - target - slack)
+        smax = max(smax, s)
+        if s > h:
+            alarms += 1
+            first = first or i
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    pd.DataFrame({"k": [1] * 5, "seq": list(range(1, 6)),
+                  "v": xs[:5]}).to_parquet(src / "f1.parquet")
+    pd.DataFrame({"k": [1] * 5, "seq": list(range(6, 11)),
+                  "v": xs[5:]}).to_parquet(src / "f2.parquet")
+    feed = (spark.readStream.schema("k long, seq long, v double")
+            .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = streaming_cusum(feed.groupBy("k"), target, slack, h,
+                          key_name="k")
+    q = (out.writeStream.format("memory").queryName("cusum_test")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    final = None
+    for r in spark.table("cusum_test").collect():
+        if final is None or r.n_seen >= final.n_seen:
+            final = r
+    assert final.n_seen == 10
+    assert final.max_cusum == smax
+    assert final.n_alarms == alarms
+    assert final.first_alarm_seq == first
