@@ -210,6 +210,26 @@ def weighted_sample_wor(df: DataFrame, weight_col: str, n: int,
     return keyed.orderBy(F.desc(key_col), F.asc(id_col)).limit(n)
 
 
+def aes_group_key(group_col: str, id_col: str, weight_col: str,
+                  round_to: int = 6):
+    """The stratified A-ES exponential sort key as a single column
+    expression (md5(group, id) -> uniform -> ln(u)/w, weights guarded
+    strictly positive) — THE content-derived draw shared by the batch
+    per-group sampler and the streaming reservoir, so both surfaces
+    select identical rows by construction."""
+    u = ((F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", F.col(group_col),
+                          F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("bigint").cast("double") + 0.5)
+         / F.lit(4294967296.0))
+    w = F.col(weight_col).cast("double")
+    guarded_w = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(F.lit("weighted_sample: weights must "
+                            "be strictly positive"))).otherwise(w)
+    return F.round(F.log(u) / guarded_w, round_to)
+
+
 def weighted_sample_per_group(df: DataFrame, weight_col: str, n_per_group: int,
                               group_col: str, id_col: str = "doc_id",
                               key_col: str = "sample_key",
@@ -224,17 +244,8 @@ def weighted_sample_per_group(df: DataFrame, weight_col: str, n_per_group: int,
     group key, each group ranked in parallel. Groups here are corpus
     sources (hundreds to thousands) — far more tasks than a global
     top-n, no driver merge bottleneck."""
-    u = ((F.conv(F.substring(
-        F.md5(F.concat_ws("\x1f", F.col(group_col),
-                          F.col(id_col).cast("string"))), 1, 8),
-        16, 10).cast("bigint").cast("double") + 0.5)
-         / F.lit(4294967296.0))
-    w = F.col(weight_col).cast("double")
-    guarded_w = F.when(
-        w.isNull() | (w <= 0),
-        F.raise_error(F.lit("weighted_sample_per_group: weights must "
-                            "be strictly positive"))).otherwise(w)
-    keyed = df.withColumn(key_col, F.round(F.log(u) / guarded_w, round_to))
+    keyed = df.withColumn(
+        key_col, aes_group_key(group_col, id_col, weight_col, round_to))
     win = Window.partitionBy(group_col).orderBy(
         F.desc(key_col), F.asc(id_col))
     return (keyed.withColumn("_rk", F.row_number().over(win))

@@ -346,3 +346,57 @@ def z_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
               "first_alarm_seq bigint, n_alarms bigint")
     return (conv.select("user_id", "max_cusum", "first_alarm_seq",
                         "n_alarms").orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# z27 — STREAMING stratified weighted reservoir: the per-source top-n
+# A-ES sample maintained in bounded state (n triplets per source
+# forever); the exponential keys are the SAME content-derived column
+# expression the batch sampler uses (selection.aes_group_key), so the
+# converged sample equals the batch draw EXACTLY and the batch oracle
+# (weighted_sample_per_source's SQL) gates the stream.
+# ---------------------------------------------------------------------------
+
+from bano_spark.queries_wave4 import _W87_ORACLE  # noqa: E402
+
+
+@register("streaming_stratified_sample", _W87_ORACLE)
+def z_streaming_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from bano_spark.operators.selection import aes_group_key
+    from bano_spark.streaming.stateful import streaming_reservoir
+
+    docs = _read(spark, sf_dir, "documents")
+    schema = docs.schema
+    feed = (spark.readStream.schema(schema).parquet(sf_dir.rstrip("/"))
+            .filter(F.input_file_name().endswith("documents.parquet")))
+    src = feed.select(
+        "source", "doc_id", F.col("n_chars").cast("double").alias("w"),
+        aes_group_key("source", "doc_id", "n_chars").alias("sample_key"))
+    out = streaming_reservoir(src.groupBy("source"), n=10,
+                              weight_col="w")
+    ckpt = tempfile.mkdtemp(prefix="bano_res_ckpt_")
+    qname = "z27_res"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    tbl = spark.table(qname)
+    w = Window.partitionBy("source").orderBy(F.desc("n_seen"))
+    final = (tbl.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1).select("source", "ids", "ws", "ks"))
+    rows = final.collect()
+    q.stop()
+    conv = spark.createDataFrame(rows, final.schema)
+    ex = conv.select(
+        "source",
+        F.explode(F.arrays_zip(F.col("ids").alias("doc_id"),
+                               F.col("ws").alias("w"),
+                               F.col("ks").alias("k"))).alias("e"))
+    return (ex.select("source", F.col("e.doc_id").alias("doc_id"),
+                      F.col("e.w").cast("bigint").alias("n_chars"),
+                      F.col("e.k").alias("sample_key"))
+            .orderBy("source", "doc_id"))

@@ -323,3 +323,66 @@ def streaming_cusum(grouped, target: float, slack: float,
     return grouped.applyInPandasWithState(
         fn, output_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def streaming_reservoir(grouped, n: int, *, key_name: str = "source",
+                        key_type=None, id_col: str = "doc_id",
+                        weight_col: str = "n_chars",
+                        sample_key_col: str = "sample_key"):
+    """Stateful streaming weighted reservoir (A-ES, without
+    replacement): per group the state is the current top-n
+    (sample_key, id, weight) triplets — bounded at n rows per key
+    forever. The exponential sort keys are content-derived and
+    computed JVM-side UPSTREAM (selection.weighted_sample_per_group's
+    construction), so the fold here is a pure merge-and-truncate: the
+    converged sample equals the batch draw EXACTLY, independent of
+    arrival order or batch seams (top-n by a total order commutes).
+
+    Emits the full current sample per batch — the upsert feed for a
+    live training-data quota draw."""
+    from pyspark.sql.types import ArrayType
+
+    key_type = key_type or StringType()
+
+    state_schema = StructType([
+        StructField("ids", ArrayType(LongType())),
+        StructField("ws", ArrayType(DoubleType())),
+        StructField("ks", ArrayType(DoubleType())),
+        StructField("n_seen", LongType()),
+    ])
+    output_schema = StructType([
+        StructField(key_name, key_type),
+        StructField("ids", ArrayType(LongType())),
+        StructField("ws", ArrayType(DoubleType())),
+        StructField("ks", ArrayType(DoubleType())),
+        StructField("n_seen", LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        ids: list = []
+        ws: list = []
+        ks: list = []
+        n_seen = 0
+        if state.exists:
+            ids, ws, ks, n_seen = state.get
+            ids, ws, ks = list(ids), list(ws), list(ks)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n_seen += len(pdf)
+            ids += [int(v) for v in pdf[id_col]]
+            ws += [float(v) for v in pdf[weight_col]]
+            ks += [float(v) for v in pdf[sample_key_col]]
+            trip = sorted(zip(ks, ids, ws),
+                          key=lambda t: (-t[0], t[1]))[:n]
+            ks = [t[0] for t in trip]
+            ids = [t[1] for t in trip]
+            ws = [t[2] for t in trip]
+        state.update((ids, ws, ks, n_seen))
+        yield pd.DataFrame({key_name: [key[0]], "ids": [ids],
+                            "ws": [ws], "ks": [ks],
+                            "n_seen": [n_seen]})
+
+    return grouped.applyInPandasWithState(
+        fn, output_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)

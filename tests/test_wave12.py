@@ -92,3 +92,49 @@ def test_streaming_cusum_across_batch_seams(spark, tmp_path):
     assert final.max_cusum == smax
     assert final.n_alarms == alarms
     assert final.first_alarm_seq == first
+
+
+def test_streaming_reservoir_converges_to_batch_draw(spark, tmp_path):
+    """Merge-and-truncate top-n across batch seams equals the batch
+    per-group A-ES draw regardless of how rows split into batches."""
+    from bano_spark.operators.selection import (aes_group_key,
+                                                weighted_sample_per_group)
+    from bano_spark.streaming.stateful import streaming_reservoir
+
+    rows = [("s1", i, 10 + (i * 7) % 50) for i in range(40)] \
+        + [("s2", i + 100, 5 + (i * 3) % 30) for i in range(25)]
+    src = tmp_path / "feed"
+    src.mkdir()
+    pd.DataFrame(rows[:30], columns=["source", "doc_id", "n_chars"]) \
+        .to_parquet(src / "f1.parquet")
+    pd.DataFrame(rows[30:], columns=["source", "doc_id", "n_chars"]) \
+        .to_parquet(src / "f2.parquet")
+    feed = (spark.readStream
+            .schema("source string, doc_id long, n_chars long")
+            .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    keyed = feed.select(
+        "source", "doc_id", F.col("n_chars").cast("double").alias("w"),
+        aes_group_key("source", "doc_id", "n_chars").alias("sample_key"))
+    out = streaming_reservoir(keyed.groupBy("source"), n=5,
+                              weight_col="w")
+    q = (out.writeStream.format("memory").queryName("res_test")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    final = {}
+    for r in spark.table("res_test").collect():
+        prev = final.get(r.source)
+        if prev is None or r.n_seen >= prev[0]:
+            final[r.source] = (r.n_seen, sorted(r.ids))
+
+    batch_df = spark.createDataFrame(rows,
+                                     "source string, doc_id long, "
+                                     "n_chars long")
+    expected = {}
+    for r in weighted_sample_per_group(batch_df, "n_chars", 5,
+                                       "source").collect():
+        expected.setdefault(r["source"], []).append(r["doc_id"])
+    assert final["s1"][1] == sorted(expected["s1"])
+    assert final["s2"][1] == sorted(expected["s2"])
+    assert final["s1"][0] == 40 and final["s2"][0] == 25
