@@ -1825,6 +1825,7 @@ from bano_spark import queries_wave9 as _w9  # noqa: E402
 from bano_spark import queries_wave10 as _w10  # noqa: E402
 from bano_spark import queries_wave11 as _w11  # noqa: E402
 from bano_spark import queries_wave13 as _w13  # noqa: E402
+from bano_spark import queries_wave14 as _w14  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1840,6 +1841,8 @@ _QUERIES.update(_w11.QUERIES)
 _ORACLES.update(_w11.ORACLES)
 _QUERIES.update(_w13.QUERIES)
 _ORACLES.update(_w13.ORACLES)
+_QUERIES.update(_w14.QUERIES)
+_ORACLES.update(_w14.ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -315,3 +315,44 @@ def mann_kendall(df: DataFrame, key_cols: list, time_col: str,
     return (s.join(n, keys).join(ties, keys)
             .select(*keys, "n_periods", "s", var.alias("var_s"),
                     F.when(var > 0, z).otherwise(F.lit(0.0)).alias("z")))
+
+
+def geary_c_hex(cells: DataFrame, *, val_col: str = "val",
+                round_to: int = 6) -> DataFrame:
+    """Global Geary's C of ``val_col`` over occupied hex cells
+    (columns hq, hr) with ring-1 adjacency — the local-contrast
+    companion to :func:`moran_i_hex` (C ~ 1 random, < 1 positive
+    autocorrelation, > 1 negative; Geary 1954). Returns ONE row:
+    (n_cells, w_pairs, geary_c) with
+
+        C = (n - 1) * sum_w (x_i - x_j)^2 / (2 W sum_i (x_i - xbar)^2)
+
+    over the same directed neighbor-pair join as Moran (each unordered
+    pair appears twice; W counts directed pairs, exactly mirroring the
+    oracle). Same scale shape: 6-offset explode + equi-join on the
+    cell key, two plain aggregates, no cross product."""
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(val_col) / F.count(F.lit(1))).alias("m")).collect()[0]
+    n, m = int(stats["n"]), float(stats["m"])
+
+    base = cells.select("hq", "hr", F.col(val_col).alias("x"))
+    offs = F.array(*[F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+                     for dq, dr in HEX_NEIGHBORS])
+    shifted = (base.select(F.explode(offs).alias("o"), "hq", "hr", "x")
+               .select((F.col("hq") + F.col("o.dq")).alias("hq"),
+                       (F.col("hr") + F.col("o.dr")).alias("hr"),
+                       F.col("x").alias("x_nbr")))
+    pairs = base.join(shifted, ["hq", "hr"])
+    diff = F.col("x") - F.col("x_nbr")
+    num = pairs.agg(F.count(F.lit(1)).alias("w_pairs"),
+                    F.sum(diff * diff).alias("ssd"))
+    den = base.agg(
+        F.sum((F.col("x") - F.lit(m)) ** 2).alias("ss"))
+    return (num.crossJoin(den)  # two 1-row frames — O(1) by design
+            .select(F.lit(n).alias("n_cells"),
+                    F.col("w_pairs"),
+                    F.round(F.lit(float(n - 1)) * F.col("ssd")
+                            / (F.lit(2.0) * F.col("w_pairs")
+                               * F.col("ss")), round_to)
+                    .alias("geary_c")))

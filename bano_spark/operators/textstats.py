@@ -438,3 +438,132 @@ def log_odds_keywords(docs: DataFrame, text_col: str = "text",
     w = Window.partitionBy(source_col).orderBy(F.desc("z"), "token")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def rake_keywords(docs: DataFrame, stopwords: list[str],
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010 "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are the
+    maximal runs of non-stopword tokens; each word scores
+    deg(w)/freq(w) where freq counts the word's occurrences across
+    all candidate phrases and deg sums the lengths of the phrases
+    those occurrences sit in; a phrase scores the sum of its member
+    word scores. Returns the top-``k`` phrases per document by
+    (score desc, phrase asc).
+
+    Scale shape: posexplode -> running-sum window per doc (phrase
+    ids) -> one corpus-wide hash aggregation for the word table
+    (map-side combine; the shuffle carries words + counters) -> a
+    broadcast-sized join back -> per-doc top-k window. The phrase
+    TEXT is assembled once per phrase from sorted (pos, word) structs
+    — document text itself never shuffles."""
+    from pyspark.sql import Window
+
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    toks = (docs.select(F.col(id_col),
+                        F.posexplode(tokens(F.col(text_col)))
+                        .alias("pos", "w"))
+            .withColumn("is_stop", F.array_contains(stop, F.col("w"))
+                        | (F.col("w") == "")))
+    wseq = Window.partitionBy(id_col).orderBy("pos")
+    toks = toks.withColumn("pid", F.sum(F.col("is_stop").cast("int"))
+                           .over(wseq))
+    words = toks.filter(~F.col("is_stop")) \
+        .select(id_col, "pid", "pos", "w")
+    plen = (words.groupBy(id_col, "pid")
+            .agg(F.count(F.lit(1)).alias("plen")))
+    occ = words.join(plen, [id_col, "pid"])
+    wstats = (occ.groupBy("w")
+              .agg(F.count(F.lit(1)).alias("freq"),
+                   F.sum("plen").alias("deg"))
+              .select("w", (F.col("deg").cast("double")
+                            / F.col("freq")).alias("wscore")))
+    scored = (occ.join(F.broadcast(wstats), "w")
+              .groupBy(id_col, "pid")
+              .agg(F.round(F.sum("wscore"), 6).alias("score"),
+                   F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct(F.col("pos").alias("p"),
+                                        F.col("w").alias("t")))),
+                           lambda s: s["t"]), " ").alias("phrase")))
+    dedup = (scored.groupBy(id_col, "phrase")
+             .agg(F.max("score").alias("score")))
+    wtop = Window.partitionBy(id_col).orderBy(F.desc("score"),
+                                              F.asc("phrase"))
+    return (dedup.withColumn("rnk", F.row_number().over(wtop))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "phrase", "score", "rnk"))
+
+
+def stupid_backoff_score(docs: DataFrame, train_cond,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         alpha: float = 0.4) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007 "Large
+    Language Models in Machine Translation" — the backoff scheme built
+    FOR distributed count tables): train counts on the rows where
+    ``train_cond`` holds, score every other document. A trigram
+    (w1,w2,w3) scores
+
+        S = c123/c12                         if the trigram was seen
+          = alpha * c23/c2                   else if the bigram was
+          = alpha^2 * (c3 + 1)/(N + V)       else (Laplace unigram)
+
+    where c12/c2 count CONTEXT occurrences among the train trigrams/
+    bigrams, N is the train token count and V the train vocabulary.
+    Returns per scored doc (id, n_tri, avg_neg_logp) — avg -ln S.
+
+    Scale shape: three count tables from one explode each (map-side
+    partial combine; shuffles carry token tuples + counters); scoring
+    is left joins on the gram keys — the trigram join shuffles, the
+    bigram/unigram tables broadcast at real vocab sizes. The two
+    scalars (N, V) come from one O(1)-row aggregation."""
+    toked = docs.select(F.col(id_col), train_cond.alias("_is_tr"),
+                        tokens(F.col(text_col)).alias("_t"))
+    train = toked.filter(F.col("_is_tr"))
+    test = toked.filter(~F.col("_is_tr")).filter(F.size("_t") >= 3)
+
+    def grams(df: DataFrame, n: int, cols: list[str]) -> DataFrame:
+        fields = ", ".join(
+            f"element_at(_t, i + {j}) AS {c}" for j, c in enumerate(cols))
+        return df.select(
+            F.col(id_col),
+            F.explode(F.expr(
+                f"CASE WHEN size(_t) >= {n} THEN "
+                f"transform(sequence(1, size(_t) - {n - 1}),"
+                f" i -> struct({fields})) ELSE array() END")).alias("g")
+        ).select(id_col, *[F.col(f"g.{c}") for c in cols])
+
+    tri_tr = grams(train, 3, ["w1", "w2", "w3"])
+    c3 = tri_tr.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c123"))
+    c2ctx = tri_tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bi_tr = grams(train, 2, ["w1", "w2"])
+    cb2 = (bi_tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c23"))
+           .withColumnRenamed("w1", "b1").withColumnRenamed("w2", "b2"))
+    cb1 = bi_tr.groupBy("w1").agg(F.count(F.lit(1)).alias("c2"))
+    uni = train.select(F.explode("_t").alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c3u"))
+    sc = uni.agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("w").alias("v")).collect()[0]
+    n_tok, vocab = float(sc["n"]), float(sc["v"])
+
+    tri = grams(test, 3, ["w1", "w2", "w3"])
+    j = (tri.join(c3, ["w1", "w2", "w3"], "left")
+         .join(c2ctx, ["w1", "w2"], "left")
+         .join(cb2, (F.col("w2") == F.col("b1"))
+               & (F.col("w3") == F.col("b2")), "left")
+         .join(cb1.withColumnRenamed("w1", "u1"),
+               F.col("w2") == F.col("u1"), "left")
+         .join(cu.withColumnRenamed("w", "u3"),
+               F.col("w3") == F.col("u3"), "left"))
+    a = F.lit(alpha)
+    s = (F.when(F.col("c123").isNotNull(),
+                F.col("c123") / F.col("c12"))
+         .when(F.col("c23").isNotNull(), a * F.col("c23") / F.col("c2"))
+         .otherwise(a * a * (F.coalesce(F.col("c3u"), F.lit(0)) + 1)
+                    / F.lit(n_tok + vocab)))
+    return (j.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"),
+                 F.round(F.avg(-F.log(s)), 6).alias("avg_neg_logp")))

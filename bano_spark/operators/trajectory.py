@@ -458,3 +458,104 @@ dtw_d{i} AS (
 
 def _pfx(cols: str, alias: str) -> str:
     return ", ".join(f"{alias}.{c.strip()}" for c in cols.split(","))
+
+
+def frechet_pairs(traj: DataFrame, pairs: DataFrame, r: int, *,
+                  track_col: str = "user_id", order_col: str = "seq",
+                  x_col: str = "x", y_col: str = "y",
+                  id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """EXACT discrete Frechet distance (coupling distance, Eiter &
+    Mannila 1994) between paired tracks, each truncated to its first
+    ``r`` points (pairs with a shorter member drop — deterministic at
+    any input scale).
+
+    Where :func:`dtw_pairs` linearizes its (+, min) DP into prefix-sum
+    windows across r driver rounds, the Frechet DP lives in the
+    (min, max) semiring, where no subtraction exists to rearrange —
+    but each ROW's recurrence R[j] = min(max(E[j], c[j]),
+    max(R[j-1], c[j])) (enter the row at column j, or extend from the
+    left) is a pure sequential fold, and the row-to-row dependency is
+    another fold. So the WHOLE r x r DP collapses into ONE nested
+    ``aggregate()`` column expression over the per-pair cost matrix:
+    no driver loop, no per-round shuffle, no Python. The only shuffle
+    is the per-track collect + the pair join; per-pair work is the
+    definitional O(r^2) column compute inside codegen.
+
+    Boundary algebra: virtual D[0][0] = -inf (so cell (1,1) reduces to
+    c[1][1]) and every other out-of-range predecessor +inf. Values are
+    min/max selections over the cost entries — no accumulation, so
+    engine and oracle agree to the exact double.
+
+    Returns (id_a, id_b, frechet)."""
+    pts = (traj.select(F.col(track_col).alias("_t"),
+                       F.col(order_col).alias("_s"),
+                       F.col(x_col).cast("double").alias("_x"),
+                       F.col(y_col).cast("double").alias("_y"))
+           .filter(F.col("_s") <= r))
+    arrs = (pts.groupBy("_t")
+            .agg(F.sort_array(F.collect_list(
+                F.struct("_s", "_x", "_y"))).alias("_arr"))
+            .filter(F.size("_arr") == r))
+    a = arrs.select(F.col("_t").alias(id_a), F.col("_arr").alias("_aa"))
+    b = arrs.select(F.col("_t").alias(id_b), F.col("_arr").alias("_ba"))
+    m = pairs.join(a, id_a).join(b, id_b)
+    cost = F.expr(
+        "transform(_aa, pa -> transform(_ba, pb ->"
+        " sqrt((pa._x - pb._x) * (pa._x - pb._x)"
+        " + (pa._y - pb._y) * (pa._y - pb._y))))")
+    scan = f"""
+aggregate(
+  _c,
+  struct(0 AS i, array_repeat(double('Infinity'), {r}) AS d),
+  (acc, crow) -> struct(
+    acc.i + 1,
+    aggregate(sequence(1, {r}), CAST(array() AS array<double>),
+      (racc, j) -> concat(racc, array(
+        least(
+          greatest(
+            IF(j = 1,
+               IF(acc.i = 0, double('-Infinity'), element_at(acc.d, 1)),
+               least(element_at(acc.d, j), element_at(acc.d, j - 1))),
+            element_at(crow, j)),
+          greatest(
+            IF(j = 1, double('Infinity'), element_at(racc, j - 1)),
+            element_at(crow, j)))))) ),
+  acc -> element_at(acc.d, {r}))
+"""
+    return (m.withColumn("_c", cost)
+            .select(id_a, id_b, F.expr(scan).alias("frechet")))
+
+
+def frechet_recursive_sql(cost_cte: str, r: int,
+                          id_cols: str = "id_a, id_b") -> str:
+    """The discrete-Frechet DP as a DuckDB RECURSIVE CTE walking the
+    r x r matrix cell by cell (row-major), carrying the computed
+    prefix as a DOUBLE[] — a deliberately DIFFERENT evaluation shape
+    from the engine's nested fold, so a hash match checks the
+    recurrence, not the code. ``cost_cte`` must name a relation with
+    ({id_cols}, i, j, c) — the full matrix per pair. Emits a WITH-body
+    fragment ending in CTE ``fr_out`` holding ({id_cols}, frechet)."""
+    on = " AND ".join(f"f.{c.strip()} = c.{c.strip()}"
+                      for c in id_cols.split(","))
+    fid = ", ".join(f"f.{c.strip()}" for c in id_cols.split(","))
+    inf = "CAST('infinity' AS DOUBLE)"
+    return f"""
+fr AS (
+  SELECT {id_cols}, 0 AS s, CAST([] AS DOUBLE[]) AS dl
+  FROM (SELECT DISTINCT {id_cols} FROM {cost_cte})
+  UNION ALL
+  SELECT {fid}, f.s + 1, list_append(f.dl, greatest(c.c, least(
+    CASE WHEN c.i > 1 THEN f.dl[(c.i - 2) * {r} + c.j] ELSE {inf} END,
+    CASE WHEN c.j > 1 THEN f.dl[(c.i - 1) * {r} + c.j - 1] ELSE {inf} END,
+    CASE WHEN c.i > 1 AND c.j > 1 THEN f.dl[(c.i - 2) * {r} + c.j - 1]
+         WHEN c.i = 1 AND c.j = 1 THEN -{inf}
+         ELSE {inf} END)))
+  FROM fr f JOIN {cost_cte} c
+    ON {on}
+   AND c.i = f.s // {r} + 1 AND c.j = f.s % {r} + 1
+  WHERE f.s < {r} * {r}
+),
+fr_out AS (
+  SELECT {id_cols}, dl[{r} * {r}] AS frechet
+  FROM fr WHERE s = {r} * {r}
+)"""

@@ -386,3 +386,54 @@ def line_dedup(lines: DataFrame, id_col: str = "doc_id",
                                              F.col(line_col).alias("l"))))),
                          lambda s: s["l"]),
                      "\n").alias("kept_text")))
+
+
+# Encoding-artifact detection -------------------------------------------------
+
+# The classic UTF-8-read-as-Latin-1 double-encoding signatures: 'Ã'
+# (any accented Latin-1 char re-decoded), 'â€' (curly quotes/dashes),
+# 'Â' (NBSP damage), 'ï»¿' (a BOM re-decoded mid-stream). Public
+# knowledge (ftfy's "mojibake" heuristics reduce to these families).
+MOJIBAKE_MARKERS: list[str] = ["Ã", "â€", "Â",
+                               "ï»¿"]
+
+
+def mojibake_stats(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   per_kchar_flag: float = 5.0) -> DataFrame:
+    """Per-document encoding-damage score: total occurrences of the
+    mojibake marker strings, normalized per 1000 chars, plus a keep/
+    quarantine flag — the cheap curation gate a crawl pipeline runs
+    before language ID (mojibake corrupts char n-grams first).
+
+    Counting is pure length/replace algebra (chars, not bytes — both
+    engines index text by codepoint), so the whole operator is one
+    narrow projection: no shuffle, no UDF, whole-stage codegen.
+    Markers overlap ('Ã' is a prefix of longer artifacts): each
+    marker counts independently, deterministic in both engines.
+
+    Returns (id, n_chars, n_bad, bad_per_kchar, mojibake_flag)."""
+    t = F.col(text_col)
+    n_bad = None
+    for m in MOJIBAKE_MARKERS:
+        cnt = ((F.length(t) - F.length(F.replace(t, F.lit(m), F.lit(""))))
+               / F.lit(len(m))).cast("bigint")
+        n_bad = cnt if n_bad is None else (n_bad + cnt)
+    n_chars = F.length(t).cast("bigint")
+    per_k = F.round(F.lit(1000.0) * n_bad / n_chars, 6)
+    return docs.select(
+        F.col(id_col), n_chars.alias("n_chars"), n_bad.alias("n_bad"),
+        per_k.alias("bad_per_kchar"),
+        (per_k > per_kchar_flag).alias("mojibake_flag"))
+
+
+def mojibake_count_sql(text_expr: str) -> str:
+    """The n_bad counting algebra as SQL text over ``text_expr`` —
+    one source of truth for engine tests and the DuckDB oracle."""
+    parts = []
+    for m in MOJIBAKE_MARKERS:
+        esc = m.replace("'", "''")
+        parts.append(
+            f"CAST((length({text_expr}) - length(replace({text_expr}, "
+            f"'{esc}', ''))) / {len(m)} AS BIGINT)")
+    return " + ".join(parts)
