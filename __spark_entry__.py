@@ -1826,6 +1826,7 @@ from bano_spark import queries_wave10 as _w10  # noqa: E402
 from bano_spark import queries_wave11 as _w11  # noqa: E402
 from bano_spark import queries_wave13 as _w13  # noqa: E402
 from bano_spark import queries_wave14 as _w14  # noqa: E402
+from bano_spark import queries_wave15 as _w15  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1843,6 +1844,8 @@ _QUERIES.update(_w13.QUERIES)
 _ORACLES.update(_w13.ORACLES)
 _QUERIES.update(_w14.QUERIES)
 _ORACLES.update(_w14.ORACLES)
+_QUERIES.update(_w15.QUERIES)
+_ORACLES.update(_w15.ORACLES)
 
 
 # ---------------------------------------------------------------------------

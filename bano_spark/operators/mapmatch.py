@@ -120,3 +120,72 @@ def snap_to_segments(
     return (scored.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .select(*cols))
+
+
+def route_chainage(points: DataFrame, routes: DataFrame, *,
+                   route_key: str = "route_id", point_id: str = "event_id",
+                   x: str = "x", y: str = "y", seq: str = "seq",
+                   round_to: int = 6) -> DataFrame:
+    """Linear referencing: project each point onto ITS OWN route (the
+    key-join variant of :func:`snap_to_segments` — the route is known,
+    e.g. a vehicle's assigned line or a GPS head already matched) and
+    return the CHAINAGE, the distance along the route to the snapped
+    point — PostGIS ``ST_LineLocatePoint`` * ``ST_Length`` as a join.
+
+    ``routes`` carries ordered vertices (route_key, seq, x, y); the
+    route's segments are (seq, seq+1) vertex pairs. Per (point,
+    segment): clamped-projection distance^2 and the candidate chainage
+    = (cumulative length before the segment) + t * segment length.
+    The winner is the min (d2, seq) struct — deterministic under
+    exact-distance ties, nearest-then-earliest.
+
+    Scale shape: one partitioned window (per-route cumulative length),
+    one equi-join on the route key (candidates = points x route's own
+    segments — bounded by route length, never a spatial cross), one
+    min-struct aggregation per point. No Python."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(route_key).orderBy(seq)
+    v = routes.select(route_key, F.col(seq).alias("_s"),
+                      F.col(x).alias("_vx"), F.col(y).alias("_vy"))
+    segs = (v.withColumn("_nx", F.lead("_vx").over(
+        Window.partitionBy(route_key).orderBy("_s")))
+        .withColumn("_ny", F.lead("_vy").over(
+            Window.partitionBy(route_key).orderBy("_s")))
+        .filter(F.col("_nx").isNotNull()))
+    seglen = F.sqrt((F.col("_nx") - F.col("_vx")) ** 2
+                    + (F.col("_ny") - F.col("_vy")) ** 2)
+    segs = segs.withColumn("_len", seglen).withColumn(
+        "_chain0",
+        F.sum("_len").over(Window.partitionBy(route_key).orderBy("_s")
+                           .rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow))
+        - F.col("_len"))
+
+    p = points.select(point_id, route_key, F.col(x).alias("_px"),
+                      F.col(y).alias("_py"))
+    cand = p.join(segs, route_key)
+    dx = F.col("_nx") - F.col("_vx")
+    dy = F.col("_ny") - F.col("_vy")
+    d2seg = dx * dx + dy * dy
+    t_raw = F.when(d2seg > 0,
+                   ((F.col("_px") - F.col("_vx")) * dx
+                    + (F.col("_py") - F.col("_vy")) * dy) / d2seg) \
+        .otherwise(F.lit(0.0))
+    tc = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    sx = F.col("_vx") + tc * dx
+    sy = F.col("_vy") + tc * dy
+    d2 = (F.col("_px") - sx) ** 2 + (F.col("_py") - sy) ** 2
+    scored = cand.select(
+        point_id, route_key,
+        F.struct(d2.alias("d2"), F.col("_s").alias("s"),
+                 (F.col("_chain0") + tc * F.col("_len")).alias("chain"),
+                 sx.alias("sx"), sy.alias("sy")).alias("_c"))
+    best = (scored.groupBy(point_id, route_key)
+            .agg(F.min("_c").alias("b")))
+    return best.select(
+        point_id, route_key,
+        F.round(F.sqrt(F.col("b.d2")), round_to).alias("dist_m"),
+        F.round(F.col("b.chain"), round_to).alias("chainage_m"),
+        F.round(F.col("b.sx"), round_to).alias("snap_x"),
+        F.round(F.col("b.sy"), round_to).alias("snap_y"))

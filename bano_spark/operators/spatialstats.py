@@ -356,3 +356,159 @@ def geary_c_hex(cells: DataFrame, *, val_col: str = "val",
                             / (F.lit(2.0) * F.col("w_pairs")
                                * F.col("ss")), round_to)
                     .alias("geary_c")))
+
+
+def getis_ord_grid_by(cells: DataFrame, *, cx: str = "cx", cy: str = "cy",
+                      period_col: str = "day",
+                      val_col: str = "v") -> DataFrame:
+    """Getis-Ord Gi* per occupied square cell WITHIN EACH PERIOD over
+    the 3x3 Moore neighborhood (self included). Unlike
+    :func:`getis_ord_hex` the per-period global moments are computed
+    RELATIONALLY (one groupBy + join, no collect) — with thousands of
+    periods a driver round-trip per period would serialize the job.
+
+    Sparse-lattice convention: only cells occupied in a period exist
+    in that period's lattice. Periods whose lattice is degenerate
+    (n < 2, zero variance, or a neighborhood covering the whole
+    lattice, where the Gi* denominator vanishes) drop — documented
+    and mirrored by the oracle. ``val_col`` must be integer-valued:
+    every sum is then exact, so the emitted doubles are deterministic
+    functions of exact integers and both engines agree bitwise.
+
+    Returns (cx, cy, period, gi_z) with gi_z UNROUNDED (trend tests
+    downstream compare these values; rounding is the caller's
+    presentation concern)."""
+    mom = (cells.groupBy(period_col)
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.sum(val_col).alias("_sv"),
+                F.sum(F.col(val_col) * F.col(val_col)).alias("_svv"))
+           .filter(F.col("_n") >= 2)
+           .withColumn("_mean", F.col("_sv") / F.col("_n"))
+           .withColumn("_s", F.sqrt(F.col("_svv") / F.col("_n")
+                                    - F.col("_mean") * F.col("_mean")))
+           .filter(F.col("_s") > 0))
+
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    contrib = (cells.select(cx, cy, period_col, val_col,
+                            F.explode(offs).alias("o"))
+               .select((F.col(cx) + F.col("o.dx")).alias(cx),
+                       (F.col(cy) + F.col("o.dy")).alias(cy),
+                       period_col, val_col))
+    rings = (contrib.groupBy(cx, cy, period_col)
+             .agg(F.sum(val_col).alias("_si"),
+                  F.count(F.lit(1)).alias("_mi")))
+    occ = cells.select(cx, cy, period_col)
+    out = (rings.join(occ, [cx, cy, period_col])
+           .join(mom, period_col)
+           .filter(F.col("_mi") < F.col("_n")))
+    m_i = F.col("_mi").cast("double")
+    n_d = F.col("_n").cast("double")
+    denom = F.col("_s") * F.sqrt((n_d * m_i - m_i * m_i) / (n_d - 1))
+    return out.select(
+        cx, cy, period_col,
+        ((F.col("_si") - F.col("_mean") * m_i) / denom).alias("gi_z"))
+
+
+def emerging_hotspots(cells: DataFrame, *, cx: str = "cx", cy: str = "cy",
+                      period_col: str = "day", val_col: str = "v",
+                      z_hot: float = 1.645, z_trend: float = 1.645,
+                      min_periods: int = 3,
+                      round_to: int = 6) -> DataFrame:
+    """Emerging-hot-spot analysis (the space-time-cube composition:
+    Getis-Ord Gi* per period, Mann-Kendall trend over each cell's
+    z series, then a category per cell — after the public ESRI
+    formulation, categories reduced to the five decidable from the
+    two statistics):
+
+      intensifying  hot now, significantly heating
+      diminishing   hot now, significantly cooling
+      persistent    hot now, no significant trend
+      emerging      not hot yet, significantly heating
+      none          everything else
+
+    "Hot now" reads the LAST period's z >= ``z_hot``; the trend reads
+    the continuity-corrected Mann-Kendall z against ``z_trend``. Cells
+    with fewer than ``min_periods`` periods drop (a two-point trend is
+    noise). All inputs to every comparison are deterministic doubles
+    derived from exact integer sums (see :func:`getis_ord_grid_by`),
+    so the categories are reproducible bit-for-bit.
+
+    Scale shape: two bounded explodes + four hash aggregations + the
+    per-cell pair join of Mann-Kendall (bounded by period count) —
+    every stage keyed by cell or (cell, period), no cross product, no
+    Python. Returns (cx, cy, n_periods, trend_z, last_z, category)."""
+    z = getis_ord_grid_by(cells, cx=cx, cy=cy, period_col=period_col,
+                          val_col=val_col)
+    mk = (mann_kendall(z, [cx, cy], period_col, "gi_z")
+          .filter(F.col("n_periods") >= min_periods))
+    last = (z.groupBy(cx, cy)
+            .agg(F.max_by("gi_z", period_col).alias("_zlast")))
+    j = mk.join(last, [cx, cy])
+    hot = F.col("_zlast") >= z_hot
+    cat = (F.when(hot & (F.col("z") > z_trend), "intensifying")
+           .when(hot & (F.col("z") < -z_trend), "diminishing")
+           .when(hot, "persistent")
+           .when(F.col("z") > z_trend, "emerging")
+           .otherwise("none"))
+    return j.select(cx, cy, "n_periods",
+                    F.round(F.col("z"), round_to).alias("trend_z"),
+                    F.round(F.col("_zlast"), round_to).alias("last_z"),
+                    cat.alias("category"))
+
+
+def kulldorff_scan(cells: DataFrame, max_radius: int = 2, top: int = 5, *,
+                   cx: str = "cx", cy: str = "cy", val_col: str = "v",
+                   round_to: int = 6) -> DataFrame:
+    """Kulldorff spatial scan statistic (Kulldorff 1997) over square
+    cells under the CSR null (uniform baseline across OCCUPIED cells):
+    scan windows are (center cell, Chebyshev radius rho in
+    0..``max_radius``); a window containing m of the M occupied cells
+    and n of the N events has expectation mu = N * m / M and
+    Poisson log-likelihood ratio
+
+        LLR = n ln(n/mu) + (N-n) ln((N-n)/(N-mu))   if n > mu, else 0
+
+    Returns the ``top`` windows by (llr desc, cx, cy, rho) —
+    the most anomalous clusters, deduplicated only by exact window
+    identity (overlap pruning is the caller's policy, as in SaTScan).
+
+    Scale shape: one bounded offset explode per radius (at most
+    (2*max_radius+1)^2 rows per cell), one hash aggregation per
+    window key, one O(1)-row global aggregate joined back, and the
+    top-k as orderBy().limit() — TakeOrderedAndProject, a per-
+    partition top-k with no single-partition exchange. No cross
+    product, no Python. All LLR inputs are exact integer sums, so
+    both engines emit identical doubles."""
+    tot = cells.agg(F.sum(val_col).alias("_nn"),
+                    F.count(F.lit(1)).alias("_mm"))
+
+    spans = []
+    for rho in range(max_radius + 1):
+        offs = F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-rho, rho + 1) for dy in range(-rho, rho + 1)])
+        spans.append(
+            cells.select(cx, cy, val_col, F.explode(offs).alias("o"))
+            .select((F.col(cx) + F.col("o.dx")).alias(cx),
+                    (F.col(cy) + F.col("o.dy")).alias(cy),
+                    F.lit(rho).alias("rho"), val_col))
+    contrib = spans[0]
+    for s in spans[1:]:
+        contrib = contrib.unionByName(s)
+    wins = (contrib.join(cells.select(cx, cy).distinct(), [cx, cy])
+            .groupBy(cx, cy, "rho")
+            .agg(F.sum(val_col).alias("n_in"),
+                 F.count(F.lit(1)).alias("m_in")))
+    j = wins.crossJoin(tot)  # tot is ONE row — O(1) by design
+    n = F.col("n_in").cast("double")
+    nn = F.col("_nn").cast("double")
+    mu = nn * F.col("m_in") / F.col("_mm")
+    rest = (F.when(nn - n > 0,
+                   (nn - n) * F.log((nn - n) / (nn - mu)))
+            .otherwise(F.lit(0.0)))
+    llr = F.when(n > mu, n * F.log(n / mu) + rest).otherwise(F.lit(0.0))
+    scored = j.select(cx, cy, "rho", F.col("n_in").cast("bigint").alias("n_in"),
+                      F.col("m_in").cast("bigint").alias("m_cells"),
+                      F.round(llr, round_to).alias("llr"))
+    return scored.orderBy(F.desc("llr"), cx, cy, "rho").limit(top)
