@@ -241,3 +241,37 @@ def change_rate(captures: DataFrame, now: str, *,
         rate.alias("change_rate_per_day"),
         age_days.alias("age_days"),
         (rate * age_days).alias("priority"))
+
+
+def anchor_text_rollup(links: DataFrame, k: int = 3, *,
+                       dst_col: str = "dst_host",
+                       src_col: str = "src_host",
+                       anchor_col: str = "anchor") -> DataFrame:
+    """Per-target anchor-text aggregation (the search-engine signal:
+    how the WEB describes a page beats how the page describes
+    itself — Brin-Page 1998 §2.2): for each destination host, the
+    inlink count, distinct source-host count, and the top-``k``
+    anchor strings by (count desc, anchor asc).
+
+    Scale shape: two hash aggregations keyed by (dst, anchor) then
+    dst — the per-dst anchor vocabulary is bounded (anchors are short
+    strings), so the top-k window partitions freely; no self-join,
+    no explode beyond the upstream link extraction.
+
+    Returns (dst_host, n_inlinks, n_src_hosts, rnk, anchor,
+    n_anchor)."""
+    from pyspark.sql import Window
+
+    per = (links.groupBy(dst_col, anchor_col)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_anchor")))
+    tot = (links.groupBy(dst_col)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_inlinks"),
+                F.countDistinct(src_col).cast("bigint")
+                .alias("n_src_hosts")))
+    w = Window.partitionBy(dst_col).orderBy(
+        F.desc("n_anchor"), F.col(anchor_col))
+    top = (per.withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") <= k))
+    return (top.join(tot, dst_col)
+            .select(dst_col, "n_inlinks", "n_src_hosts", "rnk",
+                    anchor_col, "n_anchor"))

@@ -175,3 +175,125 @@ def segment_supercover(segments: DataFrame, cell: float, *,
         F.floor((F.col("_y1") + F.col("_tm") * F.col("_dy")) / g)
         .alias("cy"))
         .distinct())
+
+
+_D8_DIRS = [
+    # (dx, dy, code, diagonal) — ESRI D8 codes, x east, y north
+    (1, 0, 1, False), (1, -1, 2, True), (0, -1, 4, False),
+    (-1, -1, 8, True), (-1, 0, 16, False), (-1, 1, 32, True),
+    (0, 1, 64, False), (1, 1, 128, True),
+]
+
+_SQRT2 = math.sqrt(2.0)
+
+
+def d8_flow_direction(dem: DataFrame, *, gx: str = "gx", gy: str = "gy",
+                      z: str = "z", round_to: int = 6) -> DataFrame:
+    """D8 flow direction per occupied cell (O'Callaghan-Mark 1984,
+    ESRI direction codes E=1 SE=2 S=4 SW=8 W=16 NW=32 N=64 NE=128):
+    the steepest-DESCENT neighbor by drop/distance, distance 1 for
+    cardinal and sqrt(2) for diagonal neighbors (cell units — the
+    absolute cell size cancels in the argmax). Only strictly lower
+    OCCUPIED neighbors count; cells with none (sinks, flats, pits at
+    the raster border) get direction 0 and drop 0. Ties break to the
+    smallest direction code — deterministic, mirrored by the oracle.
+
+    Scale shape: the :func:`slope_aspect` discipline — each cell
+    contributes (z, reverse-direction code) to center = cell - offset
+    in ONE bounded 8-offset explode, one max-struct hash aggregation
+    per center, one occupied join-back. Integer DEMs keep every
+    drop/sqrt(2) a deterministic double, so both engines pick the
+    same neighbor bitwise.
+
+    Returns (gx, gy, dir, drop_per_cell)."""
+    arr = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(code).alias("code"),
+                 F.lit(_SQRT2 if diag else 1.0).alias("dist"))
+        for dx, dy, code, diag in _D8_DIRS])
+    # emitted to center = cell - offset: the center receives this
+    # cell's z tagged with the code of the direction center -> cell
+    nb = (dem.select(gx, gy, z, F.explode(arr).alias("o"))
+          .select((F.col(gx) - F.col("o.dx")).alias(gx),
+                  (F.col(gy) - F.col("o.dy")).alias(gy),
+                  F.col(z).alias("_zn"), F.col("o.code").alias("_code"),
+                  F.col("o.dist").alias("_dist")))
+    j = nb.join(dem.select(gx, gy, F.col(z).alias("_zc")), [gx, gy])
+    grad = (F.col("_zc") - F.col("_zn")).cast("double") / F.col("_dist")
+    cand = (j.filter(F.col("_zn") < F.col("_zc"))
+            .select(gx, gy,
+                    F.struct(grad.alias("g"),
+                             (-F.col("_code")).alias("nc")).alias("_c")))
+    best = cand.groupBy(gx, gy).agg(F.max("_c").alias("b"))
+    out = (dem.select(gx, gy).distinct()
+           .join(best, [gx, gy], "left"))
+    return out.select(
+        gx, gy,
+        F.coalesce(-F.col("b.nc"), F.lit(0)).alias("dir"),
+        F.round(F.coalesce(F.col("b.g"), F.lit(0.0)), round_to)
+        .alias("drop_per_cell"))
+
+
+def d8_flow_accumulation(dem: DataFrame, *, gx: str = "gx",
+                         gy: str = "gy", z: str = "z",
+                         max_rounds: int = 64) -> DataFrame:
+    """D8 flow accumulation: for each cell, the number of cells whose
+    flow path (following :func:`d8_flow_direction` pointers) passes
+    through it, INCLUDING itself — the upstream contributing-area
+    count that defines channels and watersheds. Because D8 descends
+    strictly, the pointer graph is a forest into the sinks and the
+    fixpoint exists.
+
+    Iteration: acc_0 = 1; acc_{k+1}(c) = 1 + sum of acc_k over the
+    immediate upstream cells. After k rounds acc counts all upstream
+    cells within k hops, so the fixpoint arrives after longest-flow-
+    path rounds; convergence is detected STRUCTURALLY (count of cells
+    whose integer acc changed — exact), and exhausting ``max_rounds``
+    raises (the k_core loud-guard discipline, not a silent cap).
+
+    Scale shape per round: one equi-join on the downstream key + one
+    hash aggregation, localCheckpoint to keep lineage flat. Driver
+    sees one count per round. Returns (gx, gy, acc)."""
+    dirs = d8_flow_direction(dem, gx=gx, gy=gy, z=z)
+    code_dx = F.create_map(*[x for dx, dy, code, _ in _D8_DIRS
+                             for x in (F.lit(code), F.lit(dx))])
+    code_dy = F.create_map(*[x for dx, dy, code, _ in _D8_DIRS
+                             for x in (F.lit(code), F.lit(dy))])
+    edges = (dirs.filter(F.col("dir") != 0)
+             .select(F.col(gx).alias("_ux"), F.col(gy).alias("_uy"),
+                     (F.col(gx) + code_dx[F.col("dir")]).alias("_dx"),
+                     (F.col(gy) + code_dy[F.col("dir")]).alias("_dy"))
+             .persist())
+    edges.count()
+    acc = (dem.select(F.col(gx).alias("_cx"), F.col(gy).alias("_cy"))
+           .distinct().withColumn("_acc", F.lit(1).cast("bigint"))
+           .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        up = (edges.join(acc, (F.col("_ux") == F.col("_cx"))
+                         & (F.col("_uy") == F.col("_cy")))
+              .groupBy(F.col("_dx").alias("_cx"),
+                       F.col("_dy").alias("_cy"))
+              .agg(F.sum("_acc").alias("_in")))
+        new = (acc.select("_cx", "_cy").join(up, ["_cx", "_cy"], "left")
+               .select("_cx", "_cy",
+                       (F.lit(1) + F.coalesce(F.col("_in"), F.lit(0)))
+                       .cast("bigint").alias("_acc"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(acc.withColumnRenamed("_acc", "_old"),
+                            ["_cx", "_cy"])
+                   .filter(F.col("_acc") != F.col("_old"))
+                   .limit(1).count())
+        old = acc
+        acc = new
+        old.unpersist()
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"d8_flow_accumulation: no fixpoint within {max_rounds} "
+            "rounds — the longest flow path exceeds the guard; raise "
+            "max_rounds")
+    edges.unpersist()
+    return acc.select(F.col("_cx").alias(gx), F.col("_cy").alias(gy),
+                      F.col("_acc").alias("acc"))

@@ -512,3 +512,136 @@ def kulldorff_scan(cells: DataFrame, max_radius: int = 2, top: int = 5, *,
                       F.col("m_in").cast("bigint").alias("m_cells"),
                       F.round(llr, round_to).alias("llr"))
     return scored.orderBy(F.desc("llr"), cx, cy, "rho").limit(top)
+
+
+def nearest_site_join(points: DataFrame, sites: DataFrame, cell: float, *,
+                      point_id: str = "event_id", site_id: str = "site_id",
+                      x_col: str = "x", y_col: str = "y",
+                      max_rounds: int = 8,
+                      round_to: int = 6) -> DataFrame:
+    """EXACT cross-table 1-NN join: each point gets its nearest site
+    (ties by smallest site id) — the :func:`nn_distances` doubling-
+    cell discipline generalized to two tables (there: a point set
+    against itself). At cell size c every site within distance c of a
+    point lies in the 3x3 ring of the point's cell, so a ring minimum
+    d <= c is PROVABLY the global nearest; points whose ring minimum
+    exceeds c (or with an empty ring) escalate to 2c. Exhausting
+    ``max_rounds`` doublings raises — loud guard, no approximation.
+
+    Scale shape per round: one equi-join on the cell key over the
+    9-cell ring (O(points x local site density), never points x
+    sites), one min-struct aggregation; unresolved points shrink
+    geometrically. Hot cells salt like hot tiles (pip_join).
+
+    Returns (point_id, site_id, nn_dist)."""
+    pts = points.select(F.col(point_id).alias("_pid"),
+                        F.col(x_col).cast("double").alias("_x"),
+                        F.col(y_col).cast("double").alias("_y"))
+    sts = sites.select(F.col(site_id).alias("_sid"),
+                       F.col(x_col).cast("double").alias("_sx"),
+                       F.col(y_col).cast("double").alias("_sy"))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    unresolved = pts
+    resolved = []
+    for rnd in range(max_rounds):
+        c = float(cell) * (2 ** rnd)
+        left = (unresolved
+                .withColumn("_cx", F.floor(F.col("_x") / c))
+                .withColumn("_cy", F.floor(F.col("_y") / c)))
+        right = (sts.withColumn("_o", F.explode(offs))
+                 .select("_sid", "_sx", "_sy",
+                         (F.floor(F.col("_sx") / c)
+                          + F.col("_o.dx")).alias("_cx"),
+                         (F.floor(F.col("_sy") / c)
+                          + F.col("_o.dy")).alias("_cy")))
+        d2 = ((F.col("_x") - F.col("_sx")) * (F.col("_x") - F.col("_sx"))
+              + (F.col("_y") - F.col("_sy")) * (F.col("_y") - F.col("_sy")))
+        best = (left.join(right, ["_cx", "_cy"])
+                .groupBy("_pid")
+                .agg(F.min(F.struct(d2.alias("d2"),
+                                    F.col("_sid").alias("sid"))).alias("b")))
+        ok = (best.filter(F.col("b.d2") <= F.lit(c * c))
+              .select("_pid", F.col("b.sid").alias(site_id),
+                      F.round(F.sqrt("b.d2"), round_to).alias("nn_dist")))
+        ok = ok.localCheckpoint(eager=True)
+        resolved.append(ok)
+        unresolved = unresolved.join(ok.select("_pid"), "_pid",
+                                     "left_anti").localCheckpoint(eager=True)
+        if unresolved.limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"nearest_site_join: points still unresolved after "
+            f"{max_rounds} cell doublings from {cell} — raise "
+            "max_rounds or cell")
+    out = resolved[0]
+    for part in resolved[1:]:
+        out = out.unionByName(part)
+    return out.withColumnRenamed("_pid", point_id)
+
+
+def empirical_variogram(samples: DataFrame, max_lag: float,
+                        n_bins: int, *, x_col: str = "x",
+                        y_col: str = "y", z_col: str = "z",
+                        round_to: int = 6) -> DataFrame:
+    """Empirical semivariogram (Matheron estimator): gamma(h) =
+    (1/2) * mean over point pairs with distance in lag bin h of
+    (z_i - z_j)^2 — the structure function kriging fits its model to.
+    Bins are [k*w, (k+1)*w), w = max_lag / n_bins; pairs at distance
+    >= max_lag drop; each unordered pair counts once via strict
+    (x, y, z) lexicographic order — rows that are EXACT duplicates
+    (same x, y, z) never pair, a documented contract mirrored by the
+    oracle. Integer z keeps every squared difference and sum exact,
+    so gamma is a deterministic double.
+
+    Scale shape: candidate pairs come from a 3x3 ring equi-join at
+    cell size max_lag (every pair within max_lag shares a ring) —
+    O(points x local density), never O(n^2); then one hash
+    aggregation per bin. Returns (bin, lag_lo, lag_hi, n_pairs,
+    gamma, mean_dist)."""
+    pts = samples.select(F.col(x_col).cast("double").alias("_x"),
+                         F.col(y_col).cast("double").alias("_y"),
+                         F.col(z_col).alias("_z"))
+    c = float(max_lag)
+    a = (pts.withColumn("_cx", F.floor(F.col("_x") / c))
+         .withColumn("_cy", F.floor(F.col("_y") / c)))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    b = (pts.select(F.col("_x").alias("_x2"), F.col("_y").alias("_y2"),
+                    F.col("_z").alias("_z2"))
+         .withColumn("_o", F.explode(offs))
+         .select("_x2", "_y2", "_z2",
+                 (F.floor(F.col("_x2") / c) + F.col("_o.dx")).alias("_cx"),
+                 (F.floor(F.col("_y2") / c) + F.col("_o.dy")).alias("_cy")))
+    pairs = (a.join(b, ["_cx", "_cy"])
+             .filter(F.struct("_x", "_y", "_z")
+                     < F.struct(F.col("_x2").alias("_x"),
+                                F.col("_y2").alias("_y"),
+                                F.col("_z2").alias("_z"))))
+    d2 = ((F.col("_x") - F.col("_x2")) * (F.col("_x") - F.col("_x2"))
+          + (F.col("_y") - F.col("_y2")) * (F.col("_y") - F.col("_y2")))
+    w = c / int(n_bins)
+    dist = F.sqrt(d2)
+    dz = (F.col("_z") - F.col("_z2")).cast("double")
+    # every aggregated term (dz^2, d2) is an exact integer for
+    # integer-valued inputs, so the shuffle-order-dependent double
+    # sums are still bitwise deterministic; avg(sqrt(d2)) would NOT
+    # be — hence rms_dist, not mean_dist
+    binned = (pairs.select(dist.alias("_d"), d2.alias("_d2"),
+                           (dz * dz).alias("_dz2"))
+              .filter(F.col("_d") < c)
+              .withColumn("_bin", F.floor(F.col("_d") / F.lit(w))))
+    agg = (binned.groupBy("_bin")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum("_dz2").alias("_s"), F.sum("_d2").alias("_sd2")))
+    return (agg.select(
+        F.col("_bin").cast("int").alias("bin"),
+        F.round(F.col("_bin") * w, round_to).alias("lag_lo"),
+        F.round((F.col("_bin") + 1) * w, round_to).alias("lag_hi"),
+        "n_pairs",
+        F.round(F.col("_s") / (2.0 * F.col("n_pairs")), round_to)
+        .alias("gamma"),
+        F.round(F.sqrt(F.col("_sd2") / F.col("n_pairs")), round_to)
+        .alias("rms_dist"))
+        .orderBy("bin"))

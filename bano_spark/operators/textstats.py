@@ -567,3 +567,35 @@ def stupid_backoff_score(docs: DataFrame, train_cond,
     return (j.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"),
                  F.round(F.avg(-F.log(s)), 6).alias("avg_neg_logp")))
+
+
+def token_chunks(docs: DataFrame, size: int, stride: int, *,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Fixed-size overlapping token windows — the training-example
+    prep step between cleaning and tokenizer packing (size tokens per
+    chunk, stride < size gives overlap). Chunks start at token
+    1, 1+stride, 1+2*stride, ... while the start lies within the
+    document; the last chunk may be short. Each chunk carries its
+    md5 fingerprint (of the space-joined tokens) so downstream exact
+    chunk-level dedup is one groupBy away.
+
+    Scale shape: one whitespace split + one bounded sequence explode
+    per document (ceil(n/stride) rows) + pure column expressions —
+    no Python, no shuffle until the caller aggregates.
+
+    Returns (id, chunk_no, start_tok, n_tokens, chunk_md5)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = (docs.select(F.col(id_col), toks.alias("_t"))
+         .withColumn("_n", F.size("_t"))
+         .filter(F.col("_n") > 0))
+    starts = F.sequence(F.lit(1), F.col("_n"), F.lit(int(stride)))
+    ex = (d.select(id_col, "_t", "_n",
+                   F.posexplode(starts).alias("_k", "_start")))
+    chunk = F.slice(F.col("_t"), F.col("_start"), int(size))
+    return ex.select(
+        F.col(id_col),
+        (F.col("_k") + 1).cast("int").alias("chunk_no"),
+        F.col("_start").cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
