@@ -275,3 +275,50 @@ def anchor_text_rollup(links: DataFrame, k: int = 3, *,
     return (top.join(tot, dst_col)
             .select(dst_col, "n_inlinks", "n_src_hosts", "rnk",
                     anchor_col, "n_anchor"))
+
+
+def waterfill_budget(demands: DataFrame, budget: float, *,
+                     key_col: str = "host", demand_col: str = "demand",
+                     round_to: int = 6) -> DataFrame:
+    """Max-min fair (water-filling) allocation of a global crawl
+    budget across hosts: every host gets min(demand, theta) pages,
+    where the water level theta solves sum_h min(d_h, theta) =
+    budget (theta = +inf when total demand fits). The unique theta
+    lands in the demand-level interval where cum_below + m * d >=
+    budget first — found over DISTINCT demand values via the bucketed
+    distributed cumsum (selection.distributed_cumsum — no single-
+    partition exchange even if the level count grows), so the heavy
+    host frame is never sorted at all. Integer demands keep every
+    cumulative sum exact, so theta is a deterministic double.
+
+    Returns (key, demand, alloc) with sum(alloc) = budget whenever
+    total demand >= budget."""
+    from .selection import distributed_cumsum
+
+    d = demands.select(F.col(key_col), F.col(demand_col).alias("_d"))
+    lv = (d.groupBy("_d")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("_c"),
+               F.sum("_d").cast("bigint").alias("_s")))
+    lv = distributed_cumsum(lv, "_d", [F.col("_d")], "_s",
+                            out_col="_cs")
+    lv = distributed_cumsum(lv, "_d", [F.col("_d")], "_c",
+                            out_col="_cc")
+    tot = lv.agg(F.sum("_c").alias("_tc"))  # bounded global agg
+    lv = (lv.crossJoin(F.broadcast(tot))
+          .withColumn("_cum_s", F.col("_cs") - F.col("_s"))
+          .withColumn("_m", F.col("_tc") - (F.col("_cc") - F.col("_c"))))
+    b = float(budget)
+    feas = lv.filter(F.col("_cum_s").cast("double")
+                     + F.col("_m").cast("double")
+                     * F.col("_d").cast("double") >= b)
+    theta_row = (feas.agg(F.min(F.struct(
+        F.col("_d").alias("d"), F.col("_cum_s").alias("cs"),
+        F.col("_m").alias("m"))).alias("t"))
+        .select(((F.lit(b) - F.col("t.cs").cast("double"))
+                 / F.col("t.m").cast("double")).alias("_theta")))
+    return (d.crossJoin(F.broadcast(theta_row))  # 1-row level frame
+            .select(key_col, F.col("_d").alias("demand"),
+                    F.round(F.least(F.col("_d").cast("double"),
+                                    F.coalesce(F.col("_theta"),
+                                               F.col("_d").cast("double"))),
+                            round_to).alias("alloc")))

@@ -22,6 +22,8 @@ clustering.py's centroid literals.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 # the 6 axial ring-1 neighbors of a pointy-top hex cell
@@ -645,3 +647,49 @@ def empirical_variogram(samples: DataFrame, max_lag: float,
         F.round(F.sqrt(F.col("_sd2") / F.col("n_pairs")), round_to)
         .alias("rms_dist"))
         .orderBy("bin"))
+
+
+def std_deviational_ellipse(points: DataFrame, group_cols: list, *,
+                            x_col: str = "x", y_col: str = "y",
+                            round_to: int = 6) -> DataFrame:
+    """Standard deviational ellipse per group (Lefever 1926; the
+    CrimeStat/ArcGIS directional-distribution summary): mean center,
+    orientation theta = 0.5 * atan2(2*cov, var_x - var_y) normalized
+    to [0, 180) degrees, and the semi-axis lengths sqrt of the
+    covariance eigenvalues lambda = ((vx + vy) +- sqrt((vx - vy)^2 +
+    4 cov^2)) / 2. One hash aggregation per group over five exact
+    integer sums (n, Sx, Sy, Sxx, Syy, Sxy for integer-valued
+    coordinates), so every emitted double is deterministic.
+
+    Returns (group..., n, mean_x, mean_y, angle_deg, sigma_major,
+    sigma_minor). Groups with n < 2 or zero total variance drop
+    (no direction to report) — mirrored by the oracle."""
+    keys = [str(k) for k in group_cols]
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = (points.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+                F.sum(x * x).alias("_sxx"), F.sum(y * y).alias("_syy"),
+                F.sum(x * y).alias("_sxy"))
+           .filter(F.col("_n") >= 2))
+    n = F.col("_n").cast("double")
+    mx = F.col("_sx") / n
+    my = F.col("_sy") / n
+    vx = F.col("_sxx") / n - mx * mx
+    vy = F.col("_syy") / n - my * my
+    cv = F.col("_sxy") / n - mx * my
+    disc = F.sqrt((vx - vy) * (vx - vy) + 4.0 * cv * cv)
+    l1 = (vx + vy + disc) / 2.0
+    l2 = (vx + vy - disc) / 2.0
+    deg = 180.0 / math.pi
+    ang = F.atan2(2.0 * cv, vx - vy) * 0.5 * F.lit(deg)
+    ang = F.when(ang < 0, ang + 180.0).otherwise(ang)
+    return (agg.filter((vx + vy) > 0)
+            .select(*keys, F.col("_n").cast("bigint").alias("n"),
+                    F.round(mx, round_to).alias("mean_x"),
+                    F.round(my, round_to).alias("mean_y"),
+                    F.round(ang, round_to).alias("angle_deg"),
+                    F.round(F.sqrt(l1), round_to).alias("sigma_major"),
+                    F.round(F.sqrt(F.greatest(l2, F.lit(0.0))),
+                            round_to).alias("sigma_minor")))

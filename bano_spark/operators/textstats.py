@@ -599,3 +599,37 @@ def token_chunks(docs: DataFrame, size: int, stride: int, *,
         F.col("_start").cast("int").alias("start_tok"),
         F.size(chunk).cast("int").alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
+
+
+def kwic_concordance(docs: DataFrame, term: str, window: int, *,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of ``term``
+    (exact lowercase token match) with up to ``window`` tokens of
+    left and right context joined back to strings — the corpus
+    linguist's first query and the spot-check view for filter-rule
+    debugging.
+
+    Scale shape: one positional explode per document + pure slice
+    arithmetic; occurrences shuffle nowhere until the caller sorts.
+
+    Returns (id, pos, left_ctx, right_ctx) with pos 1-based."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = (docs.select(F.col(id_col), toks.alias("_t"))
+         .withColumn("_n", F.size("_t")))
+    ex = (d.select(id_col, "_t", "_n",
+                   F.posexplode("_t").alias("_p0", "_w"))
+          .filter(F.col("_w") == term.lower())
+          .withColumn("_p", F.col("_p0") + 1))
+    lstart = F.greatest(F.col("_p") - window, F.lit(1))
+    left = F.slice(F.col("_t"), lstart, (F.col("_p") - lstart).cast("int"))
+    right = F.slice(F.col("_t"), F.col("_p") + 1,
+                    F.least(F.lit(window), F.col("_n") - F.col("_p"))
+                    .cast("int"))
+    # empty windows (term at a document edge): slice yields null/[]
+    # depending on the engine — pin both to '' (coalesce here, in the
+    # oracle via coalesce(array_to_string(...), ''))
+    return ex.select(
+        F.col(id_col), F.col("_p").cast("int").alias("pos"),
+        F.coalesce(F.array_join(left, " "), F.lit("")).alias("left_ctx"),
+        F.coalesce(F.array_join(right, " "), F.lit("")).alias("right_ctx"))
