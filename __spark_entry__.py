@@ -1829,6 +1829,7 @@ from bano_spark import queries_wave14 as _w14  # noqa: E402
 from bano_spark import queries_wave15 as _w15  # noqa: E402
 from bano_spark import queries_wave16 as _w16  # noqa: E402
 from bano_spark import queries_wave17 as _w17  # noqa: E402
+from bano_spark import queries_wave18 as _w18  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1852,6 +1853,8 @@ _QUERIES.update(_w16.QUERIES)
 _ORACLES.update(_w16.ORACLES)
 _QUERIES.update(_w17.QUERIES)
 _ORACLES.update(_w17.ORACLES)
+_QUERIES.update(_w18.QUERIES)
+_ORACLES.update(_w18.ORACLES)
 
 
 # ---------------------------------------------------------------------------

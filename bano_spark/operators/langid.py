@@ -73,3 +73,46 @@ def langid_trigram(docs: DataFrame, profiles: DataFrame,
             .filter(F.col("_r") == 1)
             .select(id_col, F.col("lang").alias("pred_lang"),
                     F.col("score").alias("best_score")))
+
+
+def langid_segments(docs: DataFrame, profiles: DataFrame,
+                    seg_tokens: int, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Code-switching detection: language ID per NON-OVERLAPPING
+    ``seg_tokens``-token segment, rolled up per document — mixed-
+    language pages (boilerplate in one language, body in another)
+    defeat whole-document language ID, and segment-level voting is
+    the standard fix (CLD-style chunked classification). Segments
+    whose trigrams match no profile (too short, symbols) drop from
+    the rollup.
+
+    Returns (id, n_segments, n_langs, langs, mixed): langs is the
+    sorted comma-joined distinct predictions; mixed = n_langs > 1.
+
+    Scale shape: one bounded sequence explode per doc for the
+    segments + the langid profile join (broadcast) — everything is
+    column algebra."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = (docs.select(F.col(id_col), toks.alias("_t"))
+         .withColumn("_n", F.size("_t"))
+         .filter(F.col("_n") > 0))
+    starts = F.sequence(F.lit(1), F.col("_n"), F.lit(int(seg_tokens)))
+    segs = (d.select(id_col, "_t",
+                     F.posexplode(starts).alias("_k", "_s"))
+            .select(id_col, (F.col("_k") + 1).alias("_seg"),
+                    F.array_join(
+                        F.slice(F.col("_t"), F.col("_s"),
+                                int(seg_tokens)), " ").alias("text"))
+            .withColumn("_sid", F.concat_ws("#", F.col(id_col).cast("string"),
+                                            F.col("_seg").cast("string"))))
+    pred = langid_trigram(segs.select(F.col("_sid").alias("doc_id"),
+                                      "text"), profiles)
+    lab = (segs.join(pred.withColumnRenamed("doc_id", "_sid"), "_sid")
+           .select(id_col, "pred_lang"))
+    return (lab.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+                 F.countDistinct("pred_lang").cast("bigint")
+                 .alias("n_langs"),
+                 F.array_join(F.array_sort(
+                     F.collect_set("pred_lang")), ",").alias("langs"))
+            .withColumn("mixed", F.col("n_langs") > 1))

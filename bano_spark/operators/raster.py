@@ -369,3 +369,108 @@ def viewshed(dem: DataFrame, ox: int, oy: int, *, h: float = 1.0,
         F.round("_amax", round_to).alias("max_block_angle"),
         (F.col("_amax").isNull() | (ta > F.col("_amax")))
         .alias("visible"))
+
+
+def _cell_key(gx, gy, off: int, m: int):
+    return (gx + F.lit(off)) * F.lit(m) + (gy + F.lit(off))
+
+
+def cost_distance(cells: DataFrame, sx: int, sy: int, *,
+                  gx: str = "gx", gy: str = "gy", cost: str = "cost",
+                  key_offset: int = 1 << 19, key_mult: int = 1 << 20,
+                  max_rounds: int = 200,
+                  round_to: int = 6) -> DataFrame:
+    """Accumulated-cost distance from source cell (sx, sy) over a
+    cost surface (the raster-GIS cost-distance/least-cost-path
+    primitive): moving between 8-adjacent cells costs
+    (cost_a + cost_b) / 2 * dist, dist 1 cardinal / sqrt(2) diagonal
+    — the standard ESRI formulation. Exact shortest accumulated cost
+    via the existing distributed Bellman-Ford (graph.sssp_weighted)
+    over the relationally-built lattice edges: one bounded 8-offset
+    explode + equi-join builds the edge list, nothing else is new —
+    the operator IS the composition.
+
+    Cell keys compose as (gx+off)*mult+(gy+off); callers at planetary
+    extents swap in the Hilbert key (geo.hilbert) — the lattice here
+    is fixture-bounded. Integer costs make every half-sum exact in
+    halves and every path cost a deterministic double.
+
+    Returns (gx, gy, cost_dist) for cells reachable from the
+    source."""
+    from .graph import sssp_weighted
+
+    m, off = int(key_mult), int(key_offset)
+    base = cells.select(F.col(gx), F.col(gy),
+                        F.col(cost).cast("double").alias("_c"))
+    arr = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(_SQRT2 if dx * dy != 0 else 1.0).alias("dist"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)])
+    nb = (base.select(gx, gy, "_c", F.explode(arr).alias("o"))
+          .select((F.col(gx) + F.col("o.dx")).alias("_nx"),
+                  (F.col(gy) + F.col("o.dy")).alias("_ny"),
+                  F.col(gx), F.col(gy), F.col("_c"),
+                  F.col("o.dist").alias("_d")))
+    edges = (nb.join(base.select(F.col(gx).alias("_nx"),
+                                 F.col(gy).alias("_ny"),
+                                 F.col("_c").alias("_cn")),
+                     ["_nx", "_ny"])
+             .select(_cell_key(F.col(gx), F.col(gy), off, m).alias("u"),
+                     _cell_key(F.col("_nx"), F.col("_ny"), off, m)
+                     .alias("v"),
+                     ((F.col("_c") + F.col("_cn")) / 2.0 * F.col("_d"))
+                     .alias("w")))
+    seeds = (cells.filter((F.col(gx) == sx) & (F.col(gy) == sy))
+             .select(_cell_key(F.col(gx), F.col(gy), off, m)
+                     .alias("node")))
+    d = sssp_weighted(edges, seeds, src="u", dst="v", weight="w",
+                      max_rounds=max_rounds)
+    k = F.col("node")
+    return d.select(
+        (F.floor(k / m) - off).cast("bigint").alias(gx),
+        (k % m - off).cast("bigint").alias(gy),
+        F.round(F.col("dist"), round_to).alias("cost_dist"))
+
+
+def raster_regions(cells: DataFrame, *, gx: str = "gx", gy: str = "gy",
+                   cls: str = "cls", key_offset: int = 1 << 19,
+                   key_mult: int = 1 << 20) -> DataFrame:
+    """Region-group (ESRI RegionGroup / rasterio label): connected
+    components of 4-adjacent cells sharing the same class value. The
+    region label is the minimum composed cell key in the region,
+    decomposed back to (region_gx, region_gy) so labels are readable
+    cell coordinates. Same-class adjacency edges come from one
+    bounded 2-offset explode (east + north cover every undirected
+    4-adjacency once) + an equi-join; labeling is the existing
+    pointer-doubling connected components. Isolated cells (no
+    same-class neighbor) label themselves.
+
+    Returns (gx, gy, cls, region_gx, region_gy)."""
+    from .components import connected_components
+
+    m, off = int(key_mult), int(key_offset)
+    base = cells.select(gx, gy, cls)
+    key = _cell_key(F.col(gx), F.col(gy), off, m)
+    arr = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in ((1, 0), (0, 1))])
+    nb = (base.select(gx, gy, cls, F.explode(arr).alias("o"))
+          .select((F.col(gx) + F.col("o.dx")).alias("_nx"),
+                  (F.col(gy) + F.col("o.dy")).alias("_ny"),
+                  F.col(gx), F.col(gy), F.col(cls)))
+    edges = (nb.join(base.select(F.col(gx).alias("_nx"),
+                                 F.col(gy).alias("_ny"),
+                                 F.col(cls).alias("_ncls")),
+                     ["_nx", "_ny"])
+             .filter(F.col(cls) == F.col("_ncls"))
+             .select(key.alias("src"),
+                     _cell_key(F.col("_nx"), F.col("_ny"), off, m)
+                     .alias("dst")))
+    comp = connected_components(edges)
+    lab = (base.withColumn("_k", key)
+           .join(comp.withColumnRenamed("id", "_k"), "_k", "left")
+           .withColumn("_lbl", F.coalesce(F.col("comp"), F.col("_k"))))
+    lbl = F.col("_lbl")
+    return lab.select(
+        gx, gy, cls,
+        (F.floor(lbl / m) - off).cast("bigint").alias("region_gx"),
+        (lbl % m - off).cast("bigint").alias("region_gy"))

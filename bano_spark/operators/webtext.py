@@ -437,3 +437,32 @@ def mojibake_count_sql(text_expr: str) -> str:
             f"CAST((length({text_expr}) - length(replace({text_expr}, "
             f"'{esc}', ''))) / {len(m)} AS BIGINT)")
     return " + ".join(parts)
+
+
+def stitch_overlaps(docs: DataFrame, k: int, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Document stitching candidates: directed pairs (a, b) where the
+    LAST ``k`` tokens of a equal the FIRST ``k`` tokens of b — the
+    WARC-split/pagination repair signal (a page truncated mid-stream
+    and refetched, or an article split across pages, shares exactly
+    this seam). Docs shorter than k tokens never pair.
+
+    Scale shape: one head-gram and one tail-gram per document (two
+    bounded slices, no explode), then ONE equi-join on the gram
+    string — O(matches), never all-pairs.
+
+    Returns (id_a, id_b, seam_gram)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = (docs.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+         .withColumn("_n", F.size("_t"))
+         .filter(F.col("_n") >= k))
+    heads = d.select(F.col("_id").alias("id_b"),
+                     F.array_join(F.slice("_t", 1, k), " ").alias("_g"))
+    tails = d.select(
+        F.col("_id").alias("id_a"),
+        F.array_join(F.slice(F.col("_t"),
+                             (F.col("_n") - k + 1).cast("int"),
+                             k), " ").alias("_g"))
+    return (tails.join(heads, "_g")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b", F.col("_g").alias("seam_gram")))
