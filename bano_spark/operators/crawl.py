@@ -251,7 +251,11 @@ def anchor_text_rollup(links: DataFrame, k: int = 3, *,
     how the WEB describes a page beats how the page describes
     itself — Brin-Page 1998 §2.2): for each destination host, the
     inlink count, distinct source-host count, and the top-``k``
-    anchor strings by (count desc, anchor asc).
+    anchor strings by (count desc, anchor asc) — the table-valued
+    top-k extension of the wave-9 ``anchor_text_profile`` query
+    (which reduces to ONE dominant anchor per host and has no source
+    diversity; this rollup feeds BM25F-style field indexing, that
+    profile feeds link-spam screening).
 
     Scale shape: two hash aggregations keyed by (dst, anchor) then
     dst — the per-dst anchor vocabulary is bounded (anchors are short
@@ -283,13 +287,19 @@ def waterfill_budget(demands: DataFrame, budget: float, *,
     """Max-min fair (water-filling) allocation of a global crawl
     budget across hosts: every host gets min(demand, theta) pages,
     where the water level theta solves sum_h min(d_h, theta) =
-    budget (theta = +inf when total demand fits). The unique theta
-    lands in the demand-level interval where cum_below + m * d >=
-    budget first — found over DISTINCT demand values via the bucketed
-    distributed cumsum (selection.distributed_cumsum — no single-
-    partition exchange even if the level count grows), so the heavy
-    host frame is never sorted at all. Integer demands keep every
-    cumulative sum exact, so theta is a deterministic double.
+    budget (theta = +inf when total demand fits).
+
+    Same allocation as :func:`bano_spark.operators.selection.
+    waterfill_allocation` (the two are cross-checked equal in
+    tests/test_wave17.py) with a different scale shape: that operator
+    prefix-sums the PER-HOST frame (two distributed cumsums over
+    billions of rows); this one finds theta over DISTINCT demand
+    values only — the unique theta lands in the demand-level interval
+    where cum_below + m * d >= budget first, found via the bucketed
+    distributed cumsum over a level frame whose cardinality is tiny
+    next to the host count — so the host frame is never ordered at
+    all. Integer demands keep every cumulative sum exact, so theta is
+    a deterministic double.
 
     Returns (key, demand, alloc) with sum(alloc) = budget whenever
     total demand >= budget."""

@@ -302,7 +302,10 @@ def waterfill_allocation(counts: DataFrame, budget: int,
     threshold t with sum(min(n_k, t)) = budget and give every key
     alloc_k = min(n_k, t) — the standard fair split of a crawl/fetch
     budget across hosts (small hosts fully served, mega-hosts capped
-    at the water level).
+    at the water level). crawl.waterfill_budget computes the SAME
+    allocation from distinct demand LEVELS only (never ordering the
+    host frame) — prefer it when hosts vastly outnumber levels; the
+    two are cross-checked equal in tests/test_wave17.py.
 
     Distributed shape: one groupBy upstream produced ``counts``; the
     sorted prefix sum comes from distributed_cumsum (bucketed

@@ -524,7 +524,11 @@ def nearest_site_join(points: DataFrame, sites: DataFrame, cell: float, *,
     """EXACT cross-table 1-NN join: each point gets its nearest site
     (ties by smallest site id) — the :func:`nn_distances` doubling-
     cell discipline generalized to two tables (there: a point set
-    against itself). At cell size c every site within distance c of a
+    against itself). Unlike ``knn_join.knn_nearest_points``-style
+    fixed-ring top-k (k nearest AMONG one ring's candidates at a
+    chosen zoom), this escalates until the minimum is PROVABLY
+    global — use the fixed-ring form when a bounded search radius is
+    the semantics, this one when exactness is. At cell size c every site within distance c of a
     point lies in the 3x3 ring of the point's cell, so a ring minimum
     d <= c is PROVABLY the global nearest; points whose ring minimum
     exceeds c (or with an empty ring) escalate to 2c. Exhausting
@@ -693,45 +697,3 @@ def std_deviational_ellipse(points: DataFrame, group_cols: list, *,
                     F.round(F.sqrt(l1), round_to).alias("sigma_major"),
                     F.round(F.sqrt(F.greatest(l2, F.lit(0.0))),
                             round_to).alias("sigma_minor")))
-
-
-def within_distance_join(points: DataFrame, sites: DataFrame,
-                         radius: float, *,
-                         point_id: str = "event_id",
-                         site_id: str = "site_id",
-                         x_col: str = "x", y_col: str = "y",
-                         round_to: int = 6) -> DataFrame:
-    """Distance-predicate spatial join: every (point, site) pair with
-    Euclidean distance <= ``radius`` — PostGIS ``ST_DWithin`` as a
-    cell-bucketed equi-join. At cell size = radius, every qualifying
-    pair shares a 3x3 ring, so candidates are O(points x local site
-    density), never the cross product; the exact predicate filters
-    candidates with integer-exact squared distances (no sqrt on the
-    predicate path).
-
-    Returns (point_id, site_id, dist) — dist rounded for output
-    only."""
-    c = float(radius)
-    pts = (points.select(F.col(point_id),
-                         F.col(x_col).cast("double").alias("_x"),
-                         F.col(y_col).cast("double").alias("_y"))
-           .withColumn("_cx", F.floor(F.col("_x") / c))
-           .withColumn("_cy", F.floor(F.col("_y") / c)))
-    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
-    sts = (sites.select(F.col(site_id),
-                        F.col(x_col).cast("double").alias("_sx"),
-                        F.col(y_col).cast("double").alias("_sy"))
-           .withColumn("_o", F.explode(offs))
-           .select(site_id, "_sx", "_sy",
-                   (F.floor(F.col("_sx") / c) + F.col("_o.dx"))
-                   .alias("_cx"),
-                   (F.floor(F.col("_sy") / c) + F.col("_o.dy"))
-                   .alias("_cy")))
-    d2 = ((F.col("_x") - F.col("_sx")) * (F.col("_x") - F.col("_sx"))
-          + (F.col("_y") - F.col("_sy")) * (F.col("_y") - F.col("_sy")))
-    return (pts.join(sts, ["_cx", "_cy"])
-            .filter(d2 <= F.lit(c * c))
-            .select(point_id, site_id,
-                    F.round(F.sqrt(d2), round_to).alias("dist"))
-            .distinct())

@@ -40,8 +40,12 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ad01 — ST_DWithin: all (point, site) pairs within 15 km, sites =
-# every 97th point. Oracle: the brute-force cross join the engine's
+# ad01 — ST_DWithin CROSS-TABLE: all (point, site) pairs within
+# 15 km, sites = every 97th point — the existing knn_join.
+# dwithin_pairs operator (already gated self-join at 200 m by
+# dwithin_pairs/w76) exercised on its other surface: two distinct
+# tables, distinct id columns, dedup_pairs=False, auto-zoom at a
+# 75x larger radius. Oracle: the brute-force cross join the engine's
 # ring join never materializes.
 # ---------------------------------------------------------------------------
 
@@ -61,14 +65,17 @@ ORDER BY event_id, site_id
 
 @register("within_distance_join", _AD01_ORACLE)
 def ad_within(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bano_spark.operators.spatialstats import within_distance_join
+    from bano_spark.operators.knn_join import dwithin_pairs
 
     _read(spark, sf_dir, "events").createOrReplaceTempView("events")
     pts = spark.sql("WITH " + _ns_fixture_cte("spark")
                     + " SELECT * FROM p")
     sites = spark.sql("WITH " + _ns_fixture_cte("spark")
                       + " SELECT * FROM sites")
-    return (within_distance_join(pts, sites, _WD_R)
+    out = dwithin_pairs(pts, sites, _WD_R, left_id="event_id",
+                        right_id="site_id")
+    return (out.select("event_id", "site_id",
+                       F.round(F.sqrt("d2"), 6).alias("dist"))
             .orderBy("event_id", "site_id"))
 
 

@@ -105,3 +105,21 @@ def test_isochrone_bands_path(spark):
               .agg(F.count(F.lit(1)).alias("n")).collect())}
     # dists 0,1,2,5 -> bands 0:{0,1}, 1:{2}, 2:{5}
     assert bands == {0: 2, 1: 1, 2: 1}
+
+
+def test_waterfill_variants_agree(spark):
+    """crawl.waterfill_budget (distinct-level theta) and
+    selection.waterfill_allocation (per-host prefix sum) are two
+    scale shapes of the SAME allocation — they must agree exactly."""
+    from bano_spark.operators.crawl import waterfill_budget
+    from bano_spark.operators.selection import waterfill_allocation
+
+    rows = [(f"h{i}", 1 + (i * 7) % 23) for i in range(40)]
+    dm = spark.createDataFrame(rows, "host string, demand long")
+    for budget in (37, 150, 10_000):
+        a = {r["host"]: r["alloc"] for r in
+             waterfill_budget(dm, float(budget)).collect()}
+        b = {r["host"]: round(r["alloc"], 6) for r in
+             waterfill_allocation(
+                 dm.withColumnRenamed("demand", "n"), budget).collect()}
+        assert a == b, budget

@@ -7,19 +7,23 @@ import math
 
 
 def test_within_distance_inclusive_boundary(spark):
-    from bano_spark.operators.spatialstats import within_distance_join
+    # the existing dwithin_pairs on its cross-table surface (distinct
+    # id columns, dedup_pairs=False — the path the w76 self-join
+    # never exercises)
+    from bano_spark.operators.knn_join import dwithin_pairs
 
     pts = spark.createDataFrame([(1, 0.0, 0.0), (2, 7.0, 0.0)],
                                 "event_id long, x double, y double")
     sites = spark.createDataFrame(
         [(10, 5.0, 0.0), (11, 0.0, 5.0), (12, 4.0, 4.0)],
         "site_id long, x double, y double")
-    out = {(r["event_id"], r["site_id"]): r["dist"]
-           for r in within_distance_join(pts, sites, 5.0).collect()}
+    out = {(r["event_id"], r["site_id"]): r["d2"]
+           for r in dwithin_pairs(pts, sites, 5.0, left_id="event_id",
+                                  right_id="site_id").collect()}
     # exactly-at-radius pairs are INCLUDED (<=)
-    assert out[(1, 10)] == 5.0 and out[(1, 11)] == 5.0
+    assert out[(1, 10)] == 25.0 and out[(1, 11)] == 25.0
     assert (1, 12) not in out  # sqrt(32) > 5
-    assert out[(2, 10)] == 2.0
+    assert out[(2, 10)] == 4.0
     assert (2, 11) not in out
 
 
