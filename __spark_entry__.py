@@ -1830,6 +1830,7 @@ from bano_spark import queries_wave15 as _w15  # noqa: E402
 from bano_spark import queries_wave16 as _w16  # noqa: E402
 from bano_spark import queries_wave17 as _w17  # noqa: E402
 from bano_spark import queries_wave18 as _w18  # noqa: E402
+from bano_spark import queries_wave19 as _w19  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1855,6 +1856,8 @@ _QUERIES.update(_w17.QUERIES)
 _ORACLES.update(_w17.ORACLES)
 _QUERIES.update(_w18.QUERIES)
 _ORACLES.update(_w18.ORACLES)
+_QUERIES.update(_w19.QUERIES)
+_ORACLES.update(_w19.ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -133,3 +133,56 @@ def bbox_intersection_areas(
             .filter((ix1 > ix0) & (iy1 > iy0) & rep)
             .select(F.col(left_id), F.col(right_id),
                     F.round((ix1 - ix0) * (iy1 - iy0), 6).alias("inter_area")))
+
+
+def areal_interpolate_rect(
+    sources: DataFrame,
+    grid: float,
+    *,
+    id_col: str = "src_id",
+    val_col: str = "val",
+    round_to: int = 6,
+) -> DataFrame:
+    """Areal-weighted interpolation (the dasymetric-free baseline of
+    every population-regridding pipeline): transfer an extensive
+    attribute from source rectangles (id, xmin, ymin, xmax, ymax,
+    val) onto a regular ``grid``-sized cell lattice, each cell
+    receiving  sum_src val_src * area(src ∩ cell) / area(src).
+
+    Scale shape: each source explodes ONLY into the cells its bbox
+    touches (two bounded `sequence`s, O(area / grid^2) rows — the
+    definitional output size), then one hash aggregation on the cell
+    key. No join at all: the lattice is arithmetic, not a table.
+    Grid-aligned integer-valued bounds keep cx*grid exact, so the
+    overlap algebra is IEEE-identical in any engine; zero-width
+    slivers (bbox edge on a cell boundary) are filtered exactly.
+
+    Returns (cx, cy, value)."""
+    g = float(grid)
+    s = sources.select(
+        F.col(id_col).alias("_id"), F.col(val_col).cast("double").alias("_v"),
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        ((F.col("xmax") - F.col("xmin"))
+         * (F.col("ymax") - F.col("ymin"))).alias("_area"))
+    cx0 = F.floor(F.col("xmin") / g).cast("bigint")
+    cx1 = F.floor(F.col("xmax") / g).cast("bigint")
+    cy0 = F.floor(F.col("ymin") / g).cast("bigint")
+    cy1 = F.floor(F.col("ymax") / g).cast("bigint")
+    cells = (s.select("_id", "_v", "_area",
+                      "xmin", "ymin", "xmax", "ymax",
+                      F.explode(F.sequence(cx0, cx1)).alias("cx"),
+                      cy0.alias("_cy0"), cy1.alias("_cy1"))
+             .select("_id", "_v", "_area", "xmin", "ymin", "xmax", "ymax",
+                     "cx", F.explode(
+                         F.sequence(F.col("_cy0"), F.col("_cy1")))
+                     .alias("cy")))
+    ow = (F.least(F.col("xmax"), (F.col("cx") + 1) * g)
+          - F.greatest(F.col("xmin"), F.col("cx") * g))
+    oh = (F.least(F.col("ymax"), (F.col("cy") + 1) * g)
+          - F.greatest(F.col("ymin"), F.col("cy") * g))
+    w = (cells.withColumn("_ow", ow).withColumn("_oh", oh)
+         .filter((F.col("_ow") > 0) & (F.col("_oh") > 0))
+         .withColumn("_c", F.col("_v") * F.col("_ow") * F.col("_oh")
+                     / F.col("_area")))
+    return (w.groupBy("cx", "cy")
+            .agg(F.round(F.sum("_c"), round_to).alias("value")))

@@ -474,3 +474,168 @@ def raster_regions(cells: DataFrame, *, gx: str = "gx", gy: str = "gy",
         gx, gy, cls,
         (F.floor(lbl / m) - off).cast("bigint").alias("region_gx"),
         (lbl % m - off).cast("bigint").alias("region_gy"))
+
+
+def hillshade(dem: DataFrame, cell: float, *, altitude_deg: float = 45.0,
+              azimuth_deg: float = 315.0, gx: str = "gx", gy: str = "gy",
+              z: str = "z", round_to: int = 6) -> DataFrame:
+    """Lambertian hillshade per INTERIOR cell: the Horn gradient
+    (same 8-offset contribution aggregation as :func:`slope_aspect`)
+    dotted with a fixed sun vector,
+
+        hs = 255 * max(0, (L . n) / |n|),   n = (-dz/dx, -dz/dy, 1)
+
+    which is algebraically the ArcGIS hillshade formula without the
+    slope/aspect trig detour. The sun vector components are computed
+    ONCE in Python (math.cos/sin) and inlined as double literals, so
+    the distributed expression uses only +-*/ and sqrt — IEEE-exact
+    in any engine; no libm variance crosses the oracle boundary.
+    ``sun_vector_literals`` exposes the same literals for SQL twins.
+
+    Scale shape: identical to slope_aspect — one bounded 8-offset
+    explode, one hash aggregation keyed by center cell, occupied
+    join-back. No extra shuffle for the shading arithmetic."""
+    lx, ly, lz = sun_vector(altitude_deg, azimuth_deg)
+    offs = [(1, 1, 1, 1), (1, 0, 2, 0), (1, -1, 1, -1),
+            (-1, 1, -1, 1), (-1, 0, -2, 0), (-1, -1, -1, -1),
+            (0, 1, 0, 2), (0, -1, 0, -2)]
+    arr = F.array(*[F.struct(F.lit(a).alias("dx"), F.lit(b).alias("dy"),
+                             F.lit(wx).alias("wx"), F.lit(wy).alias("wy"))
+                    for a, b, wx, wy in offs])
+    contrib = (dem.select(gx, gy, z, F.explode(arr).alias("o"))
+               .select((F.col(gx) - F.col("o.dx")).alias(gx),
+                       (F.col(gy) - F.col("o.dy")).alias(gy),
+                       (F.col(z) * F.col("o.wx")).alias("_cx"),
+                       (F.col(z) * F.col("o.wy")).alias("_cy")))
+    sums = (contrib.groupBy(gx, gy)
+            .agg(F.sum("_cx").alias("_sx"), F.sum("_cy").alias("_sy"),
+                 F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") == 8))
+    out = sums.join(dem.select(gx, gy).distinct(), [gx, gy])
+    d = 8.0 * float(cell)
+    gxv = F.col("_sx") / F.lit(d)
+    gyv = F.col("_sy") / F.lit(d)
+    dot = (F.lit(lx) * -gxv + F.lit(ly) * -gyv + F.lit(lz)) \
+        / F.sqrt(gxv * gxv + gyv * gyv + F.lit(1.0))
+    hs = F.greatest(F.lit(0.0), F.lit(255.0) * dot)
+    return out.select(gx, gy, F.round(hs, round_to).alias("hillshade"))
+
+
+def sun_vector(altitude_deg: float, azimuth_deg: float) -> tuple:
+    """Unit sun vector for :func:`hillshade` in MATH convention
+    (azimuth counterclockwise from +x east). Cartographic azimuth A
+    (clockwise from north) maps via math_az = 90 - A. Returned as
+    plain Python floats so callers can inline identical literals into
+    Spark expressions and SQL oracles."""
+    alt = math.radians(altitude_deg)
+    azm = math.radians(90.0 - azimuth_deg)
+    return (math.cos(alt) * math.cos(azm),
+            math.cos(alt) * math.sin(azm),
+            math.sin(alt))
+
+
+# Marching-squares segment topology: case id (bit k set iff corner k
+# >= iso; corners ordered c00, c10, c11, c01 counterclockwise) ->
+# list of (edge, edge) segments. Edges: 0 bottom (c00-c10), 1 right
+# (c10-c11), 2 top (c01-c11), 3 left (c00-c01). The two ambiguous
+# saddle cases (5, 10) use a FIXED resolution (no center-average
+# rule) so both engines agree by construction.
+MS_SEGMENTS: dict[int, list[tuple[int, int]]] = {
+    0: [], 15: [],
+    1: [(3, 0)], 2: [(0, 1)], 3: [(3, 1)], 4: [(1, 2)],
+    5: [(3, 0), (1, 2)], 6: [(0, 2)], 7: [(3, 2)],
+    8: [(2, 3)], 9: [(0, 2)], 10: [(0, 1), (2, 3)],
+    11: [(1, 2)], 12: [(1, 3)], 13: [(0, 1)], 14: [(3, 0)],
+}
+
+
+def ms_segments_values_sql() -> str:
+    """The MS_SEGMENTS topology as a SQL VALUES list (case_id, e1, e2)
+    — one source of truth for engine and oracle."""
+    rows = [f"({c}, {a}, {b})"
+            for c, segs in sorted(MS_SEGMENTS.items()) for a, b in segs]
+    return ", ".join(rows)
+
+
+def ms_edge_x_sql(e: str) -> str:
+    """X coordinate of the iso-crossing on edge ``e`` given columns
+    gx, gy (cell corner) and t0..t3 (per-edge interpolation params).
+    Valid Spark SQL AND DuckDB SQL — the engine evaluates it via
+    F.expr, the oracle verbatim."""
+    return (f"CASE {e} WHEN 0 THEN gx + t0 WHEN 1 THEN gx + 1.0 "
+            f"WHEN 2 THEN gx + t2 ELSE CAST(gx AS DOUBLE) END")
+
+
+def ms_edge_y_sql(e: str) -> str:
+    return (f"CASE {e} WHEN 0 THEN CAST(gy AS DOUBLE) WHEN 1 THEN gy + t1 "
+            f"WHEN 2 THEN gy + 1.0 ELSE gy + t3 END")
+
+
+def contour_cells(dem: DataFrame, iso: float, *, gx: str = "gx",
+                  gy: str = "gy", z: str = "z",
+                  round_to: int = 6) -> DataFrame:
+    """Marching-squares contour extraction at level ``iso`` over a
+    sparse integer raster: per 2x2 corner square anchored at its
+    bottom-left cell, the case id, segment count, and total contour
+    length inside the square (endpoints linearly interpolated along
+    the crossing edges). Squares missing any corner drop; case 0/15
+    squares emit with zero segments (full coverage for the oracle).
+
+    Scale shape: corners assemble by ONE bounded 4-offset explode +
+    one hash aggregation (each cell's z is shipped to the 4 squares
+    it corners — no self-join chain); the case->segments lookup is a
+    <=32-row broadcast. With integer z and a non-integer iso the
+    interpolation params are exact IEEE quotients, so engine and
+    oracle agree bit-for-bit before the final rounding."""
+    spark = dem.sparkSession
+    iso_l = F.lit(float(iso))
+    # corner index k: this cell is corner k of the square anchored at
+    # (gx - dx_k, gy - dy_k); (dx, dy) per corner c00, c10, c11, c01
+    corners = [(0, 0, 0), (1, 1, 0), (2, 1, 1), (3, 0, 1)]
+    arr = F.array(*[F.struct(F.lit(k).alias("k"), F.lit(a).alias("dx"),
+                             F.lit(b).alias("dy"))
+                    for k, a, b in corners])
+    contrib = (dem.select(gx, gy, z, F.explode(arr).alias("o"))
+               .select((F.col(gx) - F.col("o.dx")).alias("gx"),
+                       (F.col(gy) - F.col("o.dy")).alias("gy"),
+                       F.col("o.k").alias("_k"),
+                       F.col(z).cast("double").alias("_z")))
+    zk = [F.max(F.when(F.col("_k") == k, F.col("_z"))).alias(f"z{k}")
+          for k in range(4)]
+    sq = (contrib.groupBy("gx", "gy")
+          .agg(*zk, F.count(F.lit(1)).alias("_m"))
+          .filter(F.col("_m") == 4))
+    bit = [F.when(F.col(f"z{k}") >= iso_l, 1 << k).otherwise(0)
+           for k in range(4)]
+    t = {  # (iso - za) / (zb - za), guarded; only crossing arms used
+        "t0": ("z0", "z1"), "t1": ("z1", "z2"),
+        "t2": ("z3", "z2"), "t3": ("z0", "z3"),
+    }
+    sq = sq.withColumn("case_id", sum(bit[1:], bit[0]).cast("int"))
+    for name, (a, b) in t.items():
+        sq = sq.withColumn(
+            name, (iso_l - F.col(a))
+            / F.nullif(F.col(b) - F.col(a), F.lit(0.0)))
+    lut = spark.createDataFrame(
+        [(c, a, b) for c, segs in sorted(MS_SEGMENTS.items())
+         for a, b in segs],
+        "case_id int, e1 int, e2 int")
+    segs = (sq.join(F.broadcast(lut), "case_id")
+            .withColumn("_x1", F.expr(ms_edge_x_sql("e1")))
+            .withColumn("_y1", F.expr(ms_edge_y_sql("e1")))
+            .withColumn("_x2", F.expr(ms_edge_x_sql("e2")))
+            .withColumn("_y2", F.expr(ms_edge_y_sql("e2")))
+            .withColumn("_len", F.sqrt(
+                (F.col("_x2") - F.col("_x1")) * (F.col("_x2") - F.col("_x1"))
+                + (F.col("_y2") - F.col("_y1"))
+                * (F.col("_y2") - F.col("_y1"))))
+            .groupBy("gx", "gy")
+            .agg(F.count(F.lit(1)).alias("n_segs"),
+                 F.sum("_len").alias("_tl")))
+    out = (sq.select("gx", "gy", "case_id")
+           .join(segs, ["gx", "gy"], "left"))
+    return out.select(
+        "gx", "gy", "case_id",
+        F.coalesce(F.col("n_segs"), F.lit(0)).cast("bigint").alias("n_segs"),
+        F.round(F.coalesce(F.col("_tl"), F.lit(0.0)),
+                round_to).alias("contour_len"))

@@ -559,3 +559,101 @@ fr_out AS (
   SELECT {id_cols}, dl[{r} * {r}] AS frechet
   FROM fr WHERE s = {r} * {r}
 )"""
+
+
+def lcss_pairs(traj: DataFrame, pairs: DataFrame, r: int, eps: float, *,
+               track_col: str = "user_id", order_col: str = "seq",
+               x_col: str = "x", y_col: str = "y",
+               id_a: str = "id_a", id_b: str = "id_b",
+               checkpoint_every: int = 4) -> DataFrame:
+    """EXACT longest-common-subsequence similarity between paired
+    tracks (LCSS, Vlachos et al. 2002): points match when within
+    ``eps``; similarity = LCSS length / r, both tracks truncated to
+    their first ``r`` points (shorter pairs drop).
+
+    Like :func:`dtw_pairs` the DP linearizes per row, and more simply:
+    with E = previous row, L[i][j] = max(E[j], L[i][j-1], E[j-1] +
+    m[i][j]) (the classic three-way max is EXACTLY LCS — the two
+    non-diagonal arms are always valid lower bounds), and since the
+    row is its own running max, L[i][j] = runmax_{k<=j} max(E[k],
+    E[k-1] + m[i][k]) — ONE lag + ONE running-max window per row.
+    All values are small integers: bit-exact in any engine.
+
+    Scale shape: identical to dtw_pairs — r driver rounds over a
+    frame keyed by pair, two partitioned windows per round,
+    O(pairs x r) rows per round, no per-row Python. ``lcss_cte_sql``
+    renders the same step table for a SQL oracle."""
+    pts = (traj.select(F.col(track_col).alias("_t"),
+                       F.col(order_col).alias("_s"),
+                       F.col(x_col).cast("double").alias("_x"),
+                       F.col(y_col).cast("double").alias("_y"))
+           .filter(F.col("_s") <= r))
+    full = (pts.groupBy("_t").agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") == r).select("_t"))
+    pts = pts.join(full, "_t")
+    a = pts.select(F.col("_t").alias(id_a), F.col("_s").alias("_i"),
+                   F.col("_x").alias("_ax"), F.col("_y").alias("_ay"))
+    b = pts.select(F.col("_t").alias(id_b), F.col("_s").alias("_j"),
+                   F.col("_x").alias("_bx"), F.col("_y").alias("_by"))
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    e2 = float(eps) * float(eps)
+    match = (pairs.join(a, id_a).join(b, id_b)
+             .select(id_a, id_b, "_i", "_j",
+                     F.when(dx * dx + dy * dy <= e2, F.lit(1))
+                     .otherwise(F.lit(0)).cast("long").alias("_m")))
+    match = match.localCheckpoint(eager=True)
+
+    wj = Window.partitionBy(id_a, id_b).orderBy("_j")
+    wmax = wj.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (match.filter(F.col("_i") == 1)
+         .select(id_a, id_b, "_j",
+                 F.max("_m").over(wmax).alias("_d")))
+    for i in range(2, r + 1):
+        dprev = d.withColumn(
+            "_dl", F.coalesce(F.lag("_d").over(wj), F.lit(0)))
+        row = match.filter(F.col("_i") == i)
+        step = (row.join(dprev, [id_a, id_b, "_j"])
+                .withColumn("_cand", F.greatest(
+                    F.col("_d"), F.col("_dl") + F.col("_m")))
+                .select(id_a, id_b, "_j",
+                        F.max("_cand").over(wmax).alias("_d")))
+        if i % checkpoint_every == 0:
+            step = step.localCheckpoint(eager=True)
+        d = step
+    return (d.filter(F.col("_j") == r)
+            .select(id_a, id_b, F.col("_d").alias("lcss_len"),
+                    (F.col("_d") / F.lit(float(r))).alias("lcss_sim")))
+
+
+def lcss_cte_sql(match_select: str, r: int,
+                 id_cols: str = "id_a, id_b") -> str:
+    """The lcss_pairs step table as chained CTEs over ``match_select``
+    (columns ``{id_cols}, i, j, m`` — the full r x r 0/1 match matrix
+    per pair); ends in CTE ``lcss_d{r}`` holding (id_cols, j, d)."""
+    on = " AND ".join(f"d.{c.strip()} = p.{c.strip()}"
+                      for c in id_cols.split(","))
+    part = id_cols
+    parts = [f"""
+lcss_m AS (SELECT {id_cols}, i, j, m FROM ({match_select})),
+lcss_d1 AS (
+  SELECT {id_cols}, j,
+         max(m) OVER (PARTITION BY {part} ORDER BY j
+                      ROWS UNBOUNDED PRECEDING) AS d
+  FROM lcss_m WHERE i = 1)"""]
+    for i in range(2, r + 1):
+        parts.append(f""",
+lcss_e{i} AS (
+  SELECT p.*, greatest(d.d, coalesce(
+             lag(d.d) OVER (PARTITION BY {_pfx(part, 'p')}
+                            ORDER BY p.j), 0) + p.m) AS cand
+  FROM lcss_m p JOIN lcss_d{i - 1} d ON {on} AND d.j = p.j
+  WHERE p.i = {i}
+),
+lcss_d{i} AS (
+  SELECT {id_cols}, j,
+         max(cand) OVER (PARTITION BY {part} ORDER BY j
+                         ROWS UNBOUNDED PRECEDING) AS d
+  FROM lcss_e{i}
+)""")
+    return "".join(parts)
