@@ -256,3 +256,48 @@ hll_out AS (
               ELSE {alpha} * {m * m} / hll_z END AS hll_estimate
   FROM hll_est
 )"""
+
+
+def ams_f2(df: DataFrame, key_col: str, *, t: int = 17,
+           round_to: int = 6) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996):
+    F2 = sum_x f_x^2 — the self-join size, THE cardinality estimate a
+    join planner wants before shuffling two huge relations. Each of
+    the ``t`` (odd) estimators assigns every key a deterministic +-1
+    sign from integer hash arithmetic; est_i = (sum_x f_x *
+    sign_i(x))^2 is an unbiased F2 estimator, and the sketch reports
+    their MEDIAN next to the exact value and relative error.
+
+    Scale shape: one groupBy(key) for frequencies, one bounded t-way
+    explode + hash agg for the sketch sums (O(distinct x t) rows —
+    the sketch is t counters regardless of input size, mergeable by
+    addition), exact F2 rides the same frequency pass. Integer
+    arithmetic end to end; the median picks the (t+1)/2-th order
+    statistic by window, identical in any engine."""
+    if t % 2 == 0:
+        raise ValueError("ams_f2: t must be odd (median = middle element)")
+    freq = (df.groupBy(F.col(key_col).cast("long").alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_f")))
+    exact = freq.agg(F.sum(F.col("_f") * F.col("_f")).alias("_f2"))
+    sk = (freq.select("_k", "_f",
+                      F.explode(F.sequence(F.lit(0), F.lit(t - 1)))
+                      .alias("_t")))
+    h = (F.col("_k") * F.lit(2654435761) + (F.col("_t") + 1)
+         * F.lit(40503)) % F.lit(2147483648)
+    # /1024 is a power-of-two division (exact in binary); floor then
+    # parity — CAST-truncation semantics differ across engines, floor
+    # doesn't
+    sign = F.lit(1) - F.lit(2) * (F.floor(h / F.lit(1024.0)) % 2)
+    sums = (sk.withColumn("_s", F.col("_f") * sign)
+            .groupBy("_t").agg(F.sum("_s").alias("_z"))
+            .withColumn("_est", F.col("_z") * F.col("_z")))
+    w = Window.orderBy("_est", "_t")
+    med = (sums.withColumn("_r", F.row_number().over(w))
+           .filter(F.col("_r") == (t + 1) // 2)
+           .select(F.col("_est").alias("_ams")))
+    out = exact.crossJoin(med)
+    return out.select(
+        F.col("_f2").cast("bigint").alias("f2_exact"),
+        F.col("_ams").cast("bigint").alias("f2_ams"),
+        F.round(F.abs(F.col("_ams").cast("double") - F.col("_f2"))
+                / F.col("_f2"), round_to).alias("rel_err"))

@@ -357,3 +357,92 @@ def interarrival_burstiness(df: DataFrame, key_col: str, ts_col: str,
         sigma.alias("std_gap_sec"),
         F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu))
         .otherwise(F.lit(0.0)).alias("burstiness"))
+
+
+def holt_last(df: DataFrame, key_col: str, order_cols: list[str],
+              val_col: str, alpha: float = 0.5,
+              beta: float = 0.25) -> DataFrame:
+    """Final Holt double-exponential state per key (level + trend +
+    one-step-ahead forecast), the linear-trend upgrade of
+    :func:`ewma_last`:
+
+        l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}
+
+    initialized l_2 = y_2, b_2 = y_2 - y_1 (the standard Holt start;
+    a perfectly linear series is then tracked EXACTLY — level = y_t,
+    trend = slope — for any alpha/beta). Keys with < 2 rows drop.
+    Same execution discipline as ewma_last: ONE groupBy shuffle, then
+    one aggregate() fold per key over its sorted value array with a
+    STRUCT accumulator — no window, no pow(); literals are CAST once
+    so both engines fold identical doubles (a SQL twin replays it
+    with DuckDB list_reduce over a prepended init struct). Memory
+    contract as ewma_last: per-key array is the series length;
+    pre-bucket unbounded series first."""
+    if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
+        raise ValueError("holt_last: smoothing constants out of range")
+    order_struct = F.struct(*[F.col(c) for c in order_cols],
+                            F.col(val_col).alias("_v"))
+    agged = (df.groupBy(key_col)
+             .agg(F.array_sort(F.collect_list(order_struct)).alias("os"))
+             .withColumn("vs", F.expr(
+                 "transform(os, o -> CAST(o._v AS DOUBLE))"))
+             .filter(F.size("vs") >= 2))
+    a = repr(float(alpha))
+    b = repr(float(beta))
+    lnew = (f"(CAST({a} AS DOUBLE) * v "
+            f"+ CAST(1.0 - {a} AS DOUBLE) * (s.l + s.b))")
+    fold = (f"aggregate(slice(vs, 3, size(vs) - 2), "
+            f"named_struct('l', CAST(vs[1] AS DOUBLE), "
+            f"              'b', CAST(vs[1] - vs[0] AS DOUBLE)), "
+            f"(s, v) -> named_struct("
+            f"  'l', {lnew}, "
+            f"  'b', CAST({b} AS DOUBLE) * ({lnew} - s.l) "
+            f"     + CAST(1.0 - {b} AS DOUBLE) * s.b))")
+    st = F.expr(fold)
+    return (agged.select(
+        key_col, F.size("vs").cast("bigint").alias("n_rows"),
+        st.alias("_st"))
+        .select(key_col, "n_rows",
+                F.round(F.col("_st.l"), 6).alias("level"),
+                F.round(F.col("_st.b"), 6).alias("trend"),
+                F.round(F.col("_st.l") + F.col("_st.b"), 6)
+                .alias("forecast")))
+
+
+def seasonal_naive_mase(df: DataFrame, key_col: str, ts_col: str,
+                        val_col: str, *, period: int = 24,
+                        bucket_seconds: int = 3600,
+                        round_to: int = 6) -> DataFrame:
+    """Forecast-skill evaluation per key: bucket the series (epoch
+    div ``bucket_seconds``, DST-free field arithmetic as
+    time_range_rolling), then score the SEASONAL-NAIVE forecast
+    (y_hat[t] = y[t - period], ROW lag over the observed bucket
+    sequence) with MASE (Hyndman & Koehler 2006): numerator = MAE of
+    the seasonal forecast, denominator = in-sample MAE of the naive
+    one-step forecast. MASE < 1 means the seasonal pattern carries
+    real signal — the triage statistic before fitting anything
+    heavier.
+
+    Scale shape: one hash aggregation into buckets + two ROW-lag
+    windows partitioned by key — no self-join, no global exchange.
+    Returns (key, n_buckets, mae_seasonal, mae_naive, mase)."""
+    t = F.col(ts_col).cast("timestamp_ntz")
+    epoch = (F.datediff(F.to_date(t), F.lit("1970-01-01")).cast("long")
+             * 86400 + F.hour(t) * 3600 + F.minute(t) * 60 + F.second(t))
+    hourly = (df.withColumn("_b", F.floor(epoch / bucket_seconds))
+              .groupBy(key_col, "_b")
+              .agg(F.sum(F.col(val_col).cast("double")).alias("_y")))
+    w = Window.partitionBy(key_col).orderBy("_b")
+    scored = (hourly
+              .withColumn("_sn", F.lag("_y", period).over(w))
+              .withColumn("_nv", F.lag("_y", 1).over(w)))
+    out = (scored.groupBy(key_col)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+                F.avg(F.abs(F.col("_y") - F.col("_sn"))).alias("_ms"),
+                F.avg(F.abs(F.col("_y") - F.col("_nv"))).alias("_mn")))
+    return out.select(
+        key_col, "n_buckets",
+        F.round(F.col("_ms"), round_to).alias("mae_seasonal"),
+        F.round(F.col("_mn"), round_to).alias("mae_naive"),
+        F.round(F.col("_ms") / F.col("_mn"), round_to).alias("mase"))

@@ -466,3 +466,36 @@ def stitch_overlaps(docs: DataFrame, k: int, *, id_col: str = "doc_id",
     return (tails.join(heads, "_g")
             .filter(F.col("id_a") != F.col("id_b"))
             .select("id_a", "id_b", F.col("_g").alias("seam_gram")))
+
+
+def url_templates(urls: DataFrame, url_col: str = "url", *,
+                  round_to: int = 6) -> DataFrame:
+    """URL template mining — the crawl-side structure detector:
+    collapse every digit run in the fragment-and-query-stripped URL
+    to ``{n}``, then roll up per template. A template with many URLs
+    but few distinct canonical forms is a parametrized page
+    (pagination, calendars, session ids) — the crawl-trap /
+    near-duplicate signal upstream of content fetching, complementing
+    `crawl_trap_depth` (path depth) and `canonical_url` (per-URL
+    normalization).
+
+    Pure column algebra (two regexp passes + one groupBy template):
+    no Python, one shuffle keyed by template. Returns (template,
+    n_urls, n_distinct_urls, dup_ratio, max_depth)."""
+    u = F.col(url_col)
+    stripped = F.regexp_replace(u, r"[#?].*$", "")
+    template = F.regexp_replace(stripped, r"[0-9]+", "{n}")
+    path = F.regexp_replace(stripped, r"^[a-zA-Z]+://[^/]*", "")
+    depth = (F.length(path)
+             - F.length(F.regexp_replace(path, "/", ""))).cast("bigint")
+    base = urls.select(template.alias("template"),
+                       stripped.alias("_s"), depth.alias("_d"))
+    return (base.groupBy("template")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+                 F.countDistinct("_s").cast("bigint")
+                 .alias("n_distinct_urls"),
+                 F.max("_d").alias("max_depth"))
+            .withColumn("dup_ratio", F.round(
+                F.col("n_urls") / F.col("n_distinct_urls"), round_to))
+            .select("template", "n_urls", "n_distinct_urls",
+                    "dup_ratio", "max_depth"))
