@@ -131,3 +131,75 @@ def dbscan(points: DataFrame, eps: float, min_pts: int, *,
             .select(F.col("_pid").alias(id_col),
                     F.coalesce("role", F.lit("noise")).alias("role"),
                     F.col("_cl").alias("cluster")))
+
+
+def st_dbscan(points: DataFrame, eps_s: float, eps_t: float,
+              min_pts: int, *, id_col: str = "id", x: str = "x",
+              y: str = "y", t: str = "t") -> DataFrame:
+    """Deterministic ST-DBSCAN (Birant & Kut 2007): DBSCAN whose
+    neighborhood requires BOTH spatial distance <= eps_s and temporal
+    distance <= eps_t — the stay-region / event-burst clusterer. Same
+    order-free role/label semantics as :func:`dbscan` (core by
+    self-inclusive neighborhood size, clusters = components of the
+    core graph labelled by min core id, borders attach to the min
+    labelled core neighbor).
+
+    Scale shape: candidates come from a 3-D (cell_x, cell_y,
+    time_bucket) home join — cells sized eps_s, buckets sized eps_t,
+    one bounded 27-offset explode on the left side against the homed
+    right side; a dense static location spread over years never
+    pairs across distant times (the time axis prunes INSIDE candidate
+    generation, not after). Exact predicate refines in-join; the
+    component/border machinery is shared with dbscan."""
+    from .components import connected_components
+
+    pts = points.select(F.col(id_col).alias("_pid"),
+                        F.col(x).cast("double").alias("_x"),
+                        F.col(y).cast("double").alias("_y"),
+                        F.col(t).cast("double").alias("_t"))
+    cs, ct = float(eps_s), float(eps_t)
+    home = pts.select(
+        "_pid", "_x", "_y", "_t",
+        F.floor(F.col("_x") / cs).alias("_cx"),
+        F.floor(F.col("_y") / cs).alias("_cy"),
+        F.floor(F.col("_t") / ct).alias("_cb"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(db).alias("db"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1) for db in (-1, 0, 1)])
+    left = (home.select("_pid", "_x", "_y", "_t", "_cx", "_cy", "_cb",
+                        F.explode(offs).alias("o"))
+            .select(F.col("_pid").alias("_a"),
+                    F.col("_x").alias("_ax"), F.col("_y").alias("_ay"),
+                    F.col("_t").alias("_at"),
+                    (F.col("_cx") + F.col("o.dx")).alias("_cx"),
+                    (F.col("_cy") + F.col("o.dy")).alias("_cy"),
+                    (F.col("_cb") + F.col("o.db")).alias("_cb")))
+    right = home.select(F.col("_pid").alias("_b"),
+                        F.col("_x").alias("_bx"), F.col("_y").alias("_by"),
+                        F.col("_t").alias("_bt"), "_cx", "_cy", "_cb")
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    pairs = (left.join(right, ["_cx", "_cy", "_cb"])
+             .filter((dx * dx + dy * dy <= F.lit(cs * cs))
+                     & (F.abs(F.col("_at") - F.col("_bt")) <= F.lit(ct)))
+             .select("_a", "_b"))
+    nsize = pairs.groupBy("_a").agg(F.count(F.lit(1)).alias("_n"))
+    core = nsize.filter(F.col("_n") >= min_pts).select("_a").cache()
+    core_edges = (pairs.filter(F.col("_a") < F.col("_b"))
+                  .join(core, "_a")
+                  .join(core.withColumnRenamed("_a", "_b"), "_b"))
+    comp = connected_components(core_edges, src="_a", dst="_b") \
+        .withColumnRenamed("id", "_a").withColumnRenamed("comp", "_cl")
+    core_labels = (core.join(comp, "_a", "left")
+                   .select("_a", F.coalesce("_cl", F.col("_a")).alias("_cl")))
+    border = (pairs.join(core_labels.withColumnRenamed("_a", "_b"), "_b")
+              .filter(F.col("_a") != F.col("_b"))
+              .join(core_labels.select("_a"), "_a", "left_anti")
+              .groupBy("_a").agg(F.min("_cl").alias("_cl")))
+    labelled = (core_labels.withColumn("role", F.lit("core"))
+                .unionByName(border.withColumn("role", F.lit("border"))))
+    return (pts.join(labelled, pts["_pid"] == labelled["_a"], "left")
+            .select(F.col("_pid").alias(id_col),
+                    F.coalesce("role", F.lit("noise")).alias("role"),
+                    F.col("_cl").alias("cluster")))

@@ -697,3 +697,81 @@ def std_deviational_ellipse(points: DataFrame, group_cols: list, *,
                     F.round(F.sqrt(l1), round_to).alias("sigma_major"),
                     F.round(F.sqrt(F.greatest(l2, F.lit(0.0))),
                             round_to).alias("sigma_minor")))
+
+
+def knox_test(points: DataFrame, delta: float, tau: float, *,
+              id_col: str = "id", x: str = "x", y: str = "y",
+              t: str = "t", round_to: int = 6) -> DataFrame:
+    """Knox space-time interaction statistic: over all unordered point
+    pairs, X = #(close in space AND time), compared to the
+    independence expectation E = Ns * Nt / C(n, 2) (Ns, Nt the
+    marginal close-pair counts). X/E >> 1 signals space-time
+    clustering (epidemiology's contagion screen; for a web corpus,
+    coordinated-burst detection over geotagged events).
+
+    Scale shape: each pair family is a BOUNDED bucket join, never the
+    cross product the definition states — spatial pairs from the
+    3x3 cell-ring at cell = delta, temporal pairs from the 3-offset
+    time-bucket ring at bucket = tau, joint pairs from the 3-D ring
+    (the st_dbscan candidate discipline). All counts integer; one
+    exact division at the end. Returns a single row
+    (n_points, n_space_pairs, n_time_pairs, n_joint_pairs, expected,
+    knox_ratio)."""
+    pts = points.select(F.col(id_col).alias("_pid"),
+                        F.col(x).cast("double").alias("_x"),
+                        F.col(y).cast("double").alias("_y"),
+                        F.col(t).cast("double").alias("_t"))
+    ds, dt = float(delta), float(tau)
+
+    def ring_pairs(df, dims):
+        # dims: list of (col, size); unordered pairs _a < _b once each
+        home = df
+        for c, s in dims:
+            home = home.withColumn(f"_h{c}", F.floor(F.col(c) / s))
+        hcols = [f"_h{c}" for c, _ in dims]
+        offs = [()]
+        for _ in dims:
+            offs = [o + (d,) for o in offs for d in (-1, 0, 1)]
+        arr = F.array(*[
+            F.struct(*[F.lit(o[i]).alias(f"d{i}") for i in range(len(dims))])
+            for o in offs])
+        left = home.select(
+            F.col("_pid").alias("_a"),
+            *[F.col(c).alias(f"_a{c}") for c, _ in dims],
+            F.explode(arr).alias("o"))
+        left = left.select(
+            "_a", *[F.col(f"_a{c}") for c, _ in dims],
+            *[(F.floor(F.col(f"_a{dims[i][0]}") / dims[i][1])
+               + F.col(f"o.d{i}")).alias(hcols[i])
+              for i in range(len(dims))])
+        right = home.select(
+            F.col("_pid").alias("_b"),
+            *[F.col(c).alias(f"_b{c}") for c, _ in dims], *hcols)
+        return left.join(right, hcols).filter(F.col("_a") < F.col("_b"))
+
+    # spatial close pairs
+    sp = ring_pairs(pts, [("_x", ds), ("_y", ds)])
+    dxc = F.col("_a_x") - F.col("_b_x")
+    dyc = F.col("_a_y") - F.col("_b_y")
+    ns = sp.filter(dxc * dxc + dyc * dyc <= F.lit(ds * ds)) \
+        .select("_a", "_b").count()
+    # temporal close pairs
+    tp = ring_pairs(pts, [("_t", dt)])
+    nt = tp.filter(F.abs(F.col("_a_t") - F.col("_b_t")) <= F.lit(dt)) \
+        .select("_a", "_b").count()
+    # joint pairs
+    jp = ring_pairs(pts, [("_x", ds), ("_y", ds), ("_t", dt)])
+    dxj = F.col("_a_x") - F.col("_b_x")
+    dyj = F.col("_a_y") - F.col("_b_y")
+    nj = (jp.filter((dxj * dxj + dyj * dyj <= F.lit(ds * ds))
+                    & (F.abs(F.col("_a_t") - F.col("_b_t")) <= F.lit(dt)))
+          .select("_a", "_b").count())
+    n = pts.count()
+    npairs = n * (n - 1) // 2
+    spark = points.sparkSession
+    exp = float(ns) * float(nt) / float(npairs) if npairs else 0.0
+    ratio = float(nj) / exp if exp else 0.0
+    return spark.createDataFrame(
+        [(n, ns, nt, nj, round(exp, round_to), round(ratio, round_to))],
+        "n_points long, n_space_pairs long, n_time_pairs long, "
+        "n_joint_pairs long, expected double, knox_ratio double")

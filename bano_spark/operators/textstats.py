@@ -633,3 +633,55 @@ def kwic_concordance(docs: DataFrame, term: str, window: int, *,
         F.col(id_col), F.col("_p").cast("int").alias("pos"),
         F.coalesce(F.array_join(left, " "), F.lit("")).alias("left_ctx"),
         F.coalesce(F.array_join(right, " "), F.lit("")).alias("right_ctx"))
+
+
+def bigram_llr(docs: DataFrame, text_col: str = "text", *,
+               min_count: int = 30, round_to: int = 6) -> DataFrame:
+    """Dunning log-likelihood-ratio collocation strength for adjacent
+    token bigrams (Dunning 1993) — the count-robust alternative to
+    PMI (which over-rewards rare pairs). From the 2x2 contingency
+    table of each bigram (k11 = bigram count, k12/k21 = marginal
+    remainders, k22 = rest, n = total bigrams):
+
+        G2 = 2 * sum_ij k_ij * ln(k_ij * n / (row_i * col_j))
+
+    with 0*ln(0) = 0. Counts are exact integers; ln is the only libm
+    call, on identical doubles in any engine.
+
+    Scale shape: one token explode + self-align for bigrams (the
+    textrank adjacency), one groupBy(bigram), two marginal groupBys
+    joined back — all bounded equi-shuffles. Returns (w1, w2, k11,
+    llr) for bigrams with k11 >= min_count."""
+    tok = (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(text_col)), r"\s+"))
+        .alias("p", "w"))
+        .filter(F.col("w") != ""))
+    nxt = tok.select("doc_id", (F.col("p") - 1).alias("p"),
+                     F.col("w").alias("w2"))
+    bg = (tok.join(nxt, ["doc_id", "p"])
+          .select(F.col("w").alias("w1"), "w2"))
+    k11 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("k11"))
+    r1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n = bg.count()
+
+    j = (k11.join(r1, "w1").join(c1, "w2")
+         .filter(F.col("k11") >= min_count)
+         .withColumn("k12", F.col("c1") - F.col("k11"))
+         .withColumn("k21", F.col("c2") - F.col("k11"))
+         .withColumn("k22", F.lit(n) - F.col("c1") - F.col("c2")
+                     + F.col("k11")))
+
+    def term(k, row, col):
+        kd = F.col(k).cast("double")
+        e = F.col(row).cast("double") * F.col(col) / F.lit(float(n))
+        return F.when(F.col(k) > 0, kd * F.log(kd / e)).otherwise(F.lit(0.0))
+
+    # rows: c1, n-c1; cols: c2, n-c2
+    j = (j.withColumn("_r2", F.lit(n) - F.col("c1"))
+         .withColumn("_q2", F.lit(n) - F.col("c2")))
+    g2 = 2.0 * (term("k11", "c1", "c2") + term("k12", "c1", "_q2")
+                + term("k21", "_r2", "c2") + term("k22", "_r2", "_q2"))
+    return (j.select("w1", "w2", F.col("k11").cast("bigint").alias("k11"),
+                     F.round(g2, round_to).alias("llr")))

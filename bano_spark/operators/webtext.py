@@ -499,3 +499,45 @@ def url_templates(urls: DataFrame, url_col: str = "url", *,
                 F.col("n_urls") / F.col("n_distinct_urls"), round_to))
             .select("template", "n_urls", "n_distinct_urls",
                     "dup_ratio", "max_depth"))
+
+
+def host_mirrors(docs: DataFrame, host_col: str, text_col: str = "text",
+                 *, min_jaccard: float = 0.5,
+                 round_to: int = 6) -> DataFrame:
+    """Host mirror detection: pairs of hosts whose CONTENT SETS
+    (distinct text hashes) overlap with Jaccard >= min_jaccard — the
+    crawl-frontier deduplication signal that retires a whole mirror
+    host instead of re-deduplicating its pages one by one.
+
+    Scale shape: the inverted discipline — pairs generate ONLY from
+    shared content (equi-join on the 64-bit text hash over the
+    distinct (hash, host) table), never from the host cross product;
+    intersection sizes come from one groupBy(pair), set sizes ride a
+    broadcastable per-host rollup. A text shared by h hosts emits
+    C(h, 2) pairs — bounded by the host-level output domain, which is
+    the quantity being measured. Returns (host_a, host_b,
+    inter_size, size_a, size_b, jaccard)."""
+    hh = (docs.select(F.col(host_col).alias("_h"),
+                      F.md5(F.col(text_col)).alias("_k"))
+          .distinct())
+    sizes = hh.groupBy("_h").agg(F.count(F.lit(1)).alias("_sz"))
+    a = hh.select(F.col("_h").alias("host_a"), "_k")
+    b = hh.select(F.col("_h").alias("host_b"), "_k")
+    inter = (a.join(b, "_k")
+             .filter(F.col("host_a") < F.col("host_b"))
+             .groupBy("host_a", "host_b")
+             .agg(F.count(F.lit(1)).alias("_i")))
+    out = (inter
+           .join(F.broadcast(sizes.withColumnRenamed("_h", "host_a")
+                             .withColumnRenamed("_sz", "_sa")), "host_a")
+           .join(F.broadcast(sizes.withColumnRenamed("_h", "host_b")
+                             .withColumnRenamed("_sz", "_sb")), "host_b")
+           .withColumn("jaccard", F.round(
+               F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")),
+               round_to))
+           .filter(F.col("jaccard") >= min_jaccard))
+    return out.select("host_a", "host_b",
+                      F.col("_i").cast("bigint").alias("inter_size"),
+                      F.col("_sa").cast("bigint").alias("size_a"),
+                      F.col("_sb").cast("bigint").alias("size_b"),
+                      "jaccard")
