@@ -723,3 +723,54 @@ def topographic_wetness(dem: DataFrame, cell: float, *,
                     F.round(F.log(F.col("acc") * F.lit(float(cell))
                                   / F.col("_tan")),
                             round_to).alias("twi")))
+
+
+def watershed_labels(dem: DataFrame, *, gx: str = "gx", gy: str = "gy",
+                     z: str = "z", max_rounds: int = 64) -> DataFrame:
+    """Watershed (catchment) labelling: every cell labelled by the
+    SINK its D8 flow path terminates in — the basin partition of the
+    DEM, completing the hydrology family (direction -> accumulation
+    -> basins). D8 descends strictly, so the pointer graph is a
+    forest and each cell has exactly one sink.
+
+    Pointer DOUBLING, not step-walking: each round replaces every
+    cell's current pointer with its pointer's pointer (one self
+    equi-join), so a flow path of length L resolves in ceil(log2 L)
+    rounds — the longest path over a 10^12-cell DEM (say 10^6 cells)
+    costs ~20 rounds, not 10^6. Sinks point to themselves; the loop
+    stops on the structural fixpoint (no pointer changed) and raises
+    after ``max_rounds`` (a loud runaway guard, not a silent cap).
+
+    Returns (gx, gy, sink_gx, sink_gy)."""
+    dirs = d8_flow_direction(dem, gx=gx, gy=gy, z=z)
+    code = {1: (1, 0), 2: (1, -1), 4: (0, -1), 8: (-1, -1),
+            16: (-1, 0), 32: (-1, 1), 64: (0, 1), 128: (1, 1)}
+    dxc = F.lit(0)
+    dyc = F.lit(0)
+    for c, (a, b) in code.items():
+        dxc = F.when(F.col("dir") == c, a).otherwise(dxc)
+        dyc = F.when(F.col("dir") == c, b).otherwise(dyc)
+    ptr = (dirs.select(gx, gy,
+                       (F.col(gx) + dxc).alias("_px"),
+                       (F.col(gy) + dyc).alias("_py"))
+           .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        nxt = ptr.select(F.col(gx).alias("_px"), F.col(gy).alias("_py"),
+                         F.col("_px").alias("_qx"),
+                         F.col("_py").alias("_qy"))
+        step = (ptr.join(nxt, ["_px", "_py"])
+                .select(gx, gy, F.col("_qx").alias("_nx"),
+                        F.col("_qy").alias("_ny"),
+                        ((F.col("_qx") != F.col("_px"))
+                         | (F.col("_qy") != F.col("_py")))
+                        .cast("long").alias("_chg"))
+                .localCheckpoint(eager=True))
+        changed = step.agg(F.sum("_chg")).first()[0] or 0
+        ptr = step.select(gx, gy, F.col("_nx").alias("_px"),
+                          F.col("_ny").alias("_py"))
+        if changed == 0:
+            return ptr.select(gx, gy,
+                              F.col("_px").alias("sink_gx"),
+                              F.col("_py").alias("sink_gy"))
+    raise RuntimeError("watershed_labels: no fixpoint after "
+                       f"{max_rounds} doubling rounds")

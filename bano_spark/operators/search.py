@@ -112,3 +112,45 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], *, k: int = 20,
               .groupBy(id_col)
               .agg(F.round(F.sum("_s"), round_to).alias("score")))
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def phrase_search(docs: DataFrame, phrases: DataFrame, *,
+                  text_col: str = "text", phrase_col: str = "phrase",
+                  qid_col: str = "qid") -> DataFrame:
+    """Exact positional phrase matching — the inverted-index member
+    classic term search (bm25_topk, inverted_index) can't express:
+    a doc matches a phrase when every phrase term appears at
+    consecutive positions. The standard positional-postings algebra:
+    align each (term, phrase-offset) posting pair on (doc,
+    start = pos - offset) and keep starts covered by ALL phrase
+    terms.
+
+    Scale shape: the phrase table is tiny (broadcast); postings join
+    query terms FIRST (query-term pushdown — only matching terms'
+    postings survive the scan), then one groupBy(qid, doc, start)
+    counting coverage. Duplicate phrase terms are weighted by their
+    multiplicity so 'a b a' needs BOTH a-positions. Returns
+    (qid, doc_id, n_matches) for docs with >= 1 match."""
+    post = (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(text_col)), r"\s+"))
+        .alias("p", "w"))
+        .filter(F.col("w") != ""))
+    q = (phrases.select(
+        F.col(qid_col).alias("_q"),
+        F.posexplode(F.split(F.trim(F.lower(phrase_col)), r"\s+"))
+        .alias("_qp", "w")))
+    qlen = q.groupBy("_q").agg(F.count(F.lit(1)).alias("_qlen"))
+    hits = (post.join(F.broadcast(q), "w")
+            .select("_q", "doc_id", (F.col("p") - F.col("_qp"))
+                    .alias("_start"), "_qp"))
+    # a start matches when all _qlen offsets are covered (offsets are
+    # distinct by construction, so count == qlen is exact coverage)
+    cover = (hits.groupBy("_q", "doc_id", "_start")
+             .agg(F.countDistinct("_qp").alias("_cov"))
+             .join(F.broadcast(qlen), "_q")
+             .filter((F.col("_cov") == F.col("_qlen"))
+                     & (F.col("_start") >= 0)))
+    return (cover.groupBy(F.col("_q").alias(qid_col),
+                          F.col("doc_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches")))

@@ -775,3 +775,47 @@ def knox_test(points: DataFrame, delta: float, tau: float, *,
         [(n, ns, nt, nj, round(exp, round_to), round(ratio, round_to))],
         "n_points long, n_space_pairs long, n_time_pairs long, "
         "n_joint_pairs long, expected double, knox_ratio double")
+
+
+def local_moran(cells: DataFrame, *, cx: str = "cx", cy: str = "cy",
+                val_col: str = "val", round_to: int = 6) -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA) per occupied grid cell
+    with rook (4-neighbor) binary weights:
+
+        I_i = z_i * sum_{j in N(i)} z_j / m2,   m2 = sum z^2 / n
+
+    plus the Moran-scatter quadrant label (HH/LL/HL/LH from the signs
+    of z_i and its spatial lag) — the per-cell decomposition the
+    global `moran_i_hex` aggregates away, and the standard map of
+    WHERE clustering lives. Cells with no occupied rook neighbor
+    drop (their lag is undefined).
+
+    Scale shape: the focal discipline — one bounded 4-offset explode
+    + equi-join for the lag sum, two global scalar aggregates (mean,
+    m2) collected once; no window, no self-join beyond the ring."""
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(val_col) / F.count(F.lit(1))).alias("m")).collect()[0]
+    n, m = int(stats["n"]), float(stats["m"])
+    dev = cells.select(cx, cy, (F.col(val_col) - F.lit(m)).alias("_z"))
+    m2 = dev.agg((F.sum(F.col("_z") * F.col("_z"))
+                  / F.lit(float(n))).alias("m2")).collect()[0]["m2"]
+    offs = F.array(*[F.struct(F.lit(a).alias("dx"), F.lit(b).alias("dy"))
+                     for a, b in ((1, 0), (-1, 0), (0, 1), (0, -1))])
+    shifted = (dev.select(F.explode(offs).alias("o"), cx, cy, "_z")
+               .select((F.col(cx) + F.col("o.dx")).alias(cx),
+                       (F.col(cy) + F.col("o.dy")).alias(cy),
+                       F.col("_z").alias("_zn")))
+    lag = (dev.join(shifted, [cx, cy])
+           .groupBy(cx, cy, "_z")
+           .agg(F.sum("_zn").alias("_lag"),
+                F.count(F.lit(1)).cast("bigint").alias("n_nbrs")))
+    quad = (F.when((F.col("_z") >= 0) & (F.col("_lag") >= 0), "HH")
+            .when((F.col("_z") < 0) & (F.col("_lag") < 0), "LL")
+            .when((F.col("_z") >= 0) & (F.col("_lag") < 0), "HL")
+            .otherwise("LH"))
+    return lag.select(
+        cx, cy,
+        F.round(F.col("_z") * F.col("_lag") / F.lit(float(m2)),
+                round_to).alias("local_i"),
+        "n_nbrs", quad.alias("quadrant"))

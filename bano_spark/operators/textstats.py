@@ -685,3 +685,61 @@ def bigram_llr(docs: DataFrame, text_col: str = "text", *,
                 + term("k21", "_r2", "c2") + term("k22", "_r2", "_q2"))
     return (j.select("w1", "w2", F.col("k11").cast("bigint").alias("k11"),
                      F.round(g2, round_to).alias("llr")))
+
+
+def texttiling(docs: DataFrame, text_col: str = "text", *,
+               block: int = 20, threshold: float = 0.4,
+               round_to: int = 6) -> DataFrame:
+    """TextTiling topic segmentation (Hearst 1997): split each doc
+    into ``block``-token blocks, score each inter-block gap by the
+    cosine of adjacent block term vectors, and mark a boundary where
+    the DEPTH score (left-peak drop + right-peak drop around the gap)
+    exceeds ``threshold`` — the lexical-cohesion dip detector that
+    finds topic shifts without any model.
+
+    Determinism: term counts are integers, so dot products are
+    integer-exact and norms/cosines are single IEEE ops — both
+    engines emit identical doubles. Depth uses running maxes (two
+    partitioned windows), not Hearst's local hill-climb, which is
+    scan-order-sensitive.
+
+    Scale shape: one token explode + one groupBy(doc, block, term) +
+    one self-equi-join on (doc, term) restricted to adjacent blocks +
+    two windows per doc — no cross product, no Python. Returns
+    (doc_id, gap, sim, depth, is_boundary)."""
+    from pyspark.sql import Window
+
+    tok = (docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(text_col)), r"\s+"))
+        .alias("p", "w"))
+        .filter(F.col("w") != ""))
+    tf = (tok.withColumn("_b", (F.col("p") / block).cast("long"))
+          .groupBy("doc_id", "_b", "w")
+          .agg(F.count(F.lit(1)).alias("_c")))
+    norm = (tf.groupBy("doc_id", "_b")
+            .agg(F.sqrt(F.sum(F.col("_c") * F.col("_c"))).alias("_n")))
+    nxt = tf.select("doc_id", (F.col("_b") - 1).alias("_b"),
+                    F.col("w"), F.col("_c").alias("_c2"))
+    dot = (tf.join(nxt, ["doc_id", "_b", "w"])
+           .groupBy("doc_id", "_b")
+           .agg(F.sum(F.col("_c") * F.col("_c2")).alias("_dot")))
+    nrm2 = norm.select("doc_id", (F.col("_b") - 1).alias("_b"),
+                       F.col("_n").alias("_nb"))
+    gaps = (norm.withColumnRenamed("_n", "_na")
+            .join(nrm2, ["doc_id", "_b"])
+            .join(dot, ["doc_id", "_b"], "left")
+            .select("doc_id", F.col("_b").alias("gap"),
+                    (F.coalesce(F.col("_dot"), F.lit(0.0))
+                     / (F.col("_na") * F.col("_nb"))).alias("sim")))
+    w = Window.partitionBy("doc_id").orderBy("gap")
+    left_pk = F.max("sim").over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    right_pk = F.max("sim").over(
+        w.rowsBetween(0, Window.unboundedFollowing))
+    out = gaps.withColumn(
+        "depth", (left_pk - F.col("sim")) + (right_pk - F.col("sim")))
+    return out.select(
+        "doc_id", "gap", F.round("sim", round_to).alias("sim"),
+        F.round("depth", round_to).alias("depth"),
+        (F.col("depth") >= threshold).alias("is_boundary"))
