@@ -1834,6 +1834,7 @@ from bano_spark import queries_wave19 as _w19  # noqa: E402
 from bano_spark import queries_wave20 as _w20  # noqa: E402
 from bano_spark import queries_wave21 as _w21  # noqa: E402
 from bano_spark import queries_wave22 as _w22  # noqa: E402
+from bano_spark import queries_wave23 as _w23  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1867,6 +1868,8 @@ _QUERIES.update(_w21.QUERIES)
 _ORACLES.update(_w21.ORACLES)
 _QUERIES.update(_w22.QUERIES)
 _ORACLES.update(_w22.ORACLES)
+_QUERIES.update(_w23.QUERIES)
+_ORACLES.update(_w23.ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,8 @@ line-geometry members Spark lacks natively:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 _EARTH_R = 6371008.8
@@ -284,3 +286,34 @@ def spherical_ring_area_m2(verts_col: str = "verts",
             f"(acc, i) -> acc + ({lam2} - {lam}) * (2.0 + {sphi} + {sphi2}))")
     return F.expr(f"abs({body}) * CAST({_EARTH_R!r} AS DOUBLE) "
                   f"* CAST({_EARTH_R!r} AS DOUBLE) / 2.0")
+
+
+def destination_point(lon: Column, lat: Column, bearing_deg: Column,
+                      dist_m: float) -> tuple:
+    """Great-circle DIRECT problem: the (lon2, lat2) reached from
+    (lon, lat) after travelling ``dist_m`` metres at initial bearing
+    ``bearing_deg`` (clockwise from north) on the sphere — the
+    inverse of :func:`haversine_m`, completing the geodesy pair.
+
+        lat2 = asin(sin lat cos d + cos lat sin d cos b)
+        lon2 = lon + atan2(sin b sin d cos lat,
+                           cos d - sin lat sin lat2)
+
+    The angular distance d = dist_m / R is CONSTANT per call, so
+    sin d / cos d are computed once in Python and inlined as double
+    literals — the distributed expression runs per-row trig only on
+    the varying lat/bearing, the same libm surface the aspect/
+    geodesic operators already rely on. Returns (lon2_deg, lat2_deg)
+    column pair."""
+    dl = float(dist_m) / _EARTH_R
+    sd, cd = math.sin(dl), math.cos(dl)
+    rad = math.pi / 180.0
+    la = lat * F.lit(rad)
+    b = bearing_deg * F.lit(rad)
+    sin_lat2 = (F.sin(la) * F.lit(cd)
+                + F.cos(la) * F.lit(sd) * F.cos(b))
+    lat2 = F.asin(sin_lat2)
+    lon2 = (lon * F.lit(rad)
+            + F.atan2(F.sin(b) * F.lit(sd) * F.cos(la),
+                      F.lit(cd) - F.sin(la) * sin_lat2))
+    return (lon2 / F.lit(rad), lat2 / F.lit(rad))

@@ -774,3 +774,129 @@ def watershed_labels(dem: DataFrame, *, gx: str = "gx", gy: str = "gy",
                               F.col("_py").alias("sink_gy"))
     raise RuntimeError("watershed_labels: no fixpoint after "
                        f"{max_rounds} doubling rounds")
+
+
+def terrain_curvature(dem: DataFrame, cell: float, *, gx: str = "gx",
+                      gy: str = "gy", z: str = "z",
+                      round_to: int = 6) -> DataFrame:
+    """Surface curvature per interior cell (Zevenbergen & Thorne
+    1987 — the ArcGIS Curvature tool): fit the 9-term quadric to the
+    3x3 window and read its second derivatives,
+
+        D = ((zW + zE)/2 - zC) / L^2     E = ((zN + zS)/2 - zC) / L^2
+        F = (-zNW + zNE + zSW - zSE) / (4 L^2)
+        G = (-zW + zE) / (2 L)           H = (zN - zS) / (2 L)
+
+    general = -2 (D + E) * 100 (ArcGIS scaling), profile =
+    -2 (D G^2 + E H^2 + F G H) / (G^2 + H^2), plan = 2 (D H^2 +
+    E G^2 - F G H) / (G^2 + H^2). Cells with zero gradient drop
+    (profile/plan undefined there), mirrored by the oracle. Pure
+    rational arithmetic on integer DEMs — no libm at all, bit-exact
+    in any engine.
+
+    Scale shape: the slope_aspect discipline — one bounded 8-offset
+    explode tagged with the corner role, one hash agg per center,
+    occupied join-back."""
+    # (dx, dy, name): neighbor roles relative to center (x east,
+    # y north)
+    roles = [(-1, 1, "nw"), (0, 1, "n"), (1, 1, "ne"),
+             (-1, 0, "w"), (1, 0, "e"),
+             (-1, -1, "sw"), (0, -1, "s"), (1, -1, "se")]
+    arr = F.array(*[F.struct(F.lit(a).alias("dx"), F.lit(b).alias("dy"),
+                             F.lit(i).alias("k"))
+                    for i, (a, b, _) in enumerate(roles)])
+    contrib = (dem.select(gx, gy, z, F.explode(arr).alias("o"))
+               .select((F.col(gx) - F.col("o.dx")).alias(gx),
+                       (F.col(gy) - F.col("o.dy")).alias(gy),
+                       F.col("o.k").alias("_k"),
+                       F.col(z).cast("double").alias("_z")))
+    aggs = [F.max(F.when(F.col("_k") == i, F.col("_z"))).alias(f"_{nm}")
+            for i, (_, _, nm) in enumerate(roles)]
+    nbr = (contrib.groupBy(gx, gy)
+           .agg(*aggs, F.count(F.lit(1)).alias("_m"))
+           .filter(F.col("_m") == 8)
+           .join(dem.select(gx, gy, F.col(z).cast("double")
+                            .alias("_c")), [gx, gy]))
+    ll = float(cell)
+    l2 = ll * ll
+    d = ((F.col("_w") + F.col("_e")) / 2.0 - F.col("_c")) / F.lit(l2)
+    e = ((F.col("_n") + F.col("_s")) / 2.0 - F.col("_c")) / F.lit(l2)
+    f = (-F.col("_nw") + F.col("_ne") + F.col("_sw") - F.col("_se")) \
+        / F.lit(4.0 * l2)
+    g = (-F.col("_w") + F.col("_e")) / F.lit(2.0 * ll)
+    h = (F.col("_n") - F.col("_s")) / F.lit(2.0 * ll)
+    g2h2 = g * g + h * h
+    out = (nbr.withColumn("_g2h2", g2h2)
+           .filter(F.col("_g2h2") > 0))
+    # + 0.0 normalizes IEEE negative zero (a flat -0.0 reprs
+    # differently across engines and breaks repr-level compares)
+    return out.select(
+        gx, gy,
+        (F.round(F.lit(-200.0) * (d + e), round_to) + 0.0)
+        .alias("curv_general"),
+        (F.round(F.lit(-2.0) * (d * g * g + e * h * h + f * g * h)
+                 / F.col("_g2h2"), round_to) + 0.0).alias("curv_profile"),
+        (F.round(F.lit(2.0) * (d * h * h + e * g * g - f * g * h)
+                 / F.col("_g2h2"), round_to) + 0.0).alias("curv_plan"))
+
+
+def flow_path_length(dem: DataFrame, cell: float, *, gx: str = "gx",
+                     gy: str = "gy", z: str = "z",
+                     max_rounds: int = 64) -> DataFrame:
+    """Downstream flow-path length per cell: the along-path distance
+    to the D8 sink (cardinal steps cost ``cell``, diagonals
+    ``cell*sqrt(2)``) — the hydrology distance behind time-of-
+    concentration and erosion-length models.
+
+    Pointer doubling like :func:`watershed_labels`, but the state
+    carries INTEGER step counts (n_cardinal, n_diagonal) that add
+    exactly under any association — the float length materializes
+    once at the end as (nc + nd*sqrt(2)) * cell, so the doubling
+    tree's addition order can't drift from the oracle's sequential
+    walk. Returns (gx, gy, n_cardinal, n_diagonal, path_len)."""
+    dirs = d8_flow_direction(dem, gx=gx, gy=gy, z=z)
+    code = {1: (1, 0, 0), 2: (1, -1, 1), 4: (0, -1, 0), 8: (-1, -1, 1),
+            16: (-1, 0, 0), 32: (-1, 1, 1), 64: (0, 1, 0), 128: (1, 1, 1)}
+    dxc, dyc, dg = F.lit(0), F.lit(0), F.lit(0)
+    for c, (a, b, diag) in code.items():
+        dxc = F.when(F.col("dir") == c, a).otherwise(dxc)
+        dyc = F.when(F.col("dir") == c, b).otherwise(dyc)
+        dg = F.when(F.col("dir") == c, diag).otherwise(dg)
+    sink = F.col("dir") == 0
+    ptr = (dirs.select(
+        gx, gy,
+        (F.col(gx) + dxc).alias("_px"), (F.col(gy) + dyc).alias("_py"),
+        F.when(sink, 0).otherwise(1 - dg).cast("long").alias("_nc"),
+        F.when(sink, 0).otherwise(dg).cast("long").alias("_nd"))
+        .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        nxt = ptr.select(F.col(gx).alias("_px"), F.col(gy).alias("_py"),
+                         F.col("_px").alias("_qx"),
+                         F.col("_py").alias("_qy"),
+                         F.col("_nc").alias("_nc2"),
+                         F.col("_nd").alias("_nd2"))
+        step = (ptr.join(nxt, ["_px", "_py"])
+                .select(gx, gy,
+                        F.col("_qx").alias("_nx"),
+                        F.col("_qy").alias("_ny"),
+                        (F.col("_nc") + F.col("_nc2")).alias("_mc"),
+                        (F.col("_nd") + F.col("_nd2")).alias("_md"),
+                        ((F.col("_qx") != F.col("_px"))
+                         | (F.col("_qy") != F.col("_py")))
+                        .cast("long").alias("_chg"))
+                .localCheckpoint(eager=True))
+        changed = step.agg(F.sum("_chg")).first()[0] or 0
+        ptr = step.select(gx, gy, F.col("_nx").alias("_px"),
+                          F.col("_ny").alias("_py"),
+                          F.col("_mc").alias("_nc"),
+                          F.col("_md").alias("_nd"))
+        if changed == 0:
+            c = float(cell)
+            return ptr.select(
+                gx, gy,
+                F.col("_nc").alias("n_cardinal"),
+                F.col("_nd").alias("n_diagonal"),
+                F.round((F.col("_nc") + F.col("_nd") * F.lit(_SQRT2))
+                        * F.lit(c), 6).alias("path_len"))
+    raise RuntimeError("flow_path_length: no fixpoint after "
+                       f"{max_rounds} doubling rounds")

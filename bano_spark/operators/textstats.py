@@ -743,3 +743,42 @@ def texttiling(docs: DataFrame, text_col: str = "text", *,
         "doc_id", "gap", F.round("sim", round_to).alias("sim"),
         F.round("depth", round_to).alias("depth"),
         (F.col("depth") >= threshold).alias("is_boundary"))
+
+
+def good_turing(docs: DataFrame, text_col: str = "text", *,
+                round_to: int = 6) -> DataFrame:
+    """Simple Good-Turing smoothed frequency estimates (Gale &
+    Sampson 1995): from the corpus unigram frequency spectrum S(r)
+    (= how many types occur exactly r times), fit log S = a + b log r
+    by least squares and report the smoothed count
+
+        r* = (r + 1) * S_fit(r + 1) / S_fit(r)
+           = (r + 1) * exp(b * (ln(r + 1) - ln r))
+
+    per observed r — the LM-smoothing companion of the stupid-backoff
+    and bigram-LM operators (unseen-mass estimation for OOV scoring).
+
+    Scale shape: two aggregation passes (type frequencies, then the
+    frequency spectrum) + one O(spectrum) fit from scalar sufficient
+    statistics — the linear_fit discipline; the spectrum is tiny by
+    Zipf. Returns (r, s_r, r_star)."""
+    tf = (docs.select(
+        F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("_r")))
+    spec = tf.groupBy("_r").agg(F.count(F.lit(1)).alias("_s"))
+    pts = spec.select(F.log(F.col("_r").cast("double")).alias("_x"),
+                      F.log(F.col("_s").cast("double")).alias("_y"),
+                      "_r", "_s")
+    st = pts.agg(F.count(F.lit(1)).alias("n"), F.sum("_x").alias("sx"),
+                 F.sum("_y").alias("sy"), F.sum(F.col("_x") * F.col("_x"))
+                 .alias("sxx"), F.sum(F.col("_x") * F.col("_y"))
+                 .alias("sxy")).collect()[0]
+    nn = float(st["n"])
+    b = ((nn * st["sxy"] - st["sx"] * st["sy"])
+         / (nn * st["sxx"] - st["sx"] * st["sx"]))
+    r = F.col("_r").cast("double")
+    rstar = (r + 1.0) * F.exp(F.lit(b) * (F.log(r + 1.0) - F.log(r)))
+    return (spec.select(F.col("_r").cast("bigint").alias("r"),
+                        F.col("_s").cast("bigint").alias("s_r"),
+                        F.round(rstar, round_to).alias("r_star")))

@@ -541,3 +541,37 @@ def host_mirrors(docs: DataFrame, host_col: str, text_col: str = "text",
                       F.col("_sa").cast("bigint").alias("size_a"),
                       F.col("_sb").cast("bigint").alias("size_b"),
                       "jaccard")
+
+
+def ngram_novelty(docs: DataFrame, n: int = 5, *,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  round_to: int = 6) -> DataFrame:
+    """Per-document n-gram novelty along the corpus order: the
+    fraction of a doc's DISTINCT word n-grams whose FIRST corpus
+    occurrence (minimum ``id_col``) is this doc — the curve every
+    crawl-freshness and memorization analysis plots (novelty decays
+    as the corpus saturates; a near-zero doc is recycled content).
+
+    Scale shape: one shingle explode + distinct, one groupBy(gram)
+    min for the first-seen table, one join back + per-doc rollup —
+    all bounded equi-shuffles on gram hashes (md5, engine-portable).
+    Returns (doc_id, n_grams, n_novel, novelty)."""
+    tok = F.split(F.trim(F.lower(text_col)), r"\s+")
+    grams = (docs.select(
+        F.col(id_col).alias("_d"), tok.alias("_tk"))
+        .filter(F.size("_tk") >= n)
+        .select("_d", F.explode(F.expr(
+            f"transform(sequence(1, size(_tk) - {n - 1}), "
+            f"i -> array_join(slice(_tk, i, {n}), ' '))")).alias("_g"))
+        .select("_d", F.md5(F.col("_g")).alias("_k"))
+        .distinct())
+    first = grams.groupBy("_k").agg(F.min("_d").alias("_first"))
+    per = (grams.join(first, "_k")
+           .groupBy("_d")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                F.sum((F.col("_first") == F.col("_d")).cast("long"))
+                .cast("bigint").alias("n_novel")))
+    return per.select(
+        F.col("_d").alias(id_col), "n_grams", "n_novel",
+        F.round(F.col("n_novel") / F.col("n_grams"), round_to)
+        .alias("novelty"))
