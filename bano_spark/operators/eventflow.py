@@ -115,3 +115,44 @@ def transition_counts(events: DataFrame, *, key: str, ts: str,
             .groupBy(F.col(attr).alias("from_value"),
                      F.col("_nxt").alias("to_value"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+
+
+def attribution_touches(events: DataFrame, conversion_type: str,
+                        lookback_s: int, *, user_col: str = "user_id",
+                        ts_col: str = "ts",
+                        type_col: str = "event_type") -> DataFrame:
+    """First-touch and last-touch attribution: for every conversion
+    event, the earliest and latest OTHER event of the same user
+    inside the lookback window (ts - lookback_s, ts) — the marketing-
+    attribution primitive next to event_funnel (which counts ordered
+    stage completion, not credit assignment). Deterministic: touch
+    identity is the lexicographic (epoch, event_id) struct min/max
+    over a RANGE window, so simultaneous touches break ties by id.
+
+    Scale shape: one RANGE window per user over the epoch — no self
+    join; the rollup is one groupBy (model, touch type).
+    Returns (model, touch_type, n_conversions)."""
+    from pyspark.sql import Window
+
+    t = F.col(ts_col).cast("timestamp_ntz")
+    epoch = (F.datediff(F.to_date(t), F.lit("1970-01-01")).cast("long")
+             * 86400 + F.hour(t) * 3600 + F.minute(t) * 60 + F.second(t))
+    e = events.select(user_col, F.col(type_col).alias("_ty"),
+                      F.col("event_id"), epoch.alias("_ep"))
+    w = (Window.partitionBy(user_col).orderBy("_ep")
+         .rangeBetween(-int(lookback_s), -1))
+    tagged = (e.withColumn("_first", F.min(
+        F.struct(F.col("_ep"), F.col("event_id"), F.col("_ty"))).over(w))
+        .withColumn("_last", F.max(
+            F.struct(F.col("_ep"), F.col("event_id"), F.col("_ty")))
+            .over(w))
+        .filter((F.col("_ty") == conversion_type)
+                & F.col("_first").isNotNull()))
+    ft = (tagged.groupBy(F.col("_first._ty").alias("touch_type"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+          .withColumn("model", F.lit("first_touch")))
+    lt = (tagged.groupBy(F.col("_last._ty").alias("touch_type"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+          .withColumn("model", F.lit("last_touch")))
+    return ft.unionByName(lt).select("model", "touch_type",
+                                     "n_conversions")

@@ -441,3 +441,61 @@ def label_propagation(edges: DataFrame, *, src: str = "src",
                   .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
                   .localCheckpoint(eager=False))
     return labels
+
+
+def multi_source_sssp(edges: DataFrame, seeds: DataFrame, *,
+                      src: str = "src", dst: str = "dst",
+                      weight: str = "w", node_col: str = "node",
+                      label_col: str = "lbl",
+                      max_rounds: int = 100) -> DataFrame:
+    """Closest-facility labelling: multi-source Bellman-Ford where
+    every seed carries a LABEL (the facility id) and each reached
+    node keeps the (dist, label) pair that is lexicographically
+    minimal — nearest facility, ties to the smallest label, the
+    network-Voronoi partition of the graph (allocation along a road
+    network rather than Euclidean `nearest_site_join`).
+
+    Relaxation candidates are identical in any engine (each path's
+    sum accumulates left-to-right), so the struct-min is engine-
+    reproducible even under distance ties. Same scale/convergence
+    discipline as :func:`sssp_weighted`: persisted symmetrized edges,
+    one equi-join + struct-min agg per round, localCheckpoint,
+    structural fixpoint, loud max_rounds guard.
+
+    Returns (node, dist, lbl) for reached nodes."""
+    if edges.filter(F.col(weight) < 0).limit(1).count() > 0:
+        raise ValueError("multi_source_sssp: negative edge weight")
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                        F.col(weight).cast("double").alias("w"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b"),
+                                     F.col(weight).cast("double")
+                                     .alias("w")))
+           .filter(F.col("a") != F.col("b"))
+           .groupBy("a", "b").agg(F.min("w").alias("w")))
+    sym = keep(sym)
+    state = (seeds.select(F.col(node_col).alias("node"),
+                          F.col(label_col).alias("lbl")).distinct()
+             .select("node", F.struct(F.lit(0.0).alias("dist"),
+                                      F.col("lbl")).alias("s")))
+    for _ in range(max_rounds):
+        relaxed = (state.join(sym, state["node"] == sym["a"])
+                   .select(F.col("b").alias("node"),
+                           F.struct((F.col("s.dist") + F.col("w"))
+                                    .alias("dist"),
+                                    F.col("s.lbl").alias("lbl"))
+                           .alias("s")))
+        new = (state.unionByName(relaxed)
+               .groupBy("node").agg(F.min("s").alias("s"))
+               .localCheckpoint(eager=False))
+        improved = (new.join(state.select("node",
+                                          F.col("s").alias("sp")),
+                             "node", "left")
+                    .filter(F.col("sp").isNull() | (F.col("s") < F.col("sp")))
+                    .limit(1).count())
+        state = new
+        if improved == 0:
+            return state.select("node", F.col("s.dist").alias("dist"),
+                                F.col("s.lbl").alias("lbl"))
+    raise RuntimeError(
+        f"multi_source_sssp: no fixpoint within {max_rounds} rounds")

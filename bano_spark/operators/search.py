@@ -154,3 +154,46 @@ def phrase_search(docs: DataFrame, phrases: DataFrame, *,
     return (cover.groupBy(F.col("_q").alias(qid_col),
                           F.col("doc_id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches")))
+
+
+def prf_expand(docs: DataFrame, query_terms: list[str], *,
+               fb_docs: int = 10, expand_n: int = 8,
+               id_col: str = "doc_id", text_col: str = "text",
+               round_to: int = 6) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM1-lite step
+    of every classic IR stack): run BM25 for the query, take the top
+    ``fb_docs`` feedback documents, and score candidate expansion
+    terms by feedback-set term frequency x corpus idf
+    (ln((N+1)/(df+1))), excluding the original query terms. Returns
+    the ``expand_n`` best (term, fb_tf, df, score) rows — score
+    rounded, ties to ascending term, so the expansion is
+    deterministic in any engine.
+
+    Scale shape: BM25's own discipline (query-term pushdown before
+    any shuffle) + one semi-join of term rows against the tiny
+    feedback id set + a broadcast df table; the final top-n is a
+    TakeOrdered, never a global sort."""
+    top = bm25_topk(docs, query_terms, k=fb_docs,
+                    id_col=id_col, text_col=text_col)
+    fb_ids = top.select(id_col)
+    term_rows = (docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(text_col)), r"\s+"))
+        .alias("term"))
+        .filter(F.col("term") != ""))
+    n_docs = docs.select(id_col).distinct().count()
+    df_t = (term_rows.select(id_col, "term").distinct()
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    qset = sorted(set(t.lower() for t in query_terms))
+    fb_tf = (term_rows.join(F.broadcast(fb_ids), id_col)
+             .filter(~F.col("term").isin(qset))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("fb_tf")))
+    scored = (fb_tf.join(df_t, "term")
+              .select("term",
+                      F.col("fb_tf").cast("bigint").alias("fb_tf"),
+                      F.col("df").cast("bigint").alias("df"),
+                      F.round(F.col("fb_tf")
+                              * F.log((float(n_docs) + 1.0)
+                                      / (F.col("df") + 1.0)),
+                              round_to).alias("score")))
+    return scored.orderBy(F.desc("score"), F.asc("term")).limit(expand_n)

@@ -301,3 +301,44 @@ def ams_f2(df: DataFrame, key_col: str, *, t: int = 17,
         F.col("_ams").cast("bigint").alias("f2_ams"),
         F.round(F.abs(F.col("_ams").cast("double") - F.col("_f2"))
                 / F.col("_f2"), round_to).alias("rel_err"))
+
+
+def hll_sliding_merge(sketches: DataFrame, bucket_col: str, p: int,
+                      window: int, *, reg_col: str = "registers",
+                      round_to: int = 1) -> DataFrame:
+    """Sliding-window distinct-count from per-bucket HLL sketches:
+    for every bucket b, the union (element-wise register max) of the
+    sketches in (b - window + 1 .. b) and its cardinality estimate —
+    the mergeability payoff: a 30-day rolling uniques needs 30
+    sketch-max folds per day, never a rescan of raw events.
+
+    Scale shape: buckets explode ``window`` target assignments (each
+    bucket's registers ship to the <= window windows containing it),
+    then one groupBy(target, register-position) max over
+    posexploded registers — O(buckets x window x m) rows of BIGINT
+    triples, independent of event volume. Windows at the leading
+    edge merge fewer buckets (disclosed: n_buckets column).
+    Returns (bucket, n_buckets, estimate)."""
+    m = 1 << p
+    offs = F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("_o")
+    tgt = (sketches.select(F.col(bucket_col).alias("_b"), reg_col, offs)
+           .select((F.col("_b") + F.col("_o")).alias("_t"), "_b", reg_col))
+    # only targets that are real buckets emit output rows
+    real = sketches.select(F.col(bucket_col).alias("_t")).distinct()
+    ex = (tgt.join(real, "_t")
+          .select("_t", "_b", F.posexplode(reg_col).alias("_pos", "_r")))
+    merged = (ex.groupBy("_t", "_pos")
+              .agg(F.max("_r").alias("_mx")))
+    nb = (tgt.join(real, "_t").select("_t", "_b").distinct()
+          .groupBy("_t").agg(F.count(F.lit(1)).alias("n_buckets")))
+    regs = (merged.groupBy("_t")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("_pos", "_mx"))).alias("_mp"))
+            .select("_t", F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"i -> coalesce(_mp[i], 0))").alias(reg_col)))
+    est = hll_estimate_col(reg_col, p)
+    return (regs.join(nb, "_t")
+            .select(F.col("_t").alias(bucket_col),
+                    F.col("n_buckets").cast("bigint").alias("n_buckets"),
+                    F.round(est, round_to).alias("estimate")))

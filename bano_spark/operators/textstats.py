@@ -782,3 +782,60 @@ def good_turing(docs: DataFrame, text_col: str = "text", *,
     return (spec.select(F.col("_r").cast("bigint").alias("r"),
                         F.col("_s").cast("bigint").alias("s_r"),
                         F.round(rstar, round_to).alias("r_star")))
+
+
+def stylometric_delta(docs: DataFrame, group_col: str, *,
+                      text_col: str = "text", top_n: int = 20,
+                      round_to: int = 6) -> DataFrame:
+    """Burrows' Delta (Burrows 2002) between corpus slices: for the
+    ``top_n`` most frequent words overall, z-score each slice's
+    RELATIVE frequency across slices, then Delta(a, b) = mean
+    |z_a - z_b| — the standard stylometric distance (authorship /
+    register drift between sources, crawls, or time slices).
+
+    Variance is population variance from explicit sufficient sums
+    (the burstiness discipline — library stddev semantics differ);
+    zero-variance words drop from the mean (every slice identical —
+    no signal). Scale shape: one token explode + two hash aggs for
+    frequencies, one window for the top-n vocabulary, one groupBy
+    (word) moment pass, one slice-pair join bounded by slices^2 —
+    slices are few by construction. Returns (g1, g2, n_words,
+    delta)."""
+    from pyspark.sql import Window
+
+    tok = (docs.select(F.col(group_col).alias("_g"),
+                       F.explode(F.split(F.trim(F.lower(text_col)),
+                                         r"\s+")).alias("w"))
+           .filter(F.col("w") != ""))
+    totals = tok.groupBy("_g").agg(F.count(F.lit(1)).alias("_tot"))
+    gw = tok.groupBy("_g", "w").agg(F.count(F.lit(1)).alias("_c"))
+    vocab = (gw.groupBy("w").agg(F.sum("_c").alias("_all"))
+             .withColumn("_r", F.row_number().over(
+                 Window.orderBy(F.desc("_all"), F.asc("w"))))
+             .filter(F.col("_r") <= top_n).select("w"))
+    ng = totals.count()
+    # dense (slice, word) grid so absent words score freq 0
+    grid = (totals.crossJoin(F.broadcast(vocab))
+            .join(gw, ["_g", "w"], "left")
+            .select("_g", "w", "_tot",
+                    (F.coalesce(F.col("_c"), F.lit(0))
+                     / F.col("_tot")).alias("_f")))
+    mom = (grid.groupBy("w")
+           .agg(F.sum("_f").alias("_sf"),
+                F.sum(F.col("_f") * F.col("_f")).alias("_sff")))
+    nn = float(ng)
+    z = (grid.join(mom, "w")
+         .withColumn("_mu", F.col("_sf") / nn)
+         .withColumn("_var", F.col("_sff") / nn
+                     - F.col("_mu") * F.col("_mu"))
+         .filter(F.col("_var") > 0)
+         .withColumn("_z", (F.col("_f") - F.col("_mu"))
+                     / F.sqrt("_var")))
+    a = z.select(F.col("_g").alias("g1"), "w", F.col("_z").alias("_za"))
+    b = z.select(F.col("_g").alias("g2"), "w", F.col("_z").alias("_zb"))
+    return (a.join(b, "w")
+            .filter(F.col("g1") < F.col("g2"))
+            .groupBy("g1", "g2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.round(F.avg(F.abs(F.col("_za") - F.col("_zb"))),
+                         round_to).alias("delta")))
