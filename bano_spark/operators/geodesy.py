@@ -317,3 +317,69 @@ def destination_point(lon: Column, lat: Column, bearing_deg: Column,
             + F.atan2(F.sin(b) * F.lit(sd) * F.cos(la),
                       F.lit(cd) - F.sin(la) * sin_lat2))
     return (lon2 / F.lit(rad), lat2 / F.lit(rad))
+
+
+def ring_validity(rings: DataFrame, *, id_col: str = "ring_id",
+                  verts_col: str = "verts",
+                  round_to: int = 6) -> DataFrame:
+    """Polygon-ring validity screen — the ingestion gate every
+    geometry loader runs before rings reach the PIP/overlay engines:
+    closure (first vertex == last), shoelace signed area +
+    orientation (ccw / cw / degenerate), and PROPER self-intersection
+    count over non-adjacent segment pairs (the bowtie detector).
+
+    Scale shape: one posexplode + self-align for segments; the
+    crossing check is a per-ring segment self-join — O(n_i^2) pairs
+    per ring, the definitional cost of exact validity; ring sizes are
+    bounded by construction in admin data (disclose/cap upstream for
+    pathological rings — the `_bbox_cells` bucketing of
+    segment_intersections_join is the upgrade path). Coordinates are
+    integer-valued doubles in the fixtures, so the shoelace sum is
+    exact. Returns (ring_id, n_verts, closed, signed_area,
+    orientation, n_crossings, is_valid)."""
+    v = (rings.select(F.col(id_col).alias("_id"),
+                      F.posexplode(verts_col).alias("_i", "_p"))
+         .select("_id", "_i", F.col("_p")[0].alias("_x"),
+                 F.col("_p")[1].alias("_y")))
+    nv = v.groupBy("_id").agg(F.max("_i").alias("_last"))
+    nxt = v.select("_id", (F.col("_i") - 1).alias("_i"),
+                   F.col("_x").alias("_x2"), F.col("_y").alias("_y2"))
+    segs = (v.join(nxt, ["_id", "_i"])
+            .select("_id", "_i", "_x", "_y", "_x2", "_y2"))
+    area = (segs.groupBy("_id")
+            .agg((F.sum(F.col("_x") * F.col("_y2")
+                        - F.col("_x2") * F.col("_y")) / 2.0)
+                 .alias("_area")))
+    closed = (v.join(nv, "_id")
+              .filter((F.col("_i") == 0) | (F.col("_i") == F.col("_last")))
+              .groupBy("_id", "_last")
+              .agg((F.countDistinct("_x", "_y") == 1).alias("_closed")))
+    a = segs.select("_id", F.col("_i").alias("_ia"),
+                    F.col("_x").alias("ax1"), F.col("_y").alias("ay1"),
+                    F.col("_x2").alias("ax2"), F.col("_y2").alias("ay2"))
+    b = segs.select("_id", F.col("_i").alias("_ib"),
+                    F.col("_x").alias("bx1"), F.col("_y").alias("by1"),
+                    F.col("_x2").alias("bx2"), F.col("_y2").alias("by2"))
+    cross = segments_cross(
+        F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"),
+        F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"))
+    xs = (a.join(b, "_id").join(nv, "_id")
+          .filter((F.col("_ib") > F.col("_ia") + 1)
+                  & ~((F.col("_ia") == 0)
+                      & (F.col("_ib") == F.col("_last") - 1)))
+          .filter(cross)
+          .groupBy("_id").agg(F.count(F.lit(1)).alias("_nx")))
+    out = (closed.join(area, "_id").join(xs, "_id", "left")
+           .withColumn("_nx", F.coalesce(F.col("_nx"), F.lit(0))))
+    orient = (F.when(F.col("_area") > 0, "ccw")
+              .when(F.col("_area") < 0, "cw")
+              .otherwise("degenerate"))
+    return out.select(
+        F.col("_id").alias(id_col),
+        (F.col("_last") + 1).cast("bigint").alias("n_verts"),
+        F.col("_closed").alias("closed"),
+        F.round("_area", round_to).alias("signed_area"),
+        orient.alias("orientation"),
+        F.col("_nx").cast("bigint").alias("n_crossings"),
+        (F.col("_closed") & (F.col("_nx") == 0)
+         & (F.col("_area") != 0)).alias("is_valid"))

@@ -499,3 +499,37 @@ def multi_source_sssp(edges: DataFrame, seeds: DataFrame, *,
                                 F.col("s.lbl").alias("lbl"))
     raise RuntimeError(
         f"multi_source_sssp: no fixpoint within {max_rounds} rounds")
+
+
+def cocitation_coupling(edges: DataFrame, *, src: str = "src",
+                        dst: str = "dst") -> DataFrame:
+    """Co-citation and bibliographic coupling per node pair (Small
+    1973 / Kessler 1963) over the DISTINCT edge set: co-citation
+    (a, b) = #nodes linking to BOTH a and b; coupling (a, b) =
+    #nodes both a and b link to — the similarity signals web-graph
+    clustering runs before any content model.
+
+    Scale shape: the inverted discipline — pairs generate from
+    shared endpoints only (one self-join keyed by the shared citer,
+    one by the shared target), never the node cross product; a
+    degree-d hub contributes C(d, 2) pairs, the definitional output.
+    Returns (node_a, node_b, cocitation, coupling) for pairs with
+    either count > 0."""
+    e = edges.select(F.col(src).alias("_s"),
+                     F.col(dst).alias("_d")).distinct()
+    co = (e.alias("x").join(e.alias("y"), F.col("x._s") == F.col("y._s"))
+          .filter(F.col("x._d") < F.col("y._d"))
+          .groupBy(F.col("x._d").alias("node_a"),
+                   F.col("y._d").alias("node_b"))
+          .agg(F.count(F.lit(1)).alias("cocitation")))
+    cp = (e.alias("x").join(e.alias("y"), F.col("x._d") == F.col("y._d"))
+          .filter(F.col("x._s") < F.col("y._s"))
+          .groupBy(F.col("x._s").alias("node_a"),
+                   F.col("y._s").alias("node_b"))
+          .agg(F.count(F.lit(1)).alias("coupling")))
+    return (co.join(cp, ["node_a", "node_b"], "full_outer")
+            .select("node_a", "node_b",
+                    F.coalesce("cocitation", F.lit(0)).cast("bigint")
+                    .alias("cocitation"),
+                    F.coalesce("coupling", F.lit(0)).cast("bigint")
+                    .alias("coupling")))

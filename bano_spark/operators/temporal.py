@@ -446,3 +446,51 @@ def seasonal_naive_mase(df: DataFrame, key_col: str, ts_col: str,
         F.round(F.col("_ms"), round_to).alias("mae_seasonal"),
         F.round(F.col("_mn"), round_to).alias("mae_naive"),
         F.round(F.col("_ms") / F.col("_mn"), round_to).alias("mase"))
+
+
+def acf_profile(df: DataFrame, key_col: str, ts_col: str,
+                val_col: str, *, max_lag: int = 6,
+                bucket_seconds: int = 3600,
+                round_to: int = 6) -> DataFrame:
+    """Autocorrelation profile per key: the ACF at ROW lags 1..
+    ``max_lag`` over the bucketed series (the periodicity detector
+    generalizing lag-1 autocorrelation — a daily cycle shows as a
+    peak at lag 24 on hourly buckets):
+
+        r_k = sum (y_t - m)(y_{t-k} - m) / sum (y_t - m)^2
+
+    with m the series mean. One bucket aggregation, one lag window
+    per k (bounded, max_lag explodes structs — still one window
+    pass), one per-key rollup. Returns (key, lag, n_pairs, acf)."""
+    t = F.col(ts_col).cast("timestamp_ntz")
+    epoch = (F.datediff(F.to_date(t), F.lit("1970-01-01")).cast("long")
+             * 86400 + F.hour(t) * 3600 + F.minute(t) * 60 + F.second(t))
+    hourly = (df.withColumn("_b", F.floor(epoch / bucket_seconds))
+              .groupBy(key_col, "_b")
+              .agg(F.sum(F.col(val_col).cast("double")).alias("_y")))
+    mean = hourly.groupBy(key_col).agg(
+        (F.sum("_y") / F.count(F.lit(1))).alias("_m"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum("_y").alias("_sy"),
+        F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(key_col).orderBy("_b")
+    lagged = hourly
+    for k in range(1, max_lag + 1):
+        lagged = lagged.withColumn(f"_l{k}", F.lag("_y", k).over(w))
+    dev = lagged.join(mean, key_col)
+    outs = []
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        outs.append(dev.filter(lk.isNotNull()).groupBy(key_col).agg(
+            F.lit(k).alias("lag"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum((F.col("_y") - F.col("_m"))
+                  * (lk - F.col("_m"))).alias("_num"),
+            F.max(F.col("_syy") - F.col("_sy") * F.col("_sy")
+                  / F.col("_n")).alias("_den")))
+    acf = outs[0]
+    for o in outs[1:]:
+        acf = acf.unionByName(o)
+    return acf.select(key_col, "lag", "n_pairs",
+                      F.round(F.col("_num") / F.col("_den"),
+                              round_to).alias("acf"))

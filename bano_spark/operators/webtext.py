@@ -575,3 +575,38 @@ def ngram_novelty(docs: DataFrame, n: int = 5, *,
         F.col("_d").alias(id_col), "n_grams", "n_novel",
         F.round(F.col("n_novel") / F.col("n_grams"), round_to)
         .alias("novelty"))
+
+
+def resolve_redirects(links: DataFrame, *, src_col: str = "url_id",
+                      dst_col: str = "target_id",
+                      rounds: int = 6) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling: every URL's
+    pointer is repeatedly replaced by its pointer's pointer, so a
+    chain of length L canonicalizes in ceil(log2 L) rounds — the
+    crawl-side canonical-URL pass that collapses 301 chains before
+    content fetching. Canonical URLs point to themselves. After
+    ``rounds`` doublings (covers chains up to 2^rounds), a URL is
+    RESOLVED iff its final pointer is canonical (self-pointing) —
+    redirect CYCLES never resolve and flag with a NULL target
+    instead of looping forever (the operator's fixpoint-free
+    termination contract; chains longer than 2^rounds also flag,
+    loudly visible as resolved = false).
+
+    Returns (url_id, canonical_id, resolved)."""
+    ptr = links.select(F.col(src_col).alias("_u"),
+                       F.col(dst_col).alias("_p"))
+    canon = ptr.filter(F.col("_u") == F.col("_p")) \
+        .select(F.col("_u").alias("_c"))
+    cur = ptr.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        nxt = cur.select(F.col("_u").alias("_p"),
+                         F.col("_p").alias("_q"))
+        cur = (cur.join(nxt, "_p")
+               .select("_u", F.col("_q").alias("_p"))
+               .localCheckpoint(eager=True))
+    out = (cur.join(canon.withColumnRenamed("_c", "_p")
+                    .withColumn("_ok", F.lit(True)), "_p", "left"))
+    return out.select(
+        F.col("_u").alias(src_col),
+        F.when(F.col("_ok"), F.col("_p")).alias("canonical_id"),
+        F.coalesce(F.col("_ok"), F.lit(False)).alias("resolved"))

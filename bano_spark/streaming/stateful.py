@@ -386,3 +386,57 @@ def streaming_reservoir(grouped, n: int, *, key_name: str = "source",
     return grouped.applyInPandasWithState(
         fn, output_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def streaming_topk(grouped, k: int = 5, *, shard_name: str = "shard",
+                   id_col: str = "item_id"):
+    """Stateful streaming heavy hitters: per SHARD (a hash of the
+    item id — the state-bounding key), exact per-item counts fold
+    across micro-batches and each batch upserts the shard's current
+    top-``k`` (count desc, item asc). The global top-k is a
+    downstream merge of shard top-ks — EXACT whenever shard-k >=
+    global-k (every global heavy hitter is a heavy hitter of its own
+    shard), so the streaming result converges to the batch top-k
+    query: the convergence oracle, like streaming_exact_dedup.
+
+    State per shard: the shard's item->count map as parallel arrays
+    (bounded by the shard's distinct items; shard count is the
+    knob — the same state-vs-exactness contract as streaming_hll,
+    traded the other way)."""
+    from pyspark.sql.types import ArrayType
+
+    state_schema = StructType([
+        StructField("ids", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ])
+    output_schema = StructType([
+        StructField(shard_name, LongType()),
+        StructField(id_col, LongType()),
+        StructField("cnt", LongType()),
+        StructField("n_seen", LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, counts, n = state.get
+            tally = dict(zip(ids, counts))
+        else:
+            tally, n = {}, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            for item, c in pdf.groupby(id_col).size().items():
+                tally[int(item)] = tally.get(int(item), 0) + int(c)
+        ids = sorted(tally)
+        state.update((ids, [tally[i] for i in ids], n))
+        top = sorted(tally.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        yield pd.DataFrame({shard_name: [key[0]] * len(top),
+                            id_col: [t[0] for t in top],
+                            "cnt": [t[1] for t in top],
+                            "n_seen": [n] * len(top)})
+
+    return grouped.applyInPandasWithState(
+        fn, output_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
