@@ -1837,6 +1837,7 @@ from bano_spark import queries_wave22 as _w22  # noqa: E402
 from bano_spark import queries_wave23 as _w23  # noqa: E402
 from bano_spark import queries_wave24 as _w24  # noqa: E402
 from bano_spark import queries_wave25 as _w25  # noqa: E402
+from bano_spark import queries_wave26 as _w26  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1876,6 +1877,8 @@ _QUERIES.update(_w24.QUERIES)
 _ORACLES.update(_w24.ORACLES)
 _QUERIES.update(_w25.QUERIES)
 _ORACLES.update(_w25.ORACLES)
+_QUERIES.update(_w26.QUERIES)
+_ORACLES.update(_w26.ORACLES)
 
 
 # ---------------------------------------------------------------------------

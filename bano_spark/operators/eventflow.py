@@ -156,3 +156,47 @@ def attribution_touches(events: DataFrame, conversion_type: str,
           .withColumn("model", F.lit("last_touch")))
     return ft.unionByName(lt).select("model", "touch_type",
                                      "n_conversions")
+
+
+def sequence_patterns(events: DataFrame, gap_s: int, min_support: int, *,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      round_to: int = 6) -> DataFrame:
+    """Length-2 sequential pattern mining (the SPAM/PrefixSpan L2
+    step): ordered pairs (A then B, strictly later, within ``gap_s``
+    seconds) SUPPORTED by at least ``min_support`` distinct users —
+    discovered patterns, where event_funnel counts a stage list the
+    caller specifies. Support = distinct users exhibiting the
+    pattern at least once.
+
+    Scale shape: the per-user candidate join is bounded by the gap
+    window (a RANGE self-pair via time buckets would bound it harder;
+    per-user event counts are small in clickstream data — disclosed);
+    support pruning happens on single types FIRST (Apriori
+    discipline), so rare types never enter the pair join. Returns
+    (type_a, type_b, support, share)."""
+    t = F.col(ts_col).cast("timestamp_ntz")
+    epoch = (F.datediff(F.to_date(t), F.lit("1970-01-01")).cast("long")
+             * 86400 + F.hour(t) * 3600 + F.minute(t) * 60 + F.second(t))
+    e = events.select(F.col(user_col).alias("_u"),
+                      F.col(type_col).alias("_ty"),
+                      epoch.alias("_ep"))
+    n_users = e.select("_u").distinct().count()
+    # Apriori prune on single types
+    l1 = (e.select("_u", "_ty").distinct()
+          .groupBy("_ty").agg(F.count(F.lit(1)).alias("_c"))
+          .filter(F.col("_c") >= min_support).select("_ty"))
+    fe = e.join(F.broadcast(l1), "_ty")
+    a = fe.select("_u", F.col("_ty").alias("type_a"),
+                  F.col("_ep").alias("_ea"))
+    b = fe.select("_u", F.col("_ty").alias("type_b"),
+                  F.col("_ep").alias("_eb"))
+    pairs = (a.join(b, "_u")
+             .filter((F.col("_eb") > F.col("_ea"))
+                     & (F.col("_eb") - F.col("_ea") <= gap_s))
+             .select("_u", "type_a", "type_b").distinct())
+    return (pairs.groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+            .filter(F.col("support") >= min_support)
+            .withColumn("share", F.round(
+                F.col("support") / F.lit(float(n_users)), round_to)))

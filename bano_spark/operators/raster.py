@@ -900,3 +900,61 @@ def flow_path_length(dem: DataFrame, cell: float, *, gx: str = "gx",
                         * F.lit(c), 6).alias("path_len"))
     raise RuntimeError("flow_path_length: no fixpoint after "
                        f"{max_rounds} doubling rounds")
+
+
+def strahler_order(dem: DataFrame, *, gx: str = "gx", gy: str = "gy",
+                   z: str = "z", max_rounds: int = 64) -> DataFrame:
+    """Strahler stream order over the D8 flow forest — the stream-
+    network classifier completing direction -> accumulation -> basins
+    -> length: cells with no upstream children are order 1; a cell
+    whose children peak at order m keeps m when exactly ONE child
+    attains it and becomes m + 1 when several do.
+
+    Synchronous bottom-up iteration from order = 1 everywhere: each
+    round recomputes every cell from its children's CURRENT orders
+    (one child->parent equi-join, a per-parent max, and a count of
+    max-attaining children). A cell stabilizes one round after its
+    children do, so the fixpoint arrives within flow-depth rounds;
+    the loop stops at the first unchanged round and raises past
+    ``max_rounds`` (loud guard). Returns (gx, gy, strahler)."""
+    dirs = d8_flow_direction(dem, gx=gx, gy=gy, z=z)
+    code = {1: (1, 0), 2: (1, -1), 4: (0, -1), 8: (-1, -1),
+            16: (-1, 0), 32: (-1, 1), 64: (0, 1), 128: (1, 1)}
+    dxc, dyc = F.lit(0), F.lit(0)
+    for c, (a, b) in code.items():
+        dxc = F.when(F.col("dir") == c, a).otherwise(dxc)
+        dyc = F.when(F.col("dir") == c, b).otherwise(dyc)
+    edges = (dirs.filter(F.col("dir") != 0)
+             .select(F.col(gx).alias("_cx"), F.col(gy).alias("_cy"),
+                     (F.col(gx) + dxc).alias("_px"),
+                     (F.col(gy) + dyc).alias("_py"))
+             .localCheckpoint(eager=True))
+    cells = dirs.select(gx, gy).localCheckpoint(eager=True)
+    order = cells.withColumn("_o", F.lit(1).cast("long"))
+    for _ in range(max_rounds):
+        child = order.select(F.col(gx).alias("_cx"),
+                             F.col(gy).alias("_cy"),
+                             F.col("_o").alias("_co"))
+        withc = edges.join(child, ["_cx", "_cy"])
+        mx = (withc.groupBy("_px", "_py")
+              .agg(F.max("_co").alias("_m")))
+        par = (withc.join(mx, ["_px", "_py"])
+               .filter(F.col("_co") == F.col("_m"))
+               .groupBy("_px", "_py", "_m")
+               .agg(F.count(F.lit(1)).alias("_t"))
+               .select(F.col("_px").alias(gx), F.col("_py").alias(gy),
+                       F.when(F.col("_t") > 1, F.col("_m") + 1)
+                       .otherwise(F.col("_m")).alias("_no")))
+        new = (cells.join(par, [gx, gy], "left")
+               .select(gx, gy, F.coalesce(F.col("_no"), F.lit(1))
+                       .cast("long").alias("_o"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(order.withColumnRenamed("_o", "_op"),
+                            [gx, gy])
+                   .filter(F.col("_o") != F.col("_op"))
+                   .limit(1).count())
+        order = new
+        if changed == 0:
+            return order.select(gx, gy, F.col("_o").alias("strahler"))
+    raise RuntimeError("strahler_order: no fixpoint after "
+                       f"{max_rounds} rounds")

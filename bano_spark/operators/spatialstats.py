@@ -819,3 +819,53 @@ def local_moran(cells: DataFrame, *, cx: str = "cx", cy: str = "cy",
         F.round(F.col("_z") * F.col("_lag") / F.lit(float(m2)),
                 round_to).alias("local_i"),
         "n_nbrs", quad.alias("quadrant"))
+
+
+def cross_k(points: DataFrame, rs: list, area: float, *,
+            type_col: str = "ptype", type_a: str = "a",
+            type_b: str = "b", x_col: str = "x", y_col: str = "y",
+            id_col: str = "event_id") -> DataFrame:
+    """Bivariate (cross) Ripley K: K_ab(r) = A / (n_a n_b) x
+    #{(i in A, j in B) : d_ij <= r} — attraction/repulsion BETWEEN
+    two point types (cases vs controls, shops vs transit), the
+    marked-point-process twin of :func:`ripley_k`. No edge
+    correction (naive estimator), squared-distance compares.
+
+    Scale shape: identical to ripley_k — one k-ring bucketed join at
+    cell = max(rs), counts reach the driver as one O(|rs|) row."""
+    rmax = float(max(rs))
+    pa = (points.filter(F.col(type_col) == type_a)
+          .select(F.col(id_col).alias("pid"),
+                  F.col(x_col).alias("px"), F.col(y_col).alias("py"),
+                  F.floor(F.col(x_col) / rmax).alias("cx"),
+                  F.floor(F.col(y_col) / rmax).alias("cy")))
+    pb = (points.filter(F.col(type_col) == type_b)
+          .select(F.col(id_col).alias("qid"),
+                  F.col(x_col).alias("qx"), F.col(y_col).alias("qy"),
+                  F.floor(F.col(x_col) / rmax).alias("cx"),
+                  F.floor(F.col(y_col) / rmax).alias("cy")))
+    offs = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("o")
+    probe = (pa.select("pid", "px", "py", "cx", "cy", offs)
+             .select("pid", "px", "py",
+                     (F.col("cx") + F.col("o.dx")).alias("cx"),
+                     (F.col("cy") + F.col("o.dy")).alias("cy")))
+    j = probe.join(pb, ["cx", "cy"])
+    d2 = ((F.col("px") - F.col("qx")) ** 2
+          + (F.col("py") - F.col("qy")) ** 2)
+    counts = j.agg(*[
+        F.coalesce(
+            F.sum(F.when(d2 <= F.lit(float(r) * float(r)), 1)
+                  .otherwise(0)), F.lit(0))
+        .alias(f"c{i}") for i, r in enumerate(rs)])
+    na = pa.count()
+    nb = pb.count()
+    denom = float(na) * float(nb)
+    return counts.select(F.explode(F.array(*[
+        F.struct(F.lit(float(r)).alias("r"),
+                 F.round(F.col(f"c{i}") * F.lit(area) / F.lit(denom), 6)
+                 .alias("k_ab"),
+                 F.col(f"c{i}").cast("bigint").alias("n_pairs"))
+        for i, r in enumerate(rs)])).alias("e")).select(
+            "e.r", "e.k_ab", "e.n_pairs")

@@ -494,3 +494,50 @@ def acf_profile(df: DataFrame, key_col: str, ts_col: str,
     return acf.select(key_col, "lag", "n_pairs",
                       F.round(F.col("_num") / F.col("_den"),
                               round_to).alias("acf"))
+
+
+def rolling_trend_slope(df: DataFrame, key_col: str, ts_col: str,
+                        val_col: str, *, window: int = 24,
+                        bucket_seconds: int = 3600,
+                        round_to: int = 6) -> DataFrame:
+    """Rolling OLS trend slope per key: over each trailing ``window``
+    buckets (ROW frame on the observed bucket sequence), the least-
+    squares slope of value against bucket index — the local-trend
+    detector between EWMA (level) and Mann-Kendall (global monotony):
+
+        slope = (n Σxy - Σx Σy) / (n Σx² - (Σx)²)
+
+    computed from running-sum windows only (five windowed sums, no
+    self-join); emitted where the frame holds >= 3 buckets. Returns
+    (key, bucket, n_in_frame, slope)."""
+    t = F.col(ts_col).cast("timestamp_ntz")
+    epoch = (F.datediff(F.to_date(t), F.lit("1970-01-01")).cast("long")
+             * 86400 + F.hour(t) * 3600 + F.minute(t) * 60 + F.second(t))
+    hourly = (df.withColumn("_b", F.floor(epoch / bucket_seconds))
+              .groupBy(key_col, "_b")
+              .agg(F.sum(F.col(val_col).cast("double")).alias("_y")))
+    # center x on the per-key min bucket: raw epoch-hour indices
+    # (~5e5) would make n*Sxy - Sx*Sy cancel 10 orders of magnitude
+    # and the engines' different window-sum trees (running fold vs
+    # segment tree) would disagree past round-6
+    minb = hourly.groupBy(key_col).agg(F.min("_b").alias("_b0"))
+    hourly = hourly.join(minb, key_col)
+    w = (Window.partitionBy(key_col).orderBy("_b")
+         .rowsBetween(-(window - 1), 0))
+    x = (F.col("_b") - F.col("_b0")).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w)
+    sy = F.sum("_y").over(w)
+    sxx = F.sum(x * x).over(w)
+    sxy = F.sum(x * F.col("_y")).over(w)
+    out = (hourly
+           .withColumn("_n", n).withColumn("_sx", sx)
+           .withColumn("_sy", sy).withColumn("_sxx", sxx)
+           .withColumn("_sxy", sxy)
+           .filter(F.col("_n") >= 3))
+    slope = ((F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+             / (F.col("_n") * F.col("_sxx")
+                - F.col("_sx") * F.col("_sx")))
+    return out.select(key_col, F.col("_b").alias("bucket"),
+                      F.col("_n").cast("bigint").alias("n_in_frame"),
+                      F.round(slope, round_to).alias("slope"))

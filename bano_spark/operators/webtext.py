@@ -610,3 +610,45 @@ def resolve_redirects(links: DataFrame, *, src_col: str = "url_id",
         F.col("_u").alias(src_col),
         F.when(F.col("_ok"), F.col("_p")).alias("canonical_id"),
         F.coalesce(F.col("_ok"), F.lit(False)).alias("resolved"))
+
+
+def cross_host_quotations(docs: DataFrame, host_col: str, n: int = 8, *,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          round_to: int = 6) -> DataFrame:
+    """Cross-host shared-span detection: per host pair, the count of
+    distinct word ``n``-grams appearing on BOTH hosts — the syndication
+    / quotation / plagiarism signal at host granularity (dup_span_*
+    finds the spans; this aggregates WHO shares with whom). Jaccard
+    over the hosts' gram sets contextualizes the raw overlap.
+
+    Scale shape: the inverted discipline again — (gram, host) distinct
+    table, pairs generate from shared grams only (equi-join on the
+    md5 gram key), sizes ride a broadcastable per-host rollup. A gram
+    on h hosts emits C(h, 2) pairs: bounded by the host-level output
+    domain. Returns (host_a, host_b, shared_grams, jaccard)."""
+    tok = F.split(F.trim(F.lower(text_col)), r"\s+")
+    grams = (docs.select(F.col(host_col).alias("_h"), tok.alias("_tk"))
+             .filter(F.size("_tk") >= n)
+             .select("_h", F.explode(F.expr(
+                 f"transform(sequence(1, size(_tk) - {n - 1}), "
+                 f"i -> array_join(slice(_tk, i, {n}), ' '))"))
+                 .alias("_g"))
+             .select("_h", F.md5(F.col("_g")).alias("_k"))
+             .distinct())
+    sizes = grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_sz"))
+    a = grams.select(F.col("_h").alias("host_a"), "_k")
+    b = grams.select(F.col("_h").alias("host_b"), "_k")
+    inter = (a.join(b, "_k")
+             .filter(F.col("host_a") < F.col("host_b"))
+             .groupBy("host_a", "host_b")
+             .agg(F.count(F.lit(1)).alias("_i")))
+    return (inter
+            .join(F.broadcast(sizes.withColumnRenamed("_h", "host_a")
+                              .withColumnRenamed("_sz", "_sa")), "host_a")
+            .join(F.broadcast(sizes.withColumnRenamed("_h", "host_b")
+                              .withColumnRenamed("_sz", "_sb")), "host_b")
+            .select("host_a", "host_b",
+                    F.col("_i").cast("bigint").alias("shared_grams"),
+                    F.round(F.col("_i") / (F.col("_sa") + F.col("_sb")
+                                           - F.col("_i")),
+                            round_to).alias("jaccard")))
