@@ -295,7 +295,9 @@ def ams_f2(df: DataFrame, key_col: str, *, t: int = 17,
     med = (sums.withColumn("_r", F.row_number().over(w))
            .filter(F.col("_r") == (t + 1) // 2)
            .select(F.col("_est").alias("_ams")))
-    out = exact.crossJoin(med)
+    # broadcast the 1-row median side explicitly: BuildRight keeps
+    # the (1-row x 1-row) cross inside the audit's benign class
+    out = exact.crossJoin(F.broadcast(med))
     return out.select(
         F.col("_f2").cast("bigint").alias("f2_exact"),
         F.col("_ams").cast("bigint").alias("f2_ams"),
