@@ -1818,6 +1818,97 @@ def q_name_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # wave-4 queries (remaining SURVEY §2 ops + training-pipeline extras)
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# q26e — LSH quality evaluation: precision/recall/F1 of the minhash
+# banding against EXACT shingle-set Jaccard ground truth at t = 0.5.
+# Truth pairs generate from the inverted shared-shingle join —
+# complete for any positive Jaccard (j >= t implies a shared
+# shingle), never a cross product; evaluation is the measurement
+# discipline the dedup family's knobs (bands, rows, caps) are tuned
+# by. Single-row output via three O(1) driver counts (the knox_test
+# pattern).
+# ---------------------------------------------------------------------------
+
+_LQE_T = 0.5
+
+_Q26E_ORACLE = f"""
+WITH {{sig}},
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                            AND a.doc_id < b.doc_id
+),
+shsets AS (SELECT doc_id, list_distinct({{sh}}) AS s FROM documents),
+inv AS (SELECT doc_id, unnest(list_distinct({{sh}})) AS sh
+        FROM documents),
+cpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b ON b.sh = a.sh AND a.doc_id < b.doc_id
+),
+jacc AS (
+  SELECT p.id_a, p.id_b,
+         len(list_intersect(sa.s, sb.s)) * 1.0
+           / len(list_distinct(sa.s || sb.s)) AS j
+  FROM cpairs p
+  JOIN shsets sa ON sa.doc_id = p.id_a
+  JOIN shsets sb ON sb.doc_id = p.id_b
+),
+truth AS (SELECT id_a, id_b FROM jacc WHERE j >= {{t}}),
+m AS (SELECT (SELECT count(*) FROM cand) AS nc,
+             (SELECT count(*) FROM truth) AS nt,
+             (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b))
+               AS tp)
+SELECT CAST(nc AS BIGINT) AS n_candidates, CAST(nt AS BIGINT) AS n_truth,
+       CAST(tp AS BIGINT) AS tp,
+       round(tp / CAST(nc AS DOUBLE), 6) AS precision,
+       round(tp / CAST(nt AS DOUBLE), 6) AS recall,
+       round(2.0 * tp / CAST(nc + nt AS DOUBLE), 6) AS f1
+FROM m
+""".format(sig=_sig_cte(), sh=_SHINGLES, t=_LQE_T)
+
+
+@register("lsh_quality_eval", _Q26E_ORACLE)
+def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bano_spark.operators.dedup import minhash_dedup_pairs, shingles_expr
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = minhash_dedup_pairs(docs)
+    shsets = docs.select(
+        "doc_id", F.array_distinct(shingles_expr("text")).alias("s"))
+    inv = shsets.select("doc_id", F.explode("s").alias("sh"))
+    cpairs = (inv.alias("a").join(
+        inv.alias("b"),
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b")).distinct())
+    j = (cpairs
+         .join(shsets.select(F.col("doc_id").alias("id_a"),
+                             F.col("s").alias("sa")), "id_a")
+         .join(shsets.select(F.col("doc_id").alias("id_b"),
+                             F.col("s").alias("sb")), "id_b")
+         .withColumn("j", F.size(F.array_intersect("sa", "sb"))
+                     / F.size(F.array_union("sa", "sb")).cast("double")))
+    truth = j.filter(F.col("j") >= _LQE_T).select("id_a", "id_b")
+    nc = cand.count()
+    nt = truth.count()
+    tp = cand.join(truth, ["id_a", "id_b"]).count()
+    row = (nc, nt, tp,
+           round(tp / nc, 6) if nc else 0.0,
+           round(tp / nt, 6) if nt else 0.0,
+           round(2.0 * tp / (nc + nt), 6) if nc + nt else 0.0)
+    return spark.createDataFrame(
+        [row], "n_candidates long, n_truth long, tp long, "
+               "precision double, recall double, f1 double")
+
+
 from bano_spark import queries_wave4 as _w4  # noqa: E402
 from bano_spark import queries_wave5 as _w5  # noqa: E402
 from bano_spark import queries_wave8 as _w8  # noqa: E402
@@ -1838,6 +1929,7 @@ from bano_spark import queries_wave23 as _w23  # noqa: E402
 from bano_spark import queries_wave24 as _w24  # noqa: E402
 from bano_spark import queries_wave25 as _w25  # noqa: E402
 from bano_spark import queries_wave26 as _w26  # noqa: E402
+from bano_spark import queries_wave27 as _w27  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1879,6 +1971,8 @@ _QUERIES.update(_w25.QUERIES)
 _ORACLES.update(_w25.ORACLES)
 _QUERIES.update(_w26.QUERIES)
 _ORACLES.update(_w26.ORACLES)
+_QUERIES.update(_w27.QUERIES)
+_ORACLES.update(_w27.ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -533,3 +533,34 @@ def cocitation_coupling(edges: DataFrame, *, src: str = "src",
                     .alias("cocitation"),
                     F.coalesce("coupling", F.lit(0)).cast("bigint")
                     .alias("coupling")))
+
+
+def two_hop_neighborhoods(edges: DataFrame, *, src: str = "src",
+                          dst: str = "dst") -> DataFrame:
+    """Per-node 1-hop degree and DISTINCT <=2-hop neighborhood size
+    over the undirected distinct edge set — the local-densification
+    statistic behind friend-of-friend recommendation and graph
+    sampling designs.
+
+    Scale shape: symmetrize once, one self-join on the middle node
+    (a degree-d hub contributes d^2 two-hop rows — the definitional
+    cost; cap or sample hubs upstream for power-law graphs, as the
+    LSH family caps its buckets), one distinct + one rollup. Returns
+    (node, degree, n_two_hop)."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    two = (sym.alias("x")
+           .join(sym.alias("y"), F.col("x.b") == F.col("y.a"))
+           .select(F.col("x.a").alias("a"), F.col("y.b").alias("c"))
+           .filter(F.col("a") != F.col("c"))
+           .unionByName(sym.select("a", F.col("b").alias("c")))
+           .distinct()
+           .groupBy("a").agg(F.count(F.lit(1)).alias("n_two_hop")))
+    return (deg.join(two, "a")
+            .select(F.col("a").alias("node"),
+                    F.col("degree").cast("bigint").alias("degree"),
+                    F.col("n_two_hop").cast("bigint").alias("n_two_hop")))

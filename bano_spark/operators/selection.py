@@ -391,3 +391,36 @@ def gini_concentration(counts: DataFrame, key_col: str,
         F.col("_sx").alias("total"),
         ((F.lit(2.0) * F.col("_six") - (F.col("_n") + 1) * F.col("_sx"))
          / (F.col("_n") * F.col("_sx"))).alias("gini"))
+
+
+def selection_tradeoff_curve(docs: DataFrame, score_col: str,
+                             token_col: str, *,
+                             round_to: int = 6) -> DataFrame:
+    """Quality-vs-quantity Pareto curve for corpus selection: group
+    documents by their (few, discrete) quality scores, order bands
+    best-first, and report the CUMULATIVE document and token shares
+    at each band — the picture a data-mixing decision reads before
+    `token_budget_selection` commits to a cut.
+
+    Scale shape: one groupBy(score) + an O(bands) window over the
+    band table (bounded by distinct scores, tiny by construction for
+    banded quality heuristics — the single-partition window is over
+    bands, not rows). Returns (score, n_docs, n_tokens, cum_doc_share,
+    cum_token_share)."""
+    bands = (docs.groupBy(F.col(score_col).alias("score"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col(token_col)).alias("n_tokens")))
+    tot = bands.agg(F.sum("n_docs").alias("td"),
+                    F.sum("n_tokens").alias("tt")).collect()[0]
+    w = (Window.orderBy(F.desc("score"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (bands
+            .withColumn("_cd", F.sum("n_docs").over(w))
+            .withColumn("_ct", F.sum("n_tokens").over(w))
+            .select("score",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.round(F.col("_cd") / F.lit(float(tot["td"])),
+                            round_to).alias("cum_doc_share"),
+                    F.round(F.col("_ct") / F.lit(float(tot["tt"])),
+                            round_to).alias("cum_token_share")))

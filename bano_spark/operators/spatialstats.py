@@ -869,3 +869,48 @@ def cross_k(points: DataFrame, rs: list, area: float, *,
                  F.col(f"c{i}").cast("bigint").alias("n_pairs"))
         for i, r in enumerate(rs)])).alias("e")).select(
             "e.r", "e.k_ab", "e.n_pairs")
+
+
+def moran_correlogram(cells: DataFrame, ks: list, *, cx: str = "cx",
+                      cy: str = "cy", val_col: str = "val",
+                      round_to: int = 6) -> DataFrame:
+    """Spatial correlogram: global Moran's I at Chebyshev ring
+    distances k in ``ks`` (weights 1 for cells with max(|dx|, |dy|)
+    = k exactly) — I(k) decaying toward 0 reveals the correlation
+    RANGE, the piece the single-ring `moran_i_hex` can't see and the
+    variogram's autocorrelation twin.
+
+    One explode over all rings' offsets (8k per ring, bounded) +
+    one equi-join + a per-ring aggregate; the mean and deviation
+    square sum ship as literals/one-row frames (the moran
+    discipline). Returns (k, w_pairs, moran_i)."""
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(val_col) / F.count(F.lit(1))).alias("m")).collect()[0]
+    n, m = int(stats["n"]), float(stats["m"])
+    dev = cells.select(cx, cy, (F.col(val_col) - F.lit(m)).alias("_z"))
+    ss = dev.agg(F.sum(F.col("_z") * F.col("_z")).alias("ss")) \
+        .collect()[0]["ss"]
+    offs = []
+    for k in ks:
+        k = int(k)
+        for dx in range(-k, k + 1):
+            for dy in range(-k, k + 1):
+                if max(abs(dx), abs(dy)) == k:
+                    offs.append((k, dx, dy))
+    arr = F.array(*[F.struct(F.lit(k).alias("k"), F.lit(a).alias("dx"),
+                             F.lit(b).alias("dy"))
+                    for k, a, b in offs])
+    shifted = (dev.select(F.explode(arr).alias("o"), cx, cy, "_z")
+               .select(F.col("o.k").alias("_k"),
+                       (F.col(cx) + F.col("o.dx")).alias(cx),
+                       (F.col(cy) + F.col("o.dy")).alias(cy),
+                       F.col("_z").alias("_zn")))
+    pairs = dev.join(shifted, [cx, cy])
+    return (pairs.groupBy("_k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("w_pairs"),
+                 F.sum(F.col("_z") * F.col("_zn")).alias("_cross"))
+            .select(F.col("_k").alias("k"), "w_pairs",
+                    F.round((F.lit(float(n)) / F.col("w_pairs"))
+                            * F.col("_cross") / F.lit(float(ss)),
+                            round_to).alias("moran_i")))
