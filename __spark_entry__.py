@@ -1930,6 +1930,7 @@ from bano_spark import queries_wave24 as _w24  # noqa: E402
 from bano_spark import queries_wave25 as _w25  # noqa: E402
 from bano_spark import queries_wave26 as _w26  # noqa: E402
 from bano_spark import queries_wave27 as _w27  # noqa: E402
+from bano_spark import queries_wave28 as _w28  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1973,6 +1974,8 @@ _QUERIES.update(_w26.QUERIES)
 _ORACLES.update(_w26.ORACLES)
 _QUERIES.update(_w27.QUERIES)
 _ORACLES.update(_w27.ORACLES)
+_QUERIES.update(_w28.QUERIES)
+_ORACLES.update(_w28.ORACLES)
 
 
 # ---------------------------------------------------------------------------

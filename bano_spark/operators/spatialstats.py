@@ -914,3 +914,69 @@ def moran_correlogram(cells: DataFrame, ks: list, *, cx: str = "cx",
                     F.round((F.lit(float(n)) / F.col("w_pairs"))
                             * F.col("_cross") / F.lit(float(ss)),
                             round_to).alias("moran_i")))
+
+
+def join_count_statistics(cells: DataFrame, *, cx: str = "cx",
+                          cy: str = "cy", black_col: str = "black",
+                          round_to: int = 6) -> DataFrame:
+    """Join-count statistics for a binary (black/white) cell lattice
+    under rook adjacency (Cliff & Ord 1981): observed BB / BW / WW
+    join counts plus the z-score of BB against the free-sampling null
+
+        E[BB]   = J p^2
+        Var[BB] = J p^2 + 2 K p^3 - (J + 2K) p^4
+
+    with J the undirected join count, K = sum_i k_i (k_i - 1) / 2 over
+    cell degrees k_i, and p the black fraction. The categorical sibling
+    of Moran's I — the first screen a crawl-coverage or landcover grid
+    gets before interval-scale statistics apply.
+
+    Scale shape: undirected joins are generated exactly once via the
+    +x / +y shift equi-joins (fan-out 2, no cross product); degrees via
+    the bounded 4-offset explode + equi-join, the same pattern as
+    `local_moran`; every scalar is a single aggregate with map-side
+    partials and ships back as an O(1) driver literal."""
+    base = cells.select(F.col(cx).alias("_x"), F.col(cy).alias("_y"),
+                        F.col(black_col).cast("int").alias("_b"))
+    rhs = base.select("_x", "_y", F.col("_b").alias("_br"))
+    east = base.select((F.col("_x") + 1).alias("_x"), "_y",
+                       F.col("_b").alias("_ba"))
+    north = base.select("_x", (F.col("_y") + 1).alias("_y"),
+                        F.col("_b").alias("_ba"))
+    joins = east.unionByName(north).join(rhs, ["_x", "_y"])
+    offs = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+    arr = F.array(*[F.struct(F.lit(a).alias("dx"), F.lit(b).alias("dy"))
+                    for a, b in offs])
+    cand = (base.select("_x", "_y", F.explode(arr).alias("o"))
+            .select("_x", "_y",
+                    (F.col("_x") + F.col("o.dx")).alias("_nx"),
+                    (F.col("_y") + F.col("o.dy")).alias("_ny")))
+    degrees = (cand.join(base.select(F.col("_x").alias("_nx"),
+                                     F.col("_y").alias("_ny")),
+                         ["_nx", "_ny"])
+               .groupBy("_x", "_y").agg(F.count(F.lit(1)).alias("k")))
+    kk = float(degrees.agg(
+        F.sum(F.col("k") * (F.col("k") - 1) / 2).alias("kk"))
+        .collect()[0]["kk"])
+    tot = base.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("_b").alias("nb")).collect()[0]
+    n, nb = int(tot["n"]), int(tot["nb"])
+    p = nb / n
+    jc = joins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("j"),
+        F.sum(F.col("_ba") * F.col("_br")).cast("bigint").alias("bb"),
+        F.sum((1 - F.col("_ba")) * (1 - F.col("_br")))
+        .cast("bigint").alias("ww"))
+    return jc.select(
+        F.lit(n).cast("bigint").alias("n_cells"),
+        F.lit(nb).cast("bigint").alias("n_black"),
+        F.col("j").alias("n_joins"),
+        "bb",
+        (F.col("j") - F.col("bb") - F.col("ww")).cast("bigint").alias("bw"),
+        "ww",
+        F.round(F.col("j") * F.lit(p * p), round_to).alias("e_bb"),
+        F.round(
+            (F.col("bb") - F.col("j") * F.lit(p * p))
+            / F.sqrt(F.col("j") * F.lit(p * p) + F.lit(2.0 * kk * p ** 3)
+                     - (F.col("j") + F.lit(2.0 * kk)) * F.lit(p ** 4)),
+            round_to).alias("z_bb"))

@@ -657,3 +657,42 @@ lcss_d{i} AS (
   FROM lcss_e{i}
 )""")
     return "".join(parts)
+
+
+def circular_bearing_stats(traj: DataFrame, *, track_col: str = "user_id",
+                           order_cols: list[str] | None = None,
+                           x: str = "x", y: str = "y",
+                           round_to: int = 6) -> DataFrame:
+    """Per-track circular statistics of movement bearings (Mardia &
+    Jupp 2000): mean direction, mean resultant length R and the
+    Rayleigh uniformity statistic z = n R². Stationary pings (zero
+    displacement) carry no direction and are excluded.
+
+    Trig discipline: unit vectors come from dx / hypot and dy / hypot
+    — no per-leg sin/cos — so the only transcendental is ONE atan2 per
+    track on the aggregated resultant, keeping the arithmetic
+    bit-stable across engines (the oracle mirrors the same identity).
+    Scale shape: a per-track window lag (partitioned, never global)
+    then one groupBy(track) with map-side partials."""
+    order_cols = order_cols or ["ts", "event_id"]
+    w = Window.partitionBy(track_col).orderBy(*order_cols)
+    legs = (traj.select(track_col,
+                        (F.col(x) - F.lag(x).over(w)).alias("_dx"),
+                        (F.col(y) - F.lag(y).over(w)).alias("_dy"))
+            .filter((F.col("_dx").isNotNull())
+                    & ((F.col("_dx") != 0) | (F.col("_dy") != 0))))
+    hyp = F.sqrt(F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy"))
+    unit = legs.select(track_col,
+                       (F.col("_dx") / hyp).alias("_c"),
+                       (F.col("_dy") / hyp).alias("_s"))
+    agg = unit.groupBy(track_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_legs"),
+        F.sum("_c").alias("_sc"), F.sum("_s").alias("_ss"))
+    r = F.sqrt(F.col("_sc") * F.col("_sc") + F.col("_ss") * F.col("_ss")) \
+        / F.col("n_legs")
+    return agg.select(
+        track_col, "n_legs",
+        F.round(F.atan2(F.col("_ss"), F.col("_sc")), round_to)
+        .alias("mean_dir_rad"),
+        F.round(r, round_to).alias("resultant_r"),
+        F.round(F.col("n_legs") * r * r, round_to).alias("rayleigh_z"))
