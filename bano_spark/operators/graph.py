@@ -564,3 +564,91 @@ def two_hop_neighborhoods(edges: DataFrame, *, src: str = "src",
             .select(F.col("a").alias("node"),
                     F.col("degree").cast("bigint").alias("degree"),
                     F.col("n_two_hop").cast("bigint").alias("n_two_hop")))
+
+
+def modularity_directed(edges: DataFrame, labels: DataFrame, *,
+                        src: str = "src", dst: str = "dst",
+                        w: str = "w", node: str = "node",
+                        label: str = "community",
+                        round_to: int = 6) -> DataFrame:
+    """Per-community directed modularity decomposition (Leicht &
+    Newman 2008): for each community c,
+
+        q_c = e_c / m  -  (a_out_c * a_in_c) / m^2
+
+    where e_c is the internal edge weight, a_out_c / a_in_c the total
+    out- / in-strength of c's nodes and m the total edge weight; the
+    graph's modularity Q is the sum of the returned contributions.
+    The quality functional LPA / Louvain partitions are scored by —
+    here applied to ANY labelling (domains, LPA output, components).
+
+    Scale shape: two label joins against the edge list (labels are a
+    node-keyed dim — broadcast when small, shuffle on node otherwise),
+    then one groupBy(community) each for internal / out / in strength;
+    m ships back as an O(1) one-row broadcast, never a driver collect.
+    Ref anchor: generalizes the importance rollups (bano/sql/03_*,
+    M1-M3) from per-commune scalars to partition quality."""
+    lab = labels.select(F.col(node).alias("_n"), F.col(label).alias("_c"))
+    e = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"),
+                      F.col(w).cast("double").alias("_w"))
+         .join(lab.select(F.col("_n").alias("_s"),
+                          F.col("_c").alias("_cs")), "_s")
+         .join(lab.select(F.col("_n").alias("_d"),
+                          F.col("_c").alias("_cd")), "_d"))
+    m = e.agg(F.sum("_w").alias("_m"))
+    internal = (e.filter(F.col("_cs") == F.col("_cd"))
+                .groupBy(F.col("_cs").alias("community"))
+                .agg(F.sum("_w").alias("internal_w")))
+    outw = (e.groupBy(F.col("_cs").alias("community"))
+            .agg(F.sum("_w").alias("out_w")))
+    inw = (e.groupBy(F.col("_cd").alias("community"))
+           .agg(F.sum("_w").alias("in_w")))
+    full = (outw.join(inw, "community", "full")
+            .join(internal, "community", "left")
+            .select("community",
+                    F.coalesce("internal_w", F.lit(0.0)).alias("internal_w"),
+                    F.coalesce("out_w", F.lit(0.0)).alias("out_w"),
+                    F.coalesce("in_w", F.lit(0.0)).alias("in_w")))
+    return (full.crossJoin(F.broadcast(m))
+            .select("community",
+                    F.round("internal_w", round_to).alias("internal_w"),
+                    F.round("out_w", round_to).alias("out_w"),
+                    F.round("in_w", round_to).alias("in_w"),
+                    F.round(F.col("internal_w") / F.col("_m")
+                            - (F.col("out_w") * F.col("in_w"))
+                            / (F.col("_m") * F.col("_m")),
+                            round_to).alias("q_contrib")))
+
+
+def degree_assortativity(edges: DataFrame, *, src: str = "src",
+                         dst: str = "dst",
+                         round_to: int = 6) -> DataFrame:
+    """Directed degree assortativity (Newman 2002): the Pearson
+    correlation, over the DISTINCT edge set, between the source
+    node's out-degree and the target node's in-degree — positive on
+    hub-links-hub graphs (social cores), negative on hub-and-spoke
+    webs (the typical crawl graph).
+
+    Scale shape: degrees are two groupBys over distinct edges; the
+    correlation is ONE aggregate over the edge list joined to the two
+    degree dims (node-keyed; broadcast when small). Moments use the
+    E[xy] - E[x]E[y] form — every addend is an exact integer (degree
+    products), so the sums are order-independent and the final ratio
+    is bit-stable across engines."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    od = e.groupBy(F.col("_s")).agg(
+        F.count(F.lit(1)).cast("double").alias("_x"))
+    idg = e.groupBy(F.col("_d")).agg(
+        F.count(F.lit(1)).cast("double").alias("_y"))
+    j = e.join(od, "_s").join(idg, "_d")
+    a = j.agg(F.count(F.lit(1)).cast("double").alias("n"),
+              F.sum("_x").alias("sx"), F.sum("_y").alias("sy"),
+              F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+              F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+              F.sum(F.col("_y") * F.col("_y")).alias("syy"))
+    cov = F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+    vx = F.col("sxx") / F.col("n") - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+    vy = F.col("syy") / F.col("n") - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+    return a.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.round(cov / F.sqrt(vx * vy), round_to).alias("assortativity"))

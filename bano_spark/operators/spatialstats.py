@@ -980,3 +980,90 @@ def join_count_statistics(cells: DataFrame, *, cx: str = "cx",
             / F.sqrt(F.col("j") * F.lit(p * p) + F.lit(2.0 * kk * p ** 3)
                      - (F.col("j") + F.lit(2.0 * kk)) * F.lit(p ** 4)),
             round_to).alias("z_bb"))
+
+
+def quadrat_dispersion(points: DataFrame, cell: float, nx: int, ny: int, *,
+                       x: str = "x", y: str = "y",
+                       round_to: int = 6) -> DataFrame:
+    """Quadrat-count dispersion test (Greig-Smith 1952): partition the
+    [0, nx*cell) x [0, ny*cell) window into nx*ny quadrats, count
+    points per quadrat INCLUDING empty ones, and report the
+    variance/mean ratio (VMR: 1 under CSR, >1 clustered, <1 regular)
+    plus the chi-square index of dispersion (n_q - 1) * VMR — the
+    cheap screen run before Ripley's K / Clark-Evans.
+
+    Scale shape: one groupBy on the quadrat key over points (map-side
+    partials), a right join against the generated full lattice (tiny,
+    O(nx*ny), broadcast by stats) to restore empty quadrats, one
+    final scalar aggregate. Counts are integers, so every moment sum
+    is exact and the VMR division is bit-stable across engines."""
+    spark = points.sparkSession
+    occ = (points.filter((F.col(x) >= 0) & (F.col(x) < cell * nx)
+                         & (F.col(y) >= 0) & (F.col(y) < cell * ny))
+           .select(F.floor(F.col(x) / cell).cast("bigint").alias("_qx"),
+                   F.floor(F.col(y) / cell).cast("bigint").alias("_qy"))
+           .groupBy("_qx", "_qy").agg(F.count(F.lit(1)).alias("_c")))
+    grid = (spark.range(int(nx) * int(ny))
+            .select((F.col("id") % nx).alias("_qx"),
+                    (F.col("id") / nx).cast("bigint").alias("_qy")))
+    counts = (grid.join(occ, ["_qx", "_qy"], "left")
+              .select(F.coalesce("_c", F.lit(0)).cast("double").alias("c")))
+    a = counts.agg(F.count(F.lit(1)).cast("double").alias("nq"),
+                   F.sum("c").alias("s"),
+                   F.sum(F.col("c") * F.col("c")).alias("ss"))
+    mean = F.col("s") / F.col("nq")
+    # sample variance: (ss - n*mean^2) / (n - 1)
+    var = (F.col("ss") - F.col("nq") * mean * mean) / (F.col("nq") - 1)
+    return a.select(
+        F.col("nq").cast("bigint").alias("n_quadrats"),
+        F.col("s").cast("bigint").alias("n_points"),
+        F.round(mean, round_to).alias("mean_count"),
+        F.round(var, round_to).alias("var_count"),
+        F.round(var / mean, round_to).alias("vmr"),
+        F.round((F.col("nq") - 1) * var / mean, round_to).alias("chi2"))
+
+
+def trend_surface_plane(points: DataFrame, group_cols: list, *,
+                        x: str = "x", y: str = "y", z: str = "z",
+                        round_to: int = 6) -> DataFrame:
+    """First-order trend surface per group: the least-squares plane
+    z = a + b*x + c*y solved in closed form from centered second
+    moments (the 2x2 normal equations by Cramer's rule), plus the
+    surface R^2 — the classic drift estimate detrending kriging /
+    IDW residuals (Davis, Statistics and Data Analysis in Geology).
+
+    Scale shape: ONE groupBy computing the 9 raw power sums (map-side
+    partials); the solve is O(1) column arithmetic on the aggregate
+    row — no driver collect, no iteration. With integer-lattice
+    fixtures every power sum is exact in double, so the closed-form
+    divisions are order-independent and bit-stable across engines.
+    Degenerate groups (collinear x,y: det = 0) return NULL
+    coefficients rather than exploding."""
+    g = points.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"), F.sum(z).alias("sz"),
+        F.sum(F.col(x) * F.col(x)).alias("sxx"),
+        F.sum(F.col(y) * F.col(y)).alias("syy"),
+        F.sum(F.col(x) * F.col(y)).alias("sxy"),
+        F.sum(F.col(x) * F.col(z)).alias("sxz"),
+        F.sum(F.col(y) * F.col(z)).alias("syz"),
+        F.sum(F.col(z) * F.col(z)).alias("szz"))
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    cxz = F.col("sxz") - F.col("sx") * F.col("sz") / F.col("n")
+    cyz = F.col("syz") - F.col("sy") * F.col("sz") / F.col("n")
+    czz = F.col("szz") - F.col("sz") * F.col("sz") / F.col("n")
+    det = cxx * cyy - cxy * cxy
+    b = F.when(det != 0, (cyy * cxz - cxy * cyz) / det)
+    c = F.when(det != 0, (cxx * cyz - cxy * cxz) / det)
+    a = F.col("sz") / F.col("n") - b * F.col("sx") / F.col("n") \
+        - c * F.col("sy") / F.col("n")
+    r2 = F.when(czz != 0, (b * cxz + c * cyz) / czz)
+    return g.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(a, round_to).alias("a"),
+        F.round(b, round_to).alias("b"),
+        F.round(c, round_to).alias("c"),
+        F.round(r2, round_to).alias("r2"))

@@ -839,3 +839,44 @@ def stylometric_delta(docs: DataFrame, group_col: str, *,
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
                  F.round(F.avg(F.abs(F.col("_za") - F.col("_zb"))),
                          round_to).alias("delta")))
+
+
+def hashed_ngram_score(docs: DataFrame, weights: DataFrame,
+                       n_buckets: int, *, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       round_to: int = 6) -> DataFrame:
+    """fastText-style hashed linear classifier (Joulin et al. 2017):
+    features are the document's unigrams plus adjacent bigrams, hashed
+    into ``n_buckets`` via the engine's md5-prefix hash; the score is
+    the MEAN of the bucket weights (the bag-of-features dot product
+    with 1/n_feats normalization) and the label its sign. ``weights``
+    is a (bucket:int, weight:double) table — in production the trained
+    classifier, here any deterministic stand-in.
+
+    This is the quality-classifier shape used to filter pretraining
+    corpora (CCNet / fastText lang+quality filters): linear over
+    hashed n-grams so scoring is embarrassingly parallel.
+
+    Scale shape: explode to features (fan-out ~2x token count), one
+    broadcast join against the weight table (n_buckets rows), one
+    groupBy(doc). Everything JVM-side: split/slice/md5/conv are
+    codegen expressions; no Python crossing."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = (docs.select(F.col(id_col), toks.alias("_t"))
+         .filter(F.size("_t") > 0))
+    uni = d.select(id_col, F.explode("_t").alias("_f"))
+    bi = (d.filter(F.size("_t") >= 2)
+          .select(id_col, F.explode(F.expr(
+              "transform(sequence(1, size(_t) - 1),"
+              " i -> concat_ws(' ', slice(_t, i, 2)))")).alias("_f")))
+    feats = uni.unionByName(bi)
+    bucket = (F.conv(F.substring(F.md5(F.col("_f")), 1, 8), 16, 10)
+              .cast("bigint") % int(n_buckets)).alias("bucket")
+    wtab = F.broadcast(weights.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("weight").cast("double").alias("_w")))
+    scored = feats.select(id_col, bucket).join(wtab, "bucket")
+    return (scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        F.round(F.avg("_w"), round_to).alias("score"),
+        (F.avg("_w") >= 0).alias("keep")))
