@@ -652,3 +652,47 @@ def degree_assortativity(edges: DataFrame, *, src: str = "src",
     return a.select(
         F.col("n").cast("bigint").alias("n_edges"),
         F.round(cov / F.sqrt(vx * vy), round_to).alias("assortativity"))
+
+
+def rich_club(edges: DataFrame, ks: list, *, src: str = "src",
+              dst: str = "dst", round_to: int = 6) -> DataFrame:
+    """Rich-club coefficient phi(k) (Zhou & Mondragon 2004) on the
+    undirected distinct edge set: among the N_k nodes of degree > k,
+    phi(k) = 2 E_k / (N_k (N_k - 1)) where E_k counts edges with BOTH
+    endpoints in the club — the hub-interconnection statistic that
+    separates core-periphery webs from flat ones.
+
+    Scale shape: degrees once (one groupBy), then per k one semi-join
+    of the edge list against the club's node set (node-keyed dim,
+    broadcast when small) — the k loop is over a HANDFUL of literal
+    thresholds, not data. Returns (k, n_club, e_club, phi); clubs
+    with < 2 members yield NULL phi."""
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("a"),
+                   F.greatest("a", "b").alias("b"))
+           .distinct())
+    deg = (und.select(F.col("a").alias("n"))
+           .unionByName(und.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    deg = deg.localCheckpoint(eager=True)
+    parts = []
+    for k in ks:
+        club = deg.filter(F.col("deg") > int(k)).select("n")
+        nk = und.join(club.withColumnRenamed("n", "a"), "a", "semi") \
+                .join(club.withColumnRenamed("n", "b"), "b", "semi")
+        row = (nk.agg(F.count(F.lit(1)).cast("bigint").alias("e_club"))
+               .crossJoin(club.agg(
+                   F.count(F.lit(1)).cast("bigint").alias("n_club")))
+               .select(F.lit(int(k)).alias("k"), "n_club", "e_club",
+                       F.round(
+                           F.when(F.col("n_club") >= 2,
+                                  2.0 * F.col("e_club")
+                                  / (F.col("n_club")
+                                     * (F.col("n_club") - 1))),
+                           round_to).alias("phi")))
+        parts.append(row)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

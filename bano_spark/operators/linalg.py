@@ -126,3 +126,60 @@ def pca_project(embs: DataFrame, components: np.ndarray, *,
                                 out_col: list(p)})
 
     return embs.select(id_col, vec_col).mapInPandas(project, out_schema)
+
+
+def random_projection_distortion(vecs: DataFrame, dim: int, m: int,
+                                 *, id_col: str = "vec_id",
+                                 emb_col: str = "embedding",
+                                 round_to: int = 6) -> DataFrame:
+    """Johnson-Lindenstrauss empirical distortion audit: project each
+    vector to ``m`` dims with a deterministic +-1 sign matrix (integer
+    hash of (j, d) — the Achlioptas 2003 database-friendly scheme),
+    then for every input pair report how well projected squared
+    distances / m preserve the original squared L2 distances: the
+    per-pair distortion ratio plus corpus-level mean/min/max and the
+    fraction inside [1/2, 2]. The go/no-go check before swapping full
+    embeddings for a cheap projection in the ANN/SemDeDup family.
+
+    Scale shape: the projection is a per-row array fold (O(m*dim)
+    column arithmetic, no shuffle, no Python); the audit pair join is
+    the caller's responsibility to bound (pass a SAMPLE — the
+    operator cross-joins what it is given, by design, like the ADC
+    scan). Every sum folds in array-index order on both engines, so
+    results are bit-stable. Returns one row:
+    (n_pairs, mean_distortion, min_distortion, max_distortion,
+    frac_within_2x)."""
+    sign = ("CASE WHEN ((j * 2654435761 + d * 40503) % 97) % 2 = 0 "
+            "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END")
+    proj = F.expr(
+        f"transform(sequence(0, {int(m) - 1}), j -> "
+        f"aggregate(sequence(1, {int(dim)}), CAST(0 AS DOUBLE), "
+        f"(acc, d) -> acc + CAST({emb_col}[d - 1] AS DOUBLE) * {sign}))")
+    v = vecs.select(F.col(id_col).alias("_id"), F.col(emb_col),
+                    proj.alias("_p"))
+    a = v.select(F.col("_id").alias("ida"),
+                 F.col(emb_col).alias("ea"), F.col("_p").alias("pa"))
+    b = v.select(F.col("_id").alias("idb"),
+                 F.col(emb_col).alias("eb"), F.col("_p").alias("pb"))
+    pairs = a.join(b, F.col("ida") < F.col("idb"))
+    od2 = F.expr(
+        f"aggregate(sequence(1, {int(dim)}), CAST(0 AS DOUBLE), "
+        f"(acc, d) -> acc + (CAST(ea[d - 1] AS DOUBLE) "
+        f"- CAST(eb[d - 1] AS DOUBLE)) "
+        f"* (CAST(ea[d - 1] AS DOUBLE) - CAST(eb[d - 1] AS DOUBLE)))")
+    pd2 = F.expr(
+        f"aggregate(sequence(1, {int(m)}), CAST(0 AS DOUBLE), "
+        f"(acc, d) -> acc + (pa[d - 1] - pb[d - 1]) "
+        f"* (pa[d - 1] - pb[d - 1]))")
+    rat = (pairs.select(od2.alias("_od2"), pd2.alias("_pd2"))
+           .filter(F.col("_od2") != 0)
+           .select(((F.col("_pd2") / F.lit(float(m))) / F.col("_od2"))
+                   .alias("_r")))
+    return rat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("_r"), round_to).alias("mean_distortion"),
+        F.round(F.min("_r"), round_to).alias("min_distortion"),
+        F.round(F.max("_r"), round_to).alias("max_distortion"),
+        F.round(F.avg(F.when((F.col("_r") >= 0.5) & (F.col("_r") <= 2.0),
+                             1.0).otherwise(0.0)), round_to)
+        .alias("frac_within_2x"))

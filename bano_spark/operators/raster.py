@@ -958,3 +958,32 @@ def strahler_order(dem: DataFrame, *, gx: str = "gx", gy: str = "gy",
             return order.select(gx, gy, F.col("_o").alias("strahler"))
     raise RuntimeError("strahler_order: no fixpoint after "
                        f"{max_rounds} rounds")
+
+
+def label_adjacency_pairs(cells: DataFrame, *, qx: str = "qx",
+                          qy: str = "qy",
+                          label: str = "label") -> DataFrame:
+    """Rook-adjacency contact counts between labelled raster regions:
+    for every unordered label pair (a < b), the number of shared cell
+    edges — applied to a discrete Voronoi assignment this yields the
+    Voronoi NEIGHBOR graph with boundary lengths (in cell-edge units),
+    the adjacency structure Delaunay triangulations encode, extracted
+    raster-side (the engine's raster->vector discipline,
+    cf. tiles_vectorize).
+
+    Scale shape: undirected adjacencies are generated exactly once via
+    the +x / +y shift equi-joins (fan-out 2, no self cross product —
+    the join_count_statistics pattern), then one groupBy on the label
+    pair. Returns (label_a, label_b, n_edges) for a != b only."""
+    base = cells.select(F.col(qx).alias("_x"), F.col(qy).alias("_y"),
+                        F.col(label).alias("_l"))
+    rhs = base.select("_x", "_y", F.col("_l").alias("_lr"))
+    shifted = (base.select((F.col("_x") + 1).alias("_x"), "_y", "_l")
+               .unionByName(
+                   base.select("_x", (F.col("_y") + 1).alias("_y"), "_l")))
+    touch = (shifted.join(rhs, ["_x", "_y"])
+             .filter(F.col("_l") != F.col("_lr")))
+    return (touch.select(F.least("_l", "_lr").alias("label_a"),
+                         F.greatest("_l", "_lr").alias("label_b"))
+            .groupBy("label_a", "label_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))

@@ -1067,3 +1067,32 @@ def trend_surface_plane(points: DataFrame, group_cols: list, *,
         F.round(b, round_to).alias("b"),
         F.round(c, round_to).alias("c"),
         F.round(r2, round_to).alias("r2"))
+
+
+def g_function(points: DataFrame, cell: float, radii: list, *,
+               id_col: str = "event_id", x_col: str = "x",
+               y_col: str = "y", round_to: int = 6) -> DataFrame:
+    """Nearest-neighbor distance CDF (the G function, Diggle 2003):
+    G(r) = fraction of points whose EXACT nearest-neighbor distance is
+    <= r, evaluated at the given radii — the distributional refinement
+    of Clark-Evans (which reduces the same distances to one mean).
+    No edge correction (documented; matches the raw-G convention).
+
+    Scale shape: the exact NN distances come from
+    :func:`nn_distances` (doubling k-ring, O(n x local density)); the
+    CDF is one crossJoin against the O(|radii|) literal frame and a
+    groupBy(r) — the radii fan-out is a handful, never data-sized.
+    Returns (r, n_le, g)."""
+    spark = points.sparkSession
+    nnd = nn_distances(points, cell, id_col=id_col,
+                       x_col=x_col, y_col=y_col)
+    n = points.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    rdf = spark.createDataFrame([(float(r),) for r in radii], "r double")
+    return (nnd.crossJoin(F.broadcast(rdf))
+            .groupBy("r")
+            .agg(F.sum(F.when(F.col("nn_dist") <= F.col("r"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_le"))
+            .crossJoin(F.broadcast(n))
+            .select("r", "n_le",
+                    F.round(F.col("n_le") / F.col("_n"), round_to)
+                    .alias("g")))

@@ -541,3 +541,55 @@ def rolling_trend_slope(df: DataFrame, key_col: str, ts_col: str,
     return out.select(key_col, F.col("_b").alias("bucket"),
                       F.col("_n").cast("bigint").alias("n_in_frame"),
                       F.round(slope, round_to).alias("slope"))
+
+
+def croston_last(df: DataFrame, key_col: str, order_cols: list,
+                 val_col: str, alpha: float = 0.3,
+                 round_to: int = 6) -> DataFrame:
+    """Final Croston state per key for INTERMITTENT demand series
+    (Croston 1972): exponential smoothing applied separately to the
+    nonzero demand sizes (z) and the inter-demand intervals (p),
+    advancing ONLY on demand periods; forecast = z / p, the demand
+    rate per period. Initialized at the first nonzero demand with
+    z = that demand and p = its 1-based position. Keys with no demand
+    drop.
+
+    Execution discipline as holt_last: ONE groupBy shuffle, then one
+    aggregate() fold per key over the sorted value array with a
+    struct accumulator (Spark evaluates all struct fields against the
+    OLD state; the DuckDB twin must hold the state as a LIST — the
+    list_reduce struct trap). Memory contract: per-key array is the
+    series length; pre-bucket unbounded series first."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("croston_last: alpha out of range")
+    order_struct = F.struct(*[F.col(c) for c in order_cols],
+                            F.col(val_col).alias("_v"))
+    agged = (df.groupBy(key_col)
+             .agg(F.array_sort(F.collect_list(order_struct)).alias("os"))
+             .withColumn("vs", F.expr(
+                 "transform(os, o -> CAST(o._v AS DOUBLE))"))
+             .withColumn("_k", F.expr(
+                 "array_position(transform(vs, x -> x > 0), true)"))
+             .filter(F.col("_k") > 0))
+    a = repr(float(alpha))
+    fold = (f"aggregate(slice(vs, CAST(_k + 1 AS INT), "
+            f"                size(vs) - CAST(_k AS INT)), "
+            f"named_struct('z', element_at(vs, CAST(_k AS INT)), "
+            f"             'p', CAST(_k AS DOUBLE), "
+            f"             'q', CAST(0 AS DOUBLE)), "
+            f"(s, v) -> named_struct("
+            f"  'z', IF(v > 0, CAST({a} AS DOUBLE) * v "
+            f"            + CAST(1.0 - {a} AS DOUBLE) * s.z, s.z), "
+            f"  'p', IF(v > 0, CAST({a} AS DOUBLE) * (s.q + 1) "
+            f"            + CAST(1.0 - {a} AS DOUBLE) * s.p, s.p), "
+            f"  'q', IF(v > 0, CAST(0 AS DOUBLE), s.q + 1)))")
+    st = F.expr(fold)
+    nz = F.expr("size(filter(vs, x -> x > 0))")
+    return (agged.select(
+        key_col, F.size("vs").cast("bigint").alias("n_periods"),
+        nz.cast("bigint").alias("n_demands"), st.alias("_st"))
+        .select(key_col, "n_periods", "n_demands",
+                F.round(F.col("_st.z"), round_to).alias("demand_size"),
+                F.round(F.col("_st.p"), round_to).alias("interval"),
+                F.round(F.col("_st.z") / F.col("_st.p"), round_to)
+                .alias("rate_forecast")))
