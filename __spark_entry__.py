@@ -1933,6 +1933,7 @@ from bano_spark import queries_wave27 as _w27  # noqa: E402
 from bano_spark import queries_wave28 as _w28  # noqa: E402
 from bano_spark import queries_wave29 as _w29  # noqa: E402
 from bano_spark import queries_wave30 as _w30  # noqa: E402
+from bano_spark import queries_wave31 as _w31  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1982,6 +1983,8 @@ _QUERIES.update(_w29.QUERIES)
 _ORACLES.update(_w29.ORACLES)
 _QUERIES.update(_w30.QUERIES)
 _ORACLES.update(_w30.ORACLES)
+_QUERIES.update(_w31.QUERIES)
+_ORACLES.update(_w31.ORACLES)
 
 
 # ---------------------------------------------------------------------------

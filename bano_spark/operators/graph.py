@@ -696,3 +696,33 @@ def rich_club(edges: DataFrame, ks: list, *, src: str = "src",
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def global_transitivity(edges: DataFrame, *, src: str = "src",
+                        dst: str = "dst",
+                        round_to: int = 6) -> DataFrame:
+    """Global clustering coefficient (transitivity): C = 3T / W with
+    T the undirected triangle count and W = sum_n deg_n (deg_n - 1)/2
+    the wedge count — the one-number closure summary next to the
+    per-node :func:`triangle_participation`.
+
+    Scale shape: reuses the degree-oriented triangle machinery
+    (skew-bounded wedge join) for T and one degree aggregate for W —
+    both integer totals, so the final ratio is bit-stable."""
+    tri = triangle_participation(edges, src=src, dst=dst)
+    t = tri.agg((F.sum("n_triangles") / 3).cast("bigint").alias("t"))
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                        F.greatest(F.col(src), F.col(dst)).alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("n"))
+           .unionByName(und.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    w = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2)
+                .cast("bigint").alias("w"))
+    return (t.crossJoin(w)
+            .select(F.col("t").alias("n_triangles"),
+                    F.col("w").alias("n_wedges"),
+                    F.round(F.when(F.col("w") > 0,
+                                   3.0 * F.col("t") / F.col("w")),
+                            round_to).alias("transitivity")))

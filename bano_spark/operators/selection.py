@@ -424,3 +424,45 @@ def selection_tradeoff_curve(docs: DataFrame, score_col: str,
                             round_to).alias("cum_doc_share"),
                     F.round(F.col("_ct") / F.lit(float(tot["tt"])),
                             round_to).alias("cum_token_share")))
+
+
+def threshold_sweep(scored: DataFrame, thresholds: list, *,
+                    score_col: str = "score", label_col: str = "label",
+                    round_to: int = 6) -> DataFrame:
+    """Operating-point sweep for a binary scorer: at each threshold t,
+    confusion counts (predict positive when score >= t) against the
+    boolean ``label_col`` plus precision / recall / F1 — how a corpus
+    quality filter is tuned before committing a kept-fraction.
+
+    Scale shape: ONE pass over the scored frame — the thresholds are
+    a handful of literals, so the sweep is a crossJoin against an
+    O(|thresholds|) broadcast frame and one groupBy(threshold) with
+    map-side partials. Counts are integers; the PR arithmetic is
+    bit-stable."""
+    spark = scored.sparkSession
+    tdf = spark.createDataFrame([(float(t),) for t in thresholds],
+                                "threshold double")
+    j = scored.select(F.col(score_col).alias("_s"),
+                      F.col(label_col).cast("boolean").alias("_l")) \
+        .crossJoin(F.broadcast(tdf))
+    pred = F.col("_s") >= F.col("threshold")
+    agg = j.groupBy("threshold").agg(
+        F.sum(F.when(pred & F.col("_l"), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when(pred & ~F.col("_l"), 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when(~pred & F.col("_l"), 1).otherwise(0))
+        .cast("bigint").alias("fn"))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp")))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn")))
+    return agg.select(
+        "threshold", "tp", "fp", "fn",
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(F.when((F.col("tp") + F.col("fp") > 0)
+                       & (F.col("tp") + F.col("fn") > 0)
+                       & (prec + rec > 0),
+                       2 * prec * rec / (prec + rec)),
+                round_to).alias("f1"))

@@ -1096,3 +1096,118 @@ def g_function(points: DataFrame, cell: float, radii: list, *,
             .select("r", "n_le",
                     F.round(F.col("n_le") / F.col("_n"), round_to)
                     .alias("g")))
+
+
+def bivariate_moran(cells: DataFrame, *, x_col: str = "xval",
+                    y_col: str = "yval", cx: str = "cx", cy: str = "cy",
+                    round_to: int = 6) -> DataFrame:
+    """Global bivariate Moran's I (Wartenberg 1985) on a square
+    lattice under rook adjacency: spatial cross-correlation of x at a
+    cell with y at its neighbors,
+
+        I_xy = (n / W) * sum_ij w_ij (x_i - xbar)(y_j - ybar)
+             / sqrt(sum (x - xbar)^2 * sum (y - ybar)^2)
+
+    — the lead-lag screen (does crawl density at a cell predict spam
+    rate NEXT DOOR) that the univariate moran family can't ask.
+
+    Scale shape identical to local_moran: deviations need one global
+    mean pair (O(1) driver literals), neighbor pairs come from the
+    bounded 4-offset explode + equi-join, and everything else is one
+    aggregate with map-side partials."""
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(x_col) / F.count(F.lit(1))).alias("mx"),
+        (F.sum(y_col) / F.count(F.lit(1))).alias("my")).collect()[0]
+    n, mx, my = int(stats["n"]), float(stats["mx"]), float(stats["my"])
+    dev = cells.select(
+        cx, cy,
+        (F.col(x_col) - F.lit(mx)).alias("_dx"),
+        (F.col(y_col) - F.lit(my)).alias("_dy"))
+    offs = [(1, 0), (-1, 0), (0, 1), (0, -1)]
+    arr = F.array(*[F.struct(F.lit(a).alias("dx"), F.lit(b).alias("dy"))
+                    for a, b in offs])
+    shifted = (dev.select(F.explode(arr).alias("o"), cx, cy, "_dy")
+               .select((F.col(cx) + F.col("o.dx")).alias(cx),
+                       (F.col(cy) + F.col("o.dy")).alias(cy),
+                       F.col("_dy").alias("_dyn")))
+    pairs = dev.join(shifted, [cx, cy])
+    num = pairs.agg(F.count(F.lit(1)).alias("w_pairs"),
+                    F.sum(F.col("_dx") * F.col("_dyn")).alias("_cross"))
+    den = dev.agg(F.sum(F.col("_dx") * F.col("_dx")).alias("sxx"),
+                  F.sum(F.col("_dy") * F.col("_dy")).alias("syy"))
+    return (num.crossJoin(den).select(
+        F.lit(n).cast("bigint").alias("n_cells"),
+        F.col("w_pairs").cast("bigint").alias("w_pairs"),
+        F.round((F.lit(float(n)) / F.col("w_pairs")) * F.col("_cross")
+                / F.sqrt(F.col("sxx") * F.col("syy")),
+                round_to).alias("moran_ixy")))
+
+
+def ritter_bounding_circle(points: DataFrame, group_cols: list, *,
+                           id_col: str = "event_id", x: str = "x",
+                           y: str = "y", round_to: int = 6) -> DataFrame:
+    """Approximate minimum enclosing circle per group via Ritter's
+    algorithm (Ritter 1990, Graphics Gems): seed with the point
+    farthest from the first point, the point farthest from THAT, take
+    their midpoint circle, then sweep all points once in id order
+    growing the circle (guaranteed <= ~5% over the optimum) — the
+    coverage-disc summary next to std_dev_ellipse's variance ellipse.
+
+    Execution discipline as holt_last/croston_last: ONE groupBy
+    collects the group's points into an id-sorted array, and every
+    stage — both farthest-point scans and the sequential growth sweep
+    — is an aggregate() fold over that array, so the arithmetic runs
+    in identical order on any engine (ties break to the earlier
+    point: strict > comparisons). Memory contract: per-group array in
+    executor memory; pre-partition mega-groups first."""
+    pt = F.struct(F.col(id_col).alias("_i"),
+                  F.col(x).cast("double").alias("_x"),
+                  F.col(y).cast("double").alias("_y"))
+    g = (points.groupBy(*group_cols)
+         .agg(F.array_sort(F.collect_list(pt)).alias("arr"))
+         .filter(F.size("arr") >= 2))
+
+    def far(from_x: str, from_y: str) -> str:
+        # fold: keep the strictly-farthest point from (from_x, from_y)
+        return (f"aggregate(arr, "
+                f"named_struct('d2', CAST(-1 AS DOUBLE), "
+                f"             'x', CAST(0 AS DOUBLE), "
+                f"             'y', CAST(0 AS DOUBLE)), "
+                f"(s, p) -> IF((p._x - {from_x}) * (p._x - {from_x}) "
+                f"   + (p._y - {from_y}) * (p._y - {from_y}) > s.d2, "
+                f"  named_struct('d2', (p._x - {from_x}) * (p._x - {from_x}) "
+                f"     + (p._y - {from_y}) * (p._y - {from_y}), "
+                f"     'x', p._x, 'y', p._y), s))")
+
+    g = g.withColumn("_p1", F.expr(far("arr[0]._x", "arr[0]._y")))
+    g = g.withColumn("_p2", F.expr(far("_p1.x", "_p1.y")))
+    sweep = ("aggregate(arr, "
+             "named_struct('cx', (_p1.x + _p2.x) / 2, "
+             "             'cy', (_p1.y + _p2.y) / 2, "
+             "             'r', sqrt(_p2.d2) / 2), "
+             "(s, p) -> IF(sqrt((p._x - s.cx) * (p._x - s.cx) "
+             "     + (p._y - s.cy) * (p._y - s.cy)) > s.r, "
+             "  named_struct("
+             "    'cx', s.cx + ((sqrt((p._x - s.cx) * (p._x - s.cx) "
+             "       + (p._y - s.cy) * (p._y - s.cy)) "
+             "       - (s.r + sqrt((p._x - s.cx) * (p._x - s.cx) "
+             "       + (p._y - s.cy) * (p._y - s.cy))) / 2) "
+             "       / sqrt((p._x - s.cx) * (p._x - s.cx) "
+             "       + (p._y - s.cy) * (p._y - s.cy))) * (p._x - s.cx), "
+             "    'cy', s.cy + ((sqrt((p._x - s.cx) * (p._x - s.cx) "
+             "       + (p._y - s.cy) * (p._y - s.cy)) "
+             "       - (s.r + sqrt((p._x - s.cx) * (p._x - s.cx) "
+             "       + (p._y - s.cy) * (p._y - s.cy))) / 2) "
+             "       / sqrt((p._x - s.cx) * (p._x - s.cx) "
+             "       + (p._y - s.cy) * (p._y - s.cy))) * (p._y - s.cy), "
+             "    'r', (s.r + sqrt((p._x - s.cx) * (p._x - s.cx) "
+             "       + (p._y - s.cy) * (p._y - s.cy))) / 2), "
+             "  s))")
+    g = g.withColumn("_c", F.expr(sweep))
+    return g.select(
+        *group_cols,
+        F.size("arr").cast("bigint").alias("n_points"),
+        F.round(F.col("_c.cx"), round_to).alias("center_x"),
+        F.round(F.col("_c.cy"), round_to).alias("center_y"),
+        F.round(F.col("_c.r"), round_to).alias("radius"))
