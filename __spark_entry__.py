@@ -1934,6 +1934,8 @@ from bano_spark import queries_wave28 as _w28  # noqa: E402
 from bano_spark import queries_wave29 as _w29  # noqa: E402
 from bano_spark import queries_wave30 as _w30  # noqa: E402
 from bano_spark import queries_wave31 as _w31  # noqa: E402
+from bano_spark import queries_wave32 as _w32  # noqa: E402
+from bano_spark import queries_wave33 as _w33  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1985,6 +1987,10 @@ _QUERIES.update(_w30.QUERIES)
 _ORACLES.update(_w30.ORACLES)
 _QUERIES.update(_w31.QUERIES)
 _ORACLES.update(_w31.ORACLES)
+_QUERIES.update(_w32.QUERIES)
+_ORACLES.update(_w32.ORACLES)
+_QUERIES.update(_w33.QUERIES)
+_ORACLES.update(_w33.ORACLES)
 
 
 # ---------------------------------------------------------------------------

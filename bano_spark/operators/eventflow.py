@@ -200,3 +200,36 @@ def sequence_patterns(events: DataFrame, gap_s: int, min_support: int, *,
             .filter(F.col("support") >= min_support)
             .withColumn("share", F.round(
                 F.col("support") / F.lit(float(n_users)), round_to)))
+
+
+def markov_entropy_rate(events: DataFrame, *, key_col: str = "user_id",
+                        type_col: str = "event_type",
+                        order_cols: list = None,
+                        round_to: int = 6) -> DataFrame:
+    """Per-key entropy rate of the first-order Markov chain over event
+    types: H = -sum_s p(s) sum_t p(t|s) ln p(t|s) with p estimated
+    from the key's observed transitions — the predictability score
+    (low = habitual sequences) on top of the raw transition counts
+    event_transitions reports.
+
+    Scale shape: one per-key ROW lag window, one
+    groupBy(key, from, to), one groupBy(key, from), one final
+    groupBy(key) — all partitioned by the key, integer counts feeding
+    log ratios. Returns (key, n_transitions, entropy_rate)."""
+    order_cols = order_cols or ["ts", "event_id"]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    tr = (events.select(key_col, F.col(type_col).alias("_to"),
+                        F.lag(type_col).over(w).alias("_from"))
+          .filter(F.col("_from").isNotNull()))
+    nst = tr.groupBy(key_col, "_from", "_to").agg(
+        F.count(F.lit(1)).cast("double").alias("_nst"))
+    ns = nst.groupBy(key_col, "_from").agg(
+        F.sum("_nst").alias("_ns"))
+    tot = ns.groupBy(key_col).agg(F.sum("_ns").alias("_nt"))
+    j = nst.join(ns, [key_col, "_from"]).join(tot, key_col)
+    term = ((F.col("_ns") / F.col("_nt"))
+            * (F.col("_nst") / F.col("_ns"))
+            * F.log(F.col("_nst") / F.col("_ns")))
+    return (j.groupBy(key_col)
+            .agg(F.first("_nt").cast("bigint").alias("n_transitions"),
+                 F.round(-F.sum(term), round_to).alias("entropy_rate")))

@@ -726,3 +726,53 @@ def global_transitivity(edges: DataFrame, *, src: str = "src",
                     F.round(F.when(F.col("w") > 0,
                                    3.0 * F.col("t") / F.col("w")),
                             round_to).alias("transitivity")))
+
+
+def community_conductance(edges: DataFrame, labels: DataFrame, *,
+                          src: str = "src", dst: str = "dst",
+                          node: str = "node", label: str = "community",
+                          round_to: int = 6) -> DataFrame:
+    """Per-community conductance on the undirected distinct edge set:
+    phi(c) = cut(c) / min(vol(c), 2m - vol(c)) — the bottleneck
+    quality score (low = well-separated community) that complements
+    :func:`modularity_directed`'s density contrast; the spectral-
+    partitioning objective evaluated on ANY labelling.
+
+    Scale shape: two label joins on the edge list, one groupBy for
+    cut counts, degrees + one label join + groupBy for volumes; m is
+    an O(1) broadcast. Integer counts — bit-stable ratio. Returns
+    (community, vol, cut, conductance); single-community graphs get
+    NULL conductance (min side is 0)."""
+    lab = labels.select(F.col(node).alias("_n"), F.col(label).alias("_c"))
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .filter(F.col("a") != F.col("b"))
+           .select(F.least("a", "b").alias("a"),
+                   F.greatest("a", "b").alias("b"))
+           .distinct())
+    e = (und.join(lab.select(F.col("_n").alias("a"),
+                             F.col("_c").alias("_ca")), "a")
+         .join(lab.select(F.col("_n").alias("b"),
+                          F.col("_c").alias("_cb")), "b"))
+    m = und.agg(F.count(F.lit(1)).alias("_m"))
+    deg = (und.select(F.col("a").alias("_n"))
+           .unionByName(und.select(F.col("b").alias("_n")))
+           .groupBy("_n").agg(F.count(F.lit(1)).alias("_d")))
+    vol = (deg.join(lab, "_n")
+           .groupBy(F.col("_c").alias("community"))
+           .agg(F.sum("_d").cast("bigint").alias("vol")))
+    cut_a = (e.filter(F.col("_ca") != F.col("_cb"))
+             .select(F.col("_ca").alias("community")))
+    cut_b = (e.filter(F.col("_ca") != F.col("_cb"))
+             .select(F.col("_cb").alias("community")))
+    cut = (cut_a.unionByName(cut_b)
+           .groupBy("community")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("cut")))
+    minside = F.least(F.col("vol"), 2 * F.col("_m") - F.col("vol"))
+    return (vol.join(cut, "community", "left")
+            .crossJoin(F.broadcast(m))
+            .select("community", "vol",
+                    F.coalesce("cut", F.lit(0)).cast("bigint").alias("cut"),
+                    F.round(F.when(minside > 0,
+                                   F.coalesce(F.col("cut"), F.lit(0))
+                                   / minside),
+                            round_to).alias("conductance")))

@@ -402,27 +402,39 @@ def selection_tradeoff_curve(docs: DataFrame, score_col: str,
     at each band — the picture a data-mixing decision reads before
     `token_budget_selection` commits to a cut.
 
-    Scale shape: one groupBy(score) + an O(bands) window over the
-    band table (bounded by distinct scores, tiny by construction for
-    banded quality heuristics — the single-partition window is over
-    bands, not rows). Returns (score, n_docs, n_tokens, cum_doc_share,
-    cum_token_share)."""
+    Scale shape: one groupBy(score), then the cumulative sums fold
+    over the collected band ARRAY (bounded by distinct scores, tiny
+    by construction for banded quality heuristics) — the kaplan_meier
+    O(distinct) discipline, so the plan carries NO single-partition
+    exchange at all (the r4 explain audit flagged the earlier global
+    band window; this is the restructure, not an exception). Returns
+    (score, n_docs, n_tokens, cum_doc_share, cum_token_share)."""
     bands = (docs.groupBy(F.col(score_col).alias("score"))
-             .agg(F.count(F.lit(1)).alias("n_docs"),
-                  F.sum(F.col(token_col)).alias("n_tokens")))
-    tot = bands.agg(F.sum("n_docs").alias("td"),
-                    F.sum("n_tokens").alias("tt")).collect()[0]
-    w = (Window.orderBy(F.desc("score"))
-         .rowsBetween(Window.unboundedPreceding, 0))
-    return (bands
-            .withColumn("_cd", F.sum("n_docs").over(w))
-            .withColumn("_ct", F.sum("n_tokens").over(w))
-            .select("score",
-                    F.col("n_docs").cast("bigint").alias("n_docs"),
-                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
-                    F.round(F.col("_cd") / F.lit(float(tot["td"])),
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                  F.sum(F.col(token_col)).cast("bigint")
+                  .alias("n_tokens")))
+    row = F.struct(F.col("score"), F.col("n_docs"), F.col("n_tokens"))
+    folded = bands.agg(
+        F.reverse(F.array_sort(F.collect_list(row))).alias("a"))
+    rows = folded.select(F.expr(
+        "transform(a, (r, i) -> named_struct("
+        "  'score', r.score, 'n_docs', r.n_docs,"
+        "  'n_tokens', r.n_tokens,"
+        "  'cd', aggregate(slice(a, 1, i + 1), CAST(0 AS BIGINT),"
+        "        (acc, q) -> acc + q.n_docs),"
+        "  'ct', aggregate(slice(a, 1, i + 1), CAST(0 AS BIGINT),"
+        "        (acc, q) -> acc + q.n_tokens),"
+        "  'td', aggregate(a, CAST(0 AS BIGINT),"
+        "        (acc, q) -> acc + q.n_docs),"
+        "  'tt', aggregate(a, CAST(0 AS BIGINT),"
+        "        (acc, q) -> acc + q.n_tokens)))").alias("rows"))
+    return (rows.select(F.explode("rows").alias("r"))
+            .select(F.col("r.score").alias("score"),
+                    F.col("r.n_docs").alias("n_docs"),
+                    F.col("r.n_tokens").alias("n_tokens"),
+                    F.round(F.col("r.cd") / F.col("r.td"),
                             round_to).alias("cum_doc_share"),
-                    F.round(F.col("_ct") / F.lit(float(tot["tt"])),
+                    F.round(F.col("r.ct") / F.col("r.tt"),
                             round_to).alias("cum_token_share")))
 
 

@@ -101,3 +101,54 @@ def ipf_balance(seed: DataFrame, row_targets: DataFrame,
                        .alias("_t")))
     return cur.select(i_col, j_col,
                       F.round("_t", round_to).alias("t_balanced"))
+
+
+def two_step_fca(demand: DataFrame, supply: DataFrame, d0: float, *,
+                 did: str = "event_id", dx: str = "x", dy: str = "y",
+                 dw: str = "demand", sid: str = "node_id",
+                 sx: str = "nx", sy: str = "ny", sw: str = "supply",
+                 round_to: int = 6) -> DataFrame:
+    """Two-step floating catchment area accessibility (Luo & Wang
+    2003): step 1 gives each supply site its ratio R_j = S_j /
+    (sum of demand within d0); step 2 gives each demand point
+    A_i = sum of R_j over sites within d0 — the standard
+    supply-vs-need accessibility surface (clinics per capita within
+    reach, mirrors per crawl region).
+
+    Scale shape: BOTH catchment joins are the engine's 3x3 coarse-cell
+    ring at cell size d0 (every pair within d0 shares a ring —
+    complete, never a cross product) with the exact d^2 <= d0^2
+    refine; each step is one equi-join + one groupBy. Demand points
+    with no reachable supply keep A_i = 0 (left join, documented)."""
+    c = float(d0)
+    dd = demand.select(
+        F.col(did), F.col(dx), F.col(dy),
+        F.col(dw).cast("double").alias("_dw"),
+        F.floor(F.col(dx) / c).cast("bigint").alias("_cx"),
+        F.floor(F.col(dy) / c).cast("bigint").alias("_cy"))
+    offs = F.array(*[F.struct(F.lit(a).alias("dx"), F.lit(b).alias("dy"))
+                     for a in (-1, 0, 1) for b in (-1, 0, 1)])
+    ss = (supply.select(
+        F.col(sid), F.col(sx), F.col(sy),
+        F.col(sw).cast("double").alias("_sw"),
+        F.floor(F.col(sx) / c).cast("bigint").alias("_bx"),
+        F.floor(F.col(sy) / c).cast("bigint").alias("_by"),
+        F.explode(offs).alias("o"))
+        .select(sid, sx, sy, "_sw",
+                (F.col("_bx") + F.col("o.dx")).alias("_cx"),
+                (F.col("_by") + F.col("o.dy")).alias("_cy")))
+    d2 = ((F.col(dx) - F.col(sx)) * (F.col(dx) - F.col(sx))
+          + (F.col(dy) - F.col(sy)) * (F.col(dy) - F.col(sy)))
+    within = dd.join(ss, ["_cx", "_cy"]).filter(d2 <= F.lit(c * c))
+    ratio = (within.groupBy(sid)
+             .agg(F.first("_sw").alias("_sw"),
+                  F.sum("_dw").alias("_dsum"))
+             .select(sid, (F.col("_sw") / F.col("_dsum")).alias("_r")))
+    acc = (within.select(did, sid)
+           .join(ratio, sid)
+           .groupBy(did).agg(F.sum("_r").alias("_a")))
+    return (demand.select(did)
+            .join(acc, did, "left")
+            .select(did,
+                    F.round(F.coalesce("_a", F.lit(0.0)), round_to)
+                    .alias("accessibility")))

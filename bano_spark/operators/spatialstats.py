@@ -1211,3 +1211,84 @@ def ritter_bounding_circle(points: DataFrame, group_cols: list, *,
         F.round(F.col("_c.cx"), round_to).alias("center_x"),
         F.round(F.col("_c.cy"), round_to).alias("center_y"),
         F.round(F.col("_c.r"), round_to).alias("radius"))
+
+
+def location_quotient(cells: DataFrame, *, cat_col: str = "category",
+                      cell_cols: list = None,
+                      round_to: int = 6) -> DataFrame:
+    """Location quotient per (cell, category): the share of category c
+    in the cell over its global share,
+
+        LQ = (n_cc / n_c) / (N_cat / N)
+
+    > 1 where the category concentrates — the first-look spatial
+    concentration measure planners run before any clustering test.
+
+    Scale shape: two groupBys over the cell frame (cell x category and
+    cell totals) plus one O(categories) aggregate broadcast back;
+    counts are integers so the double ratios are bit-stable."""
+    cell_cols = cell_cols or ["cx", "cy"]
+    cc = (cells.groupBy(*cell_cols, cat_col)
+          .agg(F.count(F.lit(1)).alias("n_cc")))
+    ct = (cells.groupBy(*cell_cols)
+          .agg(F.count(F.lit(1)).alias("n_cell")))
+    gt = (cells.groupBy(cat_col)
+          .agg(F.count(F.lit(1)).alias("n_cat")))
+    tot = cells.agg(F.count(F.lit(1)).alias("n_total"))
+    return (cc.join(ct, cell_cols)
+            .join(F.broadcast(gt), cat_col)
+            .crossJoin(F.broadcast(tot))
+            .select(*cell_cols, cat_col,
+                    F.col("n_cc").cast("bigint").alias("n_cc"),
+                    F.col("n_cell").cast("bigint").alias("n_cell"),
+                    F.round((F.col("n_cc") / F.col("n_cell"))
+                            / (F.col("n_cat") / F.col("n_total")),
+                            round_to).alias("lq")))
+
+
+def segregation_entropy(cells: DataFrame, *, cat_col: str = "category",
+                        cell_cols: list = None,
+                        round_to: int = 6) -> DataFrame:
+    """Theil's multigroup segregation index H (Theil 1972; Reardon &
+    Firebaugh 2002): with E the global entropy of the group mix and
+    E_i each cell's entropy,
+
+        H = sum_i t_i (E - E_i) / (T E)
+
+    in [0, 1]: 0 = every cell mirrors the global mix, 1 = total
+    separation. The diversity-partition complement of the location
+    quotient's per-cell ratios.
+
+    Scale shape: one groupBy(cell, group), one groupBy(cell), one
+    O(groups) global aggregate; the entropy sums fold integer-ratio
+    logs with map-side partials. Returns ONE row
+    (n_cells, n_groups, global_entropy, h_index)."""
+    cell_cols = cell_cols or ["cx", "cy"]
+    cc = (cells.groupBy(*cell_cols, cat_col)
+          .agg(F.count(F.lit(1)).cast("double").alias("_n")))
+    ct = (cells.groupBy(*cell_cols)
+          .agg(F.count(F.lit(1)).cast("double").alias("_t")))
+    tot = cells.agg(F.count(F.lit(1)).cast("double").alias("_tt"))
+    gl = (cells.groupBy(cat_col)
+          .agg(F.count(F.lit(1)).cast("double").alias("_g"))
+          .crossJoin(F.broadcast(tot))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+               (-F.sum((F.col("_g") / F.col("_tt"))
+                       * F.log(F.col("_g") / F.col("_tt"))))
+               .alias("_e")))
+    ei = (cc.join(ct, cell_cols)
+          .groupBy(*cell_cols)
+          .agg(F.first("_t").alias("_t"),
+               (-F.sum((F.col("_n") / F.col("_t"))
+                       * F.log(F.col("_n") / F.col("_t")))).alias("_ei")))
+    num = (ei.crossJoin(F.broadcast(gl))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                F.first("n_groups").alias("n_groups"),
+                F.first("_e").alias("_e"),
+                F.sum(F.col("_t") * (F.col("_e") - F.col("_ei")))
+                .alias("_num")))
+    return (num.crossJoin(F.broadcast(tot))
+            .select("n_cells", "n_groups",
+                    F.round("_e", round_to).alias("global_entropy"),
+                    F.round(F.col("_num") / (F.col("_tt") * F.col("_e")),
+                            round_to).alias("h_index")))

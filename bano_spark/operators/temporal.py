@@ -651,3 +651,45 @@ def kaplan_meier(durations: DataFrame, *, dur_col: str = "duration",
         F.col("r.c").cast("bigint").alias("n_censored"),
         F.round(F.col("r.s"), round_to).alias("survival"))
     return out.filter(F.col("n_events") > 0)
+
+
+def classical_decomposition(df: DataFrame, key_col: str, seq_col: str,
+                            val_col: str, period: int, *,
+                            round_to: int = 6) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method, Macaulay 1931 — still the reference baseline under STL):
+    per key, trend = centered moving average over one full (odd)
+    period (NULL where the window is truncated), seasonal = the
+    phase-mean of the detrended series re-centered to sum to zero,
+    remainder = value - trend - seasonal.
+
+    Scale shape: one per-key ROWS window for the MA (partitioned,
+    never global), two groupBys for the phase means and their
+    centering, and broadcast joins back — no self-join, no global
+    exchange. Returns (key, seq, value, trend, seasonal, remainder)."""
+    if period % 2 != 1 or period < 3:
+        raise ValueError("classical_decomposition: period must be odd >= 3")
+    h = period // 2
+    d = df.select(F.col(key_col).alias("_k"),
+                  F.col(seq_col).cast("bigint").alias("_s"),
+                  F.col(val_col).cast("double").alias("_v"))
+    w = Window.partitionBy("_k").orderBy("_s").rowsBetween(-h, h)
+    d = d.withColumn(
+        "_trend",
+        F.when(F.count(F.lit(1)).over(w) == period, F.avg("_v").over(w)))
+    d = d.withColumn("_phase", F.pmod(F.col("_s"), F.lit(period)))
+    d = d.withColumn("_det", F.col("_v") - F.col("_trend"))
+    ph = (d.groupBy("_k", "_phase")
+          .agg(F.avg("_det").alias("_sp")))
+    ctr = ph.groupBy("_k").agg(F.avg("_sp").alias("_spm"))
+    ph = (ph.join(ctr, "_k")
+          .select("_k", "_phase",
+                  (F.col("_sp") - F.col("_spm")).alias("_seasonal")))
+    out = d.join(ph, ["_k", "_phase"])
+    return out.select(
+        F.col("_k").alias(key_col), F.col("_s").alias(seq_col),
+        F.round("_v", round_to).alias("value"),
+        F.round("_trend", round_to).alias("trend"),
+        F.round("_seasonal", round_to).alias("seasonal"),
+        F.round(F.col("_v") - F.col("_trend") - F.col("_seasonal"),
+                round_to).alias("remainder"))

@@ -880,3 +880,55 @@ def hashed_ngram_score(docs: DataFrame, weights: DataFrame,
         F.count(F.lit(1)).cast("bigint").alias("n_feats"),
         F.round(F.avg("_w"), round_to).alias("score"),
         (F.avg("_w") >= 0).alias("keep")))
+
+
+def kneser_ney_bigrams(docs: DataFrame, *, text_col: str = "text",
+                       discount: float = 0.75, top_k: int = 30,
+                       round_to: int = 6) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995; Chen & Goodman 1998), the LM smoothing that beats the
+    engine's additive (bigram_lm_score) and backoff (stupid backoff,
+    Good-Turing) family by modeling CONTINUATION counts:
+
+        P_KN(w2|w1) = max(c12 - d, 0) / c1
+                      + (d * N1+(w1 .) / c1) * N1+(. w2) / N1+(. .)
+
+    Returns the ``top_k`` bigrams by count with their components and
+    P_KN — the inspection table a corpus LM ships with.
+
+    Scale shape: everything is groupBys over exploded bigrams (exact
+    integer counts, map-side partials): c12, c1 as the sum over the
+    context, the three continuation counts as COUNT(DISTINCT ...)
+    rollups; the final arithmetic is O(1) per bigram and bit-stable.
+    Top-k is a TakeOrdered, never a global sort."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = docs.select(toks.alias("_t")).filter(F.size("_t") >= 2)
+    bi = d.select(F.explode(F.expr(
+        "transform(sequence(1, size(_t) - 1), "
+        "i -> struct(_t[i - 1] AS w1, _t[i] AS w2))")).alias("b")) \
+        .select("b.w1", "b.w2")
+    c12 = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n1p_fwd"))
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n1p_bwd"))
+    types = c12.agg(F.count(F.lit(1)).cast("double").alias("n1p_all"))
+    dd = float(discount)
+    scored = (c12.join(c1, "w1").join(cont, "w2")
+              .crossJoin(F.broadcast(types))
+              .select(
+                  "w1", "w2",
+                  F.col("c12").cast("bigint").alias("count"),
+                  F.col("c1").cast("bigint").alias("context_count"),
+                  F.col("n1p_fwd").cast("bigint").alias("n_follow_types"),
+                  F.col("n1p_bwd").cast("bigint").alias("n_precede_types"),
+                  F.round(
+                      F.greatest(F.col("c12") - F.lit(dd), F.lit(0.0))
+                      / F.col("c1")
+                      + (F.lit(dd) * F.col("n1p_fwd") / F.col("c1"))
+                      * (F.col("n1p_bwd") / F.col("n1p_all")),
+                      round_to).alias("p_kn")))
+    return (scored.orderBy(F.desc("count"), F.asc("w1"), F.asc("w2"))
+            .limit(int(top_k)))

@@ -696,3 +696,33 @@ def circular_bearing_stats(traj: DataFrame, *, track_col: str = "user_id",
         .alias("mean_dir_rad"),
         F.round(r, round_to).alias("resultant_r"),
         F.round(F.col("n_legs") * r * r, round_to).alias("rayleigh_z"))
+
+
+def radius_of_gyration(traj: DataFrame, *, key_col: str = "user_id",
+                       x: str = "x", y: str = "y",
+                       round_to: int = 6) -> DataFrame:
+    """Radius of gyration per track (Gonzalez, Hidalgo & Barabasi
+    2008): rg = sqrt(mean squared distance of the track's points to
+    its own centroid) — THE characteristic-travel-scale statistic of
+    human-mobility analysis, computed via the moment identity
+    rg^2 = (E[x^2] - E[x]^2) + (E[y^2] - E[y]^2) so one aggregation
+    pass suffices (no centroid join, no second scan).
+
+    Scale shape: ONE groupBy(track) with map-side partials; with
+    lattice-valued fixtures every power sum is exact, making the
+    identity bit-stable. Returns (key, n_points, cx, cy, rg)."""
+    g = traj.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+        F.sum(F.col(x) * F.col(x)).alias("_sxx"),
+        F.sum(F.col(y) * F.col(y)).alias("_syy"))
+    ex = F.col("_sx") / F.col("_n")
+    ey = F.col("_sy") / F.col("_n")
+    rg2 = (F.col("_sxx") / F.col("_n") - ex * ex
+           + F.col("_syy") / F.col("_n") - ey * ey)
+    return g.select(
+        key_col, F.col("_n").cast("bigint").alias("n_points"),
+        F.round(ex, round_to).alias("cx"),
+        F.round(ey, round_to).alias("cy"),
+        F.round(F.sqrt(F.greatest(rg2, F.lit(0.0))), round_to)
+        .alias("rg"))
