@@ -1936,6 +1936,7 @@ from bano_spark import queries_wave30 as _w30  # noqa: E402
 from bano_spark import queries_wave31 as _w31  # noqa: E402
 from bano_spark import queries_wave32 as _w32  # noqa: E402
 from bano_spark import queries_wave33 as _w33  # noqa: E402
+from bano_spark import queries_wave34 as _w34  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1991,6 +1992,8 @@ _QUERIES.update(_w32.QUERIES)
 _ORACLES.update(_w32.ORACLES)
 _QUERIES.update(_w33.QUERIES)
 _ORACLES.update(_w33.ORACLES)
+_QUERIES.update(_w34.QUERIES)
+_ORACLES.update(_w34.ORACLES)
 
 
 # ---------------------------------------------------------------------------

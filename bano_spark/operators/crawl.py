@@ -332,3 +332,55 @@ def waterfill_budget(demands: DataFrame, budget: float, *,
                                     F.coalesce(F.col("_theta"),
                                                F.col("_d").cast("double"))),
                             round_to).alias("alloc")))
+
+
+def token_bucket_admission(fetches: DataFrame, capacity: float,
+                           refill_per_sec: float, *,
+                           host_col: str = "host", ts_col: str = "t",
+                           round_to: int = 6):
+    """Per-host token-bucket politeness admission (the production
+    crawl rate limiter frontier_waves schedules AROUND): the bucket
+    starts full, refills at ``refill_per_sec`` up to ``capacity``,
+    each fetch needs one token — admitted if available, deferred (no
+    token burn) otherwise. Returns per host: request / admitted /
+    deferred counts and the final token level.
+
+    Execution discipline as holt/croston: one groupBy collects each
+    host's fetch times into a sorted array, ONE aggregate() fold
+    replays the bucket — state (tokens, last_t, n_admitted) advances
+    in timestamp order, so the arithmetic is engine-independent when
+    capacity/refill are dyadic (use 0.25, 0.5 — not 0.1). Memory
+    contract: per-host array; pre-bucket unbounded hosts first."""
+    from pyspark.sql import functions as F
+
+    cap = repr(float(capacity))
+    r = repr(float(refill_per_sec))
+    agged = (fetches.groupBy(host_col)
+             .agg(F.array_sort(F.collect_list(
+                 F.col(ts_col).cast("double"))).alias("ts")))
+    fold = (f"aggregate(slice(ts, 2, size(ts) - 1), "
+            f"named_struct('tok', CAST({cap} AS DOUBLE) - 1, "
+            f"             'lt', ts[0], "
+            f"             'adm', CAST(1 AS BIGINT)), "
+            f"(s, t) -> IF("
+            f"  least(CAST({cap} AS DOUBLE), "
+            f"        s.tok + (t - s.lt) * CAST({r} AS DOUBLE)) >= 1, "
+            f"  named_struct("
+            f"    'tok', least(CAST({cap} AS DOUBLE), "
+            f"           s.tok + (t - s.lt) * CAST({r} AS DOUBLE)) - 1, "
+            f"    'lt', t, 'adm', s.adm + 1), "
+            f"  named_struct("
+            f"    'tok', least(CAST({cap} AS DOUBLE), "
+            f"           s.tok + (t - s.lt) * CAST({r} AS DOUBLE)), "
+            f"    'lt', t, 'adm', s.adm)))")
+    st = F.expr(fold)
+    return (agged.filter(F.size("ts") >= 1)
+            .select(host_col,
+                    F.size("ts").cast("bigint").alias("n_requests"),
+                    st.alias("_st"))
+            .select(host_col, "n_requests",
+                    F.col("_st.adm").alias("n_admitted"),
+                    (F.col("n_requests") - F.col("_st.adm"))
+                    .cast("bigint").alias("n_deferred"),
+                    F.round(F.col("_st.tok"), round_to)
+                    .alias("final_tokens")))

@@ -776,3 +776,40 @@ def community_conductance(edges: DataFrame, labels: DataFrame, *,
                                    F.coalesce(F.col("cut"), F.lit(0))
                                    / minside),
                             round_to).alias("conductance")))
+
+
+def local_clustering(edges: DataFrame, *, src: str = "src",
+                     dst: str = "dst",
+                     round_to: int = 6) -> DataFrame:
+    """Per-node local clustering coefficient and ego betweenness on
+    the undirected distinct graph: lcc(v) = T_v / C(d_v, 2) (Watts &
+    Strogatz 1998), and the Everett-Borgatti ego-network betweenness
+    proxy = C(d_v, 2) - T_v — the count of neighbor pairs whose only
+    ego-net path runs THROUGH v (assuming unique two-paths; disclosed
+    — the standard simple-ego approximation). High ego betweenness =
+    local broker; high lcc = closed community.
+
+    Scale shape: one degree aggregate + the degree-oriented
+    (skew-bounded) triangle join from triangle_participation — no new
+    join shapes; integer counts, bit-stable ratios. Degree-1 nodes
+    get NULL lcc (no pairs)."""
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                        F.greatest(F.col(src), F.col(dst)).alias("v"))
+           .filter(F.col("u") != F.col("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    tri = triangle_participation(und, src="u", dst="v")
+    pairs = (F.col("degree") * (F.col("degree") - 1) / 2).cast("bigint")
+    return (deg.join(tri, "node", "left")
+            .select("node",
+                    F.col("degree").cast("bigint").alias("degree"),
+                    F.coalesce("n_triangles", F.lit(0)).cast("bigint")
+                    .alias("n_triangles"),
+                    F.round(F.when(pairs > 0,
+                                   F.coalesce("n_triangles", F.lit(0))
+                                   / pairs),
+                            round_to).alias("lcc"),
+                    (pairs - F.coalesce("n_triangles", F.lit(0)))
+                    .cast("bigint").alias("ego_betweenness")))

@@ -84,7 +84,10 @@ def ipf_balance(seed: DataFrame, row_targets: DataFrame,
     matrix to `row_targets` and columns to `col_targets`, ``iters``
     full (row+column) passes, finishing on the column step. Margin
     factor frames are tiny and broadcast; the OD frame is the only
-    big operand and shuffles once per step."""
+    big operand and shuffles once per step. Each full pass ends on a
+    localCheckpoint — the engine's iterative-loop discipline
+    (components.py): without it the lineage doubles per pass and
+    Catalyst planning goes super-linear past ~4 passes."""
     cur = seed.select(i_col, j_col, F.col(t_col).cast("double").alias("_t"))
     rt = F.broadcast(row_targets.select(i_col, F.col(o_col).alias("_ot")))
     ct = F.broadcast(col_targets.select(j_col, F.col(d_col).alias("_dt")))
@@ -98,7 +101,8 @@ def ipf_balance(seed: DataFrame, row_targets: DataFrame,
         cur = (cur.join(F.broadcast(cols.join(ct, j_col)), j_col)
                .select(i_col, j_col,
                        (F.col("_t") * F.col("_dt") / F.col("_cs"))
-                       .alias("_t")))
+                       .alias("_t"))
+               .localCheckpoint(eager=False))
     return cur.select(i_col, j_col,
                       F.round("_t", round_to).alias("t_balanced"))
 

@@ -1292,3 +1292,128 @@ def segregation_entropy(cells: DataFrame, *, cat_col: str = "category",
                     F.round("_e", round_to).alias("global_entropy"),
                     F.round(F.col("_num") / (F.col("_tt") * F.col("_e")),
                             round_to).alias("h_index")))
+
+
+def empirical_bayes_rates(areas: DataFrame, *, area_col: str = "area_id",
+                          events_col: str = "y", pop_col: str = "n",
+                          round_to: int = 6) -> DataFrame:
+    """Global empirical-Bayes rate smoothing (Marshall 1991), the
+    standard small-area shrinkage for disease / incident mapping:
+    raw rates r_i = y_i / n_i shrink toward the global rate m with
+    weight w_i = s2 / (s2 + m / n_i), where the between-area variance
+    s2 comes from the method of moments
+
+        s2 = sum n_i (r_i - m)^2 / sum n_i  -  m / nbar   (floored at 0)
+
+    — small areas (noisy rates) shrink hard, large areas keep their
+    signal. The stabilizer run before rates feed hotspot scans
+    (kulldorff_scan) or choropleths.
+
+    Scale shape: TWO aggregation passes (global scalars as O(1)
+    literals, then per-area arithmetic) — no joins beyond the scalar
+    broadcast, map-side partials throughout."""
+    a = areas.select(F.col(area_col).alias("area_id"),
+                     F.col(events_col).cast("double").alias("_y"),
+                     F.col(pop_col).cast("double").alias("_n"))
+    g = a.agg(F.count(F.lit(1)).alias("_k"),
+              F.sum("_y").alias("_sy"), F.sum("_n").alias("_sn")).collect()[0]
+    k, sy, sn = int(g["_k"]), float(g["_sy"]), float(g["_sn"])
+    m = sy / sn
+    nbar = sn / k
+    v = a.agg(F.sum(F.col("_n")
+                    * (F.col("_y") / F.col("_n") - F.lit(m))
+                    * (F.col("_y") / F.col("_n") - F.lit(m)))
+              .alias("_v")).collect()[0]
+    s2 = max(float(v["_v"]) / sn - m / nbar, 0.0)
+    w = F.lit(s2) / (F.lit(s2) + F.lit(m) / F.col("_n"))
+    raw = F.col("_y") / F.col("_n")
+    return a.select(
+        "area_id",
+        F.col("_y").cast("bigint").alias("y"),
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(raw, round_to).alias("raw_rate"),
+        F.round(w, round_to).alias("shrink_weight"),
+        F.round(F.lit(m) + w * (raw - F.lit(m)), round_to)
+        .alias("eb_rate"))
+
+
+def colocation_quotient(points: DataFrame, cell: float, *,
+                        id_col: str = "event_id", type_col: str = "ptype",
+                        x_col: str = "x", y_col: str = "y",
+                        max_rounds: int = 6,
+                        round_to: int = 6) -> DataFrame:
+    """Colocation quotient (Leslie & Kronenfeld 2011): for every
+    ordered type pair (A, B),
+
+        CLQ_{A->B} = (N_{A->B} / N_A) / (N_B / (N - 1))
+
+    with N_{A->B} the number of A points whose EXACT nearest neighbor
+    (any type, self excluded, ties by lowest id) has type B — the
+    directional attraction screen between point categories that
+    cross_k integrates over all radii.
+
+    Scale shape: the 1-NN search is the nn_distances doubling k-ring
+    carrying a min-struct of (d2, id, type) — O(n x local density)
+    per round with the loud guard, never O(n^2); the quotient is two
+    groupBys over the resolved NN table plus O(types) literals."""
+    pts = points.select(F.col(id_col).alias("_id"),
+                        F.col(type_col).alias("_ty"),
+                        F.col(x_col).cast("double").alias("_x"),
+                        F.col(y_col).cast("double").alias("_y"))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    unresolved = pts
+    resolved = []
+    for rnd in range(max_rounds):
+        c = float(cell) * (2 ** rnd)
+        left = (unresolved
+                .withColumn("_cx", F.floor(F.col("_x") / c))
+                .withColumn("_cy", F.floor(F.col("_y") / c)))
+        right = (pts.select(F.col("_id").alias("_id2"),
+                            F.col("_ty").alias("_ty2"),
+                            F.col("_x").alias("_x2"),
+                            F.col("_y").alias("_y2"))
+                 .withColumn("_o", F.explode(offs))
+                 .select("_id2", "_ty2", "_x2", "_y2",
+                         (F.floor(F.col("_x2") / c)
+                          + F.col("_o.dx")).alias("_cx"),
+                         (F.floor(F.col("_y2") / c)
+                          + F.col("_o.dy")).alias("_cy")))
+        d2 = ((F.col("_x") - F.col("_x2")) * (F.col("_x") - F.col("_x2"))
+              + (F.col("_y") - F.col("_y2")) * (F.col("_y") - F.col("_y2")))
+        best = (left.join(right, ["_cx", "_cy"])
+                .filter(F.col("_id") != F.col("_id2"))
+                .groupBy("_id")
+                .agg(F.first("_ty").alias("_ty"),
+                     F.min(F.struct(d2.alias("d2"),
+                                    F.col("_id2").alias("nid"),
+                                    F.col("_ty2").alias("nty")))
+                     .alias("b")))
+        ok = (best.filter(F.col("b.d2") <= F.lit(c * c))
+              .select("_id", "_ty", F.col("b.nty").alias("_nty"))
+              .localCheckpoint(eager=True))
+        resolved.append(ok)
+        unresolved = unresolved.join(ok.select("_id"), "_id",
+                                     "left_anti").localCheckpoint(eager=True)
+        if unresolved.limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"colocation_quotient: unresolved after {max_rounds} doublings")
+    nn = resolved[0]
+    for part in resolved[1:]:
+        nn = nn.unionByName(part)
+    n_total = pts.count()
+    tcounts = pts.groupBy(F.col("_ty").alias("_nty")).agg(
+        F.count(F.lit(1)).alias("_nb"))
+    acounts = pts.groupBy("_ty").agg(F.count(F.lit(1)).alias("_na"))
+    pair = nn.groupBy("_ty", "_nty").agg(
+        F.count(F.lit(1)).alias("_nab"))
+    return (pair.join(F.broadcast(acounts), "_ty")
+            .join(F.broadcast(tcounts), "_nty")
+            .select(F.col("_ty").alias("type_a"),
+                    F.col("_nty").alias("type_b"),
+                    F.col("_nab").cast("bigint").alias("n_a_to_b"),
+                    F.round((F.col("_nab") / F.col("_na"))
+                            / (F.col("_nb") / F.lit(float(n_total - 1))),
+                            round_to).alias("clq")))
