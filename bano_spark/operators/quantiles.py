@@ -203,3 +203,112 @@ def benford_digit_test(df, col: str, *, round_to: int = 6):
                            - F.col("_n") * F.col("p"))
                         / (F.col("_n") * F.col("p")),
                         round_to).alias("chi2_term")))
+
+
+def jackknife_ratio_variance(areas, *, y_col: str = "y", n_col: str = "n",
+                             round_to: int = 6):
+    """Delete-one jackknife variance of the combined ratio estimator
+    R = sum(y) / sum(n) (Quenouille/Tukey; the survey-sampling
+    standard for nonlinear estimators): each leave-one-out replicate
+    is R_(i) = (Sy - y_i) / (Sn - n_i), and
+
+        var_jk = (k - 1) / k * sum_i (R_(i) - Rbar_jk)^2
+
+    — the honest standard error a per-commune rate ships with.
+
+    Scale shape: the replicates need only the GLOBAL totals (O(1)
+    broadcast) — one pass for totals, one pass for the replicate
+    moments; never a k x k recompute. Returns one row
+    (k, ratio, jk_variance, jk_se)."""
+    from pyspark.sql import functions as F
+
+    a = areas.select(F.col(y_col).cast("double").alias("_y"),
+                     F.col(n_col).cast("double").alias("_n"))
+    tot = a.agg(F.count(F.lit(1)).cast("double").alias("_k"),
+                F.sum("_y").alias("_sy"),
+                F.sum("_n").alias("_sn")).collect()[0]
+    k, sy, sn = float(tot["_k"]), float(tot["_sy"]), float(tot["_sn"])
+    ri = (F.lit(sy) - F.col("_y")) / (F.lit(sn) - F.col("_n"))
+    m = a.agg(F.sum(ri).alias("_sr"),
+              F.sum(ri * ri).alias("_srr"))
+    var = (F.lit((k - 1) / k)
+           * (F.col("_srr") - F.col("_sr") * F.col("_sr") / F.lit(k)))
+    return m.select(
+        F.lit(int(k)).cast("bigint").alias("k"),
+        F.lit(sy / sn).alias("ratio"),
+        F.round(var, round_to).alias("jk_variance"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), round_to)
+        .alias("jk_se")).select(
+        "k", F.round("ratio", round_to).alias("ratio"),
+        "jk_variance", "jk_se")
+
+
+def welch_ttest(df, group_col: str, value_col: str, *,
+                round_to: int = 6):
+    """Welch's unequal-variance two-sample t statistic with the
+    Welch-Satterthwaite degrees of freedom — the default A/B
+    difference-of-means test (never pooled variance). ``group_col``
+    must be boolean-like: true = treatment.
+
+    Scale shape: ONE aggregation pass computes both groups' count /
+    sum / sum-of-squares via conditional aggregates (map-side
+    partials); the statistic is O(1) arithmetic on the single
+    aggregate row. Integer-valued fixtures make the moment sums exact
+    and the ratios bit-stable. Returns one row
+    (n1, n2, mean_diff, t_stat, df)."""
+    from pyspark.sql import functions as F
+
+    g = F.col(group_col).cast("boolean")
+    v = F.col(value_col).cast("double")
+    a = df.agg(
+        F.sum(F.when(g, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(g, v).otherwise(0.0)).alias("s1"),
+        F.sum(F.when(g, v * v).otherwise(0.0)).alias("ss1"),
+        F.sum(F.when(~g, 1).otherwise(0)).cast("double").alias("n2"),
+        F.sum(F.when(~g, v).otherwise(0.0)).alias("s2"),
+        F.sum(F.when(~g, v * v).otherwise(0.0)).alias("ss2"))
+    m1 = F.col("s1") / F.col("n1")
+    m2 = F.col("s2") / F.col("n2")
+    v1 = (F.col("ss1") - F.col("n1") * m1 * m1) / (F.col("n1") - 1)
+    v2 = (F.col("ss2") - F.col("n2") * m2 * m2) / (F.col("n2") - 1)
+    se2 = v1 / F.col("n1") + v2 / F.col("n2")
+    dof = (se2 * se2) / (
+        (v1 / F.col("n1")) * (v1 / F.col("n1")) / (F.col("n1") - 1)
+        + (v2 / F.col("n2")) * (v2 / F.col("n2")) / (F.col("n2") - 1))
+    return a.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(m1 - m2, round_to).alias("mean_diff"),
+        F.round((m1 - m2) / F.sqrt(se2), round_to).alias("t_stat"),
+        F.round(dof, round_to).alias("df"))
+
+
+def trimmed_mean(df, group_col: str, value_col: str, *,
+                 trim_frac: float = 0.1, order_tiebreak: str = None,
+                 round_to: int = 6):
+    """Per-group symmetric trimmed mean: drop the lowest and highest
+    floor(n * trim_frac) observations by (value, tiebreak) rank and
+    average the rest — the robust center that survives the heavy
+    tails a plain mean drowns in (and the cheap sibling of
+    weighted_median_depth).
+
+    Scale shape: one per-group rank window (partitioned — never
+    global) + one conditional aggregate; the trim boundaries derive
+    from the per-group count inside the same window pass. Returns
+    (group, n, n_trimmed_each_side, trimmed_mean)."""
+    from pyspark.sql import Window, functions as F
+
+    tb = [F.col(order_tiebreak)] if order_tiebreak else []
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), *tb)
+    wc = Window.partitionBy(group_col)
+    d = (df.withColumn("_rn", F.row_number().over(w))
+         .withColumn("_n", F.count(F.lit(1)).over(wc))
+         .withColumn("_t", F.floor(F.col("_n") * F.lit(float(trim_frac)))
+                     .cast("bigint")))
+    kept = F.when((F.col("_rn") > F.col("_t"))
+                  & (F.col("_rn") <= F.col("_n") - F.col("_t")),
+                  F.col(value_col).cast("double"))
+    return (d.groupBy(group_col)
+            .agg(F.first("_n").cast("bigint").alias("n"),
+                 F.first("_t").cast("bigint").alias("n_trimmed_each_side"),
+                 F.round(F.avg(kept), round_to).alias("trimmed_mean")))

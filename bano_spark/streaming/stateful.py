@@ -440,3 +440,64 @@ def streaming_topk(grouped, k: int = 5, *, shard_name: str = "shard",
     return grouped.applyInPandasWithState(
         fn, output_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def streaming_token_bucket(grouped, capacity: float, refill_per_sec: float,
+                           *, key_name: str = "host",
+                           key_type=None, t_col: str = "t"):
+    """Stateful streaming token-bucket politeness admission: per host
+    the state is THREE numbers (tokens, last fetch time, admitted
+    count) plus the request counter — constant memory per key, the
+    streaming twin of crawl.token_bucket_admission (identical
+    sequential recursion, so the final batch row converges to the
+    batch fold exactly when micro-batches arrive in time order per
+    key — rows WITHIN a batch are sorted here, the streaming_cusum
+    contract).
+
+    Emits the updated per-host admission summary each batch — the
+    live politeness dashboard / shed-load feed."""
+    key_type = key_type or StringType()
+    state_schema = StructType([
+        StructField("tok", DoubleType()),
+        StructField("lt", DoubleType()),
+        StructField("adm", LongType()),
+        StructField("n", LongType()),
+    ])
+    output_schema = StructType([
+        StructField(key_name, key_type),
+        StructField("n_requests", LongType()),
+        StructField("n_admitted", LongType()),
+        StructField("n_deferred", LongType()),
+        StructField("final_tokens", DoubleType()),
+    ])
+    cap = float(capacity)
+    r = float(refill_per_sec)
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            tok, lt, adm, n = state.get
+        else:
+            tok, lt, adm, n = None, None, 0, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(t_col)
+            ts = pdf[t_col].to_numpy(dtype="float64")
+            for t in ts:
+                n += 1
+                if tok is None:
+                    tok, lt, adm = cap - 1, float(t), 1
+                    continue
+                tok = min(cap, tok + (float(t) - lt) * r)
+                lt = float(t)
+                if tok >= 1:
+                    tok -= 1
+                    adm += 1
+        state.update((tok, lt, adm, n))
+        yield pd.DataFrame({
+            key_name: [key[0]], "n_requests": [n], "n_admitted": [adm],
+            "n_deferred": [n - adm], "final_tokens": [tok]})
+
+    return grouped.applyInPandasWithState(
+        fn, output_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
