@@ -1938,6 +1938,7 @@ from bano_spark import queries_wave32 as _w32  # noqa: E402
 from bano_spark import queries_wave33 as _w33  # noqa: E402
 from bano_spark import queries_wave34 as _w34  # noqa: E402
 from bano_spark import queries_wave35 as _w35  # noqa: E402
+from bano_spark import queries_wave36 as _w36  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -1997,6 +1998,8 @@ _QUERIES.update(_w34.QUERIES)
 _ORACLES.update(_w34.ORACLES)
 _QUERIES.update(_w35.QUERIES)
 _ORACLES.update(_w35.ORACLES)
+_QUERIES.update(_w36.QUERIES)
+_ORACLES.update(_w36.ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -233,3 +233,34 @@ def markov_entropy_rate(events: DataFrame, *, key_col: str = "user_id",
     return (j.groupBy(key_col)
             .agg(F.first("_nt").cast("bigint").alias("n_transitions"),
                  F.round(-F.sum(term), round_to).alias("entropy_rate")))
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str, *,
+                       round_to: int = 6) -> DataFrame:
+    """Mutual information (nats) between two categorical columns:
+    I(X;Y) = sum_xy p(xy) ln(p(xy) / (p(x) p(y))) — the dependence
+    screen (feature/leakage detection) run before any categorical
+    column feeds a model; 0 iff independent.
+
+    Scale shape: one groupBy(x, y) + two marginal rollups OF THE
+    JOINT TABLE (already aggregated — never a second data scan),
+    broadcast back; integer counts feed the log ratios. Returns one
+    row (n_rows, n_x, n_y, mi_nats)."""
+    joint = df.groupBy(F.col(x_col).alias("_x"),
+                       F.col(y_col).alias("_y")).agg(
+        F.count(F.lit(1)).cast("double").alias("_nxy"))
+    px = joint.groupBy("_x").agg(F.sum("_nxy").alias("_nx"))
+    py = joint.groupBy("_y").agg(F.sum("_nxy").alias("_ny"))
+    tot = joint.agg(F.sum("_nxy").alias("_n"),
+                    F.count(F.lit(1)).alias("_cells"))
+    j = (joint.join(F.broadcast(px), "_x")
+         .join(F.broadcast(py), "_y")
+         .crossJoin(F.broadcast(tot)))
+    term = ((F.col("_nxy") / F.col("_n"))
+            * F.log((F.col("_nxy") * F.col("_n"))
+                    / (F.col("_nx") * F.col("_ny"))))
+    return (j.agg(
+        F.first("_n").cast("bigint").alias("n_rows"),
+        F.countDistinct("_x").cast("bigint").alias("n_x"),
+        F.countDistinct("_y").cast("bigint").alias("n_y"),
+        F.round(F.sum(term), round_to).alias("mi_nats")))

@@ -156,3 +156,34 @@ def two_step_fca(demand: DataFrame, supply: DataFrame, d0: float, *,
             .select(did,
                     F.round(F.coalesce("_a", F.lit(0.0)), round_to)
                     .alias("accessibility")))
+
+
+def distance_decay_fit(flows: DataFrame, *, t_col: str = "t",
+                       mi_col: str = "mi", mj_col: str = "mj",
+                       d_col: str = "d",
+                       round_to: int = 6) -> DataFrame:
+    """Gravity distance-decay calibration: OLS of
+    ln(T_ij / (m_i m_j)) on ln d_ij gives intercept ln k and slope
+    -beta — the one-predictor calibration (masses absorbed) every
+    spatial-interaction model starts from (Wilson 1970; Fotheringham
+    & O'Kelly 1989). Zero flows drop (ln undefined — disclosed, the
+    standard practice).
+
+    Scale shape: ONE aggregation pass over the OD frame
+    (covar/var moments with map-side partials), O(1) closed-form
+    solve. Returns one row (n_pairs, ln_k, beta, r2)."""
+    lx = F.log(F.col(d_col))
+    ly = F.log(F.col(t_col) / (F.col(mi_col) * F.col(mj_col)))
+    d = flows.filter((F.col(t_col) > 0) & (F.col(d_col) > 0))
+    agg = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.avg(lx).alias("mx"), F.avg(ly).alias("my"),
+                F.covar_pop(lx, ly).alias("cxy"),
+                F.var_pop(lx).alias("vx"), F.var_pop(ly).alias("vy"))
+    slope = F.col("cxy") / F.col("vx")
+    return agg.select(
+        "n_pairs",
+        F.round(F.col("my") - slope * F.col("mx"), round_to)
+        .alias("ln_k"),
+        F.round(-slope, round_to).alias("beta"),
+        F.round(F.col("cxy") * F.col("cxy")
+                / (F.col("vx") * F.col("vy")), round_to).alias("r2"))

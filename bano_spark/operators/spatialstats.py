@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # the 6 axial ring-1 neighbors of a pointy-top hex cell
 HEX_NEIGHBORS = [(1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]
@@ -1417,3 +1417,108 @@ def colocation_quotient(points: DataFrame, cell: float, *,
                     F.round((F.col("_nab") / F.col("_na"))
                             / (F.col("_nb") / F.lit(float(n_total - 1))),
                             round_to).alias("clq")))
+
+
+def knn_exact(points: DataFrame, k: int, cell: float, *,
+              id_col: str = "event_id", x_col: str = "x",
+              y_col: str = "y", max_rounds: int = 6) -> DataFrame:
+    """EXACT k-nearest-neighbor edges per point via the doubling
+    k-ring: at cell size c every point within distance c shares the
+    3x3 ring, so when the ring holds >= k candidates AND the k-th
+    candidate distance is <= c, those k are PROVABLY the global k-NN;
+    unresolved points escalate to 2c (geometric shrink, loud guard —
+    the nn_distances discipline generalized from 1 to k). Ties break
+    by (d2, id). Returns (id, nid, d2, rank) with rank 1..k.
+
+    Scale shape per round: one ring equi-join (O(n x local density)),
+    one per-point rank window (partitions are single points — the
+    candidate set, never the table). Hot cells salt like hot tiles."""
+    pts = points.select(F.col(id_col).alias("_id"),
+                        F.col(x_col).cast("double").alias("_x"),
+                        F.col(y_col).cast("double").alias("_y"))
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    unresolved = pts
+    resolved = []
+    for rnd in range(max_rounds):
+        c = float(cell) * (2 ** rnd)
+        left = (unresolved
+                .withColumn("_cx", F.floor(F.col("_x") / c))
+                .withColumn("_cy", F.floor(F.col("_y") / c)))
+        right = (pts.select(F.col("_id").alias("_nid"),
+                            F.col("_x").alias("_x2"),
+                            F.col("_y").alias("_y2"))
+                 .withColumn("_o", F.explode(offs))
+                 .select("_nid", "_x2", "_y2",
+                         (F.floor(F.col("_x2") / c)
+                          + F.col("_o.dx")).alias("_cx"),
+                         (F.floor(F.col("_y2") / c)
+                          + F.col("_o.dy")).alias("_cy")))
+        d2 = ((F.col("_x") - F.col("_x2")) * (F.col("_x") - F.col("_x2"))
+              + (F.col("_y") - F.col("_y2")) * (F.col("_y") - F.col("_y2")))
+        cand = (left.join(right, ["_cx", "_cy"])
+                .filter(F.col("_id") != F.col("_nid"))
+                .select("_id", "_nid", d2.alias("_d2")))
+        w = Window.partitionBy("_id").orderBy("_d2", "_nid")
+        topk = (cand.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= int(k)))
+        kth = (topk.groupBy("_id")
+               .agg(F.max("_d2").alias("_dk"),
+                    F.count(F.lit(1)).alias("_nk")))
+        ok_ids = kth.filter((F.col("_nk") == int(k))
+                            & (F.col("_dk") <= F.lit(c * c))) \
+            .select("_id")
+        ok = topk.join(ok_ids, "_id").localCheckpoint(eager=True)
+        resolved.append(ok)
+        unresolved = unresolved.join(ok_ids, "_id", "left_anti") \
+            .localCheckpoint(eager=True)
+        if unresolved.limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"knn_exact: points unresolved after {max_rounds} doublings "
+            f"from cell {cell} — raise max_rounds or cell")
+    out = resolved[0]
+    for part in resolved[1:]:
+        out = out.unionByName(part)
+    return out.select(F.col("_id").alias(id_col),
+                      F.col("_nid").alias("nid"),
+                      F.col("_d2").alias("d2"),
+                      F.col("_rk").cast("int").alias("rank"))
+
+
+def local_outlier_factor(points: DataFrame, k: int, cell: float, *,
+                         id_col: str = "event_id", x_col: str = "x",
+                         y_col: str = "y",
+                         round_to: int = 6) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) on EXACT k-NN:
+    reach-dist_k(a,b) = max(kdist(b), d(a,b)), local reachability
+    density lrd(a) = k / sum_b reach-dist_k(a,b), and
+    LOF(a) = mean_b lrd(b) / lrd(a) — >> 1 flags density outliers
+    the global z-score family (mad_outliers) cannot see.
+
+    Scale shape: the expensive part is knn_exact (doubling ring —
+    O(n x local density), never O(n^2)); the LOF algebra is three
+    joins on the O(n*k) edge list keyed by point id. Distances use
+    sqrt on exact dyadic d2 — IEEE-identical across engines."""
+    edges = knn_exact(points, k, cell, id_col=id_col,
+                      x_col=x_col, y_col=y_col)
+    e = edges.select(F.col(id_col).alias("_a"), F.col("nid").alias("_b"),
+                     F.sqrt("d2").alias("_d"))
+    kdist = (e.groupBy("_a").agg(F.max("_d").alias("_kd"))
+             .select(F.col("_a").alias("_b"), F.col("_kd")))
+    reach = (e.join(kdist, "_b")
+             .select("_a", "_b",
+                     F.greatest(F.col("_kd"), F.col("_d")).alias("_rd")))
+    lrd = (reach.groupBy("_a")
+           .agg((F.lit(float(k)) / F.sum("_rd")).alias("_lrd")))
+    lof = (e.select("_a", "_b")
+           .join(lrd.select(F.col("_a").alias("_b"),
+                            F.col("_lrd").alias("_lrdb")), "_b")
+           .groupBy("_a").agg(F.avg("_lrdb").alias("_mlrdb"))
+           .join(lrd, "_a")
+           .select(F.col("_a").alias(id_col),
+                   F.round("_lrd", round_to).alias("lrd"),
+                   F.round(F.col("_mlrdb") / F.col("_lrd"), round_to)
+                   .alias("lof")))
+    return lof
