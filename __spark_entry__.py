@@ -1939,6 +1939,7 @@ from bano_spark import queries_wave33 as _w33  # noqa: E402
 from bano_spark import queries_wave34 as _w34  # noqa: E402
 from bano_spark import queries_wave35 as _w35  # noqa: E402
 from bano_spark import queries_wave36 as _w36  # noqa: E402
+from bano_spark import queries_wave37 as _w37  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2000,6 +2001,8 @@ _QUERIES.update(_w35.QUERIES)
 _ORACLES.update(_w35.ORACLES)
 _QUERIES.update(_w36.QUERIES)
 _ORACLES.update(_w36.ORACLES)
+_QUERIES.update(_w37.QUERIES)
+_ORACLES.update(_w37.ORACLES)
 
 
 # ---------------------------------------------------------------------------

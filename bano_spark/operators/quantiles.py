@@ -312,3 +312,114 @@ def trimmed_mean(df, group_col: str, value_col: str, *,
             .agg(F.first("_n").cast("bigint").alias("n"),
                  F.first("_t").cast("bigint").alias("n_trimmed_each_side"),
                  F.round(F.avg(kept), round_to).alias("trimmed_mean")))
+
+
+def spearman_by_group(df, group_col: str, x_col: str, y_col: str, *,
+                      tiebreak: str, round_to: int = 6):
+    """Spearman rank correlation per group: Pearson correlation of the
+    within-group ranks of x and y (ranks by (value, tiebreak) — a
+    total order, so no average-rank ties and the statistic is exactly
+    reproducible). The monotone-association screen that survives the
+    outliers wrecking plain Pearson.
+
+    Scale shape: two rank windows PARTITIONED by the group (never a
+    global order — the distributed_cumsum lesson) + one moment
+    aggregate per group; ranks are exact integers, so every sum is
+    exact and the final ratio bit-stable."""
+    from pyspark.sql import Window, functions as F
+
+    wx = Window.partitionBy(group_col).orderBy(F.col(x_col),
+                                               F.col(tiebreak))
+    wy = Window.partitionBy(group_col).orderBy(F.col(y_col),
+                                               F.col(tiebreak))
+    d = (df.withColumn("_rx", F.row_number().over(wx).cast("double"))
+         .withColumn("_ry", F.row_number().over(wy).cast("double")))
+    a = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_rx").alias("sx"), F.sum("_ry").alias("sy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("sxy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("syy"))
+    cov = F.col("sxy") / F.col("n") \
+        - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+    vx = F.col("sxx") / F.col("n") \
+        - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+    vy = F.col("syy") / F.col("n") \
+        - (F.col("sy") / F.col("n")) * (F.col("sy") / F.col("n"))
+    return a.select(group_col,
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(cov / F.sqrt(vx * vy), round_to)
+                    .alias("spearman_rho"))
+
+
+def cuped_adjustment(df, treat_col: str, y_col: str, x_col: str, *,
+                     round_to: int = 6):
+    """CUPED variance reduction for A/B deltas (Deng et al. 2013):
+    theta = cov(y, x) / var(x) over ALL units (pre-experiment
+    covariate x), adjusted metric y' = y - theta (x - xbar); reports
+    the raw and adjusted treatment-control mean differences and the
+    variance-reduction factor 1 - corr(y, x)^2. The
+    experimentation-platform standard for tightening Welch's t.
+
+    Scale shape: TWO aggregation passes (global moments as O(1)
+    literals, then per-arm conditional aggregates) — no joins, no
+    per-unit adjustment materialized."""
+    from pyspark.sql import functions as F
+
+    y = F.col(y_col).cast("double")
+    x = F.col(x_col).cast("double")
+    g = df.agg(F.count(F.lit(1)).cast("double").alias("n"),
+               F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+               F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+               F.sum(y * y).alias("syy")).collect()[0]
+    n, sx, sy = float(g["n"]), float(g["sx"]), float(g["sy"])
+    cxy = float(g["sxy"]) / n - (sx / n) * (sy / n)
+    vx = float(g["sxx"]) / n - (sx / n) * (sx / n)
+    vy = float(g["syy"]) / n - (sy / n) * (sy / n)
+    theta = cxy / vx
+    xbar = sx / n
+    adj = y - F.lit(theta) * (x - F.lit(xbar))
+    t = F.col(treat_col).cast("boolean")
+    a = df.agg(
+        F.sum(F.when(t, 1).otherwise(0)).cast("bigint").alias("n_treat"),
+        F.sum(F.when(~t, 1).otherwise(0)).cast("bigint").alias("n_ctrl"),
+        (F.sum(F.when(t, y).otherwise(0.0))
+         / F.sum(F.when(t, 1).otherwise(0))).alias("_mt"),
+        (F.sum(F.when(~t, y).otherwise(0.0))
+         / F.sum(F.when(~t, 1).otherwise(0))).alias("_mc"),
+        (F.sum(F.when(t, adj).otherwise(0.0))
+         / F.sum(F.when(t, 1).otherwise(0))).alias("_at"),
+        (F.sum(F.when(~t, adj).otherwise(0.0))
+         / F.sum(F.when(~t, 1).otherwise(0))).alias("_ac"))
+    return a.select(
+        "n_treat", "n_ctrl",
+        F.round(F.col("_mt") - F.col("_mc"), round_to).alias("raw_diff"),
+        F.round(F.col("_at") - F.col("_ac"), round_to)
+        .alias("cuped_diff"),
+        F.round(F.lit(theta), round_to).alias("theta"),
+        F.round(F.lit(1.0 - cxy * cxy / (vx * vy)), round_to)
+        .alias("var_reduction_factor"))
+
+
+def calibration_bins(scored, score_col: str, label_col: str, *,
+                     n_bins: int = 10, lo: float = -1.0,
+                     hi: float = 1.0, round_to: int = 6):
+    """Reliability diagram table for a score against a boolean label:
+    equal-width score bins over [lo, hi) with mean score, positive
+    rate, and count per bin — read next to threshold_sweep when
+    turning a corpus-quality score into a keep probability.
+
+    Scale shape: one clamped-bin groupBy with map-side partials;
+    O(n_bins) output."""
+    from pyspark.sql import functions as F
+
+    w = (float(hi) - float(lo)) / int(n_bins)
+    b = F.least(F.greatest(
+        F.floor((F.col(score_col) - F.lit(float(lo))) / F.lit(w)),
+        F.lit(0)), F.lit(int(n_bins) - 1)).cast("int")
+    return (scored.groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.avg(F.col(score_col)), round_to)
+                 .alias("mean_score"),
+                 F.round(F.avg(F.col(label_col).cast("double")),
+                         round_to).alias("positive_rate")))

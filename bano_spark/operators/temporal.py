@@ -12,6 +12,8 @@ events at scale.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -693,3 +695,41 @@ def classical_decomposition(df: DataFrame, key_col: str, seq_col: str,
         F.round("_seasonal", round_to).alias("seasonal"),
         F.round(F.col("_v") - F.col("_trend") - F.col("_seasonal"),
                 round_to).alias("remainder"))
+
+
+# method-of-moments Gumbel constants, inlined as literals so both
+# engines fold identical doubles
+_EULER_GAMMA = 0.5772156649015329
+_PI = 3.141592653589793
+
+
+def gumbel_block_maxima(df: DataFrame, key_col: str, block_col: str,
+                        val_col: str, *,
+                        round_to: int = 6) -> DataFrame:
+    """Extreme-value analysis per key: block maxima + a Gumbel fit by
+    the method of moments (beta = s * sqrt(6) / pi, mu = mean -
+    gamma * beta; Gumbel 1958) and the implied 100-block return
+    level mu - beta ln(-ln(1 - 1/100)) — the peak-load / flood-design
+    summary (how bad is the 1-in-100 burst) for per-host traffic or
+    per-cell rainfall alike.
+
+    Scale shape: one groupBy(key, block) max + one groupBy(key)
+    moment pass — map-side partials end to end; the constants are
+    inlined literals so the closed forms are bit-stable. Keys need
+    >= 2 blocks (variance), others drop."""
+    bm = (df.groupBy(F.col(key_col).alias("_k"),
+                     F.col(block_col).alias("_b"))
+          .agg(F.max(F.col(val_col).cast("double")).alias("_m")))
+    g = (bm.groupBy("_k")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+              F.avg("_m").alias("_mean"),
+              F.stddev_samp("_m").alias("_sd"))
+         .filter(F.col("n_blocks") >= 2))
+    beta = F.col("_sd") * F.lit(math.sqrt(6.0)) / F.lit(_PI)
+    mu = F.col("_mean") - F.lit(_EULER_GAMMA) * beta
+    rl = mu - beta * F.log(-F.log(F.lit(1.0 - 1.0 / 100.0)))
+    return g.select(
+        F.col("_k").alias(key_col), "n_blocks",
+        F.round(mu, round_to).alias("gumbel_mu"),
+        F.round(beta, round_to).alias("gumbel_beta"),
+        F.round(rl, round_to).alias("return_level_100"))

@@ -932,3 +932,40 @@ def kneser_ney_bigrams(docs: DataFrame, *, text_col: str = "text",
                       round_to).alias("p_kn")))
     return (scored.orderBy(F.desc("count"), F.asc("w1"), F.asc("w2"))
             .limit(int(top_k)))
+
+
+def chao1_richness(docs: DataFrame, *, text_col: str = "text",
+                   round_to: int = 6) -> DataFrame:
+    """Chao1 species-richness estimate of the vocabulary (Chao 1984):
+    S_chao1 = D + f1^2 / (2 f2) with D the observed distinct tokens
+    and f1/f2 the singleton/doubleton counts — the how-much-vocabulary
+    -is-still-unseen estimator that complements Good-Turing's unseen
+    MASS and Heaps' growth exponent (corpus-coverage triage before
+    committing a tokenizer or dedup threshold). Uses the
+    bias-corrected form f1(f1-1)/(2(f2+1)) when f2 = 0.
+
+    Scale shape: token explode -> one count groupBy -> one O(1)
+    rollup over the frequency spectrum (already aggregated). Returns
+    one row (n_tokens, n_vocab, f1, f2, chao1)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = (docs.select(F.explode(toks).alias("_w"))
+         .filter(F.col("_w") != ""))
+    counts = t.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    agg = counts.agg(
+        F.sum("_c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+        .cast("double").alias("_f1"),
+        F.sum(F.when(F.col("_c") == 2, 1).otherwise(0))
+        .cast("double").alias("_f2"))
+    chao = F.when(
+        F.col("_f2") > 0,
+        F.col("n_vocab") + F.col("_f1") * F.col("_f1")
+        / (2 * F.col("_f2"))).otherwise(
+        F.col("n_vocab") + F.col("_f1") * (F.col("_f1") - 1)
+        / (2 * (F.col("_f2") + 1)))
+    return agg.select(
+        "n_tokens", "n_vocab",
+        F.col("_f1").cast("bigint").alias("f1"),
+        F.col("_f2").cast("bigint").alias("f2"),
+        F.round(chao, round_to).alias("chao1"))
