@@ -264,3 +264,52 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str, *,
         F.countDistinct("_x").cast("bigint").alias("n_x"),
         F.countDistinct("_y").cast("bigint").alias("n_y"),
         F.round(F.sum(term), round_to).alias("mi_nats")))
+
+
+def rfm_segmentation(events: DataFrame, asof_epoch: int, *,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     value_col: str = "value",
+                     round_to: int = 6) -> DataFrame:
+    """RFM segmentation (Hughes 1994, the retention-marketing
+    standard): per user recency (days since last event at the given
+    as-of epoch), frequency (events) and monetary (summed value),
+    each scored 1-3 by EXACT global tercile thresholds (engine
+    quantile selection — no global sort), concatenated to the
+    champion/at-risk segment code.
+
+    Scale shape: one groupBy(user) for R/F/M; thresholds are six
+    O(1) driver literals from the exact-quantile scans; scoring is
+    pure arithmetic. Returns (user, recency_days, frequency,
+    monetary, r_score, f_score, m_score, rfm_code); higher = better
+    on every axis (recency inverted)."""
+    from .quantiles import exact_quantiles
+
+    rfm = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.floor((F.lit(int(asof_epoch))
+                 - F.max(F.unix_timestamp(F.col(ts_col)))) / 86400)
+        .cast("bigint").alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum(F.col(value_col).cast("double")), round_to)
+        .alias("monetary"))
+    rfm = rfm.localCheckpoint(eager=True)
+    qs = [1 / 3, 2 / 3]
+    rq = exact_quantiles(rfm, "recency_days", qs)
+    fq = exact_quantiles(rfm, "frequency", qs)
+    mq = exact_quantiles(rfm, "monetary", qs)
+
+    def score(col, bounds, invert):
+        c = F.col(col).cast("double")
+        s = F.lit(1)
+        for b in bounds:
+            s = s + F.when(c > F.lit(float(b)), 1).otherwise(0)
+        return (F.lit(4) - s) if invert else s
+
+    return rfm.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        score("recency_days", rq, True).cast("int").alias("r_score"),
+        score("frequency", fq, False).cast("int").alias("f_score"),
+        score("monetary", mq, False).cast("int").alias("m_score")) \
+        .withColumn("rfm_code",
+                    F.concat(F.col("r_score").cast("string"),
+                             F.col("f_score").cast("string"),
+                             F.col("m_score").cast("string")))

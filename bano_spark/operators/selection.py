@@ -545,3 +545,49 @@ def poisson_bootstrap_se(df: DataFrame, value_col: str, id_col: str, *,
             .crossJoin(F.broadcast(est))
             .select("b", F.round("_est", round_to).alias("est_mean"),
                     F.round("_se", round_to).alias("boot_se")))
+
+
+def lorenz_curve(df: DataFrame, value_col: str, n_bands: int = 10, *,
+                 round_to: int = 6) -> DataFrame:
+    """Lorenz curve at ``n_bands`` population quantiles: cumulative
+    population share vs cumulative value share, poorest-first — the
+    picture behind host_gini's single number (who holds how much of
+    the corpus / traffic / budget).
+
+    Scale shape: band boundaries come from the engine's EXACT
+    distributed quantile selection (O(log) scans, no global sort);
+    banding + cumulation is one groupBy over O(n_bands) rows folded
+    ascending (the selection_tradeoff discipline — no global
+    window)."""
+    from .quantiles import exact_quantiles
+
+    qs = [i / n_bands for i in range(1, n_bands)]
+    bounds = exact_quantiles(df, value_col, qs)
+    v = F.col(value_col).cast("double")
+    band = F.lit(0)
+    for b in bounds:
+        band = band + F.when(v > F.lit(float(b)), 1).otherwise(0)
+    bands = (df.select(band.alias("band"), v.alias("_v"))
+             .groupBy("band")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                  F.sum("_v").alias("_s")))
+    row = F.struct(F.col("band"), F.col("n"), F.col("_s"))
+    folded = bands.agg(F.array_sort(F.collect_list(row)).alias("a"))
+    rows = folded.select(F.expr(
+        "transform(a, (r, i) -> named_struct("
+        "  'band', r.band, 'n', r.n, 's', r._s,"
+        "  'cn', aggregate(slice(a, 1, i + 1), CAST(0 AS BIGINT),"
+        "        (acc, q) -> acc + q.n),"
+        "  'cs', aggregate(slice(a, 1, i + 1), CAST(0 AS DOUBLE),"
+        "        (acc, q) -> acc + q._s),"
+        "  'tn', aggregate(a, CAST(0 AS BIGINT),"
+        "        (acc, q) -> acc + q.n),"
+        "  'ts', aggregate(a, CAST(0 AS DOUBLE),"
+        "        (acc, q) -> acc + q._s)))").alias("rows"))
+    return (rows.select(F.explode("rows").alias("r"))
+            .select(F.col("r.band").cast("int").alias("band"),
+                    F.col("r.n").alias("n"),
+                    F.round(F.col("r.cn") / F.col("r.tn"), round_to)
+                    .alias("cum_pop_share"),
+                    F.round(F.col("r.cs") / F.col("r.ts"), round_to)
+                    .alias("cum_value_share")))

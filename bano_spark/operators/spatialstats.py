@@ -1522,3 +1522,33 @@ def local_outlier_factor(points: DataFrame, k: int, cell: float, *,
                    F.round(F.col("_mlrdb") / F.col("_lrd"), round_to)
                    .alias("lof")))
     return lof
+
+
+def hill_numbers(cells: DataFrame, *, cat_col: str = "category",
+                 cell_cols: list = None,
+                 round_to: int = 6) -> DataFrame:
+    """Hill diversity profile per cell (Hill 1973): the effective
+    species numbers q0 = richness, q1 = exp(Shannon) and
+    q2 = 1 / Simpson — the three standard diversity orders on one
+    scale (all equal iff perfectly even), the per-cell refinement of
+    the global segregation_entropy.
+
+    Scale shape: one groupBy(cell, category) + one groupBy(cell)
+    rollup of the category counts — integer ratios into exp/ln only
+    at the final O(cells) rows."""
+    cell_cols = cell_cols or ["cx", "cy"]
+    cc = (cells.groupBy(*cell_cols, cat_col)
+          .agg(F.count(F.lit(1)).cast("double").alias("_n")))
+    ct = (cc.groupBy(*cell_cols)
+          .agg(F.sum("_n").alias("_t"),
+               F.count(F.lit(1)).cast("bigint").alias("q0"),
+               F.sum((F.col("_n")) * F.log("_n")).alias("_nln"),
+               F.sum(F.col("_n") * F.col("_n")).alias("_nn")))
+    shannon = F.log(F.col("_t")) - F.col("_nln") / F.col("_t")
+    return ct.select(
+        *cell_cols,
+        F.col("_t").cast("bigint").alias("n_obs"),
+        "q0",
+        F.round(F.exp(shannon), round_to).alias("q1"),
+        F.round(F.col("_t") * F.col("_t") / F.col("_nn"), round_to)
+        .alias("q2"))

@@ -969,3 +969,84 @@ def chao1_richness(docs: DataFrame, *, text_col: str = "text",
         F.col("_f1").cast("bigint").alias("f1"),
         F.col("_f2").cast("bigint").alias("f2"),
         F.round(chao, round_to).alias("chao1"))
+
+
+def juilland_dispersion(docs: DataFrame, n_parts: int, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        top_k: int = 30,
+                        round_to: int = 6) -> DataFrame:
+    """Juilland's dispersion D per term (Juilland & Chang-Rodriguez
+    1964): split the corpus into ``n_parts`` equal document parts,
+    D = 1 - CV / sqrt(parts - 1) where CV is the coefficient of
+    variation of the term's per-part frequencies — 1 = evenly spread,
+    0 = concentrated in one part. The corpus-linguistics screen that
+    separates genuinely common words from single-document spam
+    (raw counts can't tell them apart; cf. host_mirrors).
+
+    Scale shape: explode -> one groupBy(term, part) -> one
+    groupBy(term) moment rollup; the part key is id arithmetic (no
+    shuffle beyond the counts). Returns the top_k terms by corpus
+    count with (count, d) — ties by term."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    part = F.pmod(F.col(id_col), F.lit(int(n_parts)))
+    t = (docs.select(part.alias("_p"), F.explode(toks).alias("_w"))
+         .filter(F.col("_w") != ""))
+    pc = t.groupBy("_w", "_p").agg(
+        F.count(F.lit(1)).cast("double").alias("_c"))
+    # zero-fill missing parts via the moment identity over n_parts
+    # (sum/sumsq unchanged; mean uses the FIXED part count)
+    n = float(n_parts)
+    g = pc.groupBy("_w").agg(
+        F.sum("_c").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_ss"))
+    mean = F.col("_s") / F.lit(n)
+    var = F.col("_ss") / F.lit(n) - mean * mean
+    cv = F.sqrt(F.greatest(var, F.lit(0.0))) / mean
+    d = 1 - cv / F.lit(math.sqrt(n - 1))
+    out = g.select(F.col("_w").alias("term"),
+                   F.col("_s").cast("bigint").alias("count"),
+                   F.round(d, round_to).alias("juilland_d"))
+    return (out.orderBy(F.desc("count"), F.asc("term"))
+            .limit(int(top_k)))
+
+
+def source_vocab_overlap(docs: DataFrame, *, source_col: str = "source",
+                         text_col: str = "text",
+                         round_to: int = 6) -> DataFrame:
+    """Vocabulary Jaccard overlap between source pairs: per unordered
+    pair, |V_a intersect V_b| / |V_a union V_b| over distinct token
+    sets — the domain-shift screen read before mixing sources
+    (cf. source_kl_divergence, which compares distributions; this
+    compares supports).
+
+    Scale shape: the inverted discipline — pairs generate from SHARED
+    tokens only (the per-token source list is bounded by the source
+    count, never the corpus); per-source vocab sizes are one distinct
+    groupBy. Returns (source_a, source_b, v_a, v_b, shared,
+    jaccard)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tv = (docs.select(F.col(source_col).alias("_s"),
+                      F.explode(toks).alias("_w"))
+          .filter(F.col("_w") != "")
+          .distinct())
+    sizes = tv.groupBy("_s").agg(F.count(F.lit(1)).alias("_v"))
+    pairs = (tv.alias("a")
+             .join(tv.alias("b"),
+                   (F.col("a._w") == F.col("b._w"))
+                   & (F.col("a._s") < F.col("b._s")))
+             .groupBy(F.col("a._s").alias("source_a"),
+                      F.col("b._s").alias("source_b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("shared")))
+    return (pairs
+            .join(F.broadcast(sizes.withColumnRenamed("_s", "source_a")
+                              .withColumnRenamed("_v", "_va")), "source_a")
+            .join(F.broadcast(sizes.withColumnRenamed("_s", "source_b")
+                              .withColumnRenamed("_v", "_vb")), "source_b")
+            .select("source_a", "source_b",
+                    F.col("_va").cast("bigint").alias("v_a"),
+                    F.col("_vb").cast("bigint").alias("v_b"),
+                    "shared",
+                    F.round(F.col("shared")
+                            / (F.col("_va") + F.col("_vb")
+                               - F.col("shared")), round_to)
+                    .alias("jaccard")))
