@@ -7,6 +7,8 @@ a 10^12-document pass never leaves the JVM.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import tokens

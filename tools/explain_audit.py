@@ -86,11 +86,12 @@ CHECKS = [
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = sys.argv[2:]  # optional subset: audit + print, do NOT write
     spark = get_session("explain", cpus=4, shuffle_partitions=8,
                         extra={"spark.sql.adaptive.enabled": "false"})  # AQE off: show final codegen ids in explain
     spark.sparkContext.setLogLevel("ERROR")
     qs = E.queries()
-    audited = sorted(qs)  # the WHOLE registry, no hand-maintained list
+    audited = sorted(only) if only else sorted(qs)  # default: the WHOLE registry, no hand-maintained list
     lines = [f"# EXPLAIN — physical-plan audit of ALL {len(audited)} "
              "registered queries",
              "", f"Input: `{sf_dir}`; checks: no cartesian/nested-loop joins,",
@@ -129,9 +130,10 @@ def main() -> None:
         lines.append("```")
         lines.append("")
         print(name, "audited")
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "EXPLAIN.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    if not only:  # subset runs audit + report; only full runs rewrite
+        with open(os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "EXPLAIN.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
     print(f"{failures} required-check failures")
     spark.stop()
     raise SystemExit(1 if failures else 0)
