@@ -423,3 +423,118 @@ def calibration_bins(scored, score_col: str, label_col: str, *,
                  .alias("mean_score"),
                  F.round(F.avg(F.col(label_col).cast("double")),
                          round_to).alias("positive_rate")))
+
+
+def gini_stump_split(scored, score_col: str, label_col: str,
+                     thresholds: list, *, round_to: int = 6):
+    """Decision-stump split search: for each candidate threshold t,
+    the weighted Gini impurity of the (score >= t) partition against
+    the boolean label — the CART split criterion evaluated as a
+    sweep, picking where a one-feature filter separates best (the
+    quality-classifier cutoff with an impurity justification, next to
+    threshold_sweep's PR view).
+
+    Scale shape: ONE pass — crossJoin against the O(thresholds)
+    literal frame, one groupBy(threshold) of four integer counts,
+    O(1) impurity arithmetic. Returns one row per threshold with
+    (n_left, n_right, pos_left, pos_right, weighted_gini)."""
+    from pyspark.sql import functions as F
+
+    spark = scored.sparkSession
+    tdf = spark.createDataFrame([(float(t),) for t in thresholds],
+                                "threshold double")
+    j = scored.select(F.col(score_col).alias("_s"),
+                      F.col(label_col).cast("boolean").alias("_l")) \
+        .crossJoin(F.broadcast(tdf))
+    right = F.col("_s") >= F.col("threshold")
+    agg = j.groupBy("threshold").agg(
+        F.sum(F.when(right, 1).otherwise(0)).cast("double").alias("nr"),
+        F.sum(F.when(right & F.col("_l"), 1).otherwise(0))
+        .cast("double").alias("pr"),
+        F.sum(F.when(~right, 1).otherwise(0)).cast("double").alias("nl"),
+        F.sum(F.when(~right & F.col("_l"), 1).otherwise(0))
+        .cast("double").alias("pl"))
+    def gini(p, n):
+        frac = p / n
+        return 2 * frac * (1 - frac)
+    n = F.col("nl") + F.col("nr")
+    wg = (F.when(F.col("nl") > 0,
+                 (F.col("nl") / n) * gini(F.col("pl"), F.col("nl")))
+          .otherwise(0.0)
+          + F.when(F.col("nr") > 0,
+                   (F.col("nr") / n) * gini(F.col("pr"), F.col("nr")))
+          .otherwise(0.0))
+    return agg.select(
+        "threshold",
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("nr").cast("bigint").alias("n_right"),
+        F.col("pl").cast("bigint").alias("pos_left"),
+        F.col("pr").cast("bigint").alias("pos_right"),
+        F.round(wg, round_to).alias("weighted_gini"))
+
+
+def odds_ratio_2x2(df, exposure_col: str, outcome_col: str, *,
+                   round_to: int = 6):
+    """2x2 odds ratio with the Woolf logit 95% CI: OR = ad / bc,
+    ln OR +- 1.96 sqrt(1/a + 1/b + 1/c + 1/d) — the epidemiology /
+    feature-association staple (exposure x outcome), one conditional
+    aggregate over the table.
+
+    Returns one row (a, b, c, d, odds_ratio, ci_low, ci_high);
+    degenerate cells (any zero) yield NULL OR/CI rather than
+    exploding."""
+    from pyspark.sql import functions as F
+
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    agg = df.agg(
+        F.sum(F.when(e & o, 1).otherwise(0)).cast("double").alias("a"),
+        F.sum(F.when(e & ~o, 1).otherwise(0)).cast("double").alias("b"),
+        F.sum(F.when(~e & o, 1).otherwise(0)).cast("double").alias("c"),
+        F.sum(F.when(~e & ~o, 1).otherwise(0)).cast("double").alias("d"))
+    ok = (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) \
+        & (F.col("d") > 0)
+    orr = (F.col("a") * F.col("d")) / (F.col("b") * F.col("c"))
+    se = F.sqrt(1 / F.col("a") + 1 / F.col("b")
+                + 1 / F.col("c") + 1 / F.col("d"))
+    return agg.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("c").cast("bigint").alias("c"),
+        F.col("d").cast("bigint").alias("d"),
+        F.round(F.when(ok, orr), round_to).alias("odds_ratio"),
+        F.round(F.when(ok, F.exp(F.log(orr) - 1.96 * se)), round_to)
+        .alias("ci_low"),
+        F.round(F.when(ok, F.exp(F.log(orr) + 1.96 * se)), round_to)
+        .alias("ci_high"))
+
+
+def cohens_kappa(df, rater_a: str, rater_b: str, *,
+                 round_to: int = 6):
+    """Cohen's kappa for two boolean raters: chance-corrected
+    agreement (po - pe) / (1 - pe) — the label-quality gate before
+    trusting any weak-supervision pair (two heuristic quality
+    classifiers agreeing by chance is not agreement).
+
+    One conditional-aggregate pass; integer counts, bit-stable
+    arithmetic. Returns one row (n, po, pe, kappa)."""
+    from pyspark.sql import functions as F
+
+    a = F.col(rater_a).cast("boolean")
+    b = F.col(rater_b).cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.when(a & b, 1).otherwise(0)).cast("double").alias("tt"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).cast("double").alias("tf"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).cast("double").alias("ft"),
+        F.sum(F.when(~a & ~b, 1).otherwise(0)).cast("double").alias("ff"))
+    po = (F.col("tt") + F.col("ff")) / F.col("n")
+    pa = (F.col("tt") + F.col("tf")) / F.col("n")
+    pb = (F.col("tt") + F.col("ft")) / F.col("n")
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(po, round_to).alias("po"),
+        F.round(pe, round_to).alias("pe"),
+        F.round(F.when(pe != 1.0, (po - pe) / (1 - pe)), round_to)
+        .alias("kappa"))

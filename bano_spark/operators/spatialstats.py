@@ -1552,3 +1552,50 @@ def hill_numbers(cells: DataFrame, *, cat_col: str = "category",
         F.round(F.exp(shannon), round_to).alias("q1"),
         F.round(F.col("_t") * F.col("_t") / F.col("_nn"), round_to)
         .alias("q2"))
+
+
+def mean_center_drift(points: DataFrame, *, period_col: str = "period",
+                      x_col: str = "x", y_col: str = "y",
+                      w_col: str = None,
+                      round_to: int = 6) -> DataFrame:
+    """Weighted mean center per time period plus the drift vector
+    from the previous period (displacement distance and bearing via
+    the engine's trig discipline: ONE atan2 per period on the exact
+    displacement) — the center-of-gravity migration summary (how a
+    crawl frontier, epidemic, or settlement pattern moves) beside
+    std_dev_ellipse's static dispersion.
+
+    Scale shape: one groupBy(period) with exact moment sums; the lag
+    runs over the O(periods) center table (bounded — a window over
+    aggregates, not data)."""
+    w = F.col(w_col).cast("double") if w_col else F.lit(1.0)
+    g = points.groupBy(F.col(period_col).alias("period")).agg(
+        F.sum(w).alias("_w"),
+        F.sum(w * F.col(x_col)).alias("_sx"),
+        F.sum(w * F.col(y_col)).alias("_sy"))
+    c = g.select("period",
+                 F.col("_w").cast("bigint").alias("n_weight"),
+                 (F.col("_sx") / F.col("_w")).alias("_cx"),
+                 (F.col("_sy") / F.col("_w")).alias("_cy"))
+    # drift runs over the O(periods) AGGREGATE table — fold instead of
+    # a global window to keep the plan exchange-free
+    row = F.struct(F.col("period"), F.col("n_weight"),
+                   F.col("_cx"), F.col("_cy"))
+    folded = c.agg(F.array_sort(F.collect_list(row)).alias("a"))
+    rows = folded.select(F.expr(
+        "transform(a, (r, i) -> named_struct("
+        "  'period', r.period, 'n_weight', r.n_weight,"
+        "  'cx', r._cx, 'cy', r._cy,"
+        "  'dx', IF(i = 0, CAST(NULL AS DOUBLE), r._cx - a[i - 1]._cx),"
+        "  'dy', IF(i = 0, CAST(NULL AS DOUBLE), r._cy - a[i - 1]._cy)))")
+        .alias("rows"))
+    return (rows.select(F.explode("rows").alias("r"))
+            .select(F.col("r.period").alias("period"),
+                    F.col("r.n_weight").alias("n_weight"),
+                    F.round(F.col("r.cx"), round_to).alias("center_x"),
+                    F.round(F.col("r.cy"), round_to).alias("center_y"),
+                    F.round(F.sqrt(F.col("r.dx") * F.col("r.dx")
+                                   + F.col("r.dy") * F.col("r.dy")),
+                            round_to).alias("drift_dist"),
+                    F.round(F.atan2(F.col("r.dy"), F.col("r.dx")),
+                            round_to).alias("drift_bearing")))

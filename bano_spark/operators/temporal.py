@@ -733,3 +733,50 @@ def gumbel_block_maxima(df: DataFrame, key_col: str, block_col: str,
         F.round(mu, round_to).alias("gumbel_mu"),
         F.round(beta, round_to).alias("gumbel_beta"),
         F.round(rl, round_to).alias("return_level_100"))
+
+
+def nelson_aalen_hazard(durations: DataFrame, *,
+                        dur_col: str = "duration",
+                        observed_col: str = "observed",
+                        round_to: int = 6) -> DataFrame:
+    """Nelson-Aalen cumulative hazard (Nelson 1972; Aalen 1978):
+    H(t) = sum_{t_i <= t} d_i / n_i over the same right-censored risk
+    table as :func:`kaplan_meier` — the hazard-scale companion
+    (exp(-H) is the Fleming-Harrington survival variant), preferred
+    when hazards are the modeling target (recrawl intensity).
+
+    Scale shape identical to kaplan_meier: one groupBy(duration),
+    then the at-risk cumsum AND hazard cumsum inside a single
+    O(distinct-times) array fold — no global window. Returns event
+    times only: (duration, n_risk, n_events, cum_hazard)."""
+    d = durations.select(
+        F.col(dur_col).cast("double").alias("_t"),
+        F.col(observed_col).cast("boolean").alias("_o"))
+    total = d.agg(F.count(F.lit(1)).alias("_n"))
+    rt = d.groupBy("_t").agg(
+        F.sum(F.when(F.col("_o"), 1).otherwise(0)).alias("_d"),
+        F.sum(F.when(~F.col("_o"), 1).otherwise(0)).alias("_c"))
+    row = F.struct(F.col("_t"), F.col("_d"), F.col("_c"))
+    folded = (rt.agg(F.array_sort(F.collect_list(row)).alias("a"))
+              .crossJoin(F.broadcast(total))
+              .select(F.expr(
+                  "transform(a, (r, i) -> named_struct("
+                  "  't', r._t, 'd', r._d,"
+                  "  'nrisk', _n - aggregate(slice(a, 1, i), "
+                  "       CAST(0 AS BIGINT), "
+                  "       (acc, q) -> acc + q._d + q._c),"
+                  "  'h', aggregate(slice(a, 1, i + 1), "
+                  "       CAST(0 AS DOUBLE), "
+                  "       (acc, q) -> acc + CAST(q._d AS DOUBLE) "
+                  "         / (_n - aggregate(slice(a, 1, "
+                  "              array_position(transform(a, z -> z._t), "
+                  "                             q._t) - 1), "
+                  "              CAST(0 AS BIGINT), "
+                  "              (a2, q2) -> a2 + q2._d + q2._c)))))")
+                  .alias("rows")))
+    return (folded.select(F.explode("rows").alias("r"))
+            .select(F.col("r.t").alias("duration"),
+                    F.col("r.nrisk").cast("bigint").alias("n_risk"),
+                    F.col("r.d").cast("bigint").alias("n_events"),
+                    F.round(F.col("r.h"), round_to).alias("cum_hazard"))
+            .filter(F.col("n_events") > 0))
