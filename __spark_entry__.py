@@ -1942,6 +1942,7 @@ from bano_spark import queries_wave36 as _w36  # noqa: E402
 from bano_spark import queries_wave37 as _w37  # noqa: E402
 from bano_spark import queries_wave38 as _w38  # noqa: E402
 from bano_spark import queries_wave39 as _w39  # noqa: E402
+from bano_spark import queries_wave40 as _w40  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2009,6 +2010,8 @@ _QUERIES.update(_w38.QUERIES)
 _ORACLES.update(_w38.ORACLES)
 _QUERIES.update(_w39.QUERIES)
 _ORACLES.update(_w39.ORACLES)
+_QUERIES.update(_w40.QUERIES)
+_ORACLES.update(_w40.ORACLES)
 
 
 # ---------------------------------------------------------------------------

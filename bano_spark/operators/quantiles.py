@@ -538,3 +538,112 @@ def cohens_kappa(df, rater_a: str, rater_b: str, *,
         F.round(pe, round_to).alias("pe"),
         F.round(F.when(pe != 1.0, (po - pe) / (1 - pe)), round_to)
         .alias("kappa"))
+
+
+def runs_test(df, key_col: str, flag_col: str, order_cols: list, *,
+              round_to: int = 6):
+    """Wald-Wolfowitz runs test per key: with n1 trues, n2 falses and
+    R observed runs in the ordered binary sequence,
+    z = (R - E[R]) / sqrt(V[R]), E[R] = 1 + 2 n1 n2 / n — the
+    cheapest randomness screen (|z| >> 0 = clustering or strict
+    alternation) for per-host outcome streams.
+
+    Scale shape: one per-key ROW lag window to count run boundaries +
+    one groupBy(key); integer counts, closed-form z. Keys with a
+    constant sequence yield NULL z (V = 0)."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    b = F.col(flag_col).cast("boolean")
+    d = df.select(F.col(key_col), b.alias("_b"),
+                  (b != F.lag(b).over(w)).alias("_chg"))
+    g = d.groupBy(key_col).agg(
+        F.sum(F.when(F.col("_b"), 1).otherwise(0)).cast("double")
+        .alias("n1"),
+        F.sum(F.when(~F.col("_b"), 1).otherwise(0)).cast("double")
+        .alias("n2"),
+        (F.sum(F.when(F.col("_chg"), 1).otherwise(0)) + 1)
+        .cast("double").alias("runs"))
+    n = F.col("n1") + F.col("n2")
+    er = 1 + 2 * F.col("n1") * F.col("n2") / n
+    vr = (2 * F.col("n1") * F.col("n2")
+          * (2 * F.col("n1") * F.col("n2") - n)) / (n * n * (n - 1))
+    return g.select(
+        key_col,
+        F.col("n1").cast("bigint").alias("n_true"),
+        F.col("n2").cast("bigint").alias("n_false"),
+        F.col("runs").cast("bigint").alias("n_runs"),
+        F.round(er, round_to).alias("expected_runs"),
+        F.round(F.when(vr > 0, (F.col("runs") - er) / F.sqrt(vr)),
+                round_to).alias("z"))
+
+
+def mcnemar_test(df, rater_a: str, rater_b: str, *,
+                 round_to: int = 6):
+    """McNemar's test for paired raters (McNemar 1947, plain form):
+    chi2 = (b - c)^2 / (b + c) over the discordant cells — did
+    swapping classifier A for B actually CHANGE outcomes, the paired
+    companion of cohens_kappa (which measures agreement, not
+    direction). One conditional aggregate; b + c = 0 yields NULL."""
+    from pyspark.sql import functions as F
+
+    a = F.col(rater_a).cast("boolean")
+    bb = F.col(rater_b).cast("boolean")
+    agg = df.agg(
+        F.sum(F.when(a & ~bb, 1).otherwise(0)).cast("double").alias("b"),
+        F.sum(F.when(~a & bb, 1).otherwise(0)).cast("double").alias("c"))
+    return agg.select(
+        F.col("b").cast("bigint").alias("b"),
+        F.col("c").cast("bigint").alias("c"),
+        F.round(F.when(F.col("b") + F.col("c") > 0,
+                       (F.col("b") - F.col("c"))
+                       * (F.col("b") - F.col("c"))
+                       / (F.col("b") + F.col("c"))), round_to)
+        .alias("chi2"))
+
+
+def gain_curve_bins(scored, score_col: str, label_col: str, *,
+                    n_bins: int = 20, lo: float = -1.0, hi: float = 1.0,
+                    round_to: int = 6):
+    """Cumulative gains table on fixed-width score bins, best-first:
+    per bin (descending score) the cumulative share of documents
+    inspected and of positives captured — the lift chart read before
+    committing a classifier cutoff to a keep-budget (the
+    selection_tradeoff idiom applied to classifier evaluation).
+
+    Scale shape: one clamped-bin groupBy, then the cumulation folds
+    over the O(n_bins) band array descending — no global window."""
+    from pyspark.sql import functions as F
+
+    w = (float(hi) - float(lo)) / int(n_bins)
+    b = F.least(F.greatest(
+        F.floor((F.col(score_col) - F.lit(float(lo))) / F.lit(w)),
+        F.lit(0)), F.lit(int(n_bins) - 1)).cast("int")
+    bands = (scored.select(b.alias("bin"),
+                           F.col(label_col).cast("int").alias("_l"))
+             .groupBy("bin")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                  F.sum("_l").cast("bigint").alias("pos")))
+    row = F.struct(F.col("bin"), F.col("n"), F.col("pos"))
+    folded = bands.agg(
+        F.reverse(F.array_sort(F.collect_list(row))).alias("a"))
+    rows = folded.select(F.expr(
+        "transform(a, (r, i) -> named_struct("
+        "  'bin', r.bin, 'n', r.n, 'pos', r.pos,"
+        "  'cn', aggregate(slice(a, 1, i + 1), CAST(0 AS BIGINT),"
+        "        (acc, q) -> acc + q.n),"
+        "  'cp', aggregate(slice(a, 1, i + 1), CAST(0 AS BIGINT),"
+        "        (acc, q) -> acc + q.pos),"
+        "  'tn', aggregate(a, CAST(0 AS BIGINT),"
+        "        (acc, q) -> acc + q.n),"
+        "  'tp', aggregate(a, CAST(0 AS BIGINT),"
+        "        (acc, q) -> acc + q.pos)))").alias("rows"))
+    return (rows.select(F.explode("rows").alias("r"))
+            .select(F.col("r.bin").alias("bin"),
+                    F.col("r.n").alias("n"),
+                    F.col("r.pos").alias("pos"),
+                    F.round(F.col("r.cn") / F.col("r.tn"), round_to)
+                    .alias("cum_inspected_share"),
+                    F.round(F.when(F.col("r.tp") > 0,
+                                   F.col("r.cp") / F.col("r.tp")),
+                            round_to).alias("cum_positive_capture")))

@@ -780,3 +780,70 @@ def nelson_aalen_hazard(durations: DataFrame, *,
                     F.col("r.d").cast("bigint").alias("n_events"),
                     F.round(F.col("r.h"), round_to).alias("cum_hazard"))
             .filter(F.col("n_events") > 0))
+
+
+def log_rank_test(durations: DataFrame, *, dur_col: str = "duration",
+                  observed_col: str = "observed",
+                  group_col: str = "grp",
+                  round_to: int = 6) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; Peto & Peto 1972) on
+    right-censored spells: at each event time, observed group-1
+    events vs the hypergeometric expectation d * n1 / n, summed with
+    the matching variance into the chi-square statistic
+    (O1 - E1)^2 / V — do the two recrawl policies really differ, the
+    inferential arm of the KM / Nelson-Aalen estimators.
+
+    Scale shape: ONE groupBy(duration) risk table with per-group
+    conditional counts; the at-risk prefixes and per-time terms come
+    from a single O(distinct-times) array transform (the kaplan_meier
+    fold idiom — no global window), then one scalar aggregate.
+    Returns one row (n1, n2, o1, e1, chi2)."""
+    d = durations.select(
+        F.col(dur_col).cast("double").alias("_t"),
+        F.col(observed_col).cast("boolean").alias("_o"),
+        F.col(group_col).cast("boolean").alias("_g"))
+    tot = d.agg(
+        F.sum(F.when(F.col("_g"), 1).otherwise(0)).alias("_n1"),
+        F.sum(F.when(~F.col("_g"), 1).otherwise(0)).alias("_n2"))
+    rt = d.groupBy("_t").agg(
+        F.sum(F.when(F.col("_g") & F.col("_o"), 1).otherwise(0))
+        .alias("_d1"),
+        F.sum(F.when(F.col("_g") & ~F.col("_o"), 1).otherwise(0))
+        .alias("_c1"),
+        F.sum(F.when(~F.col("_g") & F.col("_o"), 1).otherwise(0))
+        .alias("_d2"),
+        F.sum(F.when(~F.col("_g") & ~F.col("_o"), 1).otherwise(0))
+        .alias("_c2"))
+    row = F.struct(F.col("_t"), F.col("_d1"), F.col("_c1"),
+                   F.col("_d2"), F.col("_c2"))
+    terms = (rt.agg(F.array_sort(F.collect_list(row)).alias("a"))
+             .crossJoin(F.broadcast(tot))
+             .select(F.expr(
+                 "transform(a, (r, i) -> named_struct("
+                 "  'd1', CAST(r._d1 AS DOUBLE),"
+                 "  'n1', CAST(_n1 - aggregate(slice(a, 1, i),"
+                 "        CAST(0 AS BIGINT),"
+                 "        (acc, q) -> acc + q._d1 + q._c1) AS DOUBLE),"
+                 "  'n2', CAST(_n2 - aggregate(slice(a, 1, i),"
+                 "        CAST(0 AS BIGINT),"
+                 "        (acc, q) -> acc + q._d2 + q._c2) AS DOUBLE),"
+                 "  'd', CAST(r._d1 + r._d2 AS DOUBLE)))").alias("rows")))
+    t = terms.select(F.explode("rows").alias("r")).select(
+        F.col("r.d1").alias("d1"), F.col("r.n1").alias("n1"),
+        F.col("r.n2").alias("n2"), F.col("r.d").alias("d"))
+    n = F.col("n1") + F.col("n2")
+    e1 = F.col("d") * F.col("n1") / n
+    v = F.when(n > 1,
+               F.col("d") * (F.col("n1") / n) * (F.col("n2") / n)
+               * (n - F.col("d")) / (n - 1)).otherwise(0.0)
+    agg = t.filter(F.col("d") > 0).agg(
+        F.sum("d1").alias("_o1"), F.sum(e1).alias("_e1"),
+        F.sum(v).alias("_v"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select(F.col("_n1").cast("bigint").alias("n1"),
+                    F.col("_n2").cast("bigint").alias("n2"),
+                    F.col("_o1").cast("bigint").alias("o1"),
+                    F.round("_e1", round_to).alias("e1"),
+                    F.round((F.col("_o1") - F.col("_e1"))
+                            * (F.col("_o1") - F.col("_e1"))
+                            / F.col("_v"), round_to).alias("chi2")))

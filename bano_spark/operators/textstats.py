@@ -1052,3 +1052,42 @@ def source_vocab_overlap(docs: DataFrame, *, source_col: str = "source",
                             / (F.col("_va") + F.col("_vb")
                                - F.col("shared")), round_to)
                     .alias("jaccard")))
+
+
+def hellinger_source_distance(docs: DataFrame, *,
+                              source_col: str = "source",
+                              text_col: str = "text",
+                              round_to: int = 6) -> DataFrame:
+    """Hellinger distance between source unigram distributions:
+    H = sqrt(1 - BC) with the Bhattacharyya coefficient
+    BC = sum_w sqrt(p(w|a) q(w|b)) — the bounded [0,1] metric
+    companion of source_kl_divergence (KL is asymmetric and blows up
+    on disjoint support; Hellinger does neither), read when picking
+    mixing weights across scraped domains.
+
+    Scale shape: per-source distributions are one groupBy; pair terms
+    generate from SHARED tokens only (the inverted join — absent
+    tokens contribute 0 to BC by definition, so completeness is
+    free); one rollup per source pair."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = (docs.select(F.col(source_col).alias("_s"),
+                     F.explode(toks).alias("_w"))
+         .filter(F.col("_w") != ""))
+    cnt = t.groupBy("_s", "_w").agg(
+        F.count(F.lit(1)).cast("double").alias("_c"))
+    tot = cnt.groupBy("_s").agg(F.sum("_c").alias("_n"))
+    p = (cnt.join(F.broadcast(tot), "_s")
+         .select("_s", "_w", (F.col("_c") / F.col("_n")).alias("_p")))
+    pairs = (p.alias("a")
+             .join(p.alias("b"),
+                   (F.col("a._w") == F.col("b._w"))
+                   & (F.col("a._s") < F.col("b._s")))
+             .groupBy(F.col("a._s").alias("source_a"),
+                      F.col("b._s").alias("source_b"))
+             .agg(F.sum(F.sqrt(F.col("a._p") * F.col("b._p")))
+                  .alias("_bc")))
+    return pairs.select(
+        "source_a", "source_b",
+        F.round("_bc", round_to).alias("bhattacharyya"),
+        F.round(F.sqrt(F.greatest(1 - F.col("_bc"), F.lit(0.0))),
+                round_to).alias("hellinger"))
