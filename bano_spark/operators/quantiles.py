@@ -647,3 +647,110 @@ def gain_curve_bins(scored, score_col: str, label_col: str, *,
                     F.round(F.when(F.col("r.tp") > 0,
                                    F.col("r.cp") / F.col("r.tp")),
                             round_to).alias("cum_positive_capture")))
+
+
+def brier_score(scored, prob_col: str, label_col: str, *,
+                round_to: int = 6):
+    """Brier score: mean squared error of predicted probabilities
+    against boolean outcomes, with the Murphy decomposition's
+    reference term (label base rate variance) for context — the
+    strictly proper scoring rule behind calibration_bins. One
+    aggregate pass. Returns (n, base_rate, brier, brier_ref)."""
+    from pyspark.sql import functions as F
+
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("double")
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(y).alias("base"),
+        F.avg((p - y) * (p - y)).alias("brier"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("base", round_to).alias("base_rate"),
+        F.round("brier", round_to).alias("brier"),
+        F.round(F.col("base") * (1 - F.col("base")), round_to)
+        .alias("brier_ref"))
+
+
+def theil_t_index(df, key_col: str, value_col: str, *,
+                  round_to: int = 6):
+    """Theil T inequality index per group:
+    T = (1/n) sum (x_i / mu) ln(x_i / mu) — 0 under perfect equality,
+    ln(n) under total concentration; the decomposable companion of
+    the Gini family (host_gini). Zero/negative values drop
+    (ln-undefined — the standard convention, disclosed). Two
+    aggregation passes per group (mean, then the T rollup), all
+    map-side partials."""
+    from pyspark.sql import functions as F
+
+    x = F.col(value_col).cast("double")
+    base = df.select(F.col(key_col).alias("_k"), x.alias("_x")) \
+        .filter(F.col("_x") > 0)
+    mu = base.groupBy("_k").agg(F.avg("_x").alias("_mu"),
+                                F.count(F.lit(1)).alias("_n"))
+    j = base.join(mu, "_k")
+    return (j.groupBy("_k")
+            .agg(F.first("_n").cast("bigint").alias("n"),
+                 F.round(F.first("_mu"), round_to).alias("mean_value"),
+                 F.round(F.avg((F.col("_x") / F.col("_mu"))
+                               * F.log(F.col("_x") / F.col("_mu"))),
+                         round_to).alias("theil_t"))
+            .withColumnRenamed("_k", key_col))
+
+
+def expected_calibration_error(scored, prob_col: str, label_col: str, *,
+                               n_bins: int = 10, round_to: int = 6):
+    """Expected Calibration Error: bin predicted probabilities into
+    equal-width [0,1) bins, ECE = sum (n_b / N) |acc_b - conf_b| —
+    the one-number summary of the calibration_bins table (Naeini et
+    al. 2015). One clamped-bin groupBy + one O(bins) rollup. Returns
+    (n, n_bins_used, ece)."""
+    from pyspark.sql import functions as F
+
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("double")
+    w = 1.0 / int(n_bins)
+    b = F.least(F.greatest(F.floor(p / F.lit(w)), F.lit(0)),
+                F.lit(int(n_bins) - 1)).cast("int")
+    bins = (scored.select(b.alias("_b"), p.alias("_p"), y.alias("_y"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).cast("double").alias("_n"),
+                 F.avg("_p").alias("_conf"), F.avg("_y").alias("_acc")))
+    tot = bins.agg(F.sum("_n").alias("_t"))
+    return (bins.crossJoin(F.broadcast(tot))
+            .agg(F.sum("_n").cast("bigint").alias("n"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+                 F.round(F.sum((F.col("_n") / F.col("_t"))
+                               * F.abs(F.col("_acc") - F.col("_conf"))),
+                         round_to).alias("ece")))
+
+
+def var_expected_shortfall(df, key_col: str, value_col: str,
+                           q: float, *, tiebreak: str,
+                           round_to: int = 6):
+    """Per-key Value-at-Risk and Expected Shortfall at level q: VaR =
+    the value at rank ceil(q * n) in the key's ascending order (the
+    empirical upper-q quantile under a total order via ``tiebreak``),
+    ES = the mean of values at or beyond that rank — the tail-risk
+    pair (p99 latency + beyond-p99 mass) for per-host budgets.
+
+    Scale shape: one PARTITIONED rank window + one conditional
+    aggregate per key — never a global order."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(key_col).orderBy(F.col(value_col),
+                                            F.col(tiebreak))
+    wc = Window.partitionBy(key_col)
+    d = (df.withColumn("_rn", F.row_number().over(w))
+         .withColumn("_n", F.count(F.lit(1)).over(wc))
+         .withColumn("_k", F.ceil(F.lit(float(q)) * F.col("_n"))
+                     .cast("bigint")))
+    tail = F.col("_rn") >= F.col("_k")
+    return (d.groupBy(key_col)
+            .agg(F.first("_n").cast("bigint").alias("n"),
+                 F.round(F.max(F.when(F.col("_rn") == F.col("_k"),
+                                      F.col(value_col).cast("double"))),
+                         round_to).alias("var_q"),
+                 F.round(F.avg(F.when(tail,
+                                      F.col(value_col).cast("double"))),
+                         round_to).alias("expected_shortfall")))

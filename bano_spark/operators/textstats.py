@@ -1091,3 +1091,30 @@ def hellinger_source_distance(docs: DataFrame, *,
         F.round("_bc", round_to).alias("bhattacharyya"),
         F.round(F.sqrt(F.greatest(1 - F.col("_bc"), F.lit(0.0))),
                 round_to).alias("hellinger"))
+
+
+def oov_rate(docs: DataFrame, vocab_k: int, *, text_col: str = "text",
+             id_col: str = "doc_id", round_to: int = 6) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-``vocab_k`` token vocabulary (ties by token) — the tokenizer-
+    coverage triage (high OOV = domain shift or noise) run before
+    committing a vocab budget.
+
+    Scale shape: vocabulary = one count groupBy + TakeOrdered
+    (O(vocab_k) broadcast back); per-doc OOV = explode + broadcast
+    anti-membership + one groupBy(doc). Returns
+    (doc_id, n_tokens, n_oov, oov_rate)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = (docs.select(F.col(id_col), F.explode(toks).alias("_w"))
+         .filter(F.col("_w") != ""))
+    vocab = (t.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+             .orderBy(F.desc("_c"), F.asc("_w")).limit(int(vocab_k))
+             .select("_w", F.lit(True).alias("_in")))
+    j = t.join(F.broadcast(vocab), "_w", "left")
+    return (j.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_oov"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tokens"),
+                                round_to)))
