@@ -1944,6 +1944,7 @@ from bano_spark import queries_wave38 as _w38  # noqa: E402
 from bano_spark import queries_wave39 as _w39  # noqa: E402
 from bano_spark import queries_wave40 as _w40  # noqa: E402
 from bano_spark import queries_wave41 as _w41  # noqa: E402
+from bano_spark import queries_wave42 as _w42  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2015,6 +2016,8 @@ _QUERIES.update(_w40.QUERIES)
 _ORACLES.update(_w40.ORACLES)
 _QUERIES.update(_w41.QUERIES)
 _ORACLES.update(_w41.ORACLES)
+_QUERIES.update(_w42.QUERIES)
+_ORACLES.update(_w42.ORACLES)
 
 
 # ---------------------------------------------------------------------------

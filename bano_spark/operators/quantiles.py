@@ -754,3 +754,68 @@ def var_expected_shortfall(df, key_col: str, value_col: str,
                  F.round(F.avg(F.when(tail,
                                       F.col(value_col).cast("double"))),
                          round_to).alias("expected_shortfall")))
+
+
+def fleiss_kappa_binary(rated, rater_cols: list, *,
+                        round_to: int = 6):
+    """Fleiss' kappa for m boolean raters on n items (Fleiss 1971):
+    per-item agreement P_i = (pos_i(pos_i-1) + neg_i(neg_i-1)) /
+    (m(m-1)), Pbar vs chance Pe from the pooled category shares —
+    the multi-rater generalization of cohens_kappa for
+    weak-supervision label stacks.
+
+    One pass: per-row positive count is codegen arithmetic; two
+    scalar aggregates. Returns (n_items, n_raters, p_bar, p_e,
+    kappa)."""
+    from pyspark.sql import functions as F
+
+    m = len(rater_cols)
+    pos = sum(F.col(c).cast("int") for c in rater_cols)
+    d = rated.select(pos.cast("double").alias("_p"))
+    agg = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg((F.col("_p") * (F.col("_p") - 1)
+               + (m - F.col("_p")) * (m - F.col("_p") - 1))
+              / F.lit(float(m * (m - 1)))).alias("pbar"),
+        (F.sum("_p") / (F.count(F.lit(1)) * m)).alias("q"))
+    pe = F.col("q") * F.col("q") + (1 - F.col("q")) * (1 - F.col("q"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_items"),
+        F.lit(m).cast("int").alias("n_raters"),
+        F.round("pbar", round_to).alias("p_bar"),
+        F.round(pe, round_to).alias("p_e"),
+        F.round(F.when(pe != 1.0,
+                       (F.col("pbar") - pe) / (1 - pe)), round_to)
+        .alias("kappa"))
+
+
+def fano_factor(events, key_col: str, bucket_col: str, *,
+                round_to: int = 6):
+    """Fano factor (index of dispersion) of bucketed event counts per
+    key: variance / mean of counts over the key's observed buckets —
+    1 under Poisson arrivals, > 1 bursty, < 1 regular; the temporal
+    twin of quadrat_dispersion's spatial VMR (and the count-domain
+    sibling of interarrival_burstiness).
+
+    Scale shape: one groupBy(key, bucket) + one moment rollup per
+    key; integer counts, exact sums. Keys with < 2 buckets yield
+    NULL fano."""
+    from pyspark.sql import functions as F
+
+    c = (events.groupBy(F.col(key_col).alias("_k"),
+                        F.col(bucket_col).alias("_b"))
+         .agg(F.count(F.lit(1)).cast("double").alias("_c")))
+    g = c.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("double").alias("nb"),
+        F.sum("_c").alias("s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("ss"))
+    mean = F.col("s") / F.col("nb")
+    var = F.when(F.col("nb") > 1,
+                 (F.col("ss") - F.col("nb") * mean * mean)
+                 / (F.col("nb") - 1))
+    return g.select(
+        F.col("_k").alias(key_col),
+        F.col("nb").cast("bigint").alias("n_buckets"),
+        F.col("s").cast("bigint").alias("n_events"),
+        F.round(mean, round_to).alias("mean_count"),
+        F.round(var / mean, round_to).alias("fano"))
