@@ -819,3 +819,52 @@ def fano_factor(events, key_col: str, bucket_col: str, *,
         F.col("s").cast("bigint").alias("n_events"),
         F.round(mean, round_to).alias("mean_count"),
         F.round(var / mean, round_to).alias("fano"))
+
+
+def gini_by_group(df, key_col: str, value_col: str, *,
+                  tiebreak: str, round_to: int = 6):
+    """Exact Gini coefficient per group via the rank identity
+    G = 2 sum(i * x_(i)) / (n * sum x) - (n + 1) / n over the
+    ascending within-group order (total via ``tiebreak``) — the
+    per-segment refinement of the global host_gini, one PARTITIONED
+    rank window + one aggregate (never a global sort). Non-negative
+    values assumed (disclosed); n < 2 yields NULL."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(key_col).orderBy(F.col(value_col),
+                                            F.col(tiebreak))
+    d = df.select(F.col(key_col),
+                  F.col(value_col).cast("double").alias("_x"),
+                  F.row_number().over(w).cast("double").alias("_i"))
+    g = d.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_x").alias("s"),
+        F.sum(F.col("_i") * F.col("_x")).alias("ix"))
+    return g.select(
+        key_col, F.col("n").cast("bigint").alias("n"),
+        F.round(F.when((F.col("n") >= 2) & (F.col("s") > 0),
+                       2 * F.col("ix") / (F.col("n") * F.col("s"))
+                       - (F.col("n") + 1) / F.col("n")), round_to)
+        .alias("gini"))
+
+
+def concentration_ratio(df, key_col: str, value_col: str, k: int, *,
+                        round_to: int = 6):
+    """CR-k concentration ratio: the share of the total carried by
+    the top-k keys by summed value (CR4/CR8 of industrial
+    organization, here for host/source dominance) — one groupBy +
+    TakeOrdered top-k + one scalar total; never a global sort.
+    Returns one row (k, total, top_k_sum, cr_k)."""
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.sum(F.col(value_col).cast("double")).alias("_v"))
+    top = (per.orderBy(F.desc("_v"), F.asc("_k")).limit(int(k))
+           .agg(F.sum("_v").alias("_top")))
+    tot = per.agg(F.sum("_v").alias("_tot"))
+    return (top.crossJoin(F.broadcast(tot))
+            .select(F.lit(int(k)).alias("k"),
+                    F.round("_tot", round_to).alias("total"),
+                    F.round("_top", round_to).alias("top_k_sum"),
+                    F.round(F.col("_top") / F.col("_tot"), round_to)
+                    .alias("cr_k")))
