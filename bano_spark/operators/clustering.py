@@ -203,3 +203,93 @@ def st_dbscan(points: DataFrame, eps_s: float, eps_t: float,
             .select(F.col("_pid").alias(id_col),
                     F.coalesce("role", F.lit("noise")).alias("role"),
                     F.col("_cl").alias("cluster")))
+
+
+def label_centroids(embs, *, label_col: str = "label",
+                    vec_col: str = "embedding", dim: int = 64):
+    """Per-label centroid vectors as (label, dim, mean) rows: one
+    posexplode + groupBy(label, dim) — the distributed centroid pass
+    every cluster-quality metric below shares."""
+    from pyspark.sql import functions as F
+
+    ex = embs.select(F.col(label_col).alias("_l"),
+                     F.posexplode(F.col(vec_col)).alias("_d", "_v"))
+    return (ex.groupBy("_l", "_d")
+            .agg(F.avg(F.col("_v").cast("double")).alias("_m")))
+
+
+def label_centroid_cosine(embs, *, label_col: str = "label",
+                          vec_col: str = "embedding", dim: int = 64,
+                          round_to: int = 6):
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the cluster-separation quick look (labels whose
+    centroids cosine near 1 are candidates for merging) before
+    anything quadratic in points runs.
+
+    Scale shape: ONE centroid pass (posexplode + groupBy — O(n*dim)
+    with map-side partials), then all pair arithmetic on the O(k*dim)
+    centroid table: a dim equi-join + groupBy(label pair). Returns
+    (label_a, label_b, cosine)."""
+    from pyspark.sql import functions as F
+
+    c = label_centroids(embs, label_col=label_col, vec_col=vec_col,
+                        dim=dim)
+    a = c.select(F.col("_l").alias("la"), "_d", F.col("_m").alias("ma"))
+    b = c.select(F.col("_l").alias("lb"), "_d", F.col("_m").alias("mb"))
+    pairs = (a.join(b, "_d")
+             .filter(F.col("la") < F.col("lb"))
+             .groupBy("la", "lb")
+             .agg(F.sum(F.col("ma") * F.col("mb")).alias("_dot"),
+                  F.sum(F.col("ma") * F.col("ma")).alias("_na"),
+                  F.sum(F.col("mb") * F.col("mb")).alias("_nb")))
+    return pairs.select(
+        F.col("la").alias("label_a"), F.col("lb").alias("label_b"),
+        F.round(F.col("_dot")
+                / (F.sqrt("_na") * F.sqrt("_nb")), round_to)
+        .alias("cosine"))
+
+
+def davies_bouldin(embs, *, label_col: str = "label",
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   dim: int = 64, round_to: int = 6):
+    """Davies-Bouldin index over the label clustering (Davies &
+    Bouldin 1979): per label the mean Euclidean scatter to its
+    centroid, DB = mean over labels of max_{j != i}
+    (s_i + s_j) / d_ij — lower is better; the centroid-only
+    cluster-quality score that avoids silhouette's O(n^2) pairs.
+
+    Scale shape: one centroid pass, one scatter pass (each point
+    joins its label's centroid rows on the dim key — O(n*dim)), then
+    all pair logic on the O(k^2) label table. Returns one row
+    (n_labels, db_index)."""
+    from pyspark.sql import functions as F
+
+    c = label_centroids(embs, label_col=label_col, vec_col=vec_col,
+                        dim=dim)
+    ex = embs.select(F.col(label_col).alias("_l"),
+                     F.col(id_col).alias("_rid"),
+                     F.posexplode(F.col(vec_col)).alias("_d", "_v"))
+    dev = (ex.join(c, ["_l", "_d"])
+           .groupBy("_l", "_rid")
+           .agg(F.sum((F.col("_v").cast("double") - F.col("_m"))
+                      * (F.col("_v").cast("double") - F.col("_m")))
+                .alias("_d2")))
+    scat = dev.groupBy("_l").agg(F.avg(F.sqrt("_d2")).alias("_s"))
+    cd = (c.select(F.col("_l").alias("li"), "_d",
+                   F.col("_m").alias("mi"))
+          .join(c.select(F.col("_l").alias("lj"), "_d",
+                         F.col("_m").alias("mj")), "_d")
+          .filter(F.col("li") != F.col("lj"))
+          .groupBy("li", "lj")
+          .agg(F.sqrt(F.sum((F.col("mi") - F.col("mj"))
+                            * (F.col("mi") - F.col("mj"))))
+               .alias("_dij")))
+    r = (cd.join(scat.select(F.col("_l").alias("li"),
+                             F.col("_s").alias("si")), "li")
+         .join(scat.select(F.col("_l").alias("lj"),
+                           F.col("_s").alias("sj")), "lj")
+         .groupBy("li")
+         .agg(F.max((F.col("si") + F.col("sj")) / F.col("_dij"))
+              .alias("_r")))
+    return r.agg(F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+                 F.round(F.avg("_r"), round_to).alias("db_index"))
