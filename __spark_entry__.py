@@ -1947,6 +1947,7 @@ from bano_spark import queries_wave41 as _w41  # noqa: E402
 from bano_spark import queries_wave42 as _w42  # noqa: E402
 from bano_spark import queries_wave43 as _w43  # noqa: E402
 from bano_spark import queries_wave44 as _w44  # noqa: E402
+from bano_spark import queries_wave45 as _w45  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2024,6 +2025,8 @@ _QUERIES.update(_w43.QUERIES)
 _ORACLES.update(_w43.ORACLES)
 _QUERIES.update(_w44.QUERIES)
 _ORACLES.update(_w44.ORACLES)
+_QUERIES.update(_w45.QUERIES)
+_ORACLES.update(_w45.ORACLES)
 
 
 # ---------------------------------------------------------------------------
