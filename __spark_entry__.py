@@ -1948,6 +1948,7 @@ from bano_spark import queries_wave42 as _w42  # noqa: E402
 from bano_spark import queries_wave43 as _w43  # noqa: E402
 from bano_spark import queries_wave44 as _w44  # noqa: E402
 from bano_spark import queries_wave45 as _w45  # noqa: E402
+from bano_spark import queries_wave46 as _w46  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2027,6 +2028,8 @@ _QUERIES.update(_w44.QUERIES)
 _ORACLES.update(_w44.ORACLES)
 _QUERIES.update(_w45.QUERIES)
 _ORACLES.update(_w45.ORACLES)
+_QUERIES.update(_w46.QUERIES)
+_ORACLES.update(_w46.ORACLES)
 
 
 # ---------------------------------------------------------------------------
