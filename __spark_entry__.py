@@ -1949,6 +1949,7 @@ from bano_spark import queries_wave43 as _w43  # noqa: E402
 from bano_spark import queries_wave44 as _w44  # noqa: E402
 from bano_spark import queries_wave45 as _w45  # noqa: E402
 from bano_spark import queries_wave46 as _w46  # noqa: E402
+from bano_spark import queries_wave47 as _w47  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2030,6 +2031,8 @@ _QUERIES.update(_w45.QUERIES)
 _ORACLES.update(_w45.ORACLES)
 _QUERIES.update(_w46.QUERIES)
 _ORACLES.update(_w46.ORACLES)
+_QUERIES.update(_w47.QUERIES)
+_ORACLES.update(_w47.ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -868,3 +868,167 @@ def concentration_ratio(df, key_col: str, value_col: str, k: int, *,
                     F.round("_top", round_to).alias("top_k_sum"),
                     F.round(F.col("_top") / F.col("_tot"), round_to)
                     .alias("cr_k")))
+
+
+def ks_two_sample(df, group_col: str, value_col: str, *,
+                  round_to: int = 6):
+    """Two-sample Kolmogorov-Smirnov statistic: the maximum absolute
+    ECDF gap between the value distributions of the two groups.
+    ``group_col`` must be boolean-like: true = sample A.
+
+    Scale shape: collapse to one row per DISTINCT value with per-group
+    counts (map-side combine carries the reduction), then a bucketed
+    distributed prefix sum per group over the value order
+    (`selection.distributed_cumsum` — O(buckets) driver state, no
+    global sort or single-partition window), then one scalar max. The
+    ECDF gaps divide exact integer cumulative counts, so the max is
+    bit-identical across engines. Returns one row
+    (n_a, n_b, n_points, ks_stat)."""
+    from pyspark.sql import functions as F
+
+    from .selection import distributed_cumsum
+
+    g = F.col(group_col).cast("boolean")
+    s = df.select(F.col(value_col).cast("double").alias("_v"),
+                  g.alias("_g")).filter(F.col("_v").isNotNull())
+    cells = s.groupBy("_v").agg(
+        F.sum(F.when(F.col("_g"), 1).otherwise(0)).alias("_c1"),
+        F.sum(F.when(~F.col("_g"), 1).otherwise(0)).alias("_c2"))
+    cum = distributed_cumsum(cells, "_v", [F.asc("_v")], "_c1",
+                             out_col="_f1")
+    cum = distributed_cumsum(cum, "_v", [F.asc("_v")], "_c2",
+                             out_col="_f2")
+    tot = cells.agg(F.sum("_c1").alias("_n1"), F.sum("_c2").alias("_n2"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .agg(F.max(F.col("_n1")).cast("bigint").alias("n_a"),
+                 F.max(F.col("_n2")).cast("bigint").alias("n_b"),
+                 F.count(F.lit(1)).alias("n_points"),
+                 F.round(F.max(F.abs(
+                     F.col("_f1") / F.col("_n1")
+                     - F.col("_f2") / F.col("_n2"))), round_to)
+                 .alias("ks_stat")))
+
+
+def chi_square_independence(df, row_col: str, col_col: str, *,
+                            round_to: int = 6):
+    """Pearson chi-square test of independence over the (row, col)
+    contingency table, plus Cramer's V. The grid is COMPLETED before
+    the statistic (an unobserved cell still contributes its expected
+    count), so sparse tables are scored correctly.
+
+    Scale shape: one groupBy builds the observed cells; the grid
+    completion is a broadcast cross of the two DISTINCT margins
+    (O(r x c), bounded by label cardinality, never by rows);
+    marginals are partitioned windows over the cell table; the
+    statistic is one scalar aggregate. Returns one row
+    (n, n_rows, n_cols, dof, chi2, cramers_v)."""
+    from pyspark.sql import Window, functions as F
+
+    obs = (df.select(F.col(row_col).alias("_r"), F.col(col_col).alias("_c"))
+           .groupBy("_r", "_c").agg(F.count(F.lit(1)).alias("_n")))
+    rows_ = obs.select("_r").distinct()
+    cols_ = obs.select("_c").distinct()
+    grid = (rows_.crossJoin(F.broadcast(cols_))
+            .join(obs, ["_r", "_c"], "left")
+            .withColumn("_n", F.coalesce(F.col("_n"), F.lit(0))))
+    row_tot = F.sum("_n").over(Window.partitionBy("_r"))
+    col_tot = F.sum("_n").over(Window.partitionBy("_c"))
+    cells = grid.withColumn("_rt", row_tot).withColumn("_ct", col_tot)
+    tot = obs.agg(F.sum("_n").alias("_tN"),
+                  F.countDistinct("_r").alias("_tR"),
+                  F.countDistinct("_c").alias("_tC"))
+    e = F.col("_rt") * F.col("_ct") / F.col("_tN")
+    term = (F.col("_n") - e) * (F.col("_n") - e) / e
+    agg = (cells.crossJoin(F.broadcast(tot))
+           .agg(F.max("_tN").cast("bigint").alias("n"),
+                F.max("_tR").cast("bigint").alias("n_rows"),
+                F.max("_tC").cast("bigint").alias("n_cols"),
+                F.sum(term).alias("_chi2")))
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    v = F.sqrt(F.col("_chi2") / (F.col("n")
+               * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)))
+    return agg.select(
+        "n", "n_rows", "n_cols", dof.cast("bigint").alias("dof"),
+        F.round("_chi2", round_to).alias("chi2"),
+        F.round(v, round_to).alias("cramers_v"))
+
+
+def kendall_tau_b(df, key_col: str, x_col: str, y_col: str, *,
+                  round_to: int = 6):
+    """Kendall's tau-b rank correlation between two INTEGER-valued
+    per-key measures, tie-corrected: tau_b = (C - D) /
+    sqrt((n0 - t_x)(n0 - t_y)) with n0 = k(k-1)/2 and t_* the tied
+    pair counts per axis. Integer measures make every pair comparison
+    exact — callers with float measures should quantize first (the
+    cents-style cast) or accept ulp-sensitive ordering.
+
+    Scale shape: the pair join runs on the PER-KEY table (k rows, not
+    data rows) as a broadcast non-equi self-join — O(k^2) work bounded
+    by key cardinality, the same disclosed contract as the silhouette
+    / Davies-Bouldin family; tie terms are two tiny groupBys. Returns
+    one row (n_keys, concordant, discordant, tau_b)."""
+    from pyspark.sql import functions as F
+
+    per = df.select(F.col(key_col).alias("_k"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y"))
+    a = per.select(F.col("_k").alias("_ka"), F.col("_x").alias("_xa"),
+                   F.col("_y").alias("_ya"))
+    b = per.select(F.col("_k").alias("_kb"), F.col("_x").alias("_xb"),
+                   F.col("_y").alias("_yb"))
+    prod = (F.col("_xa") - F.col("_xb")) * (F.col("_ya") - F.col("_yb"))
+    pairs = (a.join(F.broadcast(b), F.col("_ka") < F.col("_kb"))
+             .agg(F.sum(F.when(prod > 0, 1).otherwise(0)).alias("_c"),
+                  F.sum(F.when(prod < 0, 1).otherwise(0)).alias("_d")))
+    tx = (per.groupBy("_x").agg(F.count(F.lit(1)).alias("_t"))
+          .agg(F.sum(F.col("_t") * (F.col("_t") - 1) / 2).alias("_tx")))
+    ty = (per.groupBy("_y").agg(F.count(F.lit(1)).alias("_t"))
+          .agg(F.sum(F.col("_t") * (F.col("_t") - 1) / 2).alias("_ty")))
+    n = per.agg(F.count(F.lit(1)).alias("_n"))
+    n0 = F.col("_n") * (F.col("_n") - 1) / 2
+    tau = ((F.col("_c") - F.col("_d"))
+           / F.sqrt((n0 - F.col("_tx")) * (n0 - F.col("_ty"))))
+    return (pairs.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+            .crossJoin(F.broadcast(n))
+            .select(F.col("_n").cast("bigint").alias("n_keys"),
+                    F.col("_c").cast("bigint").alias("concordant"),
+                    F.col("_d").cast("bigint").alias("discordant"),
+                    F.round(tau, round_to).alias("tau_b")))
+
+
+def anova_f_oneway(df, group_col: str, value_col: str, *,
+                   round_to: int = 6):
+    """One-way ANOVA F statistic across the groups of ``group_col``:
+    F = (SSB/(k-1)) / (SSW/(n-k)), computed from per-group
+    (count, sum, sum-of-squares) moments — the k-group generalization
+    of `welch_ttest`'s one-pass moment shape (pooled variance here, as
+    classical ANOVA defines it).
+
+    Scale shape: one groupBy with map-side partial moments, then O(k)
+    scalar arithmetic on the group table. Only RATIO statistics are
+    returned (F and eta-squared): the raw sums of squares sit at
+    magnitudes where summation-order ulps would poison a 6-dp
+    cross-engine compare, while the ratios cancel that noise. Returns
+    one row (k, n, f_stat, eta_sq)."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("double")
+    g = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_ss"))
+    agg = g.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").alias("_N"),
+        F.sum("_s").alias("_S"),
+        F.sum(F.col("_s") * F.col("_s") / F.col("_n")).alias("_sb"),
+        F.sum(F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n"))
+        .alias("_ssw"))
+    ssb = F.col("_sb") - F.col("_S") * F.col("_S") / F.col("_N")
+    f = (ssb / (F.col("_k") - 1)) / (F.col("_ssw") / (F.col("_N") - F.col("_k")))
+    eta = ssb / (ssb + F.col("_ssw"))
+    return agg.select(
+        F.col("_k").cast("bigint").alias("k"),
+        F.col("_N").cast("bigint").alias("n"),
+        F.round(f, round_to).alias("f_stat"),
+        F.round(eta, round_to).alias("eta_sq"))

@@ -1,0 +1,74 @@
+"""Hand-computed checks for the hypothesis-test operators (wave 47)."""
+
+from bano_spark.operators.quantiles import (
+    anova_f_oneway, chi_square_independence, kendall_tau_b, ks_two_sample)
+
+
+def test_ks_two_sample(spark):
+    # A = [1,2,2,4], B = [2,3,4,4] -> max ECDF gap at v=2: .75 vs .25
+    rows = [(1.0, True), (2.0, True), (2.0, True), (4.0, True),
+            (2.0, False), (3.0, False), (4.0, False), (4.0, False)]
+    df = spark.createDataFrame(rows, "v double, g boolean")
+    out = ks_two_sample(df, "g", "v").collect()[0]
+    assert out["n_a"] == 4 and out["n_b"] == 4
+    assert out["n_points"] == 4
+    assert out["ks_stat"] == 0.5
+
+
+def test_ks_ignores_null_values(spark):
+    rows = [(1.0, True), (None, True), (2.0, False)]
+    df = spark.createDataFrame(rows, "v double, g boolean")
+    out = ks_two_sample(df, "g", "v").collect()[0]
+    assert out["n_a"] == 1 and out["n_b"] == 1
+    assert out["ks_stat"] == 1.0
+
+
+def test_chi_square_2x2(spark):
+    rows = ([("r1", "c1")] * 10 + [("r1", "c2")] * 20
+            + [("r2", "c1")] * 20 + [("r2", "c2")] * 10)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square_independence(df, "r", "c").collect()[0]
+    assert out["n"] == 60 and out["dof"] == 1
+    assert out["chi2"] == round(100 / 15, 6)  # 6.666667
+    assert out["cramers_v"] == round((100 / 15 / 60) ** 0.5, 6)
+
+
+def test_chi_square_grid_completion(spark):
+    # (b, y) unobserved: E=1 still contributes (0-1)^2/1 = 1.
+    rows = ([("a", "x")] * 2 + [("a", "y")] * 2 + [("b", "x")] * 4)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square_independence(df, "r", "c").collect()[0]
+    assert out["n"] == 8
+    assert out["n_rows"] == 2 and out["n_cols"] == 2
+    assert out["chi2"] == round(1 / 3 + 1 + 1 / 3 + 1, 6)
+
+
+def test_kendall_tau_b_ties(spark):
+    # x=[1,2,3,3], y=[1,3,2,2]: C=3, D=2, one tied pair per axis ->
+    # tau_b = 1 / sqrt(5*5) = 0.2
+    rows = [(1, 1, 1), (2, 2, 3), (3, 3, 2), (4, 3, 2)]
+    df = spark.createDataFrame(rows, "k int, x int, y int")
+    out = kendall_tau_b(df, "k", "x", "y").collect()[0]
+    assert out["n_keys"] == 4
+    assert out["concordant"] == 3 and out["discordant"] == 2
+    assert out["tau_b"] == 0.2
+
+
+def test_kendall_perfect_agreement(spark):
+    rows = [(1, 1, 10), (2, 2, 20), (3, 3, 30)]
+    df = spark.createDataFrame(rows, "k int, x int, y int")
+    out = kendall_tau_b(df, "k", "x", "y").collect()[0]
+    assert out["tau_b"] == 1.0
+
+
+def test_anova_f_oneway(spark):
+    # groups [1,2,3], [2,4,6], [3,6,9]: SSB=24, SSW=28 ->
+    # F = 12 / (28/6), eta^2 = 24/52
+    rows = [("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+            ("g2", 2.0), ("g2", 4.0), ("g2", 6.0),
+            ("g3", 3.0), ("g3", 6.0), ("g3", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = anova_f_oneway(df, "g", "v").collect()[0]
+    assert out["k"] == 3 and out["n"] == 9
+    assert out["f_stat"] == round(72 / 28, 6)
+    assert out["eta_sq"] == round(24 / 52, 6)
