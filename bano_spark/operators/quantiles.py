@@ -1032,3 +1032,155 @@ def anova_f_oneway(df, group_col: str, value_col: str, *,
         F.col("_N").cast("bigint").alias("n"),
         F.round(f, round_to).alias("f_stat"),
         F.round(eta, round_to).alias("eta_sq"))
+
+
+def kruskal_wallis(df, group_col: str, value_col: str, *,
+                   round_to: int = 6):
+    """Kruskal-Wallis H test (rank-based one-way ANOVA) across the
+    groups of ``group_col``, with the standard tie correction
+    C = 1 - sum(t^3 - t)/(N^3 - N).
+
+    Scale shape: collapse to one row per DISTINCT (group, value) cell
+    with counts (map-side combine), derive per-value totals, assign
+    mid-ranks from a bucketed distributed prefix sum over the value
+    order (`selection.distributed_cumsum` — no global sort, no per-row
+    rank window), then one groupBy(group) for rank sums and two scalar
+    aggregates. Mid-ranks are exact multiples of 0.5 so the rank sums
+    are bit-identical across engines. Returns one row
+    (k, n, h_stat, h_tie_corrected)."""
+    from pyspark.sql import functions as F
+
+    from .selection import distributed_cumsum
+
+    s = (df.select(F.col(group_col).alias("_g"),
+                   F.col(value_col).cast("double").alias("_v"))
+         .filter(F.col("_v").isNotNull()))
+    cells = s.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    vals = cells.groupBy("_v").agg(F.sum("_c").alias("_cv"))
+    cum = distributed_cumsum(vals, "_v", [F.asc("_v")], "_cv",
+                             out_col="_f")
+    # inclusive cumsum => mid-rank of the tie group at v is
+    # f - (cv - 1)/2; rename to break the shared-lineage ambiguity.
+    ranks = cum.select(F.col("_v").alias("_v2"),
+                       (F.col("_f") - (F.col("_cv") - 1) / 2.0)
+                       .alias("_mr"))
+    per_g = (cells.join(ranks, cells["_v"] == ranks["_v2"])
+             .groupBy("_g")
+             .agg(F.sum(F.col("_c") * F.col("_mr")).alias("_R"),
+                  F.sum("_c").alias("_n")))
+    ties = vals.agg(F.sum(F.col("_cv").cast("double")
+                          * F.col("_cv") * F.col("_cv")
+                          - F.col("_cv")).alias("_T"))
+    agg = per_g.agg(F.count(F.lit(1)).alias("_k"),
+                    F.sum("_n").alias("_N"),
+                    F.sum(F.col("_R") * F.col("_R") / F.col("_n"))
+                    .alias("_S"))
+    h = (12.0 / (F.col("_N") * (F.col("_N") + 1)) * F.col("_S")
+         - 3 * (F.col("_N") + 1))
+    corr = 1 - F.col("_T") / (F.col("_N").cast("double")
+                              * F.col("_N") * F.col("_N") - F.col("_N"))
+    return (agg.crossJoin(F.broadcast(ties))
+            .select(F.col("_k").cast("bigint").alias("k"),
+                    F.col("_N").cast("bigint").alias("n"),
+                    F.round(h, round_to).alias("h_stat"),
+                    F.round(h / corr, round_to)
+                    .alias("h_tie_corrected")))
+
+
+def mann_whitney_u(df, group_col: str, value_col: str, *,
+                   round_to: int = 6):
+    """Mann-Whitney U (two-sample rank-sum) with the tie-corrected
+    normal approximation z = (U - n1*n2/2) / sqrt(var), where
+    var = n1*n2/12 * ((N+1) - sum(t^3 - t)/(N*(N-1))).
+    ``group_col`` must be boolean-like: true = sample A. U counts the
+    pairs where A beats B, plus half-credit for ties — the same
+    mid-rank identity `ranking.roc_auc` uses (U = AUC * n1 * n2).
+
+    Scale shape: one row per DISTINCT value with per-group counts,
+    one bucketed distributed prefix sum (no global sort), two scalar
+    aggregates. U is exact (a multiple of 0.5); z is a rounded ratio.
+    Returns one row (n_a, n_b, u_stat, z_stat)."""
+    from pyspark.sql import functions as F
+
+    from .selection import distributed_cumsum
+
+    g = F.col(group_col).cast("boolean")
+    s = (df.select(F.col(value_col).cast("double").alias("_v"),
+                   g.alias("_g"))
+         .filter(F.col("_v").isNotNull()))
+    cells = s.groupBy("_v").agg(
+        F.sum(F.when(F.col("_g"), 1).otherwise(0)).alias("_c1"),
+        F.sum(F.when(~F.col("_g"), 1).otherwise(0)).alias("_c2"))
+    cum = distributed_cumsum(cells, "_v", [F.asc("_v")], "_c2",
+                             out_col="_f2")
+    t = F.col("_c1") + F.col("_c2")
+    a = cum.agg(
+        F.sum(F.col("_c1") * (F.col("_f2") - 0.5 * F.col("_c2")))
+        .alias("_U"),
+        F.sum("_c1").alias("_n1"), F.sum("_c2").alias("_n2"),
+        F.sum(t.cast("double") * t * t - t).alias("_T"))
+    n1, n2 = F.col("_n1"), F.col("_n2")
+    nn = n1 + n2
+    var = (n1 * n2 / 12.0
+           * ((nn + 1) - F.col("_T") / (nn.cast("double") * (nn - 1))))
+    z = (F.col("_U") - n1 * n2 / 2.0) / F.sqrt(var)
+    return a.select(n1.cast("bigint").alias("n_a"),
+                    n2.cast("bigint").alias("n_b"),
+                    F.round("_U", round_to).alias("u_stat"),
+                    F.round(z, round_to).alias("z_stat"))
+
+
+def bh_fdr_selection(df, p_col: str, *, q: float = 0.1,
+                     round_to: int = 6):
+    """Benjamini-Hochberg step-up FDR selection over a column of
+    p-values: find the largest p* with p* <= rank(p*) * q / m and
+    reject every test with p <= p*. Equivalent to the classical
+    sorted-index rule because the inclusive cumulative count AT a
+    distinct p IS the largest rank any test with that p can take.
+
+    Scale shape: collapse to distinct p-values with counts, one
+    bucketed distributed prefix sum (no global sort), one scalar
+    max over the rows satisfying the step-up condition. Returns one
+    row (m, n_rejected, p_threshold) — threshold null when nothing
+    survives."""
+    from pyspark.sql import functions as F
+
+    from .selection import distributed_cumsum
+
+    pv = (df.select(F.col(p_col).cast("double").alias("_p"))
+          .filter(F.col("_p").isNotNull()))
+    cells = pv.groupBy("_p").agg(F.count(F.lit(1)).alias("_c"))
+    cum = distributed_cumsum(cells, "_p", [F.asc("_p")], "_c",
+                             out_col="_f")
+    tot = cells.agg(F.sum("_c").alias("_m"))
+    sel = (cum.crossJoin(F.broadcast(tot))
+           .filter(F.col("_p") <= F.col("_f") * q / F.col("_m"))
+           .agg(F.max("_p").alias("_thr"), F.max("_f").alias("_nrej")))
+    return (tot.crossJoin(F.broadcast(sel))
+            .select(F.col("_m").cast("bigint").alias("m"),
+                    F.coalesce(F.col("_nrej"), F.lit(0))
+                    .cast("bigint").alias("n_rejected"),
+                    F.round("_thr", round_to).alias("p_threshold")))
+
+
+def chi_square_gof(df, cat_col: str, *, round_to: int = 6):
+    """Chi-square goodness-of-fit of the observed category counts
+    against the uniform expectation over the OBSERVED categories
+    (E = N/k for each of the k seen labels).
+
+    Scale shape: one groupBy(category) + a broadcast scalar total —
+    two aggregation passes, O(k) arithmetic. Returns one row
+    (n, k, dof, chi2)."""
+    from pyspark.sql import functions as F
+
+    obs = (df.select(F.col(cat_col).alias("_cat"))
+           .groupBy("_cat").agg(F.count(F.lit(1)).alias("_c")))
+    tot = obs.agg(F.sum("_c").alias("_tN"),
+                  F.count(F.lit(1)).alias("_tk"))
+    e = F.col("_tN") * 1.0 / F.col("_tk")
+    return (obs.crossJoin(F.broadcast(tot))
+            .agg(F.max("_tN").cast("bigint").alias("n"),
+                 F.max("_tk").cast("bigint").alias("k"),
+                 (F.max("_tk") - 1).cast("bigint").alias("dof"),
+                 F.round(F.sum((F.col("_c") - e) * (F.col("_c") - e) / e),
+                         round_to).alias("chi2")))

@@ -72,3 +72,63 @@ def test_anova_f_oneway(spark):
     assert out["k"] == 3 and out["n"] == 9
     assert out["f_stat"] == round(72 / 28, 6)
     assert out["eta_sq"] == round(24 / 52, 6)
+
+
+# --- wave 48 -----------------------------------------------------------
+
+from bano_spark.operators.quantiles import (  # noqa: E402
+    bh_fdr_selection, chi_square_gof, kruskal_wallis, mann_whitney_u)
+
+
+def test_kruskal_wallis_no_ties(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = kruskal_wallis(df, "g", "v").collect()[0]
+    assert out["k"] == 2 and out["n"] == 4
+    assert out["h_stat"] == 2.4
+    assert out["h_tie_corrected"] == 2.4  # no ties -> C = 1
+
+
+def test_kruskal_wallis_tie_correction(spark):
+    # A=[1,2,2], B=[2,3]: H = 4/3, C = 1 - 24/120 = 0.8
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = kruskal_wallis(df, "g", "v").collect()[0]
+    assert out["h_stat"] == round(4 / 3, 6)
+    assert out["h_tie_corrected"] == round(4 / 3 / 0.8, 6)
+
+
+def test_mann_whitney_u(spark):
+    # A=[1,2,2,4], B=[2,3,4,4]: U = 4 (0 + 0.5 + 0.5 + 3)
+    rows = [(1.0, True), (2.0, True), (2.0, True), (4.0, True),
+            (2.0, False), (3.0, False), (4.0, False), (4.0, False)]
+    df = spark.createDataFrame(rows, "v double, g boolean")
+    out = mann_whitney_u(df, "g", "v").collect()[0]
+    assert out["n_a"] == 4 and out["n_b"] == 4
+    assert out["u_stat"] == 4.0
+    var = 16 / 12 * (9 - 48 / (8 * 7))
+    assert out["z_stat"] == round((4 - 8) / var ** 0.5, 6)
+
+
+def test_bh_fdr_selection(spark):
+    rows = [(0.01,), (0.02,), (0.04,), (0.3,), (0.5,)]
+    df = spark.createDataFrame(rows, "p double")
+    out = bh_fdr_selection(df, "p", q=0.25).collect()[0]
+    assert out["m"] == 5
+    assert out["n_rejected"] == 3
+    assert out["p_threshold"] == 0.04
+
+
+def test_bh_fdr_nothing_survives(spark):
+    df = spark.createDataFrame([(0.9,), (0.95,)], "p double")
+    out = bh_fdr_selection(df, "p", q=0.1).collect()[0]
+    assert out["n_rejected"] == 0
+    assert out["p_threshold"] is None
+
+
+def test_chi_square_gof(spark):
+    rows = [("a",)] * 10 + [("b",)] * 20 + [("c",)] * 30
+    df = spark.createDataFrame(rows, "cat string")
+    out = chi_square_gof(df, "cat").collect()[0]
+    assert out["n"] == 60 and out["k"] == 3 and out["dof"] == 2
+    assert out["chi2"] == 10.0
