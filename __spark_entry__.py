@@ -1951,6 +1951,7 @@ from bano_spark import queries_wave45 as _w45  # noqa: E402
 from bano_spark import queries_wave46 as _w46  # noqa: E402
 from bano_spark import queries_wave47 as _w47  # noqa: E402
 from bano_spark import queries_wave48 as _w48  # noqa: E402
+from bano_spark import queries_wave49 as _w49  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2036,6 +2037,8 @@ _QUERIES.update(_w47.QUERIES)
 _ORACLES.update(_w47.ORACLES)
 _QUERIES.update(_w48.QUERIES)
 _ORACLES.update(_w48.ORACLES)
+_QUERIES.update(_w49.QUERIES)
+_ORACLES.update(_w49.ORACLES)
 
 
 # ---------------------------------------------------------------------------

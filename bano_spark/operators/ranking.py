@@ -136,3 +136,35 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
                 F.round(F.col("_num")
                         / (F.col("n_pos") * F.col("n_neg")), 6)
                 .alias("auc")))
+
+
+def precision_recall_at_k(df: DataFrame, query_col: str,
+                          order: list[Column], rel_col: str,
+                          k: int = 10, *,
+                          round_to: int = 6) -> DataFrame:
+    """Per-query precision@k and recall@k with binary relevance:
+    P@k = hits in the top k / k (the fixed-denominator IR convention —
+    a query with fewer than k ranked items is penalized, as a cut-off
+    evaluation should), R@k = hits in the top k / n_rel, 0 when the
+    query has no relevant item (the same all-queries convention as
+    `reciprocal_rank_summary`). `order` must be a total order within
+    each query (unique tiebreak) so ranks are deterministic.
+
+    Scale shape: one row_number window partitioned by the query key +
+    one groupBy(query) — identical exchange profile to ndcg_at_k.
+    Returns (query, n_rel, precision_{k}, recall_{k})."""
+    rn = F.row_number().over(_rank_window(query_col, order))
+    rel = F.col(rel_col).cast("boolean")
+    per_q = (df.withColumn("_rn", rn)
+             .groupBy(query_col)
+             .agg(F.sum(F.when(rel, 1).otherwise(0))
+                  .cast("bigint").alias("n_rel"),
+                  F.sum(F.when(rel & (F.col("_rn") <= k), 1)
+                        .otherwise(0)).alias("_hits")))
+    return per_q.select(
+        query_col, "n_rel",
+        F.round(F.col("_hits") / float(k), round_to)
+        .alias(f"precision_{k}"),
+        F.round(F.when(F.col("n_rel") > 0,
+                       F.col("_hits") / F.col("n_rel").cast("double"))
+                .otherwise(F.lit(0.0)), round_to).alias(f"recall_{k}"))

@@ -847,3 +847,96 @@ def log_rank_test(durations: DataFrame, *, dur_col: str = "duration",
                     F.round((F.col("_o1") - F.col("_e1"))
                             * (F.col("_o1") - F.col("_e1"))
                             / F.col("_v"), round_to).alias("chi2")))
+
+
+def seasonal_strength(df: DataFrame, key_col: str, ts_col: str,
+                      value_col: str, *, round_to: int = 6) -> DataFrame:
+    """Per-key seasonal strength on the hour-of-day cycle:
+    1 - Var(value - seasonal_mean) / Var(value), clamped at 0 —
+    the Wang/Hyndman feature-based decomposition score with the
+    seasonal component estimated by hourly means. 1 = the hour
+    explains everything; 0 = no hourly structure.
+
+    Scale shape: the seasonal means are a partitioned window over
+    (key, hour) — they never leave the exchange the per-key variance
+    needs anyway; variances come from explicit sufficient statistics
+    (sum / sum-of-squares), not library var_pop, so the float
+    expression is engine-identical. Returns one row per key
+    (key, n, seasonal_strength)."""
+    v = F.col(value_col).cast("double")
+    d = (df.select(F.col(key_col).alias("_k"), v.alias("_v"),
+                   F.col(ts_col).alias("_ts"))
+         .filter(F.col("_v").isNotNull())
+         .withColumn("_s", F.avg("_v").over(
+             Window.partitionBy("_k", F.hour(F.col("_ts"))))))
+    r = F.col("_v") - F.col("_s")
+    agg = d.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").alias("_sv"), F.sum(F.col("_v") * F.col("_v")).alias("_svv"),
+        F.sum(r).alias("_sr"), F.sum(r * r).alias("_srr"))
+    n = F.col("_n").cast("double")
+    var_v = F.col("_svv") / n - (F.col("_sv") / n) * (F.col("_sv") / n)
+    var_r = F.col("_srr") / n - (F.col("_sr") / n) * (F.col("_sr") / n)
+    return agg.select(
+        F.col("_k").alias(key_col),
+        F.col("_n").cast("bigint").alias("n"),
+        F.round(F.greatest(F.lit(0.0), 1 - var_r / var_v), round_to)
+        .alias("seasonal_strength"))
+
+
+def ar1_coefficient(df: DataFrame, key_col: str, order_cols: list,
+                    value_col: str, *, round_to: int = 6) -> DataFrame:
+    """Per-key lag-1 autoregressive coefficient: the OLS slope of
+    x_t on x_{t-1} over the ``order_cols``-ordered series (include a
+    unique tiebreak). phi ~ 0 white noise, -> 1 strong persistence,
+    < 0 mean reversion — the stationarity screen before any
+    smoothing/forecast operator (holt_last, croston) is trusted.
+
+    Scale shape: one partitioned lag window + one groupBy of the five
+    OLS sufficient statistics. Keys with < 2 observations drop.
+    Returns (key, n_pairs, ar1_phi)."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    v = F.col(value_col).cast("double")
+    pairs = (df.withColumn("_y", v).withColumn("_x", F.lag(v).over(w))
+             .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
+    agg = pairs.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"))
+    n = F.col("n_pairs").cast("double")
+    phi = ((n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+           / (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")))
+    return agg.filter(F.col("n_pairs") >= 2).select(
+        key_col, "n_pairs", F.round(phi, round_to).alias("ar1_phi"))
+
+
+def variance_ratio(df: DataFrame, key_col: str, order_cols: list,
+                   value_col: str, *, q: int = 4,
+                   round_to: int = 6) -> DataFrame:
+    """Per-key Lo-MacKinlay variance ratio VR(q) =
+    Var(x_t - x_{t-q}) / (q * Var(x_t - x_{t-1})) over the ordered
+    series (overlapping q-differences, population variances). VR ~ 1
+    for a random walk, < 1 mean-reverting, > 1 trending.
+
+    Scale shape: two partitioned lag windows sharing one exchange +
+    one groupBy of explicit moments. Keys with < 2 q-spaced
+    differences drop. Returns (key, n_1, n_q, vr)."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    v = F.col(value_col).cast("double")
+    d = (df.withColumn("_d1", v - F.lag(v, 1).over(w))
+         .withColumn("_dq", v - F.lag(v, q).over(w)))
+    agg = d.groupBy(key_col).agg(
+        F.count("_d1").alias("n_1"),
+        F.sum("_d1").alias("_s1"),
+        F.sum(F.col("_d1") * F.col("_d1")).alias("_s11"),
+        F.count("_dq").alias("n_q"),
+        F.sum("_dq").alias("_sq"),
+        F.sum(F.col("_dq") * F.col("_dq")).alias("_sqq"))
+    n1 = F.col("n_1").cast("double")
+    nq = F.col("n_q").cast("double")
+    var1 = F.col("_s11") / n1 - (F.col("_s1") / n1) * (F.col("_s1") / n1)
+    varq = F.col("_sqq") / nq - (F.col("_sq") / nq) * (F.col("_sq") / nq)
+    return (agg.filter(F.col("n_q") >= 2)
+            .select(key_col, "n_1", "n_q",
+                    F.round(varq / (q * var1), round_to).alias("vr")))

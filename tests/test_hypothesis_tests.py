@@ -132,3 +132,60 @@ def test_chi_square_gof(spark):
     out = chi_square_gof(df, "cat").collect()[0]
     assert out["n"] == 60 and out["k"] == 3 and out["dof"] == 2
     assert out["chi2"] == 10.0
+
+
+# --- wave 49 -----------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bano_spark.operators.ranking import precision_recall_at_k  # noqa: E402
+from bano_spark.operators.temporal import (  # noqa: E402
+    ar1_coefficient, seasonal_strength, variance_ratio)
+
+
+def test_seasonal_strength(spark):
+    # hour-0 mean 2, hour-1 mean 6: var(resid)=1, var(v)=5 -> 0.8
+    rows = [("a", "2024-01-01 00:00:00", 1.0),
+            ("a", "2024-01-01 00:30:00", 3.0),
+            ("a", "2024-01-01 01:00:00", 5.0),
+            ("a", "2024-01-01 01:30:00", 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts string, v double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = seasonal_strength(df, "k", "ts", "v").collect()[0]
+    assert out["n"] == 4
+    assert out["seasonal_strength"] == 0.8
+
+
+def test_ar1_coefficient(spark):
+    # doubling series: OLS slope of x_t on x_{t-1} is exactly 2
+    rows = [("u", i, float(2 ** i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = ar1_coefficient(df, "k", [F.asc("t")], "v").collect()[0]
+    assert out["n_pairs"] == 3
+    assert out["ar1_phi"] == 2.0
+
+
+def test_variance_ratio_mean_reverting(spark):
+    # x = 0,1,1,2,2,3,3,4: all 4-step diffs equal 2 -> VR(4) = 0
+    xs = [0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0]
+    rows = [("u", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = variance_ratio(df, "k", [F.asc("t")], "v", q=4).collect()[0]
+    assert out["n_1"] == 7 and out["n_q"] == 4
+    assert out["vr"] == 0.0
+
+
+def test_precision_recall_at_k(spark):
+    rows = [
+        (1, 10, 9.0, False), (1, 11, 8.0, True),
+        (1, 12, 7.0, True), (1, 13, 6.0, False),
+        (2, 20, 5.0, False), (2, 21, 4.0, False),
+        (3, 31, 2.0, True), (3, 32, 2.0, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "q int, id int, score double, rel boolean")
+    out = {r["q"]: r for r in precision_recall_at_k(
+        df, "q", [F.desc("score"), F.asc("id")], "rel", k=2).collect()}
+    assert out[1]["precision_2"] == 0.5 and out[1]["recall_2"] == 0.5
+    assert out[2]["precision_2"] == 0.0 and out[2]["recall_2"] == 0.0
+    assert out[3]["precision_2"] == 0.5 and out[3]["recall_2"] == 1.0
