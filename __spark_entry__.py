@@ -1952,6 +1952,8 @@ from bano_spark import queries_wave46 as _w46  # noqa: E402
 from bano_spark import queries_wave47 as _w47  # noqa: E402
 from bano_spark import queries_wave48 as _w48  # noqa: E402
 from bano_spark import queries_wave49 as _w49  # noqa: E402
+from bano_spark import queries_wave50 as _w50  # noqa: E402
+from bano_spark import queries_wave51 as _w51  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2039,6 +2041,10 @@ _QUERIES.update(_w48.QUERIES)
 _ORACLES.update(_w48.ORACLES)
 _QUERIES.update(_w49.QUERIES)
 _ORACLES.update(_w49.ORACLES)
+_QUERIES.update(_w50.QUERIES)
+_ORACLES.update(_w50.ORACLES)
+_QUERIES.update(_w51.QUERIES)
+_ORACLES.update(_w51.ORACLES)
 
 
 # ---------------------------------------------------------------------------

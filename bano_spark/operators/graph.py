@@ -813,3 +813,111 @@ def local_clustering(edges: DataFrame, *, src: str = "src",
                             round_to).alias("lcc"),
                     (pairs - F.coalesce("n_triangles", F.lit(0)))
                     .cast("bigint").alias("ego_betweenness")))
+
+
+def multi_source_bfs(edges: DataFrame, seeds: DataFrame, *,
+                     src: str = "src", dst: str = "dst",
+                     node_col: str = "node",
+                     max_hops: int = 5) -> DataFrame:
+    """Per-seed BFS levels over the UNDIRECTED graph: like
+    `bfs_distances` but each sampled seed keeps its OWN frontier, so
+    the result is (seed, node, dist) — the primitive behind sampled
+    centrality estimators (Eppstein & Wang 2001), which need d(s, v)
+    per seed, not the min over the seed set.
+
+    Scale shape: identical frontier-expansion discipline to
+    bfs_distances (current frontier x symmetrized edges, anti-join
+    visited, localCheckpoint per round — flat lineage); state and
+    per-round shuffle scale as |seeds| x frontier, bounded by the k
+    sampled seeds, never all-pairs."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    sym = keep(sym)
+    visited = (seeds.select(F.col(node_col).alias("seed")).distinct()
+               .withColumn("node", F.col("seed"))
+               .withColumn("dist", F.lit(0)))
+    frontier = visited
+    for d in range(1, max_hops + 1):
+        nxt = (frontier.join(sym, frontier["node"] == sym["a"])
+               .select("seed", F.col("b").alias("node"))
+               .distinct()
+               .join(visited.select("seed", "node"),
+                     ["seed", "node"], "left_anti")
+               .withColumn("dist", F.lit(d))
+               .localCheckpoint(eager=False))
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited
+
+
+def sampled_harmonic_centrality(edges: DataFrame, seeds: DataFrame, *,
+                                src: str = "src", dst: str = "dst",
+                                node_col: str = "node",
+                                max_hops: int = 5,
+                                round_to: int = 6) -> DataFrame:
+    """Sampled harmonic centrality (the Eppstein-Wang estimator on the
+    harmonic variant, which needs no reached-by-all-seeds restriction):
+    c_H(v) ~= (n / k) * sum_{s in S, d(s,v) > 0} 1/d(s,v) / (n - 1),
+    with n the node universe of the symmetrized edge list and k the
+    seed-sample size. Exact when S is all nodes; unbiased under
+    uniform seed sampling.
+
+    Scale shape: one multi_source_bfs (k bounded frontiers) + one
+    groupBy(node) + two broadcast scalars. Returns
+    (node, n_seeds_reaching, harmonic_centrality) for nodes reached
+    by at least one non-self seed."""
+    dists = multi_source_bfs(edges, seeds, src=src, dst=dst,
+                             node_col=node_col, max_hops=max_hops)
+    n = (edges.select(F.col(src).alias("x"))
+         .unionByName(edges.select(F.col(dst).alias("x")))
+         .filter(F.col("x").isNotNull())
+         .agg(F.countDistinct("x").alias("_n")))
+    k = seeds.agg(F.countDistinct(node_col).alias("_k"))
+    per = (dists.filter(F.col("dist") > 0)
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).alias("n_seeds_reaching"),
+                F.sum(1.0 / F.col("dist")).alias("_h")))
+    return (per.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(k))
+            .select("node",
+                    F.col("n_seeds_reaching").cast("bigint")
+                    .alias("n_seeds_reaching"),
+                    F.round((F.col("_n") / F.col("_k").cast("double"))
+                            * F.col("_h") / (F.col("_n") - 1), round_to)
+                    .alias("harmonic_centrality")))
+
+
+def effective_diameter_sampled(edges: DataFrame, seeds: DataFrame, *,
+                               src: str = "src", dst: str = "dst",
+                               node_col: str = "node",
+                               max_hops: int = 10,
+                               quantile: float = 0.9) -> DataFrame:
+    """Sampled effective diameter: the smallest hop count d such that
+    at least ``quantile`` of the reachable (seed, node) pairs (self
+    pairs excluded) lie within distance d — the ANF/HyperANF headline
+    statistic, here computed exactly on the seed sample's BFS levels.
+
+    Scale shape: one multi_source_bfs + an O(max_hops) distance
+    histogram folded on the driver-free aggregate table. Returns one
+    row (n_pairs, effective_diameter)."""
+    dists = multi_source_bfs(edges, seeds, src=src, dst=dst,
+                             node_col=node_col, max_hops=max_hops)
+    hist = (dists.filter(F.col("dist") > 0)
+            .groupBy("dist").agg(F.count(F.lit(1)).alias("_c")))
+    tot = hist.agg(F.sum("_c").alias("_t"))
+    # O(max_hops) rows: a plain window over the tiny histogram would
+    # plan an unbounded SinglePartition exchange; the broadcast
+    # nested-loop over <= max_hops rows is the bounded shape.
+    cum = (hist.alias("h")
+           .join(F.broadcast(hist.alias("g")),
+                 F.col("g.dist") <= F.col("h.dist"))
+           .groupBy(F.col("h.dist").alias("dist"))
+           .agg(F.sum("g._c").alias("_cum")))
+    return (cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("_cum") >= quantile * F.col("_t"))
+            .agg(F.max(F.col("_t")).cast("bigint").alias("n_pairs"),
+                 F.min("dist").cast("bigint").alias("effective_diameter")))

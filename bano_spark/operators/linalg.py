@@ -183,3 +183,41 @@ def random_projection_distortion(vecs: DataFrame, dim: int, m: int,
         F.round(F.avg(F.when((F.col("_r") >= 0.5) & (F.col("_r") <= 2.0),
                              1.0).otherwise(0.0)), round_to)
         .alias("frac_within_2x"))
+
+
+def mahalanobis_diag_scores(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding", *,
+                            round_to: int = 6) -> DataFrame:
+    """Per-vector Mahalanobis outlier score under a DIAGONAL
+    covariance model: sum_d (x_d - mu_d)^2 / var_d with per-dimension
+    population moments — the cheap global-outlier screen before
+    embedding-space dedup/selection (full-covariance scoring is
+    `covariance_matrix` + a driver-side inverse; the diagonal form
+    needs no matrix at all). Constant dimensions (var = 0) contribute
+    0 by convention.
+
+    Scale shape: one posexplode pass for the per-dim moments (O(dim)
+    rows out), a broadcast join of those O(dim) stats back onto the
+    exploded vectors, one groupBy(id). Never materializes a gram
+    matrix; nothing quadratic. Returns (id, dims, maha_score)."""
+    e = emb.select(F.col(id_col).alias("_id"),
+                   F.posexplode(F.col(vec_col)).alias("_d", "_x")) \
+        .withColumn("_x", F.col("_x").cast("double"))
+    st = (e.groupBy("_d")
+          .agg(F.count(F.lit(1)).cast("double").alias("_n"),
+               F.sum("_x").alias("_s"),
+               F.sum(F.col("_x") * F.col("_x")).alias("_ss"))
+          .select(F.col("_d").alias("_d2"),
+                  (F.col("_s") / F.col("_n")).alias("_mu"),
+                  (F.col("_ss") / F.col("_n")
+                   - (F.col("_s") / F.col("_n"))
+                   * (F.col("_s") / F.col("_n"))).alias("_var")))
+    term = F.when(F.col("_var") > 0,
+                  (F.col("_x") - F.col("_mu"))
+                  * (F.col("_x") - F.col("_mu")) / F.col("_var")) \
+        .otherwise(F.lit(0.0))
+    return (e.join(F.broadcast(st), e["_d"] == st["_d2"])
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("dims"),
+                 F.round(F.sum(term), round_to).alias("maha_score"))
+            .withColumnRenamed("_id", id_col))

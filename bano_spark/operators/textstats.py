@@ -1118,3 +1118,44 @@ def oov_rate(docs: DataFrame, vocab_k: int, *, text_col: str = "text",
             .withColumn("oov_rate",
                         F.round(F.col("n_oov") / F.col("n_tokens"),
                                 round_to)))
+
+
+def js_divergence_sources(docs: DataFrame, source_a: str, source_b: str,
+                          *, source_col: str = "source",
+                          text_col: str = "text",
+                          round_to: int = 6) -> DataFrame:
+    """Jensen-Shannon divergence (base-2, in [0, 1]) between the
+    unigram distributions of two sources: JS = 0.5 KL(P||M) +
+    0.5 KL(Q||M) with M = (P+Q)/2 — the symmetric, always-finite
+    companion to `source_kl_divergence` (KL explodes when Q misses a
+    token P has; JS's mixture denominator never vanishes where p or q
+    is positive, so disjoint vocabularies are handled exactly, scoring
+    the theoretical maximum 1).
+
+    Scale shape: two token-count aggregations + one FULL OUTER join on
+    token (vocabulary-sized, not corpus-sized) + one scalar agg.
+    Returns one row (n_tokens_a, n_tokens_b, vocab_union,
+    js_divergence)."""
+    ta = (docs.filter(F.col(source_col) == source_a)
+          .select(F.explode(tokens(F.col(text_col))).alias("_ta"))
+          .groupBy("_ta").agg(F.count(F.lit(1)).alias("_ca")))
+    tb = (docs.filter(F.col(source_col) == source_b)
+          .select(F.explode(tokens(F.col(text_col))).alias("_tb"))
+          .groupBy("_tb").agg(F.count(F.lit(1)).alias("_cb")))
+    na = ta.agg(F.sum("_ca").alias("_na"))
+    nb = tb.agg(F.sum("_cb").alias("_nb"))
+    j = (ta.join(tb, ta["_ta"] == tb["_tb"], "full_outer")
+         .select(F.coalesce(F.col("_ca"), F.lit(0)).alias("_ca"),
+                 F.coalesce(F.col("_cb"), F.lit(0)).alias("_cb"))
+         .crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb)))
+    p = F.col("_ca") / F.col("_na").cast("double")
+    q = F.col("_cb") / F.col("_nb").cast("double")
+    m = (p + q) / 2
+    term = (F.when(F.col("_ca") > 0, 0.5 * p * F.log2(p / m))
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("_cb") > 0, 0.5 * q * F.log2(q / m))
+            .otherwise(F.lit(0.0)))
+    return (j.agg(F.max("_na").cast("bigint").alias("n_tokens_a"),
+                  F.max("_nb").cast("bigint").alias("n_tokens_b"),
+                  F.count(F.lit(1)).alias("vocab_union"),
+                  F.round(F.sum(term), round_to).alias("js_divergence")))

@@ -88,7 +88,7 @@ t AS (SELECT sum((c1 + c2) * 1.0 * (c1 + c2) * (c1 + c2)
 a AS (SELECT sum(c1 * (f2 - 0.5 * c2)) AS U,
              sum(c1) AS n1, sum(c2) AS n2 FROM m)
 SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
-       round(U, 6) AS u_stat,
+       round(CAST(U AS DOUBLE), 6) AS u_stat,
        round((U - n1 * n2 / 2.0)
              / sqrt(n1 * n2 / 12.0
                     * ((n1 + n2 + 1)
