@@ -921,3 +921,146 @@ def effective_diameter_sampled(edges: DataFrame, seeds: DataFrame, *,
             .filter(F.col("_cum") >= quantile * F.col("_t"))
             .agg(F.max(F.col("_t")).cast("bigint").alias("n_pairs"),
                  F.min("dist").cast("bigint").alias("effective_diameter")))
+
+
+def sampled_betweenness(edges: DataFrame, seeds: DataFrame, *,
+                        src: str = "src", dst: str = "dst",
+                        node_col: str = "node",
+                        max_hops: int = 5,
+                        round_to: int = 6) -> DataFrame:
+    """Sampled betweenness centrality: Brandes' dependency
+    accumulation (Brandes 2001) run from a seed sample (Brandes &
+    Pich 2007 estimator), bounded at ``max_hops`` (Borgatti's
+    k-betweenness when paths are truncated):
+
+        bc(v) ~= (n / k) * sum_{s in S} delta_s(v) / 2
+
+    Forward pass: level-synchronous BFS that carries the
+    shortest-path COUNT sigma with the frontier (sigma(v) = sum of
+    sigma over dist-1 predecessors — exact in level order). Backward
+    pass: delta(v) = sum over DAG successors w of
+    (sigma_v / sigma_w) * (1 + delta_w), accumulated from the deepest
+    level up; the seed's own delta is excluded per Brandes.
+
+    Scale shape: same bounded-frontier discipline as multi_source_bfs
+    (state and per-round shuffle O(k x frontier), localCheckpoint per
+    round); the backward pass is max_hops joins of one level against
+    the symmetrized edges — never all-pairs, never a global window.
+    Float parity: sigma is exact integer; delta terms are
+    sigma-ratio rationals — fixtures whose sigma ratios are dyadic
+    (1, 1/2, ...) make every cross-engine sum exact, and the final
+    estimate rounds to ``round_to`` regardless."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    sym = keep(sym)
+    lvl0 = (seeds.select(F.col(node_col).alias("seed")).distinct()
+            .withColumn("node", F.col("seed"))
+            .withColumn("dist", F.lit(0))
+            .withColumn("sig", F.lit(1).cast("bigint")))
+    visited = lvl0
+    frontier = lvl0
+    for d in range(1, max_hops + 1):
+        nxt = (frontier.join(sym, frontier["node"] == sym["a"])
+               .select("seed", F.col("b").alias("node"), "sig")
+               .groupBy("seed", "node")
+               .agg(F.sum("sig").alias("sig"))
+               .join(visited.select("seed", "node"),
+                     ["seed", "node"], "left_anti")
+               .withColumn("dist", F.lit(d))
+               .select("seed", "node", "dist", "sig")
+               .localCheckpoint(eager=False))
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    visited = keep(visited)
+    delta_next = None
+    acc = None
+    for level in range(max_hops - 1, 0, -1):
+        u = visited.filter(F.col("dist") == level)
+        w = (visited.filter(F.col("dist") == level + 1)
+             .select("seed", F.col("node").alias("w"),
+                     F.col("sig").alias("sigw")))
+        if delta_next is not None:
+            w = (w.join(delta_next.select("seed",
+                                          F.col("node").alias("w"),
+                                          F.col("delta").alias("dnext")),
+                        ["seed", "w"], "left")
+                 .withColumn("dnext", F.coalesce("dnext", F.lit(0.0))))
+        else:
+            w = w.withColumn("dnext", F.lit(0.0))
+        contrib = (u.join(sym, u["node"] == sym["a"])
+                   .select("seed", "node", "sig", F.col("b").alias("w"))
+                   .join(w, ["seed", "w"])
+                   .groupBy("seed", "node")
+                   .agg(F.sum((F.col("sig") / F.col("sigw"))
+                              * (F.lit(1.0) + F.col("dnext")))
+                        .alias("delta"))
+                   .localCheckpoint(eager=False))
+        delta_next = contrib
+        acc = contrib if acc is None else acc.unionByName(contrib)
+    n = (edges.select(F.col(src).alias("x"))
+         .unionByName(edges.select(F.col(dst).alias("x")))
+         .filter(F.col("x").isNotNull())
+         .agg(F.countDistinct("x").cast("double").alias("_n")))
+    k = seeds.agg(F.countDistinct(node_col).cast("double").alias("_k"))
+    if acc is None:
+        return (visited.filter(F.lit(False))
+                .select("node", F.lit(0.0).alias("betweenness")))
+    return (acc.groupBy("node")
+            .agg(F.sum("delta").alias("_d"))
+            .crossJoin(F.broadcast(n)).crossJoin(F.broadcast(k))
+            .select("node",
+                    F.round(F.col("_n") / F.col("_k")
+                            * F.col("_d") / 2, round_to)
+                    .alias("betweenness")))
+
+
+def adamic_adar_pairs(edges: DataFrame, *, src: str = "src",
+                      dst: str = "dst",
+                      max_degree: int | None = None,
+                      round_to: int = 6) -> DataFrame:
+    """Common-neighbors and Adamic-Adar link-prediction scores
+    (Adamic & Adar 2003) for every unordered node pair sharing at
+    least one neighbor in the symmetrized graph:
+
+        AA(u, v) = sum_{z in N(u) & N(v)} 1 / ln(deg(z))
+
+    (deg(z) >= 2 for any common neighbor of distinct u, v, so the log
+    never vanishes). ``is_edge`` flags pairs already connected — the
+    usual link-prediction evaluation split.
+
+    Scale shape: the candidate join fans out deg(z) choose 2 pairs
+    per intermediate z — the same bucketed-candidate contract as the
+    LSH families; ``max_degree`` (optional, disclosed) drops
+    super-hub intermediates before the self-join, standard practice
+    at web scale. One groupBy on the pair key, map-side combinable."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    sym = keep(sym)
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("dz"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("dz") <= max_degree)
+    x = sym.select(F.col("a").alias("u"), F.col("b").alias("z"))
+    y = sym.select(F.col("a").alias("v"), F.col("b").alias("z"))
+    pairs = (x.join(y, "z")
+             .filter(F.col("u") < F.col("v"))
+             .join(deg.select(F.col("a").alias("z"), "dz"), "z")
+             .groupBy("u", "v")
+             .agg(F.count(F.lit(1)).cast("bigint")
+                  .alias("common_neighbors"),
+                  F.round(F.sum(F.lit(1.0) / F.log(F.col("dz"))),
+                          round_to).alias("adamic_adar")))
+    return (pairs.join(sym.select(F.col("a").alias("u"),
+                                  F.col("b").alias("v"),
+                                  F.lit(True).alias("_e")),
+                       ["u", "v"], "left")
+            .select("u", "v", "common_neighbors", "adamic_adar",
+                    F.coalesce("_e", F.lit(False)).alias("is_edge"))
+            .orderBy("u", "v"))

@@ -197,3 +197,94 @@ def prf_expand(docs: DataFrame, query_terms: list[str], *,
                                       / (F.col("df") + 1.0)),
                               round_to).alias("score")))
     return scored.orderBy(F.desc("score"), F.asc("term")).limit(expand_n)
+
+
+def ql_dirichlet_topk(docs: DataFrame, query_terms: list[str], *,
+                      k: int = 20, mu: float = 2000.0,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      round_to: int = 6) -> DataFrame:
+    """Top-k documents under query-likelihood ranking with
+    Dirichlet-prior smoothing (Zhai & Lafferty 2001), the standard LM
+    alternative to BM25, in its rank-equivalent matched-term form:
+
+        score(d) = sum_{t in q, tf>0} ln(1 + tf / (mu * cf_t / C))
+                   + |q| * ln(mu / (dl + mu))
+
+    with cf_t the corpus frequency of term t, C the total corpus
+    token count, dl the document length. Candidates are documents
+    matching at least one query term (the standard top-k candidate
+    contract — a no-match document can never outrank a match under
+    this form; disclosed).
+
+    Scale shape mirrors bm25_topk: the tf scan filters on the query
+    term literals BEFORE any shuffle, cf/C are O(|q|)+O(1) broadcast
+    scalars, and top-k plans TakeOrderedAndProject."""
+    terms = sorted(set(query_terms))
+    nq = float(len(terms))
+    dl = (docs.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.col(text_col), _TOKEN_SPLIT),
+                        lambda t: t != "")).cast("double").alias("dl")))
+    ctot = dl.agg(F.sum("dl").alias("ctot"))
+    tf = (_term_freqs(docs.select(id_col, text_col), id_col, text_col)
+          .filter(F.col("term").isin(terms)))
+    cf = tf.groupBy("term").agg(F.sum("tf").cast("double").alias("cf"))
+    scored = (tf
+              .join(F.broadcast(cf), "term")
+              .crossJoin(F.broadcast(ctot))
+              .withColumn(
+                  "_p",
+                  F.log(F.lit(1.0)
+                        + F.col("tf") / (mu * F.col("cf")
+                                         / F.col("ctot"))))
+              .groupBy(id_col)
+              .agg(F.sum("_p").alias("_m"))
+              .join(dl, id_col)
+              .select(F.col(id_col),
+                      F.round(F.col("_m")
+                              + nq * F.log(F.lit(mu)
+                                           / (F.col("dl") + mu)),
+                              round_to).alias("score")))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def rrf_fuse(list_a: DataFrame, list_b: DataFrame, *,
+             id_col: str = "doc_id", c: float = 60.0, k: int = 20,
+             round_to: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    two bounded ranked lists (id, score) — the standard hybrid
+    retrieval combiner (e.g. BM25 + a second ranker):
+
+        rrf(d) = sum_r 1 / (c + rank_r(d))
+
+    ranks 1-based by (score desc, id asc) WITHIN each list; a
+    document missing from a list contributes nothing for it.
+
+    Scale shape: inputs are top-k lists (k rows each, already
+    TakeOrdered); ranks are derived with a broadcast non-equi
+    strictly-better count over the k-row list (<= k^2 comparisons,
+    BuildRight nested loop) — never a global window, so no
+    SinglePartition exchange."""
+    def _rank(df: DataFrame, out: str) -> DataFrame:
+        x = df.select(F.col(id_col).alias("_id"),
+                      F.col("score").alias("_s"))
+        y = x.select(F.col("_id").alias("_jd"), F.col("_s").alias("_js"))
+        return (x.join(F.broadcast(y),
+                       (F.col("_js") > F.col("_s"))
+                       | ((F.col("_js") == F.col("_s"))
+                          & (F.col("_jd") < F.col("_id"))), "left")
+                .groupBy("_id")
+                .agg((F.count("_jd") + 1).cast("bigint").alias(out)))
+    ra = _rank(list_a, "rank_a")
+    rb = _rank(list_b, "rank_b")
+    fused = (ra.join(rb, "_id", "full_outer")
+             .select(F.col("_id").alias(id_col), "rank_a", "rank_b",
+                     F.round(
+                         F.coalesce(F.lit(1.0) / (F.lit(c)
+                                                  + F.col("rank_a")),
+                                    F.lit(0.0))
+                         + F.coalesce(F.lit(1.0) / (F.lit(c)
+                                                    + F.col("rank_b")),
+                                      F.lit(0.0)),
+                         round_to).alias("rrf_score")))
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
