@@ -242,3 +242,19 @@ def uncompact_cells(cells, zoom: int):
             .withColumn("ty", F.explode(
                 F.sequence(F.col("_ty0"), F.col("_ty0") + f - 1)))
             .select("tx", "ty").distinct())
+
+
+def quadkey_decode(qk: Column, z: int):
+    """Inverse of quadkey(): recover (tx, ty) from the z-digit
+    string. Pure column arithmetic (substring + bit masks), so the
+    encode/decode pair round-trips inside whole-stage codegen — the
+    property a quadkey-partitioned table layout relies on (prefix =
+    parent tile at every level)."""
+    tx = F.lit(0).cast("bigint")
+    ty = F.lit(0).cast("bigint")
+    for p in range(1, z + 1):
+        d = F.substring(qk, p, 1).cast("int")
+        scale = F.lit(2 ** (z - p)).cast("bigint")
+        tx = tx + d.bitwiseAND(F.lit(1)).cast("bigint") * scale
+        ty = ty + F.shiftright(d, 1).cast("bigint") * scale
+    return tx, ty

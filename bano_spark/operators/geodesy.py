@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _EARTH_R = 6371008.8
 _GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
@@ -383,3 +383,61 @@ def ring_validity(rings: DataFrame, *, id_col: str = "ring_id",
         F.col("_nx").cast("bigint").alias("n_crossings"),
         (F.col("_closed") & (F.col("_nx") == 0)
          & (F.col("_area") != 0)).alias("is_valid"))
+
+
+def rhumb_legs(traj: DataFrame, *, user_col: str = "user_id",
+               order_cols: list | None = None,
+               lon_col: str = "lon", lat_col: str = "lat",
+               radius_m: float = 6371000.0,
+               round_to: int = 6) -> DataFrame:
+    """Per-user rhumb-line (loxodrome — constant-bearing) navigation
+    summary over consecutive pings: total loxodrome sailing distance
+    plus the single constant bearing that would take the user from
+    the first ping straight to the last. The classical Mercator
+    meridional-parts formulation (Bowditch; public):
+
+        dpsi    = ln(tan(pi/4 + lat2/2)) - ln(tan(pi/4 + lat1/2))
+        q       = dlat / dpsi   (cos(lat1) in the east-west limit)
+        dist    = R * sqrt(dlat^2 + q^2 * dlon^2)
+        bearing = atan2(dlon, dpsi), normalized to [0, 360) degrees
+
+    Scale shape: one lag window partitioned by user (the trajectory
+    family's exchange), one groupBy — nothing global. Returns
+    (user, n_legs, rhumb_total_m, net_bearing_deg)."""
+    order_cols = order_cols or ["ts", "event_id"]
+    w = Window.partitionBy("_u").orderBy(*order_cols)
+    lam = F.radians(F.col(lat_col).cast("double"))
+    lon = F.radians(F.col(lon_col).cast("double"))
+    pts = traj.select(F.col(user_col).alias("_u"), *order_cols,
+                      lam.alias("_phi"), lon.alias("_lam"))
+    base = (pts
+            .withColumn("_phi0", F.lag("_phi").over(w))
+            .withColumn("_lam0", F.lag("_lam").over(w))
+            .filter(F.col("_phi0").isNotNull()))
+    dphi = F.col("_phi") - F.col("_phi0")
+    dlam = F.col("_lam") - F.col("_lam0")
+    dpsi = (F.log(F.tan(F.lit(math.pi / 4.0) + F.col("_phi") / 2))
+            - F.log(F.tan(F.lit(math.pi / 4.0) + F.col("_phi0") / 2)))
+    q = F.when(F.abs(dpsi) > 1e-12, dphi / dpsi) \
+        .otherwise(F.cos(F.col("_phi0")))
+    dist = F.lit(radius_m) * F.sqrt(dphi * dphi + q * q * dlam * dlam)
+    legs = (base.select("_u", dist.alias("_d"))
+            .groupBy("_u")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_legs"),
+                 F.sum("_d").alias("_total")))
+    ends = (pts.select("_u", F.struct(*order_cols, "_phi", "_lam")
+                       .alias("_pt"))
+            .groupBy("_u")
+            .agg(F.min("_pt").alias("_first"), F.max("_pt").alias("_last")))
+    per = legs.join(ends, "_u")
+    fphi, flam = F.col("_first._phi"), F.col("_first._lam")
+    lphi, llam = F.col("_last._phi"), F.col("_last._lam")
+    ndpsi = (F.log(F.tan(F.lit(math.pi / 4.0) + lphi / 2))
+             - F.log(F.tan(F.lit(math.pi / 4.0) + fphi / 2)))
+    ndeg = F.degrees(F.atan2(llam - flam, ndpsi))
+    return (per.select(F.col("_u").alias(user_col), "n_legs",
+                       F.round("_total", round_to).alias("rhumb_total_m"),
+                       F.round(F.when(ndeg < 0, ndeg + 360.0)
+                               .otherwise(ndeg), round_to)
+                       .alias("net_bearing_deg"))
+            .orderBy(user_col))

@@ -1184,3 +1184,29 @@ def chi_square_gof(df, cat_col: str, *, round_to: int = 6):
                  (F.max("_tk") - 1).cast("bigint").alias("dof"),
                  F.round(F.sum((F.col("_c") - e) * (F.col("_c") - e) / e),
                          round_to).alias("chi2")))
+
+
+def log_loss(scored, prob_col: str, label_col: str, *,
+             eps: float = 1e-6, round_to: int = 6):
+    """Cross-entropy (log loss) of predicted probabilities against
+    boolean outcomes, the likelihood-based companion of brier_score:
+
+        LL = -mean( y ln p' + (1-y) ln(1-p') )
+
+    with p' clipped to [eps, 1-eps] (the sklearn convention) so
+    degenerate 0/1 predictions stay finite. One aggregate pass.
+    Returns (n, base_rate, log_loss)."""
+    from pyspark.sql import functions as F
+
+    p = F.least(F.greatest(F.col(prob_col).cast("double"), F.lit(eps)),
+                F.lit(1.0) - F.lit(eps))
+    y = F.col(label_col).cast("double")
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(y).alias("base"),
+        F.avg(-(y * F.log(p)
+                + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p))).alias("ll"))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("base", round_to).alias("base_rate"),
+        F.round("ll", round_to).alias("log_loss"))

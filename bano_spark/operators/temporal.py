@@ -940,3 +940,57 @@ def variance_ratio(df: DataFrame, key_col: str, order_cols: list,
     return (agg.filter(F.col("n_q") >= 2)
             .select(key_col, "n_1", "n_q",
                     F.round(varq / (q * var1), round_to).alias("vr")))
+
+
+def changepoint_split(df: DataFrame, key_col: str, t_col: str,
+                      y_col: str, *, round_to: int = 6) -> DataFrame:
+    """Single-changepoint detection per key — the first step of
+    binary segmentation (Scott & Knott 1974): over the series y_t
+    ordered by ``t_col`` (one row per distinct t — pre-aggregate
+    upstream), choose the split that minimizes
+    SSE(left) + SSE(right), with SSE from exact prefix sums
+    (Q - S^2/W). Pass an exact-INTEGER y (cents-quantize floats
+    upstream): prefix sums are then exact longs and every engine
+    computes bit-identical split scores, so the argmin
+    (min-over-struct, earliest t on ties) agrees across engines.
+
+    Returns (key, split_t, n_left, n_right, sse_reduction) where
+    split_t is the LAST point of the left segment and
+    sse_reduction = 1 - SSE_best / SSE_total (NULL for a constant
+    series). Scale shape: one partitioned window chain per key — no
+    global exchange; O(n) candidate rows folded by min(struct)."""
+    w = (Window.partitionBy("_k").orderBy("_t")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = df.select(F.col(key_col).alias("_k"), F.col(t_col).alias("_t"),
+                     F.col(y_col).cast("long").alias("_y"))
+    pre = (base
+           .withColumn("_i", F.count(F.lit(1)).over(w))
+           .withColumn("_S", F.sum("_y").over(w))
+           .withColumn("_Q", F.sum(F.col("_y") * F.col("_y")).over(w)))
+    tot = base.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_St"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_Qt"))
+    sse_l = F.col("_Q") - F.col("_S") * F.col("_S") / F.col("_i")
+    sse_r = ((F.col("_Qt") - F.col("_Q"))
+             - (F.col("_St") - F.col("_S"))
+             * (F.col("_St") - F.col("_S"))
+             / (F.col("_n") - F.col("_i")))
+    cand = (pre.join(tot, "_k")
+            .filter(F.col("_i") < F.col("_n"))
+            .select("_k", (sse_l + sse_r).alias("_sse"), "_t", "_i"))
+    best = (cand.groupBy("_k")
+            .agg(F.min(F.struct(F.col("_sse").alias("s"),
+                                F.col("_t").alias("t"),
+                                F.col("_i").alias("i"))).alias("_b")))
+    return (best.join(tot, "_k")
+            .select(F.col("_k").alias(key_col),
+                    F.col("_b.t").alias("split_t"),
+                    F.col("_b.i").cast("bigint").alias("n_left"),
+                    (F.col("_n") - F.col("_b.i")).cast("bigint")
+                    .alias("n_right"),
+                    F.round(F.lit(1.0) - F.col("_b.s")
+                            / F.nullif(F.col("_Qt")
+                                       - F.col("_St") * F.col("_St")
+                                       / F.col("_n"), F.lit(0.0)),
+                            round_to).alias("sse_reduction"))
+            .orderBy(key_col))
