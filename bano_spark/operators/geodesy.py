@@ -441,3 +441,125 @@ def rhumb_legs(traj: DataFrame, *, user_col: str = "user_id",
                                .otherwise(ndeg), round_to)
                        .alias("net_bearing_deg"))
             .orderBy(user_col))
+
+
+def vincenty_stages(phi1: str, lam1: str, phi2: str, lam2: str, *,
+                    iters: int = 3) -> list:
+    """Vincenty inverse geodesic (WGS84) as an ordered list of
+    (column_name, sql_expression) STAGES over radian coordinate
+    columns. Each stage's expression references only input columns and
+    earlier stage names, so the text stays linear in ``iters`` (a
+    single nested expression would grow exponentially). The engine
+    evaluates the stages as chained F.expr withColumns and the DuckDB
+    oracle as chained subselects — the SAME text per stage, which is
+    what makes the two engines bit-comparable (both parse
+    sin/cos/tan/atan/atan2/sqrt identically).
+
+    ``iters`` fixed lambda iterations (3 is sub-mm for non-antipodal
+    pairs; the classical convergence criterion is replaced by a fixed
+    unroll so both engines run the identical expression tree).
+    Coincident points short-circuit to 0; the equatorial
+    cos^2(alpha) = 0 singularity takes the standard cos2sm = 0 guard.
+    The final stage is named ``_vdist`` (meters)."""
+    a, f = 6378137.0, 1.0 / 298.257223563
+    b = a * (1.0 - f)
+    st = [
+        ("_vu1", f"atan({1.0 - f} * tan({phi1}))"),
+        ("_vu2", f"atan({1.0 - f} * tan({phi2}))"),
+        ("_vsu1", "sin(_vu1)"), ("_vcu1", "cos(_vu1)"),
+        ("_vsu2", "sin(_vu2)"), ("_vcu2", "cos(_vu2)"),
+        ("_vell", f"({lam2} - {lam1})"),
+        ("_vlam0", "_vell"),
+    ]
+    k = 0
+    for i in range(1, iters + 1):
+        p = f"_vlam{i - 1}"
+        st += [
+            (f"_vsins{i}",
+             f"sqrt((_vcu2 * sin({p})) * (_vcu2 * sin({p}))"
+             f" + (_vcu1 * _vsu2 - _vsu1 * _vcu2 * cos({p}))"
+             f" * (_vcu1 * _vsu2 - _vsu1 * _vcu2 * cos({p})))"),
+            (f"_vcoss{i}",
+             f"(_vsu1 * _vsu2 + _vcu1 * _vcu2 * cos({p}))"),
+            (f"_vsig{i}", f"atan2(_vsins{i}, _vcoss{i})"),
+            (f"_vsina{i}",
+             f"(CASE WHEN _vsins{i} = 0.0 THEN 0.0"
+             f" ELSE _vcu1 * _vcu2 * sin({p}) / _vsins{i} END)"),
+            (f"_vcos2a{i}", f"(1.0 - _vsina{i} * _vsina{i})"),
+            (f"_vc2sm{i}",
+             f"(CASE WHEN _vcos2a{i} = 0.0 THEN 0.0"
+             f" ELSE _vcoss{i} - 2.0 * _vsu1 * _vsu2 / _vcos2a{i} END)"),
+            (f"_vcc{i}",
+             f"({f} / 16.0 * _vcos2a{i}"
+             f" * (4.0 + {f} * (4.0 - 3.0 * _vcos2a{i})))"),
+            (f"_vlam{i}",
+             f"(_vell + (1.0 - _vcc{i}) * {f} * _vsina{i}"
+             f" * (_vsig{i} + _vcc{i} * _vsins{i} * (_vc2sm{i}"
+             f" + _vcc{i} * _vcoss{i}"
+             f" * (-1.0 + 2.0 * _vc2sm{i} * _vc2sm{i}))))"),
+        ]
+        k = i
+    st += [
+        ("_vusq", f"(_vcos2a{k} * {(a * a - b * b) / (b * b)})"),
+        ("_vaa",
+         "(1.0 + _vusq / 16384.0 * (4096.0 + _vusq"
+         " * (-768.0 + _vusq * (320.0 - 175.0 * _vusq))))"),
+        ("_vbb",
+         "(_vusq / 1024.0 * (256.0 + _vusq"
+         " * (-128.0 + _vusq * (74.0 - 47.0 * _vusq))))"),
+        ("_vdsig",
+         f"(_vbb * _vsins{k} * (_vc2sm{k} + _vbb / 4.0"
+         f" * (_vcoss{k} * (-1.0 + 2.0 * _vc2sm{k} * _vc2sm{k})"
+         f" - _vbb / 6.0 * _vc2sm{k}"
+         f" * (-3.0 + 4.0 * _vsins{k} * _vsins{k})"
+         f" * (-3.0 + 4.0 * _vc2sm{k} * _vc2sm{k}))))"),
+        ("_vdist",
+         f"(CASE WHEN _vsins{k} = 0.0 THEN 0.0"
+         f" ELSE {b} * _vaa * (_vsig{k} - _vdsig) END)"),
+    ]
+    return st
+
+
+def vincenty_vs_haversine(pts: DataFrame, *, user_col: str = "user_id",
+                          order_cols: list | None = None,
+                          lon_col: str = "lon", lat_col: str = "lat",
+                          round_to: int = 2) -> DataFrame:
+    """Per-user ellipsoidal vs spherical first-to-last distance: the
+    WGS84 Vincenty inverse solution against the R=6371 km haversine,
+    with their difference — the standard accuracy audit before
+    swapping a spherical kernel for an ellipsoidal one. Returns
+    (user, vincenty_m, haversine_m, delta_m).
+
+    Scale shape: one min/max-struct aggregate per user (no window),
+    then pure per-row column arithmetic; the Vincenty stages are
+    F.expr strings shared verbatim with the SQL oracle — inside
+    whole-stage codegen, no UDF."""
+    order_cols = order_cols or ["ts", "event_id"]
+    pts2 = pts.select(
+        F.col(user_col).alias("_u"),
+        F.struct(*order_cols,
+                 F.radians(F.col(lat_col).cast("double")).alias("_phi"),
+                 F.radians(F.col(lon_col).cast("double")).alias("_lam"))
+        .alias("_pt"))
+    per = (pts2.groupBy("_u")
+           .agg(F.min("_pt").alias("_a"), F.max("_pt").alias("_b")))
+    per = per.select(
+        "_u",
+        F.col("_a._phi").alias("phi1"), F.col("_a._lam").alias("lam1"),
+        F.col("_b._phi").alias("phi2"), F.col("_b._lam").alias("lam2"))
+    for name, expr in vincenty_stages("phi1", "lam1", "phi2", "lam2"):
+        per = per.withColumn(name, F.expr(expr))
+    hav = F.expr(
+        "2.0 * 6371000.0 * asin(sqrt("
+        "sin((phi2 - phi1) / 2) * sin((phi2 - phi1) / 2)"
+        " + cos(phi1) * cos(phi2)"
+        " * sin((lam2 - lam1) / 2) * sin((lam2 - lam1) / 2)))")
+    return (per
+            .withColumn("_hav", hav)
+            .select(
+                F.col("_u").alias(user_col),
+                F.round(F.col("_vdist"), round_to).alias("vincenty_m"),
+                F.round(F.col("_hav"), round_to).alias("haversine_m"),
+                F.round(F.col("_vdist") - F.col("_hav"), round_to)
+                .alias("delta_m"))
+            .orderBy(user_col))

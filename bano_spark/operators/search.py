@@ -288,3 +288,53 @@ def rrf_fuse(list_a: DataFrame, list_b: DataFrame, *,
                                       F.lit(0.0)),
                          round_to).alias("rrf_score")))
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def rank_biased_overlap(list_a: DataFrame, list_b: DataFrame, *,
+                        id_col: str = "doc_id", k: int = 20,
+                        p: float = 0.9,
+                        round_to: int = 6) -> DataFrame:
+    """Extrapolated rank-biased overlap (Webber, Moffat & Zobel 2010)
+    of two top-k rankings — the top-weighted indefinite-ranking
+    similarity used to compare retrieval systems:
+
+        RBO_ext = (X_k / k) p^k + (1-p)/p * sum_{d=1..k} (X_d / d) p^d
+
+    with X_d the overlap of the two depth-d prefixes. Ranks are
+    1-based by (score desc, id asc) within each list.
+
+    Scale shape: both inputs are k-row TakeOrdered lists; ranks come
+    from the same broadcast strictly-better count as rrf_fuse, the
+    prefix-overlap counts from a broadcast depth x pair non-equi join
+    (<= k^2 rows) — bounded arithmetic, no global window. Returns one
+    row (k, overlap_k, rbo_ext)."""
+    spark = list_a.sparkSession
+
+    def _rank(df: DataFrame, out: str) -> DataFrame:
+        x = df.select(F.col(id_col).alias("_id"),
+                      F.col("score").alias("_s"))
+        y = x.select(F.col("_id").alias("_jd"), F.col("_s").alias("_js"))
+        return (x.join(F.broadcast(y),
+                       (F.col("_js") > F.col("_s"))
+                       | ((F.col("_js") == F.col("_s"))
+                          & (F.col("_jd") < F.col("_id"))), "left")
+                .groupBy("_id")
+                .agg((F.count("_jd") + 1).cast("bigint").alias(out)))
+
+    pairs = (_rank(list_a, "ra").join(_rank(list_b, "rb"), "_id")
+             .select(F.greatest("ra", "rb").alias("_m")))
+    depths = spark.range(1, k + 1).select(F.col("id").alias("_d"))
+    xd = (depths.join(F.broadcast(pairs), F.col("_m") <= F.col("_d"),
+                      "left")
+          .groupBy("_d")
+          .agg(F.count("_m").cast("double").alias("_x")))
+    agg = xd.agg(
+        F.sum((F.col("_x") / F.col("_d"))
+              * F.pow(F.lit(p), F.col("_d"))).alias("_s"),
+        F.max(F.when(F.col("_d") == k, F.col("_x"))).alias("_xk"))
+    return agg.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("_xk").cast("bigint").alias("overlap_k"),
+        F.round((F.col("_xk") / k) * F.lit(p) ** k
+                + (1.0 - p) / p * F.col("_s"), round_to)
+        .alias("rbo_ext"))

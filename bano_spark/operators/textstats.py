@@ -1159,3 +1159,69 @@ def js_divergence_sources(docs: DataFrame, source_a: str, source_b: str,
                   F.max("_nb").cast("bigint").alias("n_tokens_b"),
                   F.count(F.lit(1)).alias("vocab_union"),
                   F.round(F.sum(term), round_to).alias("js_divergence")))
+
+
+def source_tfidf_cosine(docs, source_col: str = "source",
+                        text_col: str = "text", *,
+                        bigrams: bool = False,
+                        round_to: int = 6):
+    """Pairwise cosine similarity of source-level tf-idf vectors —
+    the vector-space companion of the divergence family
+    (source_kl_divergence / hellinger / js): each source becomes one
+    tf-idf vector over the shared vocabulary (idf = ln(S / df_t) at
+    source granularity, so universal terms vanish) and every
+    unordered source pair gets dot/(|a||b|). ``bigrams=True`` uses
+    word-bigram features — the right choice when the unigram
+    vocabulary is small enough to saturate every source (idf would
+    zero it out).
+
+    Scale shape: token counts collapse to one row per (source, term)
+    with map-side combine; the pair join fans out O(df_t^2) per term
+    over S sources — S is small by definition (corpus mixture
+    components), the same bounded-pair contract as source_mixing.
+    Returns (src_a, src_b, n_common_terms, cosine)."""
+    from pyspark.sql import functions as F
+
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if bigrams:
+        base = (docs.select(F.col(source_col).alias("_s"),
+                            arr.alias("_a"))
+                .filter(F.size("_a") >= 2)
+                .select("_s", F.explode(F.expr(
+                    "transform(sequence(1, size(_a) - 1),"
+                    " i -> concat(element_at(_a, i), ' ',"
+                    " element_at(_a, i + 1)))")).alias("_t")))
+    else:
+        base = (docs.select(F.col(source_col).alias("_s"),
+                            F.explode(arr).alias("_t"))
+                .filter(F.col("_t") != ""))
+    tok = base.groupBy("_s", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    ns = tok.select("_s").distinct().count()
+    dfs = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    w = (tok.join(dfs, "_t")
+         .select("_s", "_t",
+                 (F.col("_tf") * F.log(F.lit(float(ns)) / F.col("_df")))
+                 .alias("_w")))
+    norms = w.groupBy("_s").agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_n"))
+    dots = (w.select(F.col("_s").alias("_sa"), "_t",
+                     F.col("_w").alias("_wa"))
+            .join(w.select(F.col("_s").alias("_sb"), "_t",
+                           F.col("_w").alias("_wb")), "_t")
+            .filter(F.col("_sa") < F.col("_sb"))
+            .groupBy("_sa", "_sb")
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_common_terms"),
+                 F.sum(F.col("_wa") * F.col("_wb")).alias("_dot")))
+    return (dots
+            .join(norms.withColumnRenamed("_s", "_sa")
+                  .withColumnRenamed("_n", "_na"), "_sa")
+            .join(norms.withColumnRenamed("_s", "_sb")
+                  .withColumnRenamed("_n", "_nb"), "_sb")
+            .select(F.col("_sa").alias("src_a"),
+                    F.col("_sb").alias("src_b"), "n_common_terms",
+                    F.round(F.col("_dot")
+                            / F.nullif(F.col("_na") * F.col("_nb"),
+                                       F.lit(0.0)), round_to)
+                    .alias("cosine"))
+            .orderBy("src_a", "src_b"))
