@@ -726,3 +726,62 @@ def radius_of_gyration(traj: DataFrame, *, key_col: str = "user_id",
         F.round(ey, round_to).alias("cy"),
         F.round(F.sqrt(F.greatest(rg2, F.lit(0.0))), round_to)
         .alias("rg"))
+
+
+def geometric_median(pts: DataFrame, *, group_col: str = "user_id",
+                     x_col: str = "x", y_col: str = "y",
+                     iters: int = 5, round_iter: int = 2,
+                     round_to: int = 2) -> DataFrame:
+    """Per-group planar geometric median by Weiszfeld's fixed-point
+    iteration (the L1 facility-location / meeting-point problem —
+    where minimizing SUM of distances, not squared distances, is the
+    objective):
+
+        c' = sum(p / d(p, c)) / sum(1 / d(p, c)),   d >= 1e-9 guard
+
+    starting from the centroid, ``iters`` fixed rounds. Each round's
+    estimate is rounded to ``round_iter`` decimals — the pagerank
+    trajectory-pinning discipline: the 1/d weights are irrational, so
+    unrounded cross-engine aggregation-order differences (~1e-10 on
+    metre-scale fixtures) would drift; centimetre rounding is far
+    above that and far below the answer's resolution.
+
+    Scale shape: per round one broadcastable (group -> estimate) join
+    + one groupBy — per-group state is a single row, no window, no
+    global exchange; localCheckpoint per round keeps lineage flat.
+    Returns (group, median_x, median_y, mean_dist_m)."""
+    base = pts.select(F.col(group_col).alias("_g"),
+                      F.col(x_col).cast("double").alias("_x"),
+                      F.col(y_col).cast("double").alias("_y"))
+    est = (base.groupBy("_g")
+           .agg(F.round(F.avg("_x"), round_iter).alias("_cx"),
+                F.round(F.avg("_y"), round_iter).alias("_cy"))
+           .localCheckpoint(eager=False))
+    for _ in range(iters):
+        j = base.join(est, "_g")
+        d = F.greatest(
+            F.sqrt((F.col("_x") - F.col("_cx"))
+                   * (F.col("_x") - F.col("_cx"))
+                   + (F.col("_y") - F.col("_cy"))
+                   * (F.col("_y") - F.col("_cy"))),
+            F.lit(1e-9))
+        est = (j.select("_g", (F.col("_x") / d).alias("_wx"),
+                        (F.col("_y") / d).alias("_wy"),
+                        (F.lit(1.0) / d).alias("_w"))
+               .groupBy("_g")
+               .agg(F.round(F.sum("_wx") / F.sum("_w"), round_iter)
+                    .alias("_cx"),
+                    F.round(F.sum("_wy") / F.sum("_w"), round_iter)
+                    .alias("_cy"))
+               .localCheckpoint(eager=False))
+    j = base.join(est, "_g")
+    d = F.sqrt((F.col("_x") - F.col("_cx"))
+               * (F.col("_x") - F.col("_cx"))
+               + (F.col("_y") - F.col("_cy"))
+               * (F.col("_y") - F.col("_cy")))
+    return (j.groupBy("_g")
+            .agg(F.max("_cx").alias("median_x"),
+                 F.max("_cy").alias("median_y"),
+                 F.round(F.avg(d), round_to).alias("mean_dist_m"))
+            .withColumnRenamed("_g", group_col)
+            .orderBy(group_col))
