@@ -378,3 +378,89 @@ def adjusted_rand_index(assigned, *, a_col: str = "a", b_col: str = "b",
         F.round(F.when(maxi != exp,
                        (F.col("_idx") - exp) / (maxi - exp)),
                 round_to).alias("ari"))
+
+
+def gmm_em_1d(df: DataFrame, value_col: str, *, iters: int = 3,
+              resp_bits: int = 14, round_to: int = 6) -> DataFrame:
+    """Two-component 1-D Gaussian mixture fitted by EM with a FIXED
+    iteration unroll — the density-model companion of Lloyd's k-means,
+    sharing its quantized-iteration float-parity discipline:
+
+    - the input column must be dyadic-quantized upstream (e.g.
+      floor(x * 4) / 4): with dyadic x and responsibilities floored
+      to multiples of 2^-resp_bits, every weighted moment
+      (sum r, sum r*x, sum r*x^2) is an EXACT double sum, so the
+      parameter trajectory is identical across engines and across
+      partitionings;
+    - libm (exp) enters only BEFORE the responsibility flooring — a
+      1-ulp cross-engine difference flips a floor with probability
+      ~1e-10 per row;
+    - per-iteration parameters are collected to the driver (O(1)
+      scalars, the k-means centroid pattern) and re-entered as
+      literals.
+
+    Init: w = (.5, .5), mu = (min, max), both variances the
+    population variance (floored at 1e-6 — the collapse guard,
+    applied every iteration). E-step ties (both densities underflow
+    to 0) split 0.5/0.5. Returns (component, weight, mu, sigma).
+
+    Scale shape: one aggregate pass per iteration over the quantized
+    column — map-side combinable, no window, no join; state is 6
+    scalars."""
+    q = float(1 << resp_bits)
+    x = F.col(value_col).cast("double")
+    base = df.select(x.alias("_x")).filter(F.col("_x").isNotNull())
+    s = base.agg(F.count(F.lit(1)).alias("n"),
+                 F.min("_x").alias("mn"), F.max("_x").alias("mx"),
+                 F.sum("_x").alias("S"),
+                 F.sum(F.col("_x") * F.col("_x")).alias("Q")).first()
+    n = s["n"]
+    v0 = max(s["Q"] / n - (s["S"] / n) * (s["S"] / n), 1e-6)
+    w1, mu1, v1 = 0.5, s["mn"], v0
+    w2, mu2, v2 = 0.5, s["mx"], v0
+    import math as _m
+    for _ in range(iters):
+        p1 = (F.lit(w1)
+              * F.exp(-(F.col("_x") - F.lit(mu1))
+                      * (F.col("_x") - F.lit(mu1))
+                      / F.lit(2.0 * v1)) / F.lit(_m.sqrt(v1)))
+        p2 = (F.lit(w2)
+              * F.exp(-(F.col("_x") - F.lit(mu2))
+                      * (F.col("_x") - F.lit(mu2))
+                      / F.lit(2.0 * v2)) / F.lit(_m.sqrt(v2)))
+        r = F.when(p1 + p2 == 0.0, 0.5).otherwise(p1 / (p1 + p2))
+        rq = F.floor(r * q) / q
+        a = (base.select(rq.alias("_r"), "_x")
+             .agg(F.sum("_r").alias("n1"),
+                  F.sum(F.col("_r") * F.col("_x")).alias("sx1"),
+                  F.sum(F.col("_r") * F.col("_x") * F.col("_x"))
+                  .alias("sxx1"),
+                  F.sum(F.lit(1.0) - F.col("_r")).alias("n2"),
+                  F.sum((F.lit(1.0) - F.col("_r")) * F.col("_x"))
+                  .alias("sx2"),
+                  F.sum((F.lit(1.0) - F.col("_r")) * F.col("_x")
+                        * F.col("_x")).alias("sxx2"))
+             .first())
+        n1, n2 = a["n1"], a["n2"]
+        w1, w2 = n1 / n, n2 / n
+        if n1 != 0.0:
+            mu1 = a["sx1"] / n1
+            v1 = max(a["sxx1"] / n1
+                     - (a["sx1"] / n1) * (a["sx1"] / n1), 1e-6)
+        else:
+            v1 = max(v1, 1e-6)
+        if n2 != 0.0:
+            mu2 = a["sx2"] / n2
+            v2 = max(a["sxx2"] / n2
+                     - (a["sx2"] / n2) * (a["sx2"] / n2), 1e-6)
+        else:
+            v2 = max(v2, 1e-6)
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(1, w1, mu1, v1), (2, w2, mu2, v2)],
+        "component int, _w double, _mu double, _v double")
+    return out.select(
+        F.col("component").cast("bigint").alias("component"),
+        F.round("_w", round_to).alias("weight"),
+        F.round("_mu", round_to).alias("mu"),
+        F.round(F.sqrt("_v"), round_to).alias("sigma")).orderBy("component")
