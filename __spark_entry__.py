@@ -1959,6 +1959,7 @@ from bano_spark import queries_wave53 as _w53  # noqa: E402
 from bano_spark import queries_wave54 as _w54  # noqa: E402
 from bano_spark import queries_wave55 as _w55  # noqa: E402
 from bano_spark import queries_wave56 as _w56  # noqa: E402
+from bano_spark import queries_wave57 as _w57  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2060,6 +2061,8 @@ _QUERIES.update(_w55.QUERIES)
 _ORACLES.update(_w55.ORACLES)
 _QUERIES.update(_w56.QUERIES)
 _ORACLES.update(_w56.ORACLES)
+_QUERIES.update(_w57.QUERIES)
+_ORACLES.update(_w57.ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -1210,3 +1210,55 @@ def log_loss(scored, prob_col: str, label_col: str, *,
         F.col("n").cast("bigint").alias("n"),
         F.round("base", round_to).alias("base_rate"),
         F.round("ll", round_to).alias("log_loss"))
+
+
+def isotonic_calibration(scored, prob_col: str, label_col: str, *,
+                         n_bins: int = 20, round_to: int = 6):
+    """Isotonic-regression probability calibration over score bins —
+    the nonparametric alternative to Platt scaling. The PAV fit is
+    computed by its PARALLELIZABLE minimax characterization
+    (Robertson-Wright-Dykstra):
+
+        f(i) = max_{j <= i} min_{k >= i} mean(y on bins j..k)
+
+    which replaces the inherently sequential pool-adjacent-violators
+    scan with bounded non-equi joins over the B binned buckets
+    (B^2 interval means, then a B^3 min-max fold — all broadcast
+    nested-loop territory at B = 20).
+
+    Float parity: interval means are single divisions of exact
+    integer sums, so every engine computes identical doubles and the
+    min/max fold is order-free. Returns
+    (bin, n, rate, isotonic_rate) — isotonic_rate is monotone
+    nondecreasing in bin by construction."""
+    from pyspark.sql import functions as F
+
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("int")
+    bins = (scored
+            .select(F.least(F.floor(p * n_bins),
+                            F.lit(n_bins - 1)).cast("bigint").alias("_b"),
+                    y.alias("_y"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_w"), F.sum("_y").alias("_s")))
+    m = (bins.select(F.col("_b").alias("_j"))
+         .join(F.broadcast(bins.select(F.col("_b").alias("_k"))),
+               F.col("_j") <= F.col("_k"))
+         .join(F.broadcast(bins),
+               (F.col("_b") >= F.col("_j")) & (F.col("_b") <= F.col("_k")))
+         .groupBy("_j", "_k")
+         .agg((F.sum("_s") / F.sum("_w")).alias("_m")))
+    fit = (bins.select(F.col("_b").alias("_i"))
+           .join(F.broadcast(m),
+                 (F.col("_j") <= F.col("_i")) & (F.col("_k") >= F.col("_i")))
+           .groupBy("_i", "_j")
+           .agg(F.min("_m").alias("_g"))
+           .groupBy("_i")
+           .agg(F.max("_g").alias("_f")))
+    return (bins.join(fit, bins["_b"] == fit["_i"])
+            .select(F.col("_b").alias("bin"),
+                    F.col("_w").cast("bigint").alias("n"),
+                    F.round(F.col("_s") / F.col("_w"), round_to)
+                    .alias("rate"),
+                    F.round("_f", round_to).alias("isotonic_rate"))
+            .orderBy("bin"))

@@ -168,3 +168,62 @@ def precision_recall_at_k(df: DataFrame, query_col: str,
         F.round(F.when(F.col("n_rel") > 0,
                        F.col("_hits") / F.col("n_rel").cast("double"))
                 .otherwise(F.lit(0.0)), round_to).alias(f"recall_{k}"))
+
+
+def bradley_terry(outcomes: DataFrame, *, winner_col: str = "winner",
+                  loser_col: str = "loser", iters: int = 5,
+                  round_iter: int = 12,
+                  round_to: int = 6) -> DataFrame:
+    """Bradley-Terry paired-comparison strengths via Hunter's (2004)
+    MM fixed point — the classical model behind pairwise
+    preference / LLM-judge win-rate aggregation:
+
+        w_i' = W_i / sum_j N_ij / (w_i + w_j),   then normalize
+
+    with W_i the total wins of item i and N_ij the games between i
+    and j. Fixed ``iters`` unroll from the uniform start; each
+    iteration's strengths round to ``round_iter`` decimals (pagerank
+    trajectory pinning — the per-item sums run over O(items) rational
+    terms whose aggregation order differs across engines at ~1e-17).
+
+    Scale shape: outcomes collapse to one row per ordered pair
+    (map-side combine); each iteration is one broadcast join of the
+    O(items) strength vector onto the O(items^2) pair table plus two
+    bounded aggregates. Returns (item, wins, strength)."""
+    w = (outcomes.groupBy(F.col(winner_col).alias("_i"))
+         .agg(F.count(F.lit(1)).alias("_wins")))
+    games = (outcomes
+             .select(F.col(winner_col).alias("_a"),
+                     F.col(loser_col).alias("_b"))
+             .unionByName(outcomes.select(
+                 F.col(loser_col).alias("_a"),
+                 F.col(winner_col).alias("_b")))
+             .groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_n")))
+    items = (games.select(F.col("_a").alias("_i")).distinct())
+    s = items.withColumn("_w", F.lit(1.0))
+    for _ in range(iters):
+        num = (items.join(w, "_i", "left")
+               .select("_i", F.coalesce("_wins", F.lit(0))
+                       .cast("double").alias("_win")))
+        den = (games
+               .join(F.broadcast(s.select(F.col("_i").alias("_a"),
+                                          F.col("_w").alias("_wa"))), "_a")
+               .join(F.broadcast(s.select(F.col("_i").alias("_b"),
+                                          F.col("_w").alias("_wb"))), "_b")
+               .groupBy(F.col("_a").alias("_i"))
+               .agg(F.sum(F.col("_n")
+                          / F.nullif(F.col("_wa") + F.col("_wb"),
+                                     F.lit(0.0))).alias("_d")))
+        raw = (num.join(den, "_i")
+               .select("_i", (F.col("_win") / F.col("_d")).alias("_r")))
+        tot = raw.agg(F.sum("_r").alias("_t"))
+        s = (raw.crossJoin(F.broadcast(tot))
+             .select("_i", F.round(F.col("_r") / F.col("_t"), round_iter)
+                     .alias("_w"))
+             .localCheckpoint(eager=False))
+    return (s.join(w, "_i", "left")
+            .select(F.col("_i").alias("item"),
+                    F.coalesce("_wins", F.lit(0)).cast("bigint")
+                    .alias("wins"),
+                    F.round("_w", round_to).alias("strength"))
+            .orderBy("item"))
