@@ -313,3 +313,45 @@ def rfm_segmentation(events: DataFrame, asof_epoch: int, *,
                     F.concat(F.col("r_score").cast("string"),
                              F.col("f_score").cast("string"),
                              F.col("m_score").cast("string")))
+
+
+def markov_next_accuracy(events, *, user_col: str = "user_id",
+                         order_cols: list | None = None,
+                         state_col: str = "event_type",
+                         round_to: int = 6):
+    """In-sample top-1 accuracy of the first-order Markov next-event
+    predictor: train P(next | current) on the transition counts,
+    predict argmax (ties to the lexicographically smallest next
+    state), and score against the same transitions — the standard
+    sanity baseline before sequence models. Returns one row per
+    current state (state, n_transitions, predicted_next, accuracy)
+    plus the implied weighted overall accuracy is sum(n*acc)/sum(n).
+
+    Scale shape: one lag window per user (the sessionization
+    exchange), one groupBy on (cur, next), an argmax fold via
+    min(struct(-count, next)), one join back. Integer counts + one
+    division — exact cross-engine parity."""
+    from pyspark.sql import Window, functions as F
+
+    order_cols = order_cols or ["ts", "event_id"]
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    pairs = (events
+             .withColumn("_nxt", F.lead(state_col).over(w))
+             .filter(F.col("_nxt").isNotNull())
+             .select(F.col(state_col).alias("_cur"), "_nxt"))
+    trans = pairs.groupBy("_cur", "_nxt").agg(
+        F.count(F.lit(1)).alias("_c"))
+    pred = (trans.groupBy("_cur")
+            .agg(F.min(F.struct((-F.col("_c")).alias("nc"),
+                                F.col("_nxt").alias("nx"))).alias("_b"))
+            .select("_cur", F.col("_b.nx").alias("predicted_next")))
+    return (trans.join(pred, "_cur")
+            .groupBy("_cur")
+            .agg(F.sum("_c").cast("bigint").alias("n_transitions"),
+                 F.max("predicted_next").alias("predicted_next"),
+                 F.round(F.sum(F.when(F.col("_nxt")
+                                      == F.col("predicted_next"),
+                                      F.col("_c")).otherwise(0))
+                         / F.sum("_c"), round_to).alias("accuracy"))
+            .withColumnRenamed("_cur", state_col)
+            .orderBy(state_col))

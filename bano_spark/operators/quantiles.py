@@ -1262,3 +1262,54 @@ def isotonic_calibration(scored, prob_col: str, label_col: str, *,
                     .alias("rate"),
                     F.round("_f", round_to).alias("isotonic_rate"))
             .orderBy("bin"))
+
+
+def population_stability_index(df, value_col: str, expected_col: str, *,
+                               n_bins: int = 10, eps: float = 1e-6,
+                               round_to: int = 6):
+    """Population stability index — the standard production drift
+    monitor between an 'expected' (training/reference) and 'actual'
+    (serving) sample of a score or value:
+
+        PSI = sum_bins (p_a - p_e) * ln(p_a / p_e)
+
+    Bins are n_bins equal-width intervals over the EXPECTED sample's
+    [min, max] (the monitoring convention), actual values outside
+    clamp to the edge bins, and both proportions are floored at
+    ``eps`` so empty bins stay finite. Rule of thumb: < 0.1 stable,
+    > 0.25 drifted.
+
+    Scale shape: two scalar aggregates (expected min/max broadcast)
+    + one groupBy(bin) over each sample — map-side combinable, no
+    window. Float parity: proportions are exact-integer divisions;
+    only the final 10-term fold rounds. Returns one row
+    (n_expected, n_actual, psi)."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("double")
+    e = F.col(expected_col).cast("boolean")
+    base = df.select(v.alias("_v"), e.alias("_e")) \
+        .filter(F.col("_v").isNotNull())
+    mm = (base.filter(F.col("_e"))
+          .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi")))
+    binned = (base.crossJoin(F.broadcast(mm))
+              .select("_e", F.least(F.greatest(F.floor(
+                  (F.col("_v") - F.col("_lo"))
+                  / ((F.col("_hi") - F.col("_lo")) / n_bins)),
+                  F.lit(0)), F.lit(n_bins - 1)).alias("_b")))
+    cnt = (binned.groupBy("_b")
+           .agg(F.sum(F.when(F.col("_e"), 1).otherwise(0)).alias("_ce"),
+                F.sum(F.when(F.col("_e"), 0).otherwise(1)).alias("_ca")))
+    tot = binned.agg(
+        F.sum(F.when(F.col("_e"), 1).otherwise(0)).alias("_ne"),
+        F.sum(F.when(F.col("_e"), 0).otherwise(1)).alias("_na"))
+    pe = F.greatest(F.col("_ce") / F.col("_ne"), F.lit(eps))
+    pa = F.greatest(F.col("_ca") / F.col("_na"), F.lit(eps))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select(F.col("_ne").alias("_n1"), F.col("_na").alias("_n2"),
+                    ((pa - pe) * F.log(pa / pe)).alias("_t"))
+            .groupBy("_n1", "_n2")
+            .agg(F.round(F.sum("_t"), round_to).alias("psi"))
+            .select(F.col("_n1").cast("bigint").alias("n_expected"),
+                    F.col("_n2").cast("bigint").alias("n_actual"),
+                    "psi"))

@@ -49,3 +49,27 @@ def str_pack(points: DataFrame, nx: int, ny: int, *,
                  F.round(F.max("_x"), round_to).alias("xmax"),
                  F.round(F.min("_y"), round_to).alias("ymin"),
                  F.round(F.max("_y"), round_to).alias("ymax")))
+
+
+def rendezvous_assign(items, id_col: str, n_shards: int, *,
+                      mul: int = 2654435761, step: int = 40503,
+                      mod: int = 1000003):
+    """Rendezvous (highest-random-weight) shard assignment — the
+    consistent-placement primitive behind shuffle-free rebalancing:
+    item i goes to argmax_s h(i, s), so removing one shard moves ONLY
+    that shard's items (minimal disruption), unlike modulo hashing
+    which reshuffles ~everything.
+
+    h is an exact-integer affine-multiplicative hash (engine-neutral
+    BIGINT arithmetic); ties break to the smallest shard id. Returns
+    (id, shard). Pure per-row column arithmetic over an
+    O(n_shards) literal array — no join, no shuffle."""
+    from pyspark.sql import functions as F
+
+    i = F.col(id_col).cast("bigint")
+    best = F.array_min(F.array(*[
+        F.struct((-((i * mul + s * step) % mod)).alias("nh"),
+                 F.lit(s).alias("s"))
+        for s in range(n_shards)]))
+    return items.select(F.col(id_col),
+                        best["s"].cast("bigint").alias("shard"))
