@@ -1961,6 +1961,7 @@ from bano_spark import queries_wave55 as _w55  # noqa: E402
 from bano_spark import queries_wave56 as _w56  # noqa: E402
 from bano_spark import queries_wave57 as _w57  # noqa: E402
 from bano_spark import queries_wave58 as _w58  # noqa: E402
+from bano_spark import queries_wave59 as _w59  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2066,6 +2067,8 @@ _QUERIES.update(_w57.QUERIES)
 _ORACLES.update(_w57.ORACLES)
 _QUERIES.update(_w58.QUERIES)
 _ORACLES.update(_w58.ORACLES)
+_QUERIES.update(_w59.QUERIES)
+_ORACLES.update(_w59.ORACLES)
 
 
 # ---------------------------------------------------------------------------

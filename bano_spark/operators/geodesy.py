@@ -563,3 +563,25 @@ def vincenty_vs_haversine(pts: DataFrame, *, user_col: str = "user_id",
                 F.round(F.col("_vdist") - F.col("_hav"), round_to)
                 .alias("delta_m"))
             .orderBy(user_col))
+
+
+def tissot_mercator_stats(pts: DataFrame, *, group_col: str = "user_id",
+                          lat_col: str = "lat",
+                          round_to: int = 6) -> DataFrame:
+    """Per-group Tissot distortion audit of the spherical-Mercator
+    projection the tile grid lives on: at latitude phi the linear
+    scale factor is k = sec(phi) (conformal, so h = k) and the areal
+    exaggeration k^2 — the QA numbers a cartographic pipeline checks
+    before trusting planar areas/lengths computed in EPSG:3857.
+    One aggregate pass per group. Returns
+    (group, n_points, mean_scale, max_scale, mean_areal)."""
+    k = 1.0 / F.cos(F.radians(F.col(lat_col).cast("double")))
+    return (pts.select(F.col(group_col).alias("_g"), k.alias("_k"))
+            .groupBy("_g")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"),
+                 F.round(F.avg("_k"), round_to).alias("mean_scale"),
+                 F.round(F.max("_k"), round_to).alias("max_scale"),
+                 F.round(F.avg(F.col("_k") * F.col("_k")), round_to)
+                 .alias("mean_areal"))
+            .withColumnRenamed("_g", group_col)
+            .orderBy(group_col))

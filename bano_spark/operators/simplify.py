@@ -88,3 +88,99 @@ def simplify_polylines(lines: DataFrame, eps: float, *,
             yield pd.DataFrame({id_col: ids, "idx": idxs})
 
     return lines.select(*cols).mapInPandas(gen, out_schema)
+
+
+def chaikin_smooth(pts, *, group_col: str = "user_id",
+                   seq_col: str = "seq", x_col: str = "x",
+                   y_col: str = "y", iters: int = 2):
+    """Chaikin corner-cutting polyline smoothing (the cartographic
+    complement of Douglas-Peucker simplification), in EXPLODED row
+    form — each vertex is a row, so a polyline of any length streams
+    through lag windows instead of living in one array cell: per
+    adjacent pair P, Q the round emits 3/4·P + 1/4·Q at seq + 1/4 and
+    1/4·P + 3/4·Q at seq + 3/4 (open-curve variant: endpoints kept).
+    With integer-valued input coordinates every smoothed coordinate
+    after k rounds is an exact multiple of 4^-k — bit-identical
+    across engines, no rounding needed.
+
+    Scale shape: per round one lag window partitioned by group plus
+    two cheap unions for the kept endpoints — the sessionization
+    exchange, repeated ``iters`` times with localCheckpoint."""
+    from pyspark.sql import Window, functions as F
+
+    cur = pts.select(F.col(group_col).alias("_g"),
+                     F.col(seq_col).cast("double").alias("_s"),
+                     F.col(x_col).cast("double").alias("_x"),
+                     F.col(y_col).cast("double").alias("_y"))
+    for _ in range(iters):
+        w = Window.partitionBy("_g").orderBy("_s")
+        lagged = (cur
+                  .withColumn("_ps", F.lag("_s").over(w))
+                  .withColumn("_px", F.lag("_x").over(w))
+                  .withColumn("_py", F.lag("_y").over(w)))
+        segs = lagged.filter(F.col("_ps").isNotNull())
+        # sequence keys are parameterized WITHIN the segment
+        # (ps + t*(s-ps)), not offset by a constant: constant offsets
+        # collide with neighboring keys from round 2 on, which would
+        # make the vertex order ambiguous
+        q = segs.select(
+            "_g",
+            (F.col("_ps") + (F.col("_s") - F.col("_ps")) * 0.25)
+            .alias("_s"),
+            (F.col("_px") * 0.75 + F.col("_x") * 0.25).alias("_x"),
+            (F.col("_py") * 0.75 + F.col("_y") * 0.25).alias("_y"))
+        r = segs.select(
+            "_g",
+            (F.col("_ps") + (F.col("_s") - F.col("_ps")) * 0.75)
+            .alias("_s"),
+            (F.col("_px") * 0.25 + F.col("_x") * 0.75).alias("_x"),
+            (F.col("_py") * 0.25 + F.col("_y") * 0.75).alias("_y"))
+        first = (cur.groupBy("_g")
+                 .agg(F.min(F.struct("_s", "_x", "_y")).alias("_p"))
+                 .select("_g", F.col("_p._s").alias("_s"),
+                         F.col("_p._x").alias("_x"),
+                         F.col("_p._y").alias("_y")))
+        last = (cur.groupBy("_g")
+                .agg(F.max(F.struct("_s", "_x", "_y")).alias("_p"))
+                .select("_g", F.col("_p._s").alias("_s"),
+                        F.col("_p._x").alias("_x"),
+                        F.col("_p._y").alias("_y")))
+        cur = (first.unionByName(q).unionByName(r).unionByName(last)
+               .localCheckpoint(eager=False))
+    return cur.select(F.col("_g").alias(group_col),
+                      F.col("_s").alias(seq_col),
+                      F.col("_x").alias(x_col),
+                      F.col("_y").alias(y_col))
+
+
+def chaikin_length_stats(pts, *, group_col: str = "user_id",
+                         seq_col: str = "seq", x_col: str = "x",
+                         y_col: str = "y", iters: int = 2,
+                         round_to: int = 2):
+    """Chaikin smoothing followed by the per-group length audit:
+    (group, n_verts_in, n_verts_out, smoothed_length) — corner
+    cutting strictly shortens a non-degenerate open polyline, which
+    is the property a generalization pipeline checks before
+    publishing. Lengths round to ``round_to`` (cm on metre fixtures;
+    the per-group sum of irrational segment lengths is the only
+    aggregation-order-sensitive term)."""
+    from pyspark.sql import Window, functions as F
+
+    n_in = (pts.groupBy(F.col(group_col).alias("_g"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_verts_in")))
+    sm = chaikin_smooth(pts, group_col=group_col, seq_col=seq_col,
+                        x_col=x_col, y_col=y_col, iters=iters)
+    w = Window.partitionBy(group_col).orderBy(seq_col)
+    legs = (sm
+            .withColumn("_px", F.lag(x_col).over(w))
+            .withColumn("_py", F.lag(y_col).over(w)))
+    d = F.sqrt((F.col(x_col) - F.col("_px"))
+               * (F.col(x_col) - F.col("_px"))
+               + (F.col(y_col) - F.col("_py"))
+               * (F.col(y_col) - F.col("_py")))
+    out = (legs.groupBy(F.col(group_col).alias("_g"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_verts_out"),
+                F.round(F.sum(d), round_to).alias("smoothed_length")))
+    return (n_in.join(out, "_g")
+            .withColumnRenamed("_g", group_col)
+            .orderBy(group_col))

@@ -785,3 +785,45 @@ def geometric_median(pts: DataFrame, *, group_col: str = "user_id",
                  F.round(F.avg(d), round_to).alias("mean_dist_m"))
             .withColumnRenamed("_g", group_col)
             .orderBy(group_col))
+
+
+def circular_dispersion(moves: DataFrame, *, group_col: str = "user_id",
+                        dx_col: str = "dx", dy_col: str = "dy",
+                        round_to: int = 6) -> DataFrame:
+    """Per-group circular statistics of movement bearings with the
+    von Mises concentration estimate (Fisher 1993 / Best & Fisher
+    approximation): mean resultant length R = |mean unit vector|,
+    circular variance 1 - R, and
+
+        kappa ~= 2R + R^3 + 5R^5/6                 (R < 0.53)
+                 -0.4 + 1.39R + 0.43/(1 - R)       (0.53 <= R < 0.85)
+                 1 / (R^3 - 4R^2 + 3R)             (R >= 0.85)
+
+    R is capped at 0.999999 (identically in the oracle) so the
+    concentrated branch stays finite for degenerate all-one-bearing
+    groups. One groupBy over per-row atan2 bearings — map-side
+    combinable; only the cos/sin means are aggregation-order
+    sensitive, 10 orders below the rounding grain. Returns
+    (group, n_moves, mean_bearing_deg, circ_var, kappa)."""
+    th = F.atan2(F.col(dy_col).cast("double"),
+                 F.col(dx_col).cast("double"))
+    agg = (moves.select(F.col(group_col).alias("_g"),
+                        F.cos(th).alias("_c"), F.sin(th).alias("_s"))
+           .groupBy("_g")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_moves"),
+                F.avg("_c").alias("_mc"), F.avg("_s").alias("_ms")))
+    r = F.least(F.sqrt(F.col("_mc") * F.col("_mc")
+                       + F.col("_ms") * F.col("_ms")),
+                F.lit(0.999999))
+    kappa = (F.when(r < 0.53, 2.0 * r + r * r * r
+                    + 5.0 * r * r * r * r * r / 6.0)
+             .when(r < 0.85, -0.4 + 1.39 * r + 0.43 / (1.0 - r))
+             .otherwise(1.0 / (r * r * r - 4.0 * r * r + 3.0 * r)))
+    deg = F.degrees(F.atan2(F.col("_ms"), F.col("_mc")))
+    return (agg.select(F.col("_g").alias(group_col), "n_moves",
+                       F.round(F.when(deg < 0, deg + 360.0)
+                               .otherwise(deg), round_to)
+                       .alias("mean_bearing_deg"),
+                       F.round(1.0 - r, round_to).alias("circ_var"),
+                       F.round(kappa, round_to).alias("kappa"))
+            .orderBy(group_col))
