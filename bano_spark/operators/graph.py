@@ -1118,3 +1118,84 @@ def k_truss(edges: DataFrame, k: int, *, src: str = "src",
         n_cur = n_new
     raise RuntimeError(
         f"k_truss: no fixpoint within {max_rounds} rounds")
+
+
+def scc_closure(edges: DataFrame, *, src: str = "src",
+                dst: str = "dst", max_rounds: int = 12) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph via
+    transitive-closure squaring: R_{t+1} = R_t UNION (R_t JOIN R_t),
+    so t rounds cover paths of length 2^t; the (unique) closure
+    fixpoint is detected structurally (pair count stable) and
+    ``max_rounds`` is a loud runaway guard like `k_core`. The SCC
+    label of v is min(u in {v} UNION {u : v->u AND u->v}) — the
+    smallest mutually-reachable node — computed from one self-join of
+    the closure on swapped endpoints.
+
+    This is the EXACTNESS BASELINE for SCC (the role brute-force
+    cosine plays for ANN): closure is O(n * reach(n)) pairs and is the
+    right tool for the bounded label alphabets it is used on here
+    (hosts, redirect targets). The 100 TB scale path is
+    forward-backward reach trimming / coloring (Blelloch et al. 2016,
+    public algorithm): pick a pivot, one multi-source forward BFS +
+    one backward BFS (both available as `bfs_distances` shapes), the
+    intersection is an SCC, recurse on the three remainders — never
+    materialising the closure. Returns (scc_id, n_nodes, n_edges_in)
+    per component, where n_edges_in counts intra-SCC directed edges.
+
+    No reference counterpart (the reference has no graph operator);
+    SCC itself is the public Tarjan/Kosaraju semantics re-expressed
+    as data-parallel joins.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    reach = e
+    n_cur = reach.count()
+    for _ in range(max_rounds):
+        hop2 = (reach.alias("a")
+                .join(reach.alias("b"), F.col("a.v") == F.col("b.u"))
+                .select(F.col("a.u").alias("u"), F.col("b.v").alias("v")))
+        nxt = (reach.unionByName(hop2)
+               .filter(F.col("u") != F.col("v"))
+               .distinct()
+               .localCheckpoint(eager=False))
+        n_new = nxt.count()
+        if n_new == n_cur:
+            reach = nxt
+            break
+        reach, n_cur = nxt, n_new
+    else:
+        raise RuntimeError(
+            f"scc_closure: no closure fixpoint within {max_rounds} "
+            "squaring rounds (2^rounds path length exceeded)")
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct())
+    mutual = (reach.alias("f")
+              .join(reach.alias("r"),
+                    (F.col("f.u") == F.col("r.v"))
+                    & (F.col("f.v") == F.col("r.u")))
+              .select(F.col("f.u").alias("node"),
+                      F.col("f.v").alias("mate")))
+    lab = (nodes.join(mutual, "node", "left")
+           .groupBy("node")
+           .agg(F.least(F.min("mate"), F.first("node"))
+                .alias("_m"))
+           .select("node",
+                   F.coalesce(F.least(F.col("_m"), F.col("node")),
+                              F.col("node")).alias("scc_id")))
+    intra = (e.join(lab.withColumnRenamed("node", "u")
+                    .withColumnRenamed("scc_id", "_su"), "u")
+             .join(lab.withColumnRenamed("node", "v")
+                   .withColumnRenamed("scc_id", "_sv"), "v")
+             .filter(F.col("_su") == F.col("_sv"))
+             .groupBy(F.col("_su").alias("scc_id"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_in")))
+    return (lab.groupBy("scc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .join(intra, "scc_id", "left")
+            .select("scc_id", "n_nodes",
+                    F.coalesce("n_edges_in", F.lit(0).cast("bigint"))
+                    .alias("n_edges_in"))
+            .orderBy("scc_id"))

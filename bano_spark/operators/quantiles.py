@@ -1313,3 +1313,35 @@ def population_stability_index(df, value_col: str, expected_col: str, *,
             .select(F.col("_n1").cast("bigint").alias("n_expected"),
                     F.col("_n2").cast("bigint").alias("n_actual"),
                     "psi"))
+
+
+def brown_forsythe(df, group_col: str, value_col: str, *,
+                   round_to: int = 6):
+    """Brown-Forsythe test (Levene's test with MEDIAN centers) for
+    homogeneity of variances across the groups of ``group_col``: the
+    one-way ANOVA F statistic applied to the absolute deviations
+    z = |x - median(group)|. The median-centered variant is the
+    robust recommendation of Brown & Forsythe (1974) — the companion
+    diagnostic to `anova_f_oneway`, whose pooled-variance assumption
+    this test checks.
+
+    Scale shape: one groupBy for the exact per-group medians
+    (`median` — interpolated percentile; at 100 TB swap in
+    percentile_approx or `exact_quantiles`' distributed selection,
+    same contract), a BROADCAST join of the k-row median table back
+    onto the rows, then the `anova_f_oneway` moment shape on z. Only
+    ratio statistics are returned (F, eta-squared) — raw sums of
+    squares sit at magnitudes where summation-order ulps would poison
+    a 6-dp cross-engine compare; medians and |x - med| are exact.
+    Returns one row (k, n, bf_stat, eta_sq)."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.median(v).alias("_med"))
+    z = (df.join(F.broadcast(med),
+                 F.col(group_col) == F.col("_g"))
+         .select(F.col("_g"),
+                 F.abs(v - F.col("_med")).alias("_z")))
+    out = anova_f_oneway(z, "_g", "_z", round_to=round_to)
+    return out.withColumnRenamed("f_stat", "bf_stat")
