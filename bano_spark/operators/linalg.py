@@ -221,3 +221,57 @@ def mahalanobis_diag_scores(emb: DataFrame, id_col: str = "vec_id",
             .agg(F.count(F.lit(1)).cast("bigint").alias("dims"),
                  F.round(F.sum(term), round_to).alias("maha_score"))
             .withColumnRenamed("_id", id_col))
+
+
+def power_iteration_pc1(embs: DataFrame, *, vec_col: str = "embedding",
+                        iters: int = 4, round_to: int = 6) -> DataFrame:
+    """First principal axis of the vector column by ``iters`` rounds
+    of distributed power iteration on the sample covariance — the
+    ORACLE-CHECKABLE counterpart of `pca_components` (which solves the
+    d x d eigenproblem driver-side with LAPACK): every step here is
+    DataFrame algebra, so a SQL engine can replay the identical
+    trajectory. The estimate is the iters-step iterate from the
+    uniform start vector 1/sqrt(d); convergence to PC1 is geometric in
+    the eigengap ratio (Golub & Van Loan), and callers needing the
+    converged axis use pca_components — this operator exists for the
+    pipelines that want the dominant-direction ESTIMATE fully
+    distributed (e.g. SemDeDup-style centering at 10^12 rows, where
+    collecting the covariance is fine but pinning cross-engine parity
+    matters).
+
+    Parity discipline: the covariance is rounded to 12 decimals BEFORE
+    iterating (pinning the matrix across engines), each iterate is
+    normalized then rounded to 12 (the pagerank discipline), and the
+    returned loadings are sign-pinned (the largest-|loading| component
+    is made positive, ties to the smallest index). Scale shape: the
+    d x d matrix and d-vector are tiny; per round one broadcast join +
+    one groupBy(i) — the corpus is touched ONCE (covariance pass).
+    Returns d rows (i, loading, eigenvalue) where eigenvalue is the
+    final pre-normalization norm (the |lambda_1| estimate)."""
+    cov = embedding_covariance(embs, vec_col=vec_col, round_to=12)
+    full = (cov.select("i", "j", "cov")
+            .unionByName(cov.filter(F.col("i") != F.col("j"))
+                         .select(F.col("j").alias("i"),
+                                 F.col("i").alias("j"),
+                                 "cov"))
+            .localCheckpoint(eager=False))
+    d = full.agg(F.max("j")).collect()[0][0] + 1
+    v = full.select(F.col("j").alias("_j")).distinct().select(
+        "_j", F.lit(round(1.0 / d ** 0.5, 12)).alias("_v"))
+    lam = None
+    for _ in range(iters):
+        w = (full.join(v, full.j == v._j)
+             .groupBy("i")
+             .agg(F.sum(F.col("cov") * F.col("_v")).alias("_w")))
+        lam = w.agg(F.sqrt(F.sum(F.col("_w") * F.col("_w")))).collect()[0][0]
+        v = (w.select(F.col("i").alias("_j"),
+                      F.round(F.col("_w") / F.lit(lam), 12).alias("_v"))
+             .localCheckpoint(eager=False))
+    sign_row = (v.orderBy(F.abs(F.col("_v")).desc(), F.col("_j"))
+                .limit(1).collect()[0])
+    sgn = 1.0 if sign_row._v >= 0 else -1.0
+    return (v.select(F.col("_j").alias("i"),
+                     (F.round(F.col("_v") * F.lit(sgn), round_to)
+                      + F.lit(0.0)).alias("loading"),
+                     F.round(F.lit(lam), round_to).alias("eigenvalue"))
+            .orderBy("i"))

@@ -1345,3 +1345,54 @@ def brown_forsythe(df, group_col: str, value_col: str, *,
                  F.abs(v - F.col("_med")).alias("_z")))
     out = anova_f_oneway(z, "_g", "_z", round_to=round_to)
     return out.withColumnRenamed("f_stat", "bf_stat")
+
+
+def platt_scaling(df, score_col: str, label_col: str, *,
+                  iters: int = 3, round_to: int = 6):
+    """Platt scaling (Platt 1999): fit p = sigmoid(a*score + b) to the
+    binary labels by ``iters`` Newton-Raphson steps from (a, b) =
+    (1, 0) — the parametric companion to `isotonic_calibration` (and
+    the standard calibrator when the reliability curve is sigmoidal
+    rather than merely monotone). Each step solves the exact 2x2
+    Newton system from six sufficient statistics:
+      g = [sum((p-y)*s), sum(p-y)],  H = [[sum(w*s*s), sum(w*s)],
+                                          [sum(w*s),   sum(w)]],
+    w = p*(1-p), and updates (a, b) -= H^-1 g via the closed-form
+    2x2 inverse.
+
+    Scale shape: one map-side-combinable aggregate per iteration over
+    (score, label) — no join, no window; state is two driver scalars
+    per iteration (the kmeans/GMM collect pattern, O(1)). (a, b) are
+    rounded to 12 decimals per iteration so the Newton trajectory is
+    bit-reproducible across engines and partitionings (the pagerank
+    discipline). Returns one row (n, a, b, log_loss) with the final
+    coefficients and the calibrated log loss, rounded to
+    ``round_to``."""
+    from pyspark.sql import functions as F
+
+    s = F.col("_s")
+    y = F.col("_y")
+    base = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("double").alias("_y"))
+    a, b = 1.0, 0.0
+    for _ in range(iters):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(a) * s + F.lit(b))))
+        w = p * (F.lit(1.0) - p)
+        row = base.agg(
+            F.sum((p - y) * s).alias("ga"),
+            F.sum(p - y).alias("gb"),
+            F.sum(w * s * s).alias("waa"),
+            F.sum(w * s).alias("wab"),
+            F.sum(w).alias("wbb")).collect()[0]
+        det = row.waa * row.wbb - row.wab * row.wab
+        a = round(a - (row.wbb * row.ga - row.wab * row.gb) / det, 12)
+        b = round(b - (row.waa * row.gb - row.wab * row.ga) / det, 12)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(a) * s + F.lit(b))))
+    return base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.lit(a), round_to).alias("a"),
+        F.round(F.lit(b), round_to).alias("b"),
+        F.round(-F.avg(y * F.log(p)
+                       + (F.lit(1.0) - y) * F.log(F.lit(1.0) - p)),
+                round_to).alias("log_loss"))

@@ -994,3 +994,69 @@ def changepoint_split(df: DataFrame, key_col: str, t_col: str,
                                        / F.col("_n"), F.lit(0.0)),
                             round_to).alias("sse_reduction"))
             .orderBy(key_col))
+
+
+def granger_f(series: DataFrame, *, t_col: str = "t", y_col: str = "y",
+              x_col: str = "x", round_to: int = 6) -> DataFrame:
+    """Granger-causality F test at lag 1 (Granger 1969): does the
+    lagged predictor x_{t-1} improve the AR(1) forecast of y_t?
+    Restricted model  y_t = c + phi*y_{t-1}; unrestricted adds
+    beta*x_{t-1}. Both are solved in closed form from one pass of
+    sufficient statistics (the normal equations of the 2-predictor
+    OLS via the exact 2x2 inverse on centered cross-moments — no
+    iterative fit), and F = (RSS_r - RSS_u) / (RSS_u / (n - 3)) with
+    1 numerator df.
+
+    Scale shape: the input is an already-aggregated O(time-buckets)
+    series, so the lag alignment runs as ONE bounded global aggregate
+    (array_sort(collect_list) + transform/zip_with folds — the
+    changepoint_split idiom, no single-partition window exchange);
+    the corpus-sized table never reappears after the upstream
+    bucketing groupBy. With integer count series the nine
+    cross-moments are EXACT (integer sums), and only ratio statistics
+    are returned (F, R-squared of both models) — raw RSS magnitudes
+    are summation-order sensitive at the ulp level while the ratios
+    cancel it. Returns one row
+    (n, f_stat, r2_restricted, r2_unrestricted)."""
+    from pyspark.sql import functions as F
+
+    a = series.agg(F.array_sort(F.collect_list(F.struct(
+        F.col(t_col).alias("t"),
+        F.col(y_col).cast("double").alias("y"),
+        F.col(x_col).cast("double").alias("x")))).alias("a"))
+
+    cur = "slice(a, 2, size(a) - 1)"
+    prev = "slice(a, 1, size(a) - 1)"
+
+    def _s(vec: str, name: str) -> str:
+        return f"aggregate({vec}, 0D, (acc, v) -> acc + v) AS {name}"
+
+    m = a.selectExpr(
+        "CAST(size(a) - 1 AS DOUBLE) AS n",
+        _s(f"transform({cur}, s -> s.y)", "sy"),
+        _s(f"transform({prev}, s -> s.y)", "sl"),
+        _s(f"transform({prev}, s -> s.x)", "sx"),
+        _s(f"transform({cur}, s -> s.y * s.y)", "syy"),
+        _s(f"transform({prev}, s -> s.y * s.y)", "sll"),
+        _s(f"transform({prev}, s -> s.x * s.x)", "sxx"),
+        _s(f"zip_with({cur}, {prev}, (c, p) -> c.y * p.y)", "syl"),
+        _s(f"zip_with({cur}, {prev}, (c, p) -> c.y * p.x)", "syx"),
+        _s(f"transform({prev}, s -> s.y * s.x)", "slx"))
+    n = F.col("n")
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    cll = F.col("sll") - F.col("sl") * F.col("sl") / n
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cyl = F.col("syl") - F.col("sy") * F.col("sl") / n
+    cyx = F.col("syx") - F.col("sy") * F.col("sx") / n
+    clx = F.col("slx") - F.col("sl") * F.col("sx") / n
+    rss_r = cyy - cyl * cyl / cll
+    det = cll * cxx - clx * clx
+    b1 = (cxx * cyl - clx * cyx) / det
+    b2 = (cll * cyx - clx * cyl) / det
+    rss_u = cyy - b1 * cyl - b2 * cyx
+    f = (rss_r - rss_u) / (rss_u / (n - 3))
+    return m.select(
+        n.cast("bigint").alias("n"),
+        F.round(f, round_to).alias("f_stat"),
+        F.round(1 - rss_r / cyy, round_to).alias("r2_restricted"),
+        F.round(1 - rss_u / cyy, round_to).alias("r2_unrestricted"))
