@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import tokens
 
@@ -1225,3 +1225,76 @@ def source_tfidf_cosine(docs, source_col: str = "source",
                                        F.lit(0.0)), round_to)
                     .alias("cosine"))
             .orderBy("src_a", "src_b"))
+
+
+def bpe_learn_merges(docs: DataFrame, *, text_col: str = "text",
+                     rounds: int = 3) -> DataFrame:
+    """Learn the first ``rounds`` byte-pair-encoding merges (Sennrich
+    et al. 2016 — the tokenizer-training algorithm behind GPT/BPE
+    vocabularies) over the corpus: collapse to the word-frequency
+    table, explode each word into (position, symbol) rows, and per
+    round (a) count adjacent symbol pairs weighted by word frequency,
+    (b) pick the most frequent pair (ties to the lexicographically
+    smallest), (c) apply the merge with the reference algorithm's
+    LEFTMOST-GREEDY non-overlap rule — for runs of the same
+    overlapping pair ("aaa" under merge a+a) only every other match
+    fires, expressed as gaps-and-islands parity (run id = position -
+    row_number over matches, then odd row_number within the run)
+    rather than a sequential scan.
+
+    Scale shape: the corpus is touched ONCE (word-frequency groupBy
+    with map-side combine — the classic BPE trick: 10^12 tokens
+    collapse to 10^6-ish distinct words); every round then runs on
+    the exploded symbol table partitioned BY WORD (bounded partitions
+    — a word's symbol row count shrinks every merge), with one tiny
+    groupBy(pair) + TakeOrdered(1) for the argmax and a
+    localCheckpoint to keep lineage one round deep. All quantities
+    are integers — exact cross-engine parity, nothing to round.
+    Returns one row per round
+    (merge_round, lhs, rhs, pair_count, n_tokens_after)."""
+    words = (docs.select(F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    syms = (words
+            .select("w", "c",
+                    F.explode(F.sequence(F.lit(1), F.length("w")))
+                    .alias("p"))
+            .select("w", "c", F.col("p").cast("bigint").alias("p"),
+                    F.expr("substring(w, CAST(p AS INT), 1)").alias("s"))
+            .localCheckpoint(eager=False))
+    wlead = Window.partitionBy("w").orderBy("p")
+    out = []
+    for k in range(1, rounds + 1):
+        pr = syms.withColumn("t", F.lead("s").over(wlead))
+        pc = (pr.filter(F.col("t").isNotNull())
+              .groupBy("s", "t").agg(F.sum("c").alias("cnt")))
+        best = pc.orderBy(F.col("cnt").desc(), "s", "t").limit(1) \
+            .collect()[0]
+        mt = pr.withColumn(
+            "m", F.coalesce((F.col("s") == F.lit(best.s))
+                            & (F.col("t") == F.lit(best.t)),
+                            F.lit(False)))
+        isl = mt.withColumn(
+            "grp", F.col("p") - F.row_number().over(
+                Window.partitionBy("w", "m").orderBy("p")))
+        el = isl.withColumn(
+            "e", F.col("m") & (F.row_number().over(
+                Window.partitionBy("w", "m", "grp").orderBy("p"))
+                % 2 == 1))
+        cons = el.withColumn(
+            "consumed", F.coalesce(F.lag("e").over(wlead), F.lit(False)))
+        syms = (cons.filter(~F.col("consumed"))
+                .select("w", "c",
+                        F.row_number().over(wlead).cast("bigint")
+                        .alias("p"),
+                        F.when(F.col("e"),
+                               F.concat(F.col("s"), F.col("t")))
+                        .otherwise(F.col("s")).alias("s"))
+                .localCheckpoint(eager=False))
+        n_after = syms.agg(F.sum("c")).collect()[0][0]
+        out.append((k, best.s, best.t, int(best.cnt), int(n_after)))
+    return docs.sparkSession.createDataFrame(
+        out, "merge_round bigint, lhs string, rhs string, "
+             "pair_count bigint, n_tokens_after bigint").orderBy(
+        "merge_round")
