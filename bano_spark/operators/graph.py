@@ -1199,3 +1199,51 @@ def scc_closure(edges: DataFrame, *, src: str = "src",
                     F.coalesce("n_edges_in", F.lit(0).cast("bigint"))
                     .alias("n_edges_in"))
             .orderBy("scc_id"))
+
+
+def dag_longest_path(edges: DataFrame, *, src: str = "src",
+                     dst: str = "dst", max_rounds: int = 40) -> DataFrame:
+    """Longest-path depth of every node in a DAG (critical-path /
+    dependency-depth layering): depth(v) = 0 for sources, else
+    1 + max(depth(u)) over in-edges — the scheduling-depth number for
+    redirect cascades, dependency graphs, and crawl frontier tiers.
+    Iterative max-relaxation to the (unique) fixpoint; the integer
+    depth sum is an EXACT structural convergence test (no float-sum
+    ambiguity — the sssp_weighted lesson), and ``max_rounds`` is a
+    loud runaway guard that doubles as CYCLE DETECTION: in a DAG the
+    fixpoint arrives within diameter rounds, so exhausting the guard
+    raises (a cycle makes the longest path unbounded — failing loudly
+    beats wrong depths).
+
+    Scale shape per round: one equi-join of the O(nodes) depth vector
+    onto the edge table (edges hash-partitioned on src and reused),
+    one groupBy(dst) max, localCheckpoint to keep lineage one round
+    deep. Returns (node, depth)."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    depth = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct()
+             .select("node", F.lit(0).cast("bigint").alias("depth"))
+             .localCheckpoint(eager=False))
+    cur = depth.agg(F.sum("depth")).collect()[0][0] or 0
+    for _ in range(max_rounds):
+        cand = (e.join(depth.withColumnRenamed("node", "u"), "u")
+                .groupBy(F.col("v").alias("node"))
+                .agg((F.max("depth") + 1).alias("_nd")))
+        depth = (depth.join(cand, "node", "left")
+                 .select("node",
+                         F.greatest(F.col("depth"),
+                                    F.coalesce("_nd", F.lit(0)))
+                         .alias("depth"))
+                 .localCheckpoint(eager=False))
+        new = depth.agg(F.sum("depth")).collect()[0][0] or 0
+        if new == cur:
+            return depth.orderBy("node")
+        cur = new
+    raise RuntimeError(
+        f"dag_longest_path: no fixpoint within {max_rounds} rounds — "
+        "the graph almost certainly contains a cycle (longest path "
+        "undefined); break cycles upstream (scc_closure finds them)")
