@@ -1146,3 +1146,65 @@ def cox_ph_quantized(durations: DataFrame, *, dur_col: str = "duration",
         F.round(F.lit(beta), round_to).alias("beta"),
         F.round(F.exp(F.lit(beta)), round_to).alias("hazard_ratio"),
         F.round(F.lit(1.0) / F.sqrt(F.lit(i_fin)), round_to).alias("se"))
+
+
+def kalman_level_last(df: DataFrame, key_col: str, order_cols: list[str],
+                      val_col: str, q: float = 4.0, r: float = 25.0,
+                      round_to: int = 6) -> DataFrame:
+    """Final 1-D Kalman filter state per key for the local-level model
+    (random-walk state x_t = x_{t-1} + w, w ~ N(0, q); observation
+    z_t = x_t + v, v ~ N(0, r)) — the optimal-gain upgrade of the
+    fixed-gain smoothers (`ewma_last` uses a constant alpha;
+    `holt_last` a constant alpha/beta): here the gain
+    K = P'/(P' + r) ADAPTS as the error variance P converges to its
+    steady state, which is exactly the Riccati fixed point a
+    monitoring pipeline wants for change-alarm thresholds.
+
+        P' = P + q;  K = P'/(P' + r)
+        x <- x + K*(z - x);  P <- (1 - K)*P'
+
+    initialized x_1 = z_1, P_1 = r (the diffuse-ish standard start).
+    Execution discipline: ONE groupBy shuffle, then one aggregate()
+    fold per key over its sorted value array with a STRUCT
+    accumulator (the holt_last shape; the DuckDB twin replays it with
+    a LIST accumulator — the list_reduce struct-field trap). The fold
+    is pure rational arithmetic in identical order on both engines —
+    no libm — so the trajectory is bit-stable before the final
+    rounding. Returns (key, n_rows, x_hat, p_var, gain, mae_innov):
+    the filtered level, its error variance, the converged gain, and
+    the mean absolute one-step innovation (the residual-scale number
+    alarms are calibrated on)."""
+    qq = repr(float(q))
+    rr = repr(float(r))
+    order_struct = F.struct(*[F.col(c) for c in order_cols],
+                            F.col(val_col).alias("_v"))
+    agged = (df.groupBy(key_col)
+             .agg(F.array_sort(F.collect_list(order_struct)).alias("os"))
+             .withColumn("vs", F.expr(
+                 "transform(os, o -> CAST(o._v AS DOUBLE))"))
+             .filter(F.size("vs") >= 2))
+    kgain = f"((s.p + CAST({qq} AS DOUBLE)) " \
+            f"/ (s.p + CAST({qq} AS DOUBLE) + CAST({rr} AS DOUBLE)))"
+    fold = (f"aggregate(slice(vs, 2, size(vs) - 1), "
+            f"named_struct('x', CAST(vs[0] AS DOUBLE), "
+            f"              'p', CAST({rr} AS DOUBLE), "
+            f"              'acc', CAST(0 AS DOUBLE)), "
+            f"(s, v) -> named_struct("
+            f"  'x', s.x + {kgain} * (v - s.x), "
+            f"  'p', (1 - {kgain}) * (s.p + CAST({qq} AS DOUBLE)), "
+            f"  'acc', s.acc + abs(v - s.x)))")
+    st = F.expr(fold)
+    return (agged.select(
+        key_col, F.size("vs").cast("bigint").alias("n_rows"),
+        st.alias("_st"))
+        .select(key_col, "n_rows",
+                F.round(F.col("_st.x"), round_to).alias("x_hat"),
+                F.round(F.col("_st.p"), round_to).alias("p_var"),
+                F.round((F.col("_st.p") + F.lit(float(q)))
+                        / (F.col("_st.p") + F.lit(float(q))
+                           + F.lit(float(r))), round_to)
+                .alias("gain"),
+                F.round(F.col("_st.acc")
+                        / (F.col("n_rows") - 1), round_to)
+                .alias("mae_innov"))
+        .orderBy(key_col))
