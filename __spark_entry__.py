@@ -1967,6 +1967,7 @@ from bano_spark import queries_wave61 as _w61  # noqa: E402
 from bano_spark import queries_wave62 as _w62  # noqa: E402
 from bano_spark import queries_wave63 as _w63  # noqa: E402
 from bano_spark import queries_wave64 as _w64  # noqa: E402
+from bano_spark import queries_wave65 as _w65  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2084,6 +2085,8 @@ _QUERIES.update(_w63.QUERIES)
 _ORACLES.update(_w63.ORACLES)
 _QUERIES.update(_w64.QUERIES)
 _ORACLES.update(_w64.ORACLES)
+_QUERIES.update(_w65.QUERIES)
+_ORACLES.update(_w65.ORACLES)
 
 
 # ---------------------------------------------------------------------------

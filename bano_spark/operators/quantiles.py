@@ -1463,3 +1463,121 @@ def huber_fit_per_group(df, group_col: str, x_col, y_col, *,
                     F.round("_i", round_to).alias("intercept"),
                     "n_downweighted")
             .orderBy(group_col))
+
+
+def cochran_armitage(df, score_col: str, success_col: str, *,
+                     round_to: int = 6):
+    """Cochran-Armitage trend test (Cochran 1954, Armitage 1955) for
+    a monotone trend in binomial proportions across ORDERED groups
+    with integer scores t_j: T = sum_j t_j (r_j - n_j R/N),
+    Var(T) = (R/N)(1 - R/N) (sum n_j t_j^2 - (sum n_j t_j)^2 / N),
+    z = T / sqrt(Var) — the dose-response member of the contingency
+    family (chi_square_independence detects ANY association; this is
+    the 1-df test aimed at ordered exposure).
+
+    Scale shape: one groupBy(score) with map-side partial counts,
+    then O(levels) scalar algebra — integer sufficient statistics,
+    so only the final ratios round. Returns one row
+    (n, n_success, k_levels, t_stat, z)."""
+    from pyspark.sql import functions as F
+
+    g = (df.select(F.col(score_col).cast("double").alias("_t"),
+                   F.col(success_col).cast("double").alias("_y"))
+         .groupBy("_t")
+         .agg(F.count(F.lit(1)).cast("double").alias("_n"),
+              F.sum("_y").alias("_r")))
+    agg = g.agg(F.sum("_n").alias("N"), F.sum("_r").alias("R"),
+                F.count(F.lit(1)).alias("k"),
+                F.sum(F.col("_t") * F.col("_r")).alias("tr"),
+                F.sum(F.col("_t") * F.col("_n")).alias("tn"),
+                F.sum(F.col("_t") * F.col("_t") * F.col("_n"))
+                .alias("ttn"))
+    p = F.col("R") / F.col("N")
+    t = F.col("tr") - p * F.col("tn")
+    var = (p * (1 - p)
+           * (F.col("ttn") - F.col("tn") * F.col("tn") / F.col("N")))
+    return agg.select(
+        F.col("N").cast("bigint").alias("n"),
+        F.col("R").cast("bigint").alias("n_success"),
+        F.col("k").cast("bigint").alias("k_levels"),
+        F.round(t, round_to).alias("t_stat"),
+        F.round(t / F.sqrt(var), round_to).alias("z"))
+
+
+def cronbach_alpha(items, subject_col: str, item_col: str,
+                   value_col: str, *, round_to: int = 6):
+    """Cronbach's alpha internal-consistency coefficient (Cronbach
+    1951) over a long-form (subject, item, value) table:
+    alpha = k/(k-1) * (1 - sum_i var(item_i) / var(total per
+    subject)) — the reliability gate for any composite score a
+    pipeline builds by SUMMING signals (quality subscores, rater
+    panels, multi-probe metrics). Sample variances on both terms.
+
+    Scale shape: one groupBy(subject) pivot-free pass for the totals
+    (sum per subject), one groupBy(item) for per-item variances —
+    two shuffles over the long table, no wide pivot. The caller
+    supplies a DENSE long-form table (gap-fill zeros upstream —
+    the timeseries_gap_fill discipline) so per-item variances see
+    every subject. Returns one row (k_items, n_subjects, alpha)."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("double")
+    per_item = (items.groupBy(item_col)
+                .agg(F.var_samp(v).alias("_vi")))
+    iv = per_item.agg(F.count(F.lit(1)).alias("k"),
+                      F.sum("_vi").alias("svi"))
+    totals = (items.groupBy(subject_col).agg(F.sum(v).alias("_tot")))
+    tv = totals.agg(F.count(F.lit(1)).alias("n"),
+                    F.var_samp("_tot").alias("vt"))
+    return (iv.crossJoin(tv)
+            .select(F.col("k").cast("bigint").alias("k_items"),
+                    F.col("n").cast("bigint").alias("n_subjects"),
+                    F.round((F.col("k") / (F.col("k") - 1))
+                            * (1 - F.col("svi") / F.col("vt")),
+                            round_to).alias("alpha")))
+
+
+def did_estimator(df, treat_col: str, post_col: str, y_col: str, *,
+                  round_to: int = 6):
+    """Two-by-two difference-in-differences estimator:
+    DiD = (mean_T,post - mean_T,pre) - (mean_C,post - mean_C,pre),
+    with the standard unpooled SE sqrt(sum_cells s^2/n) — the
+    quasi-experimental effect estimate for rollouts where treatment
+    isn't randomized but trends are parallel (the observational
+    companion to cuped_adjustment's variance reduction).
+
+    Scale shape: ONE groupBy over the (treat, post) cells with
+    map-side moments; everything after is O(1) scalar algebra on the
+    4-row cell table. Returns one row with the four cell means, the
+    DiD estimate, and its SE."""
+    from pyspark.sql import functions as F
+
+    y = F.col(y_col).cast("double")
+    cells = (df.groupBy(F.col(treat_col).cast("int").alias("_t"),
+                        F.col(post_col).cast("int").alias("_p"))
+             .agg(F.count(F.lit(1)).cast("double").alias("_n"),
+                  F.avg(y).alias("_m"),
+                  F.var_samp(y).alias("_v")))
+
+    def cell(t, p, col):
+        return F.max(F.when((F.col("_t") == t) & (F.col("_p") == p),
+                            F.col(col)))
+
+    agg = cells.agg(
+        cell(1, 0, "_m").alias("m_t_pre"), cell(1, 1, "_m").alias("m_t_post"),
+        cell(0, 0, "_m").alias("m_c_pre"), cell(0, 1, "_m").alias("m_c_post"),
+        (cell(1, 0, "_v") / cell(1, 0, "_n")
+         + cell(1, 1, "_v") / cell(1, 1, "_n")
+         + cell(0, 0, "_v") / cell(0, 0, "_n")
+         + cell(0, 1, "_v") / cell(0, 1, "_n")).alias("_se2"),
+        F.sum("_n").alias("n"))
+    did = ((F.col("m_t_post") - F.col("m_t_pre"))
+           - (F.col("m_c_post") - F.col("m_c_pre")))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("m_t_pre", round_to).alias("mean_treat_pre"),
+        F.round("m_t_post", round_to).alias("mean_treat_post"),
+        F.round("m_c_pre", round_to).alias("mean_ctrl_pre"),
+        F.round("m_c_post", round_to).alias("mean_ctrl_post"),
+        F.round(did, round_to).alias("did"),
+        F.round(F.sqrt(F.col("_se2")), round_to).alias("se"))
