@@ -1968,6 +1968,7 @@ from bano_spark import queries_wave62 as _w62  # noqa: E402
 from bano_spark import queries_wave63 as _w63  # noqa: E402
 from bano_spark import queries_wave64 as _w64  # noqa: E402
 from bano_spark import queries_wave65 as _w65  # noqa: E402
+from bano_spark import queries_wave66 as _w66  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2087,6 +2088,8 @@ _QUERIES.update(_w64.QUERIES)
 _ORACLES.update(_w64.ORACLES)
 _QUERIES.update(_w65.QUERIES)
 _ORACLES.update(_w65.ORACLES)
+_QUERIES.update(_w66.QUERIES)
+_ORACLES.update(_w66.ORACLES)
 
 
 # ---------------------------------------------------------------------------

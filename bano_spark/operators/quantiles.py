@@ -1581,3 +1581,37 @@ def did_estimator(df, treat_col: str, post_col: str, y_col: str, *,
         F.round("m_c_post", round_to).alias("mean_ctrl_post"),
         F.round(did, round_to).alias("did"),
         F.round(F.sqrt(F.col("_se2")), round_to).alias("se"))
+
+
+def negative_binomial_fit(df, group_col: str, count_col: str, *,
+                          round_to: int = 6):
+    """Negative-binomial method-of-moments fit per group for
+    overdispersed count columns: r = m^2 / (v - m), p = m / v (so the
+    NB mean m = r(1-p)/p and variance v = m/p are matched exactly) —
+    the dispersion-aware upgrade of a Poisson rate (fano_factor_counts
+    DETECTS overdispersion; this fits the two-parameter model that
+    absorbs it, the standard prior for per-host page counts and crawl
+    burst sizes). The caller guarantees v > m per contract (fit the
+    fano factor first); groups violating it surface as negative r
+    rather than being silently dropped.
+
+    Scale shape: one groupBy with map-side count/sum/sum-of-squares
+    moments, scalar epilogue — integer sufficient statistics, ratios
+    rounded. Returns (group, n, mean, variance, r, p)."""
+    from pyspark.sql import functions as F
+
+    x = F.col(count_col).cast("double")
+    g = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("s"), F.sum(x * x).alias("ss"))
+    m = F.col("s") / F.col("n")
+    v = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) \
+        / (F.col("n") - 1)
+    return (g.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(m, round_to).alias("mean"),
+        F.round(v, round_to).alias("variance"),
+        F.round(m * m / (v - m), round_to).alias("r"),
+        F.round(m / v, round_to).alias("p"))
+        .orderBy(group_col))

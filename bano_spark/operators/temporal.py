@@ -1208,3 +1208,66 @@ def kalman_level_last(df: DataFrame, key_col: str, order_cols: list[str],
                         / (F.col("n_rows") - 1), round_to)
                 .alias("mae_innov"))
         .orderBy(key_col))
+
+
+def sprt_decision(df: DataFrame, key_col: str, order_cols: list[str],
+                  flag_col: str, *, p0: float = 0.15, p1: float = 0.25,
+                  alpha: float = 0.05, beta: float = 0.05,
+                  round_to: int = 6) -> DataFrame:
+    """Wald's sequential probability ratio test (Wald 1945) per key
+    over an ordered Bernoulli stream: accumulate the log-likelihood
+    ratio llr += x ln(p1/p0) + (1-x) ln((1-p1)/(1-p0)) and stop the
+    FIRST time it exits [ln(beta/(1-alpha)), ln((1-beta)/alpha)] —
+    the early-stopping monitor for per-entity rate shifts (host error
+    rates, user click rates) that fixed-n tests (welch_ttest,
+    mcnemar) must wait out. decision: +1 accepts H1 (p = p1), -1
+    accepts H0, 0 = still sampling at stream end; decided_at is the
+    1-based stopping step (0 if undecided).
+
+    Execution discipline: the holt_last shape — ONE groupBy shuffle,
+    one aggregate() fold per key over the sorted flag array with a
+    STRUCT accumulator that FREEZES once a boundary is crossed (the
+    sequential-stopping semantics, replayed by the DuckDB twin with a
+    LIST accumulator). The llr lattice is a two-generator integer
+    combination of the ln constants, so a cross-engine 1-ulp ln
+    difference moves llr by ~1e-14 — decisions flip only on exact
+    boundary coincidences, and the reported llr rounds at 6 dp.
+    Returns (key, n_events, decision, decided_at, llr)."""
+    # shared textual constants — both engines parse the same literals
+    inc = (f"(v * ln(CAST({p1!r} AS DOUBLE) / CAST({p0!r} AS DOUBLE)) "
+           f"+ (1 - v) * ln(CAST({1 - p1!r} AS DOUBLE) "
+           f"/ CAST({1 - p0!r} AS DOUBLE)))")
+    up = (f"ln(CAST({1 - beta!r} AS DOUBLE) / CAST({alpha!r} AS DOUBLE))")
+    lo = (f"ln(CAST({beta!r} AS DOUBLE) / CAST({1 - alpha!r} AS DOUBLE))")
+    order_struct = F.struct(*[F.col(c) for c in order_cols],
+                            F.col(flag_col).cast("double").alias("_v"))
+    agged = (df.groupBy(key_col)
+             .agg(F.array_sort(F.collect_list(order_struct)).alias("os"))
+             .withColumn("vs", F.expr(
+                 "transform(os, o -> CAST(o._v AS DOUBLE))")))
+    nxt = f"(s.llr + {inc})"
+    fold = (f"aggregate(vs, "
+            f"named_struct('llr', CAST(0 AS DOUBLE), "
+            f"              'dec', CAST(0 AS DOUBLE), "
+            f"              'stp', CAST(0 AS DOUBLE), "
+            f"              'at', CAST(0 AS DOUBLE)), "
+            f"(s, v) -> named_struct("
+            f"  'llr', CASE WHEN s.dec <> 0 THEN s.llr ELSE {nxt} END, "
+            f"  'dec', CASE WHEN s.dec <> 0 THEN s.dec "
+            f"              WHEN {nxt} >= {up} THEN CAST(1 AS DOUBLE) "
+            f"              WHEN {nxt} <= {lo} THEN CAST(-1 AS DOUBLE) "
+            f"              ELSE CAST(0 AS DOUBLE) END, "
+            f"  'stp', s.stp + 1, "
+            f"  'at', CASE WHEN s.dec <> 0 THEN s.at "
+            f"             WHEN {nxt} >= {up} OR {nxt} <= {lo} "
+            f"             THEN s.stp + 1 "
+            f"             ELSE CAST(0 AS DOUBLE) END))")
+    st = F.expr(fold)
+    return (agged.select(
+        key_col, F.size("vs").cast("bigint").alias("n_events"),
+        st.alias("_st"))
+        .select(key_col, "n_events",
+                F.col("_st.dec").cast("bigint").alias("decision"),
+                F.col("_st.at").cast("bigint").alias("decided_at"),
+                F.round(F.col("_st.llr"), round_to).alias("llr"))
+        .orderBy(key_col))
