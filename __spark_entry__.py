@@ -1969,6 +1969,7 @@ from bano_spark import queries_wave63 as _w63  # noqa: E402
 from bano_spark import queries_wave64 as _w64  # noqa: E402
 from bano_spark import queries_wave65 as _w65  # noqa: E402
 from bano_spark import queries_wave66 as _w66  # noqa: E402
+from bano_spark import queries_wave67 as _w67  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2090,6 +2091,8 @@ _QUERIES.update(_w65.QUERIES)
 _ORACLES.update(_w65.ORACLES)
 _QUERIES.update(_w66.QUERIES)
 _ORACLES.update(_w66.ORACLES)
+_QUERIES.update(_w67.QUERIES)
+_ORACLES.update(_w67.ORACLES)
 
 
 # ---------------------------------------------------------------------------

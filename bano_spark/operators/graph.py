@@ -1247,3 +1247,121 @@ def dag_longest_path(edges: DataFrame, *, src: str = "src",
         f"dag_longest_path: no fixpoint within {max_rounds} rounds — "
         "the graph almost certainly contains a cycle (longest path "
         "undefined); break cycles upstream (scc_closure finds them)")
+
+
+def boruvka_mst(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+                weight: str = "w", max_rounds: int = 25,
+                collect_threshold: int = 2_000_000) -> DataFrame:
+    """Minimum spanning forest by Boruvka's algorithm (Boruvka 1926 —
+    the data-parallel MST: Kruskal and Prim are inherently sequential,
+    Boruvka contracts in O(log n) rounds): per round every component
+    selects its minimum-weight outgoing edge (distinct weights make
+    the MST unique, the caller's contract — assert upstream), the
+    chosen edges merge components, repeat until no cross-component
+    edge remains (a FOREST on disconnected graphs). The oracle twin
+    replays Kruskal sequentially inside one recursive CTE — same
+    unique edge set, opposite execution model, which is exactly the
+    point of the cross-engine check.
+
+    Scale shape per round: one join of the O(nodes) label vector onto
+    the edge table, one groupBy(component) min-struct argmin
+    (map-side combinable), then contraction runs ONLY on the
+    chosen-edge COMPONENT graph (at most one edge per live component).
+    That graph is collected to the driver and contracted with an exact
+    union-find when it has <= ``collect_threshold`` edges (the same
+    disclosed small-side escape hatch as kmeans' centroid collect —
+    O(components) driver memory, zero shuffle rounds); above the
+    threshold it falls back to the distributed min-label
+    ``connected_components`` operator. Components at least halve per
+    round, so rounds <= log2(n) and the chosen graph shrinks
+    geometrically — at 100x scale only the first round or two take the
+    distributed path. ``max_rounds`` raises loudly. Returns the MST
+    edges (u, v, w) ordered by weight."""
+    from pyspark.sql import types as T
+
+    spark = edges.sparkSession
+    ew = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                       F.greatest(F.col(src), F.col(dst)).alias("v"),
+                       F.col(weight).alias("w"))
+          .filter(F.col("u") != F.col("v"))
+          .distinct()
+          .localCheckpoint(eager=False))
+    node_type = ew.schema["u"].dataType
+    remap_schema = T.StructType([T.StructField("comp", node_type),
+                                 T.StructField("nc", node_type)])
+    labels = (ew.select(F.col("u").alias("node"))
+              .unionByName(ew.select(F.col("v").alias("node")))
+              .distinct()
+              .select("node", F.col("node").alias("comp"))
+              .localCheckpoint(eager=False))
+    mst = None
+    for _ in range(max_rounds):
+        lu = labels.select(F.col("node").alias("u"),
+                           F.col("comp").alias("cu"))
+        lv = labels.select(F.col("node").alias("v"),
+                           F.col("comp").alias("cv"))
+        ec = (ew.join(lu, "u").join(lv, "v")
+              .filter(F.col("cu") != F.col("cv"))
+              .localCheckpoint(eager=False))
+        if ec.limit(1).count() == 0:
+            break
+        pick = F.struct("w", "u", "v", "cu", "cv")
+        cand = (ec.select(F.col("cu").alias("c"), pick.alias("e"))
+                .unionByName(ec.select(F.col("cv").alias("c"),
+                                       pick.alias("e"))))
+        chosen = (cand.groupBy("c").agg(F.min("e").alias("e"))
+                  .select("e.w", "e.u", "e.v", "e.cu", "e.cv")
+                  .dropDuplicates(["u", "v"])
+                  .localCheckpoint(eager=False))
+        add = chosen.select("u", "v", "w")
+        mst = add if mst is None else mst.unionByName(add)
+        mst = mst.localCheckpoint(eager=False)
+        # contraction on the chosen-edge component graph (at most one
+        # edge per live component): exact driver union-find when small
+        # (one collect, no shuffle rounds), distributed min-label
+        # propagation otherwise
+        n_chosen = chosen.count()
+        if n_chosen <= collect_threshold:
+            parent: dict = {}
+
+            def _find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in chosen.select("cu", "cv").collect():
+                ra, rb = _find(r["cu"]), _find(r["cv"])
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    # larger root always points at the smaller, so the
+                    # final root IS the min label of its component
+                    parent[rb] = ra
+            mapping = [(k, _find(k)) for k in list(parent)]
+            lbl = spark.createDataFrame(mapping, schema=remap_schema)
+            labels = (labels.join(F.broadcast(lbl), "comp", "left")
+                      .select("node", F.coalesce("nc", F.col("comp"))
+                              .alias("comp"))
+                      .localCheckpoint(eager=False))
+        else:
+            from bano_spark.operators.components import \
+                connected_components
+            lbl = (connected_components(chosen.select("cu", "cv"),
+                                        src="cu", dst="cv")
+                   .select(F.col("id").alias("comp"),
+                           F.col("comp").alias("nc")))
+            labels = (labels.join(lbl, "comp", "left")
+                      .select("node", F.coalesce("nc", F.col("comp"))
+                              .alias("comp"))
+                      .localCheckpoint(eager=False))
+    else:
+        raise RuntimeError(
+            f"boruvka_mst: no fixpoint within {max_rounds} rounds "
+            "(components must at least halve per round — check for "
+            "duplicate edge weights breaking MST uniqueness)")
+    if mst is None:
+        return ew.select("u", "v", "w").limit(0)
+    return mst.orderBy("w")
