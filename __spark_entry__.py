@@ -1970,6 +1970,8 @@ from bano_spark import queries_wave64 as _w64  # noqa: E402
 from bano_spark import queries_wave65 as _w65  # noqa: E402
 from bano_spark import queries_wave66 as _w66  # noqa: E402
 from bano_spark import queries_wave67 as _w67  # noqa: E402
+from bano_spark import queries_wave68 as _w68  # noqa: E402
+from bano_spark import queries_wave69 as _w69  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2093,6 +2095,10 @@ _QUERIES.update(_w66.QUERIES)
 _ORACLES.update(_w66.ORACLES)
 _QUERIES.update(_w67.QUERIES)
 _ORACLES.update(_w67.ORACLES)
+_QUERIES.update(_w68.QUERIES)
+_ORACLES.update(_w68.ORACLES)
+_QUERIES.update(_w69.QUERIES)
+_ORACLES.update(_w69.ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -1615,3 +1615,133 @@ def negative_binomial_fit(df, group_col: str, count_col: str, *,
         F.round(m * m / (v - m), round_to).alias("r"),
         F.round(m / v, round_to).alias("p"))
         .orderBy(group_col))
+
+
+def anderson_darling_uniform(df: DataFrame, group_col: str,
+                             value_col: str, *,
+                             round_to: int = 6) -> DataFrame:
+    """Anderson-Darling goodness-of-fit statistic against Uniform(0,1)
+    per group (Anderson & Stephens 1952/1974) — the tail-sensitive
+    upgrade of the KS distance already in the registry (ks_two_sample
+    weighs the middle; AD's 1/(F(1-F)) kernel weighs the tails):
+
+        A^2 = -n - (1/n) * sum_i (2i-1) * (ln x_(i) + ln(1 - x_(n+1-i)))
+
+    re-indexed so ONE ascending rank window serves both terms:
+    the (2i-1) coefficient multiplies ln x at rank i and the mirrored
+    coefficient (2(n-i)+1) multiplies ln(1-x) at the same rank.
+
+    Scale shape: one per-group rank window (partitions are groups,
+    never global) feeding one map-side-combinable groupBy sum — same
+    shuffle count as a plain aggregate. Values must lie strictly in
+    (0,1); ln(0) would poison the sum, so the operator filters and
+    REPORTS the clamped count rather than silently dropping."""
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("double")
+    inb = df.select(F.col(group_col).alias("g"), x.alias("x"))
+    bad = (inb.filter((F.col("x") <= 0) | (F.col("x") >= 1))
+           .groupBy("g").agg(F.count(F.lit(1)).alias("n_oob")))
+    ok = inb.filter((F.col("x") > 0) & (F.col("x") < 1))
+    w = Window.partitionBy("g").orderBy("x")
+    wg = Window.partitionBy("g")
+    r = (ok.withColumn("i", F.row_number().over(w))
+         .withColumn("nn", F.count(F.lit(1)).over(wg)))
+    agg = (r.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((2 * F.col("i") - 1) * F.log("x")).alias("s_lo"),
+        F.sum((2 * (F.col("nn") - F.col("i")) + 1)
+              * F.log(F.lit(1.0) - F.col("x"))).alias("s_hi")))
+    out = (agg.join(bad, "g", "left")
+           .select(F.col("g").alias(group_col),
+                   F.col("n").cast("bigint").alias("n"),
+                   F.coalesce("n_oob", F.lit(0)).cast("bigint")
+                   .alias("n_out_of_bounds"),
+                   F.round(-F.col("n")
+                           - (F.col("s_lo") + F.col("s_hi")) / F.col("n"),
+                           round_to).alias("a_squared")))
+    return out.orderBy(group_col)
+
+
+def benford_first_digit(df: DataFrame, group_col: str,
+                        value_col: str, *,
+                        round_to: int = 6) -> DataFrame:
+    """Benford first-significant-digit conformity per group: observed
+    first-digit counts of positive integer values vs the Benford null
+    p_d = log10(1 + 1/d), summarized as the chi-square statistic and
+    the mean-absolute-deviation of proportions (Nigrini's MAD, the
+    forensic-accounting screen). First digit comes from the decimal
+    string cast — identical in Spark and DuckDB for BIGINT — so no
+    float log extraction can disagree.
+
+    Scale shape: one groupBy(group, digit) count (map-side
+    combinable), then a 9-row-per-group fold — second aggregate runs
+    on O(groups x 9) rows, never the data."""
+    v = F.col(value_col).cast("bigint")
+    dig = F.substring(v.cast("string"), 1, 1).cast("int")
+    counts = (df.filter(v > 0)
+              .select(F.col(group_col).alias("g"), dig.alias("d"))
+              .groupBy("g", "d").agg(F.count(F.lit(1)).alias("c")))
+    p = (F.log10(F.lit(1.0) + F.lit(1.0) / F.col("dd")))
+    # dense 9-digit frame per group so missing digits count as 0
+    digits = (counts.select("g").distinct()
+              .crossJoin(counts.sparkSession.range(1, 10)
+                         .select(F.col("id").cast("int").alias("dd"))))
+    full = (digits.join(counts,
+                        (digits.g == counts.g) & (digits.dd == counts.d),
+                        "left")
+            .select(digits.g.alias("g"), "dd",
+                    F.coalesce("c", F.lit(0)).cast("double").alias("c")))
+    tot = full.groupBy("g").agg(F.sum("c").alias("n"))
+    out = (full.join(tot, "g")
+           .withColumn("exp", F.col("n") * p)
+           .groupBy("g").agg(
+               F.first("n").alias("n"),
+               F.sum((F.col("c") - F.col("exp"))
+                     * (F.col("c") - F.col("exp")) / F.col("exp"))
+               .alias("chi2"),
+               F.avg(F.abs(F.col("c") / F.col("n") - p)).alias("mad"))
+           .select(F.col("g").alias(group_col),
+                   F.col("n").cast("bigint").alias("n"),
+                   F.round("chi2", round_to).alias("chi2"),
+                   F.round("mad", round_to).alias("mad")))
+    return out.orderBy(group_col)
+
+
+def grubbs_statistic(df: DataFrame, group_col: str, value_col: str,
+                     id_col: str, *, round_to: int = 6) -> DataFrame:
+    """Grubbs' outlier statistic per group: G = max|x - mean| / sd
+    (sample sd, n-1), plus the offending row id (ties broken by min
+    id). With integer-valued x the moment sums are exact, so mean and
+    sd are bit-identical divisions/sqrts in both engines and the
+    argmax is deterministic.
+
+    Scale shape: one moment groupBy, join back (AQE picks broadcast
+    while groups are small), one min_by argmax aggregate — no window,
+    no global exchange."""
+    x = F.col(value_col).cast("double")
+    base = df.select(F.col(group_col).alias("g"), x.alias("x"),
+                     F.col(id_col).alias("rid"))
+    m = (base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"))
+        .withColumn("mean", F.col("s") / F.col("n"))
+        .withColumn("sd", F.sqrt((F.col("ss")
+                                  - F.col("s") * F.col("s") / F.col("n"))
+                                 / (F.col("n") - 1))))
+    dev = (base.join(m.select("g", "n", "mean", "sd"), "g")
+           .withColumn("ad", F.abs(F.col("x") - F.col("mean"))))
+    out = (dev.groupBy("g").agg(
+        F.first("n").alias("n"),
+        F.max("ad").alias("mad_"),
+        F.first("sd").alias("sd"),
+        F.min_by(F.col("rid"), F.struct((-F.col("ad")).alias("d"),
+                                        F.col("rid").alias("r")))
+        .alias("outlier_id"))
+        .select(F.col("g").alias(group_col),
+                F.col("n").cast("bigint").alias("n"),
+                F.round(F.col("mad_") / F.col("sd"), round_to)
+                .alias("g_stat"),
+                F.col("outlier_id")))
+    return out.orderBy(group_col)

@@ -1599,3 +1599,40 @@ def mean_center_drift(points: DataFrame, *, period_col: str = "period",
                             round_to).alias("drift_dist"),
                     F.round(F.atan2(F.col("r.dy"), F.col("r.dx")),
                             round_to).alias("drift_bearing")))
+
+
+def knn_spanning_forest(points: DataFrame, k: int, cell: float, *,
+                        id_col: str = "event_id", x_col: str = "x",
+                        y_col: str = "y") -> DataFrame:
+    """Minimum spanning forest of the EXACT k-NN graph — the
+    single-linkage clustering backbone (cut the longest edges to get
+    the cluster tree): kNN edges via the doubling-ring ``knn_exact``,
+    then Boruvka contraction via ``graph.boruvka_mst``. Semantics are
+    the MST of the k-NN GRAPH, not the full Euclidean MST — the
+    standard scalable approximation (documented, not hidden), exact
+    when every EMST edge is a k-NN edge (true for all but adversarial
+    point sets at k >= 4).
+
+    Weight = d2 * 2^32 + first-32-md5-bits of "u|v": integer squared
+    distance first (so the forest IS distance-minimal), md5 tiebreak
+    making all weights distinct so the MST is unique and byte-
+    comparable against a sequential-Kruskal oracle. Returns
+    (u, v, d2, w) ordered by w."""
+    from bano_spark.operators.graph import boruvka_mst
+
+    knn = knn_exact(points, k, cell, id_col=id_col,
+                    x_col=x_col, y_col=y_col)
+    ew = (knn.select(F.least(F.col(id_col), F.col("nid")).alias("u"),
+                     F.greatest(F.col(id_col), F.col("nid")).alias("v"),
+                     F.col("d2").cast("bigint").alias("d2"))
+          .distinct()
+          .withColumn("w", F.col("d2") * F.lit(4294967296).cast("bigint")
+                      + F.expr(
+                          "CAST(conv(substr(md5(concat(CAST(u AS STRING),"
+                          " '|', CAST(v AS STRING))), 1, 8), 16, 10)"
+                          " AS BIGINT) % 4294967296"))
+          )
+    mst = boruvka_mst(ew.select("u", "v", "w"), src="u", dst="v",
+                      weight="w")
+    return (mst.withColumn("d2", F.expr("w div 4294967296"))
+            .select("u", "v", "d2", "w").orderBy("w"))

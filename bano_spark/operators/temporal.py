@@ -1271,3 +1271,115 @@ def sprt_decision(df: DataFrame, key_col: str, order_cols: list[str],
                 F.col("_st.at").cast("bigint").alias("decided_at"),
                 F.round(F.col("_st.llr"), round_to).alias("llr"))
         .orderBy(key_col))
+
+
+def durbin_watson(df: DataFrame, group_col: str, order_cols: list[str],
+                  x_col: str, y_col: str, *,
+                  round_to: int = 6) -> DataFrame:
+    """Durbin-Watson residual-autocorrelation statistic per group
+    (Durbin & Watson 1950): fit OLS y ~ a + b*x from exact moment
+    sums, then DW = sum_t (e_t - e_{t-1})^2 / sum_t e_t^2 over the
+    ``order_cols``-ordered residuals. DW ~ 2 means no lag-1
+    autocorrelation, -> 0 positive (the un-modeled level shift in the
+    series fixture), -> 4 negative.
+
+    Float parity: with integer-valued x and y the moment sums are
+    EXACT, so slope/intercept are identical double divisions in both
+    engines; residual terms then evaluate bit-identically and only
+    the final sums' addition order differs (absorbed by round_to).
+
+    Scale shape: one map-side-combinable moment groupBy, a join of the
+    per-group (a, b) back onto the rows (left to AQE: broadcast while
+    the group table is small, shuffle-on-g — the same key the lag
+    window repartitions by anyway — when group cardinality outgrows
+    the threshold), one per-group lag window, one final groupBy; no
+    global exchange."""
+    g = F.col(group_col).alias("g")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.select(g, x.alias("x"), y.alias("y"),
+                     *[F.col(c) for c in order_cols])
+    m = (base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+        .withColumn("b", (F.col("n") * F.col("sxy")
+                          - F.col("sx") * F.col("sy"))
+                    / (F.col("n") * F.col("sxx")
+                       - F.col("sx") * F.col("sx")))
+        .withColumn("a", (F.col("sy") - F.col("b") * F.col("sx"))
+                    / F.col("n"))
+        .select("g", "n", "a", "b"))
+    res = (base.join(m, "g")
+           .withColumn("e", F.col("y") - F.col("a")
+                       - F.col("b") * F.col("x")))
+    w = Window.partitionBy("g").orderBy(*order_cols)
+    lagged = res.withColumn("ep", F.lag("e").over(w))
+    out = (lagged.groupBy("g").agg(
+        F.first("n").alias("n"),
+        F.sum(F.col("e") * F.col("e")).alias("sse"),
+        F.sum(F.when(F.col("ep").isNotNull(),
+                     (F.col("e") - F.col("ep"))
+                     * (F.col("e") - F.col("ep")))).alias("sdd"))
+        .select(F.col("g").alias(group_col),
+                F.col("n").cast("bigint").alias("n"),
+                F.round(F.col("sdd") / F.col("sse"), round_to)
+                .alias("dw")))
+    return out.orderBy(group_col)
+
+
+def sax_words(df: DataFrame, group_col: str, order_cols: list[str],
+              value_col: str, *, n_segments: int = 8) -> DataFrame:
+    """SAX-style symbolic series encoding per group (Lin et al. 2003,
+    restated for cross-engine exactness): split the ordered series
+    into ``n_segments`` PAA segments (index i -> segment
+    (i-1)*w div n), take each segment's mean, and letter it against
+    the group's own mean +- 0.5 sd bands: a < m-s/2 <= b < m <= c <
+    m+s/2 <= d. Classic SAX z-normalizes each point then letters
+    against N(0,1) quantiles; lettering the raw-integer segment means
+    against m + k*s is the SAME partition of the value axis (affine
+    invariance) but keeps every compared quantity a deterministic
+    function of EXACT integer sums — segment mean and band edges are
+    bit-identical across engines, so letters can never flip on
+    accumulation order.
+
+    Scale shape: one groupBy for global moments, one (group, segment)
+    groupBy for PAA sums, one ordered string_agg fold over
+    O(n_segments) rows per group — all map-side combinable, no
+    windows."""
+    g = F.col(group_col).alias("g")
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy("g").orderBy(*order_cols)
+    base = (df.select(g, v.alias("v"), *[F.col(c) for c in order_cols])
+            .withColumn("i", F.row_number().over(w)))
+    mom = (base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("nl"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"))
+        .withColumn("n", F.col("nl").cast("double"))
+        .withColumn("m", F.col("s") / F.col("n"))
+        .withColumn("sd", F.sqrt((F.col("ss")
+                                  - F.col("s") * F.col("s") / F.col("n"))
+                                 / (F.col("n") - 1))))
+    # integer segment index: (i-1)*w div n — never a float cast, whose
+    # int conversion ROUNDS in DuckDB but truncates in Spark
+    seg = (base.join(mom.select("g", "nl", "m", "sd"), "g")
+           .withColumn("seg", F.expr(
+               f"CAST(((i - 1) * {int(n_segments)}) div nl AS INT)"))
+           .groupBy("g", "seg").agg(
+               F.first("m").alias("m"), F.first("sd").alias("sd"),
+               (F.sum("v") / F.count(F.lit(1))).alias("pm")))
+    letter = (F.when(F.col("pm") < F.col("m") - F.col("sd") / 2, "a")
+              .when(F.col("pm") < F.col("m"), "b")
+              .when(F.col("pm") < F.col("m") + F.col("sd") / 2, "c")
+              .otherwise("d"))
+    out = (seg.withColumn("L", letter)
+           .groupBy("g").agg(
+               F.concat_ws("", F.array_sort(
+                   F.collect_list(F.struct("seg", "L"))).getField("L"))
+               .alias("sax_word"),
+               F.count(F.lit(1)).cast("bigint").alias("n_segments")))
+    return (out.select(F.col("g").alias(group_col), "n_segments",
+                       "sax_word")
+            .orderBy(group_col))
