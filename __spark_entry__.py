@@ -1972,6 +1972,7 @@ from bano_spark import queries_wave66 as _w66  # noqa: E402
 from bano_spark import queries_wave67 as _w67  # noqa: E402
 from bano_spark import queries_wave68 as _w68  # noqa: E402
 from bano_spark import queries_wave69 as _w69  # noqa: E402
+from bano_spark import queries_wave70 as _w70  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2099,6 +2100,8 @@ _QUERIES.update(_w68.QUERIES)
 _ORACLES.update(_w68.ORACLES)
 _QUERIES.update(_w69.QUERIES)
 _ORACLES.update(_w69.ORACLES)
+_QUERIES.update(_w70.QUERIES)
+_ORACLES.update(_w70.ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -355,3 +355,61 @@ def markov_next_accuracy(events, *, user_col: str = "user_id",
                          / F.sum("_c"), round_to).alias("accuracy"))
             .withColumnRenamed("_cur", state_col)
             .orderBy(state_col))
+
+
+def lz78_complexity(events: DataFrame, *, key_col: str = "user_id",
+                    order_cols: list[str] | None = None,
+                    symbol_col: str = "event_type") -> DataFrame:
+    """LZ78 phrase complexity of each key's ordered symbol stream
+    (Ziv & Lempel 1978): greedily parse the stream into the shortest
+    phrases never seen before (current phrase extends while
+    dictionary-known, emits + resets on the first novel extension);
+    the phrase count is the classic compressibility measure —
+    repetitive behavior parses into few long phrases, high-entropy
+    behavior into ~n/log n short ones. A trailing unfinished phrase
+    counts as one (the usual convention; documented so the oracle
+    matches exactly). Pure integer/string computation — exact parity.
+
+    Scale shape: one collect_list per key (bounded by per-key stream
+    length, the same contract as every session fold here), then one
+    JVM-side aggregate() fold; dictionary lookup is array_contains
+    over phrases of the SAME key only. No Python, no window."""
+    order_cols = order_cols or ["ts", "event_id"]
+    row = F.struct(*[F.col(c) for c in order_cols],
+                   F.col(symbol_col).alias("sym"))
+    per = (events.groupBy(F.col(key_col).alias("k"))
+           .agg(F.array_sort(F.collect_list(row)).alias("rows"))
+           .withColumn("syms", F.col("rows").getField("sym"))
+           .drop("rows"))
+    fold = F.expr("""
+        aggregate(
+          syms,
+          named_struct('phr', CAST(array() AS ARRAY<STRING>),
+                       'cur', CAST('' AS STRING), 'cnt', 0),
+          (s, x) -> named_struct(
+            'phr', IF(array_contains(s.phr,
+                        IF(s.cur = '', x, concat(s.cur, '|', x))),
+                      s.phr,
+                      concat(s.phr,
+                        array(IF(s.cur = '', x,
+                                 concat(s.cur, '|', x))))),
+            'cur', IF(array_contains(s.phr,
+                        IF(s.cur = '', x, concat(s.cur, '|', x))),
+                      IF(s.cur = '', x, concat(s.cur, '|', x)),
+                      ''),
+            'cnt', IF(array_contains(s.phr,
+                        IF(s.cur = '', x, concat(s.cur, '|', x))),
+                      s.cnt, s.cnt + 1)),
+          s -> named_struct(
+            'n_phrases', s.cnt + IF(s.cur = '', 0, 1),
+            'dict_size', size(s.phr)))
+    """)
+    return (per.select(F.col("k").alias(key_col),
+                       F.size("syms").cast("bigint").alias("n_events"),
+                       fold.alias("z"))
+            .select(key_col, "n_events",
+                    F.col("z.n_phrases").cast("bigint")
+                    .alias("n_phrases"),
+                    F.col("z.dict_size").cast("bigint")
+                    .alias("dict_size"))
+            .orderBy(key_col))

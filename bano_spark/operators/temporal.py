@@ -1383,3 +1383,120 @@ def sax_words(df: DataFrame, group_col: str, order_cols: list[str],
     return (out.select(F.col("g").alias(group_col), "n_segments",
                        "sax_word")
             .orderBy(group_col))
+
+
+def hurst_rs(df: DataFrame, group_col: str, order_cols: list[str],
+             value_col: str, *, sizes: tuple = (8, 16, 32),
+             round_to: int = 6) -> DataFrame:
+    """Hurst exponent per group by classic rescaled-range analysis
+    (Hurst 1951; Mandelbrot & Wallis 1969): for each window size w,
+    split the ordered series into full blocks of w, compute each
+    block's R/S = (max cumdev - min cumdev) / population sd, average
+    over blocks, then H = OLS slope of ln(avg R/S) on ln(w). H ~ 0.5
+    for iid noise, > 0.5 persistent (the level-shift fixture), < 0.5
+    anti-persistent.
+
+    Float parity: integer values make block sums/cumsums EXACT, so
+    block mean, variance (ss/w - mean^2 — the one-pass form, chosen
+    because a per-row (v-mean)^2 re-aggregation would reintroduce
+    sum-order noise), every cumulative deviation, and R are
+    bit-identical across engines; only the per-(group,size) block
+    average and the final ln-slope accumulate 1-ulp noise (6 dp).
+
+    Scale shape: rows explode x len(sizes); one (g,size,block)
+    groupBy for moments, one same-key cumsum window, one
+    (g,size,block) max/min groupBy, then O(groups x sizes) algebra.
+    All shuffles share the (g,size,block) key family."""
+    g = F.col(group_col).alias("g")
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy("g").orderBy(*order_cols)
+    base = (df.select(g, v.alias("v"), *[F.col(c) for c in order_cols])
+            .withColumn("i", F.row_number().over(w))
+            .withColumn("size", F.explode(F.array(
+                *[F.lit(int(s)) for s in sizes])))
+            .withColumn("blk", F.expr("CAST((i - 1) div size AS INT)")))
+    mom = (base.groupBy("g", "size", "blk").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"))
+        .filter(F.col("nb") == F.col("size"))
+        .withColumn("mean", F.col("s") / F.col("size").cast("double"))
+        .withColumn("sd", F.sqrt(
+            F.col("ss") / F.col("size").cast("double")
+            - (F.col("s") / F.col("size").cast("double"))
+            * (F.col("s") / F.col("size").cast("double")))))
+    wc = (Window.partitionBy("g", "size", "blk").orderBy(*order_cols)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (base.withColumn("t", F.row_number().over(
+        Window.partitionBy("g", "size", "blk").orderBy(*order_cols)))
+        .withColumn("cs", F.sum("v").over(wc))
+        .join(mom.select("g", "size", "blk", "mean", "sd"),
+              ["g", "size", "blk"])
+        .withColumn("z", F.col("cs") - F.col("t") * F.col("mean")))
+    rs = (cum.groupBy("g", "size", "blk").agg(
+        F.first("sd").alias("sd"),
+        (F.max("z") - F.min("z")).alias("r"))
+        .filter(F.col("sd") > 0)
+        .withColumn("rs", F.col("r") / F.col("sd")))
+    pts = (rs.groupBy("g", "size").agg(
+        F.avg("rs").alias("avg_rs"),
+        F.count(F.lit(1)).alias("n_blocks"))
+        .withColumn("x", F.log(F.col("size").cast("double")))
+        .withColumn("y", F.log("avg_rs")))
+    out = (pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("n_blocks").cast("bigint").alias("n_blocks"))
+        .select(F.col("g").alias(group_col), "n_blocks",
+                F.round((F.col("k") * F.col("sxy")
+                         - F.col("sx") * F.col("sy"))
+                        / (F.col("k") * F.col("sxx")
+                           - F.col("sx") * F.col("sx")), round_to)
+                .alias("hurst")))
+    return out.orderBy(group_col)
+
+
+def permutation_entropy(df: DataFrame, group_col: str,
+                        order_cols: list[str], value_col: str, *,
+                        round_to: int = 6) -> DataFrame:
+    """Permutation entropy of order 3 per group (Bandt & Pompe 2002):
+    slide a 3-window over the ordered series, map each triple to its
+    ordinal pattern — the positions 1..3 sorted by (value, position),
+    position breaking ties so the pattern is deterministic for
+    integer-valued series — and take Shannon entropy (nats) of the
+    pattern distribution. Low PE = regular dynamics, ln 6 = white
+    noise.
+
+    Scale shape: two lead() calls on one per-group window, a
+    JVM-side array_sort of a 3-element struct array (no Python), one
+    (g, pattern) count groupBy, one per-group entropy fold over <= 6
+    rows."""
+    g = F.col(group_col).alias("g")
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy("g").orderBy(*order_cols)
+    base = (df.select(g, v.alias("v"),
+                      *[F.col(c) for c in order_cols])
+            .withColumn("v2", F.lead("v", 1).over(w))
+            .withColumn("v3", F.lead("v", 2).over(w))
+            .filter(F.col("v3").isNotNull()))
+    pat = F.concat_ws("", F.array_sort(F.array(
+        F.struct(F.col("v").alias("a"), F.lit(1).alias("p")),
+        F.struct(F.col("v2").alias("a"), F.lit(2).alias("p")),
+        F.struct(F.col("v3").alias("a"), F.lit(3).alias("p"))))
+        .getField("p"))
+    cnt = (base.select("g", pat.alias("pattern"))
+           .groupBy("g", "pattern").agg(F.count(F.lit(1)).alias("c")))
+    tot = cnt.groupBy("g").agg(F.sum("c").alias("n"))
+    out = (cnt.join(tot, "g")
+           .groupBy("g").agg(
+               F.first("n").cast("bigint").alias("n_windows"),
+               F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+               (-F.sum((F.col("c") / F.col("n"))
+                       * F.log(F.col("c") / F.col("n"))))
+               .alias("pe"))
+           .select(F.col("g").alias(group_col), "n_windows",
+                   "n_patterns",
+                   F.round("pe", round_to).alias("perm_entropy")))
+    return out.orderBy(group_col)
