@@ -1973,6 +1973,8 @@ from bano_spark import queries_wave67 as _w67  # noqa: E402
 from bano_spark import queries_wave68 as _w68  # noqa: E402
 from bano_spark import queries_wave69 as _w69  # noqa: E402
 from bano_spark import queries_wave70 as _w70  # noqa: E402
+from bano_spark import queries_wave71 as _w71  # noqa: E402
+from bano_spark import queries_wave72 as _w72  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2102,6 +2104,10 @@ _QUERIES.update(_w69.QUERIES)
 _ORACLES.update(_w69.ORACLES)
 _QUERIES.update(_w70.QUERIES)
 _ORACLES.update(_w70.ORACLES)
+_QUERIES.update(_w71.QUERIES)
+_ORACLES.update(_w71.ORACLES)
+_QUERIES.update(_w72.QUERIES)
+_ORACLES.update(_w72.ORACLES)
 
 
 # ---------------------------------------------------------------------------

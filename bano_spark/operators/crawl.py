@@ -384,3 +384,51 @@ def token_bucket_admission(fetches: DataFrame, capacity: float,
                     .cast("bigint").alias("n_deferred"),
                     F.round(F.col("_st.tok"), round_to)
                     .alias("final_tokens")))
+
+
+def hreflang_reciprocity(pages: DataFrame, *, url_col: str = "page_url",
+                         lang_col: str = "page_lang",
+                         html_col: str = "html",
+                         round_to: int = 6) -> DataFrame:
+    """hreflang alternate-cluster consistency audit (the check every
+    multilingual-site crawler runs: Google only honors hreflang pairs
+    that RECIPROCATE): extract <link rel="alternate" hreflang=...>
+    tags with one JVM regexp pass, dedup to distinct (src_url,
+    dst_lang, dst_url) annotations, and mark each reciprocal iff a
+    return annotation dst_url -> src_url exists. Rolled up per
+    (src_lang, dst_lang) ordered pair: n_links, n_reciprocal, ratio.
+
+    Scale shape: regexp + explode stay in codegen (HTML never crosses
+    to Python); the reciprocity check is one self-equi-join of the
+    deduped annotation table on (dst_url, src_url) = (src_url,
+    dst_url) — shuffle on url pairs, no skew beyond genuinely hot
+    pages (salt upstream if a page lists millions of alternates)."""
+    pat = ('<link rel="alternate" hreflang="([a-z]+)" '
+           'href="([^"]+)">')
+    langs = F.expr(f"regexp_extract_all({html_col}, '{pat}', 1)")
+    hrefs = F.expr(f"regexp_extract_all({html_col}, '{pat}', 2)")
+    links = (pages.select(
+        F.col(url_col).alias("src_url"),
+        F.col(lang_col).alias("src_lang"),
+        F.explode(F.arrays_zip(langs.alias("dst_lang"),
+                               hrefs.alias("dst_url"))).alias("l"))
+        .select("src_url", "src_lang",
+                F.col("l.dst_lang").alias("dst_lang"),
+                F.col("l.dst_url").alias("dst_url"))
+        .distinct())
+    back = (links.select(F.col("src_url").alias("dst_url"),
+                         F.col("dst_url").alias("src_url"))
+            .distinct()
+            .withColumn("has_back", F.lit(1)))
+    marked = links.join(back, ["src_url", "dst_url"], "left")
+    out = (marked.groupBy("src_lang", "dst_lang").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.sum(F.coalesce("has_back", F.lit(0))).alias("n_reciprocal"))
+        .select("src_lang", "dst_lang",
+                F.col("n_links").cast("bigint").alias("n_links"),
+                F.col("n_reciprocal").cast("bigint")
+                .alias("n_reciprocal"),
+                F.round(F.col("n_reciprocal")
+                        / F.col("n_links").cast("double"), round_to)
+                .alias("reciprocity")))
+    return out.orderBy("src_lang", "dst_lang")

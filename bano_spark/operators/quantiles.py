@@ -1745,3 +1745,71 @@ def grubbs_statistic(df: DataFrame, group_col: str, value_col: str,
                 .alias("g_stat"),
                 F.col("outlier_id")))
     return out.orderBy(group_col)
+
+
+def permutation_test_mean(df: DataFrame, group_col: str,
+                          value_col: str, id_col: str, side_col: str,
+                          *, n_perm: int = 64,
+                          round_to: int = 6) -> DataFrame:
+    """Two-sample permutation test of the mean difference per group,
+    with DETERMINISTIC hash resampling (Fisher 1935, the exact-test
+    idea; Monte-Carlo variant with hash-derived label flips instead
+    of an RNG so both engines replay the identical permutations):
+    statistic T = mean(side=0) - mean(side=1); permutation b
+    reassigns each row to side h(id, b) % 2; the reported p-value is
+    (1 + #{|T_b| >= |T|}) / (n_perm + 1) — the add-one Monte-Carlo
+    estimator, never exactly 0.
+
+    Float parity: integer values make every side sum exact, so T and
+    each T_b are identical double divisions across engines and the
+    |T_b| >= |T| comparisons cannot flip.
+
+    Scale shape: rows explode x n_perm into ONE map-side-combinable
+    (g, b, side) groupBy — two shuffle-free partial-agg passes and
+    O(groups x n_perm) final algebra; nothing is collected."""
+    g = F.col(group_col).alias("g")
+    base = df.select(g, F.col(value_col).cast("double").alias("v"),
+                     F.col(id_col).cast("bigint").alias("rid"),
+                     F.col(side_col).cast("int").alias("side"))
+    obs = (base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("side") == 0, F.col("v"))).alias("s0"),
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("double").alias("n0"),
+        F.sum(F.when(F.col("side") == 1, F.col("v"))).alias("s1"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("double").alias("n1"))
+        .withColumn("t_obs", F.col("s0") / F.col("n0")
+                    - F.col("s1") / F.col("n1"))
+        .select("g", "n", "t_obs"))
+    perm = (base.withColumn("b", F.explode(F.array(
+        *[F.lit(i) for i in range(1, int(n_perm) + 1)])))
+        .withColumn("ps", F.expr(
+            # bit 20 of the multiplicative hash, NOT bit 0: the low
+            # bit of a linear map is parity(rid) XOR parity(b) — all
+            # 64 "permutations" would collapse to one split and its
+            # complement (measured: every null p-value came out 1/65)
+            "CAST((rid * 2654435761 + b * 7919) % 2147483648"
+            " div 1048576 % 2 AS INT)"))
+        .groupBy("g", "b").agg(
+            F.sum(F.when(F.col("ps") == 0, F.col("v"))).alias("s0"),
+            F.sum(F.when(F.col("ps") == 0, 1).otherwise(0))
+            .cast("double").alias("n0"),
+            F.sum(F.when(F.col("ps") == 1, F.col("v"))).alias("s1"),
+            F.sum(F.when(F.col("ps") == 1, 1).otherwise(0))
+            .cast("double").alias("n1"))
+        .withColumn("t_b", F.col("s0") / F.col("n0")
+                    - F.col("s1") / F.col("n1"))
+        .select("g", "b", "t_b"))
+    out = (perm.join(obs, "g")
+           .groupBy("g").agg(
+               F.first("n").alias("n"),
+               F.first("t_obs").alias("t_obs"),
+               F.sum(F.when(F.abs("t_b") >= F.abs("t_obs"), 1)
+                     .otherwise(0)).alias("n_ge"))
+           .select(F.col("g").alias(group_col), "n",
+                   F.round("t_obs", round_to).alias("t_obs"),
+                   F.round((F.col("n_ge") + 1)
+                           / F.lit(float(n_perm + 1)), round_to)
+                   .alias("p_value")))
+    return out.orderBy(group_col)

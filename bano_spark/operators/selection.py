@@ -591,3 +591,33 @@ def lorenz_curve(df: DataFrame, value_col: str, n_bands: int = 10, *,
                     .alias("cum_pop_share"),
                     F.round(F.col("r.cs") / F.col("r.ts"), round_to)
                     .alias("cum_value_share")))
+
+
+def skyline_2d(df, group_col: str, x_col: str, y_col: str,
+               id_col: str):
+    """2-D skyline (maximal-vector / Pareto frontier, Borzsonyi et al.
+    ICDE 2001) per group: rows no other row dominates, where
+    (x', y') dominates (x, y) iff x' >= x, y' >= y and at least one
+    is strict. Duplicated frontier coordinates all survive (neither
+    dominates the other).
+
+    The sort-filter trick makes this ONE aggregation + ONE window on
+    O(distinct x) rows instead of the quadratic NOT EXISTS the oracle
+    runs: a row survives iff it has the max y AT its x (kills same-x
+    domination) and y strictly exceeds the running max-y over all
+    strictly larger x (kills the rest). Scale shape: groupBy(g, x),
+    per-group window over distinct-x rows only, then a semi-join back
+    — never a self-join of the data."""
+    from pyspark.sql import Window, functions as F
+
+    base = df.select(F.col(group_col).alias("g"),
+                     F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                     F.col(id_col).alias("rid"))
+    gx = base.groupBy("g", "x").agg(F.max("y").alias("my"))
+    w = (Window.partitionBy("g").orderBy(F.desc("x"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    front = (gx.withColumn("m1", F.max("my").over(w))
+             .filter(F.col("m1").isNull() | (F.col("my") > F.col("m1")))
+             .select("g", "x", F.col("my").alias("y")))
+    out = base.join(front, ["g", "x", "y"])
+    return out.orderBy("g", "x", "rid")

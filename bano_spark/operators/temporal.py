@@ -1500,3 +1500,43 @@ def permutation_entropy(df: DataFrame, group_col: str,
                    "n_patterns",
                    F.round("pe", round_to).alias("perm_entropy")))
     return out.orderBy(group_col)
+
+
+def lis_length(df: DataFrame, group_col: str, order_cols: list[str],
+               value_col: str) -> DataFrame:
+    """Longest strictly-increasing subsequence length per group via
+    patience sorting (the O(n log n) pile-tops invariant, run as an
+    ordered fold): for each value replace the first pile top >= x
+    (keeping tops sorted) or start a new pile; the pile count IS the
+    LIS length. Pure integer algebra — exact parity; the oracle
+    replays the identical fold in a DuckDB list accumulator.
+
+    Scale shape: the session-fold contract — one collect_list bounded
+    by per-key stream length, one JVM-side aggregate(); the linear
+    scan for the insertion point is over the pile-tops array
+    (<= LIS length), never the stream."""
+    row = F.struct(*[F.col(c) for c in order_cols],
+                   F.col(value_col).cast("bigint").alias("val"))
+    per = (df.groupBy(F.col(group_col).alias("k"))
+           .agg(F.array_sort(F.collect_list(row)).alias("rows"))
+           .withColumn("vs", F.col("rows").getField("val"))
+           .drop("rows"))
+    fold = F.expr("""
+        aggregate(
+          vs,
+          CAST(array() AS ARRAY<BIGINT>),
+          (acc, x) -> CASE
+            WHEN size(filter(acc, t -> t < x)) = size(acc)
+            THEN concat(acc, array(x))
+            ELSE concat(
+              slice(acc, 1, size(filter(acc, t -> t < x))),
+              array(x),
+              slice(acc, size(filter(acc, t -> t < x)) + 2,
+                    size(acc) - size(filter(acc, t -> t < x)) - 1))
+          END,
+          acc -> size(acc))
+    """)
+    return (per.select(F.col("k").alias(group_col),
+                       F.size("vs").cast("bigint").alias("n_events"),
+                       fold.cast("bigint").alias("lis_len"))
+            .orderBy(group_col))

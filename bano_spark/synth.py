@@ -558,3 +558,61 @@ FROM (SELECT event_id, ts,
              (event_id * 2654435761 + 11) % 2147483648 AS u
       FROM {table})
 """
+
+
+def alt_html_select_sql(dialect: str, table: str = "documents") -> str:
+    """Synthetic page HTML carrying hreflang alternate links:
+    (doc_id, page_url, page_lang, html). Each document IS one language
+    edition of a (domain, pid) page and lists the other three
+    editions as <link rel="alternate" hreflang=...> tags — except
+    that 'fr' editions of pid % 5 = 0 pages OMIT their 'en' alternate
+    (a deterministic reciprocity defect for the audit to find).
+    Editions exist only where the doc hash lands, so organic one-way
+    links appear too. Pure integer/string arithmetic, identical in
+    both dialects."""
+    # md5-derived fields, NOT linear congruences: sequential doc_ids
+    # under linear maps walk a lattice whose joint (lang, dom, pid)
+    # has period lcm(4,40,25) = 200, so editions cluster on 5% of the
+    # grid and measured reciprocity collapsed to ~2% vs the ~12%
+    # slot-occupancy expectation; md5 mixes, restoring independence
+    if dialect == "spark":
+        def h(salt: str) -> str:
+            return (f"CAST(conv(substr(md5(concat('{salt}|', "
+                    f"CAST(doc_id AS STRING))), 1, 8), 16, 10) "
+                    f"AS BIGINT)")
+    else:
+        def h(salt: str) -> str:
+            return (f"CAST(CAST(concat('0x', substr(md5('{salt}|' || "
+                    f"CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
+                    f"AS BIGINT)")
+    lang = (f"CASE (u % 4) WHEN 0 THEN 'en' WHEN 1 THEN 'fr' "
+            f"WHEN 2 THEN 'de' ELSE 'es' END")
+    dom = f"CAST(u2 % 40 AS STRING)"
+    pid = f"CAST(u3 % 25 AS STRING)"
+
+    def url(lg: str) -> str:
+        return (f"'https://' || {lg} || '.d' || {dom}"
+                f" || '.example/p/' || {pid}")
+
+    def tag(lg: str) -> str:
+        return (f"'<link rel=\"alternate\" hreflang=\"' || {lg}"
+                f" || '\" href=\"' || {url(lg)} || '\">'")
+
+    alts = []
+    for i, lg in enumerate(["'en'", "'fr'", "'de'", "'es'"]):
+        cond = (f"CASE WHEN lang <> {lg} AND NOT (lang = 'fr' "
+                f"AND {lg} = 'en' AND (u3 % 25) % 5 = 0) "
+                f"THEN {tag(lg)} ELSE '' END")
+        alts.append(cond)
+    body = " || ".join(alts)
+    return f"""
+SELECT doc_id, page_url, lang AS page_lang,
+       '<head>' || {body} || '</head>' AS html
+FROM (SELECT doc_id, u, u2, u3, {lang} AS lang,
+             {url('lang')} AS page_url
+      FROM (SELECT doc_id,
+                   {h('la')} AS u,
+                   {h('do')} AS u2,
+                   {h('pi')} AS u3
+            FROM {table}))
+"""
