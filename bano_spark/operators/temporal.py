@@ -1540,3 +1540,100 @@ def lis_length(df: DataFrame, group_col: str, order_cols: list[str],
                        F.size("vs").cast("bigint").alias("n_events"),
                        fold.cast("bigint").alias("lis_len"))
             .orderBy(group_col))
+
+
+def haar_energy(df: DataFrame, group_col: str, order_cols: list[str],
+                value_col: str, *, length: int = 32) -> DataFrame:
+    """Haar wavelet energy decomposition of each group's first
+    ``length`` (a power of two) ordered values: recursively split
+    into pairwise averages (a) and differences (d), both halved —
+    energy at level L = sum of squared detail coefficients there,
+    plus the final approximation coefficient. The multi-resolution
+    screen: a level-shift series concentrates energy in the coarse
+    levels, white noise spreads it flat.
+
+    Float parity is EXACT, not rounded: integer inputs make every
+    coefficient a dyadic rational with denominator <= 2^levels, so
+    sums of squares are exact multiples of 4^-levels and no
+    accumulation order can perturb them.
+
+    Scale shape: one bounded collect_list per group (session-fold
+    contract), then a fully unrolled JVM expression cascade — zero
+    joins, zero windows, zero Python."""
+    levels = 0
+    n = length
+    while n > 1:
+        assert n % 2 == 0, "length must be a power of two"
+        n //= 2
+        levels += 1
+    row = F.struct(*[F.col(c) for c in order_cols],
+                   F.col(value_col).cast("double").alias("val"))
+    per = (df.groupBy(F.col(group_col).alias("k"))
+           .agg(F.array_sort(F.collect_list(row)).alias("rows"))
+           .withColumn("a0", F.expr(
+               f"slice(transform(rows, r -> r.val), 1, {length})"))
+           .filter(F.size("a0") == length)
+           .drop("rows"))
+    cur = "a0"
+    out_cols = []
+    for lv in range(1, levels + 1):
+        half = length >> lv
+        per = per.withColumn(f"d{lv}", F.expr(
+            f"transform(sequence(1, {half}), i ->"
+            f" ({cur}[2*i - 2] - {cur}[2*i - 1]) / 2)"))
+        per = per.withColumn(f"a{lv}", F.expr(
+            f"transform(sequence(1, {half}), i ->"
+            f" ({cur}[2*i - 2] + {cur}[2*i - 1]) / 2)"))
+        per = per.withColumn(f"e{lv}", F.expr(
+            f"aggregate(d{lv}, CAST(0.0 AS DOUBLE),"
+            f" (s, x) -> s + x * x)"))
+        out_cols.append(f"e{lv}")
+        cur = f"a{lv}"
+    return (per.select(F.col("k").alias(group_col),
+                       *[F.col(c).alias(c) for c in out_cols],
+                       F.expr(f"{cur}[0]").alias("approx"))
+            .orderBy(group_col))
+
+
+def huffman_cost(df: DataFrame, group_col: str,
+                 symbol_col: str, *, round_to: int = 6) -> DataFrame:
+    """Optimal prefix-code (Huffman 1952) total cost per group over
+    the observed symbol distribution, via the classic two-smallest
+    merge run as a fold: total encoded bits = sum of every merged
+    node's weight (all Huffman trees are cost-optimal, and both
+    engines replay the IDENTICAL merge order anyway, ties included).
+    Reported next to the Shannon bound sum c*log2(n/c) — the
+    compressibility audit pair.
+
+    Scale shape: one (g, symbol) count groupBy, one collect of
+    O(alphabet) weights per group, one JVM fold of alphabet-1 merges
+    (each a sort of the <= alphabet-sized weight array)."""
+    cnt = (df.groupBy(F.col(group_col).alias("g"),
+                      F.col(symbol_col).alias("sym"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    per = (cnt.groupBy("g").agg(
+        F.array_sort(F.collect_list("c")).alias("ws"),
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_symbols"),
+        F.sum(F.col("c").cast("double")
+              * F.log2(F.col("c").cast("double"))).alias("clogc")))
+    fold = F.expr("""
+        IF(size(ws) < 2, CAST(0 AS BIGINT), aggregate(
+          sequence(1, size(ws) - 1),
+          named_struct('a', ws, 'cost', CAST(0 AS BIGINT)),
+          (s, i) -> named_struct(
+            'a', array_sort(concat(
+                   slice(s.a, 3, size(s.a) - 2),
+                   array(s.a[0] + s.a[1]))),
+            'cost', s.cost + s.a[0] + s.a[1]),
+          s -> s.cost))
+    """)
+    ent = (F.col("n").cast("double")
+           * F.log2(F.col("n").cast("double")) - F.col("clogc"))
+    return (per.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("n_symbols").cast("bigint").alias("n_symbols"),
+        fold.alias("huffman_bits"),
+        F.round(ent, round_to).alias("entropy_bits"))
+        .orderBy(group_col))
