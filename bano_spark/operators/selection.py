@@ -621,3 +621,40 @@ def skyline_2d(df, group_col: str, x_col: str, y_col: str,
              .select("g", "x", F.col("my").alias("y")))
     out = base.join(front, ["g", "x", "y"])
     return out.orderBy("g", "x", "rid")
+
+
+def knapsack_01(df: DataFrame, group_col: str, weight_col: str,
+                value_col: str, id_col: str, *,
+                capacity: int = 40) -> DataFrame:
+    """0/1 knapsack optimum per group by the classic pseudo-polynomial
+    DP, run as an ordered fold: the accumulator is the
+    (capacity + 1)-slot best-value table, each item relaxes it in one
+    JVM transform() pass (the backward-iteration trick is unnecessary
+    because the transform reads the WHOLE old table and writes a new
+    one — no in-place aliasing to protect against). Item order is
+    fixed by (id) so both engines fold identically; all quantities
+    integer — exact parity.
+
+    Scale shape: session-fold contract — one bounded collect_list per
+    group, then O(items x capacity) pure-JVM array arithmetic; never
+    a shuffle beyond the initial groupBy."""
+    row = F.struct(F.col(id_col).cast("bigint").alias("rid"),
+                   F.col(weight_col).cast("bigint").alias("wt"),
+                   F.col(value_col).cast("bigint").alias("val"))
+    per = (df.groupBy(F.col(group_col).alias("k"))
+           .agg(F.array_sort(F.collect_list(row)).alias("items")))
+    cap = int(capacity)
+    fold = F.expr(f"""
+        aggregate(
+          items,
+          transform(sequence(0, {cap}), w -> CAST(0 AS BIGINT)),
+          (acc, it) -> transform(sequence(0, {cap}), w ->
+            IF(w >= it.wt,
+               greatest(acc[w], acc[w - it.wt] + it.val),
+               acc[w])),
+          acc -> acc[{cap}])
+    """)
+    return (per.select(F.col("k").alias(group_col),
+                       F.size("items").cast("bigint").alias("n_items"),
+                       fold.alias("best_value"))
+            .orderBy(group_col))

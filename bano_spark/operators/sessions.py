@@ -71,3 +71,36 @@ def streaming_sessionize(events: DataFrame, user_col: str = "user_id",
                     F.col("_w.start").alias("session_start"),
                     F.col("_w.end").alias("session_end"),
                     "n_events"))
+
+
+def interval_scheduling(df: DataFrame, group_col: str,
+                        start_col: str, end_col: str) -> DataFrame:
+    """Maximum number of non-overlapping intervals per group — the
+    textbook earliest-deadline-first greedy (provably optimal): sort
+    by (end, start), keep an interval iff its start >= the last kept
+    end. Touching endpoints (start == previous end) do NOT overlap.
+    Pure integer fold — exact parity with the DuckDB list-accumulator
+    replay.
+
+    Scale shape: session-fold contract — one bounded collect_list per
+    group, one JVM aggregate() with O(1) state (kept count +
+    last end). No window, no join."""
+    row = F.struct(F.col(end_col).cast("bigint").alias("e"),
+                   F.col(start_col).cast("bigint").alias("s"))
+    per = (df.groupBy(F.col(group_col).alias("k"))
+           .agg(F.array_sort(F.collect_list(row)).alias("iv")))
+    fold = F.expr("""
+        aggregate(
+          iv,
+          named_struct('cnt', CAST(0 AS BIGINT),
+                       'last_e', CAST(-9223372036854775808 AS BIGINT)),
+          (acc, r) -> IF(r.s >= acc.last_e,
+                         named_struct('cnt', acc.cnt + 1,
+                                      'last_e', r.e),
+                         acc),
+          acc -> acc.cnt)
+    """)
+    return (per.select(F.col("k").alias(group_col),
+                       F.size("iv").cast("bigint").alias("n_intervals"),
+                       fold.alias("max_non_overlapping"))
+            .orderBy(group_col))

@@ -71,7 +71,7 @@ f1 AS (
                           THEN [(v[1] - pts[1][1]) * (v[1] - pts[1][1])
                                 + (v[2] - pts[1][2]) * (v[2] - pts[1][2]),
                                 v[1], v[2]]
-                          ELSE s END) AS p1
+                          ELSE [s[1], s[2], s[3]] END) AS p1
   FROM g
 ),
 f2 AS (
@@ -85,7 +85,7 @@ f2 AS (
                           THEN [(v[1] - p1[2]) * (v[1] - p1[2])
                                 + (v[2] - p1[3]) * (v[2] - p1[3]),
                                 v[1], v[2]]
-                          ELSE s END) AS p2
+                          ELSE [s[1], s[2], s[3]] END) AS p2
   FROM f1
 ),
 sw AS (
@@ -113,7 +113,7 @@ sw AS (
                       * (v[2] - s[2]),
                (s[3] + sqrt((v[1] - s[1]) * (v[1] - s[1])
                           + (v[2] - s[2]) * (v[2] - s[2]))) / 2]
-             ELSE s END) AS c
+             ELSE [s[1], s[2], s[3]] END) AS c
   FROM f2
 )
 SELECT quadrant, CAST(n AS BIGINT) AS n_points,
