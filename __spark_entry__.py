@@ -1977,6 +1977,7 @@ from bano_spark import queries_wave71 as _w71  # noqa: E402
 from bano_spark import queries_wave72 as _w72  # noqa: E402
 from bano_spark import queries_wave73 as _w73  # noqa: E402
 from bano_spark import queries_wave74 as _w74  # noqa: E402
+from bano_spark import queries_wave75 as _w75  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2114,6 +2115,8 @@ _QUERIES.update(_w73.QUERIES)
 _ORACLES.update(_w73.ORACLES)
 _QUERIES.update(_w74.QUERIES)
 _ORACLES.update(_w74.ORACLES)
+_QUERIES.update(_w75.QUERIES)
+_ORACLES.update(_w75.ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -1298,3 +1298,73 @@ def bpe_learn_merges(docs: DataFrame, *, text_col: str = "text",
         out, "merge_round bigint, lhs string, rhs string, "
              "pair_count bigint, n_tokens_after bigint").orderBy(
         "merge_round")
+
+
+def fundamental_period(df, group_col: str, order_cols: list[str],
+                       symbol_col: str):
+    """Smallest period p of each group's ordered symbol stream —
+    min p such that s[i] = s[i+p] for every i <= n-p (the classic
+    string-periodicity definition, partial final period allowed;
+    p = n when nothing repeats). The repetitive-content screen at the
+    sequence level: session loops, bot click cycles, boilerplate
+    rotations. Pure integer/string equality — exact parity.
+
+    Scale shape: session-fold contract, then ONE JVM filter() over
+    candidate shifts comparing array slices (O(n^2) comparisons on a
+    bounded per-key stream, never the table)."""
+    from pyspark.sql import functions as F
+
+    row = F.struct(*[F.col(c) for c in order_cols],
+                   F.col(symbol_col).cast("string").alias("sym"))
+    per = (df.groupBy(F.col(group_col).alias("k"))
+           .agg(F.array_sort(F.collect_list(row)).alias("rows"))
+           .withColumn("a", F.col("rows").getField("sym"))
+           .drop("rows"))
+    period = F.expr("""
+        filter(sequence(1, size(a)), p ->
+          p = size(a) OR slice(a, 1, size(a) - p)
+                         = slice(a, p + 1, size(a) - p))[0]
+    """)
+    return (per.select(F.col("k").alias(group_col),
+                       F.size("a").cast("bigint").alias("n_events"),
+                       period.cast("bigint").alias("period"))
+            .orderBy(group_col))
+
+
+def bwt_runs(df, group_col: str, order_cols: list[str],
+             symbol_col: str):
+    """Burrows-Wheeler transform run count of each group's symbol
+    stream (single-character symbols + '$' terminator): sort all
+    rotations of s||'$', take the last column, count equal-adjacent
+    runs — the BWT clusters repeated context so periodic streams
+    compress to few runs while high-entropy streams stay near n.
+    Deterministic (the terminator makes rotations distinct), pure
+    string algebra — exact parity.
+
+    Scale shape: session-fold contract; rotations are built with one
+    transform over substr of the doubled string and sorted JVM-side —
+    O(n^2 log n) character work on a bounded per-key stream."""
+    from pyspark.sql import functions as F
+
+    row = F.struct(*[F.col(c) for c in order_cols],
+                   F.col(symbol_col).cast("string").alias("sym"))
+    per = (df.groupBy(F.col(group_col).alias("k"))
+           .agg(F.array_sort(F.collect_list(row)).alias("rows"))
+           .withColumn("s", F.concat_ws("", F.col("rows.sym")))
+           .drop("rows"))
+    expr = F.expr("""
+        aggregate(
+          array_sort(transform(sequence(0, length(s)),
+            k2 -> substr(concat(s, '$', s, '$'),
+                         k2 + 1, length(s) + 1))),
+          named_struct('prev', '', 'runs', CAST(0 AS BIGINT)),
+          (acc, rot) -> named_struct(
+            'prev', substr(rot, length(rot), 1),
+            'runs', acc.runs + IF(substr(rot, length(rot), 1)
+                                  = acc.prev, 0, 1)),
+          acc -> acc.runs)
+    """)
+    return (per.select(F.col("k").alias(group_col),
+                       F.length("s").cast("bigint").alias("n_events"),
+                       expr.alias("bwt_runs"))
+            .orderBy(group_col))
