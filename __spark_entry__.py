@@ -1978,6 +1978,7 @@ from bano_spark import queries_wave72 as _w72  # noqa: E402
 from bano_spark import queries_wave73 as _w73  # noqa: E402
 from bano_spark import queries_wave74 as _w74  # noqa: E402
 from bano_spark import queries_wave75 as _w75  # noqa: E402
+from bano_spark import queries_wave76 as _w76  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2117,6 +2118,8 @@ _QUERIES.update(_w74.QUERIES)
 _ORACLES.update(_w74.ORACLES)
 _QUERIES.update(_w75.QUERIES)
 _ORACLES.update(_w75.ORACLES)
+_QUERIES.update(_w76.QUERIES)
+_ORACLES.update(_w76.ORACLES)
 
 
 # ---------------------------------------------------------------------------

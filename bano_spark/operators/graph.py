@@ -1365,3 +1365,46 @@ def boruvka_mst(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     if mst is None:
         return ew.select("u", "v", "w").limit(0)
     return mst.orderBy("w")
+
+
+def hash_random_walks(edges: DataFrame, *, src: str = "src",
+                      dst: str = "dst", walk_len: int = 5) -> DataFrame:
+    """Deterministic 'random' walks from every node of the undirected
+    graph — the corpus-generation primitive for node embeddings
+    (DeepWalk/node2vec), made bit-reproducible by replacing the RNG
+    with an md5 draw: at step t the walk at node c (started from s)
+    moves to sorted-neighbor index md5(s|c|t) % degree. Zero RNG
+    state means the walk corpus is identical on any cluster topology
+    AND replayable in the DuckDB oracle. Returns (start, step, node)
+    for steps 0..walk_len.
+
+    Scale shape: one neighbor-list aggregation, then walk_len joins
+    of the O(nodes) walker frontier against the adjacency table
+    (shuffle keyed by current node; AQE broadcasts while adjacency is
+    small), each round localCheckpointed. Degree skew = hot rows on
+    the adjacency side only — salt upstream for celebrity nodes."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .filter(F.col("a") != F.col("b"))
+           .distinct())
+    adj = (sym.groupBy(F.col("a").alias("node"))
+           .agg(F.array_sort(F.collect_list("b")).alias("nbrs"))
+           .localCheckpoint(eager=False))
+    cur = adj.select(F.col("node").alias("start"),
+                     F.col("node").alias("cur"))
+    out = cur.select("start", F.lit(0).alias("step"),
+                     F.col("cur").alias("node"))
+    for t in range(1, int(walk_len) + 1):
+        stepped = (cur.join(adj.withColumnRenamed("node", "cur"), "cur")
+                   .withColumn("nxt", F.expr(
+                       f"nbrs[CAST(conv(substr(md5(concat(start, '|', "
+                       f"cur, '|', CAST({t} AS STRING))), 1, 8), 16, 10)"
+                       f" AS BIGINT) % size(nbrs)]"))
+                   .select("start", F.col("nxt").alias("cur"))
+                   .localCheckpoint(eager=False))
+        out = out.unionByName(
+            stepped.select("start", F.lit(t).alias("step"),
+                           F.col("cur").alias("node")))
+        cur = stepped
+    return out.orderBy("start", "step", "node")

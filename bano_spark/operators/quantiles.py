@@ -1813,3 +1813,54 @@ def permutation_test_mean(df: DataFrame, group_col: str,
                            / F.lit(float(n_perm + 1)), round_to)
                    .alias("p_value")))
     return out.orderBy(group_col)
+
+
+def bootstrap_median_ci(df: DataFrame, group_col: str, value_col: str,
+                        id_col: str, *, n_boot: int = 64) -> DataFrame:
+    """Bootstrap confidence interval for the per-group median with
+    DETERMINISTIC hash resampling: replicate b gives row i the weight
+    drawn from a 16-slot discretized Poisson(1) (6/16 -> 0, 6/16 -> 1,
+    3/16 -> 2, 1/16 -> 3) keyed by md5-free integer hash of (id, b) —
+    the Poisson bootstrap (Chamandy et al. 2012), the only bootstrap
+    that works on a stream you cannot index, with the RNG replaced by
+    arithmetic so both engines replay identical replicates. Each
+    replicate's weighted median (the floor(W/2)+1-th weighted order
+    statistic — upper median on even totals) comes from one
+    cumulative-weight
+    window; the CI is the 5th/60th order statistic of the 64 replicate
+    medians (~90%). All integer — exact parity.
+
+    Scale shape: rows explode x n_boot into (g, b)-keyed windows and
+    groupBys (the same key family throughout); the final order
+    statistics fold over n_boot rows per group."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col).alias("g")
+    base = df.select(g, F.col(value_col).cast("bigint").alias("x"),
+                     F.col(id_col).cast("bigint").alias("rid"))
+    rep = (base.withColumn("b", F.explode(F.array(
+        *[F.lit(i) for i in range(1, int(n_boot) + 1)])))
+        .withColumn("h", F.expr(
+            "(rid * 2654435761 + b * 7919) % 2147483648"
+            " div 1048576 % 16"))
+        .withColumn("w", F.when(F.col("h") < 6, 0)
+                    .when(F.col("h") < 12, 1)
+                    .when(F.col("h") < 15, 2).otherwise(3))
+        .filter(F.col("w") > 0))
+    wt = Window.partitionBy("g", "b").orderBy("x", "rid") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = rep.groupBy("g", "b").agg(F.sum("w").alias("tw"))
+    med = (rep.withColumn("cw", F.sum("w").over(wt))
+           .join(tot, ["g", "b"])
+           .filter(F.col("cw") * 2 >= F.col("tw") + 1)
+           .groupBy("g", "b").agg(F.min("x").alias("m")))
+    out = (med.groupBy("g").agg(
+        F.array_sort(F.collect_list("m")).alias("ms"))
+        .select(F.col("g").alias(group_col),
+                F.size("ms").cast("bigint").alias("n_replicates"),
+                F.expr("ms[4]").cast("bigint").alias("ci_lo"),
+                F.expr("element_at(ms, 60)").cast("bigint")
+                .alias("ci_hi"),
+                F.expr("element_at(ms, 32)").cast("bigint")
+                .alias("median_mid")))
+    return out.orderBy(group_col)
