@@ -1979,6 +1979,7 @@ from bano_spark import queries_wave73 as _w73  # noqa: E402
 from bano_spark import queries_wave74 as _w74  # noqa: E402
 from bano_spark import queries_wave75 as _w75  # noqa: E402
 from bano_spark import queries_wave76 as _w76  # noqa: E402
+from bano_spark import queries_wave77 as _w77  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2120,6 +2121,8 @@ _QUERIES.update(_w75.QUERIES)
 _ORACLES.update(_w75.ORACLES)
 _QUERIES.update(_w76.QUERIES)
 _ORACLES.update(_w76.ORACLES)
+_QUERIES.update(_w77.QUERIES)
+_ORACLES.update(_w77.ORACLES)
 
 
 # ---------------------------------------------------------------------------

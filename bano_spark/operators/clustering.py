@@ -464,3 +464,60 @@ def gmm_em_1d(df: DataFrame, value_col: str, *, iters: int = 3,
         F.round("_w", round_to).alias("weight"),
         F.round("_mu", round_to).alias("mu"),
         F.round(F.sqrt("_v"), round_to).alias("sigma")).orderBy("component")
+
+
+def farthest_first_centers(points, group_col: str, id_col: str,
+                           x_col: str, y_col: str, *, k: int = 4):
+    """Farthest-first traversal per group (Gonzalez 1985 — the greedy
+    2-approximation for k-center, and the deterministic cousin of
+    kmeans++ seeding): start from the min-id point, then k-1 times
+    add the point whose distance to the chosen set is largest (exact
+    integer squared distances; ties -> min id). Returns one row per
+    group with the ordered center ids and the final covering radius
+    (max over points of squared distance to the nearest center).
+
+    Scale shape: k-1 rounds of (points JOIN centers-so-far) — the
+    centers side is O(groups x k) and broadcasts; per round one
+    map-side-combinable (g, rid) min and one per-group max_by argmax.
+    No windows over the data, no collects."""
+    from pyspark.sql import functions as F
+
+    pts = points.select(F.col(group_col).alias("g"),
+                        F.col(id_col).cast("bigint").alias("rid"),
+                        F.col(x_col).cast("double").alias("x"),
+                        F.col(y_col).cast("double").alias("y"))
+    first = (pts.groupBy("g").agg(
+        F.min_by(F.struct("rid", "x", "y"), F.col("rid")).alias("c"))
+        .select("g", F.lit(1).alias("cr"),
+                F.col("c.rid").alias("crid"),
+                F.col("c.x").alias("cx"), F.col("c.y").alias("cy")))
+    centers = first
+    for r in range(2, int(k) + 1):
+        d2 = ((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+              + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy")))
+        mind = (pts.join(F.broadcast(centers), "g")
+                .groupBy("g", "rid").agg(
+                    F.first("x").alias("x"), F.first("y").alias("y"),
+                    F.min(d2).alias("md")))
+        nxt = (mind.groupBy("g").agg(
+            F.max_by(F.struct("rid", "x", "y"),
+                     F.struct(F.col("md").alias("d"),
+                              (-F.col("rid")).alias("nr"))).alias("c"))
+            .select("g", F.lit(r).alias("cr"),
+                    F.col("c.rid").alias("crid"),
+                    F.col("c.x").alias("cx"), F.col("c.y").alias("cy")))
+        centers = centers.unionByName(nxt).localCheckpoint(eager=False)
+    d2 = ((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+          + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy")))
+    radius = (pts.join(F.broadcast(centers), "g")
+              .groupBy("g", "rid").agg(F.min(d2).alias("md"))
+              .groupBy("g").agg(F.max("md").alias("r2")))
+    wide = (centers.groupBy("g").agg(
+        F.array_sort(F.collect_list(F.struct("cr", "crid"))).alias("cs"))
+        .select("g", *[F.col("cs").getItem(i).getField("crid")
+                       .alias(f"c{i + 1}_rid") for i in range(int(k))]))
+    return (wide.join(radius, "g")
+            .select(F.col("g").alias(group_col),
+                    *[f"c{i + 1}_rid" for i in range(int(k))],
+                    F.col("r2").cast("bigint").alias("radius2"))
+            .orderBy(group_col))

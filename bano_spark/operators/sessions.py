@@ -104,3 +104,51 @@ def interval_scheduling(df: DataFrame, group_col: str,
                        F.size("iv").cast("bigint").alias("n_intervals"),
                        fold.alias("max_non_overlapping"))
             .orderBy(group_col))
+
+
+def lru_stack_distance(df: DataFrame, group_col: str,
+                       order_cols: list[str], page_col: str, *,
+                       caps: tuple = (4, 16)) -> DataFrame:
+    """LRU stack-distance profile of each group's access stream
+    (Mattson et al. 1970): the stack distance of an access is the
+    page's 1-based position in the move-to-front (LRU) stack, so ONE
+    pass yields the hit count for EVERY cache size at once — an
+    access hits a size-C cache iff its distance <= C. Reports hits at
+    the requested capacities plus distinct pages (= cold misses).
+    Pure string/integer fold — exact parity.
+
+    Scale shape: session-fold contract; the fold state is the LRU
+    stack (<= distinct pages per key) plus per-capacity counters, all
+    rebuilt fresh each step (the wave-74 DuckDB rule)."""
+    assert len(caps) == 2, "exactly two capacities reported"
+    c1, c2 = int(caps[0]), int(caps[1])
+    row = F.struct(*[F.col(c) for c in order_cols],
+                   F.col(page_col).cast("string").alias("pg"))
+    per = (df.groupBy(F.col(group_col).alias("k"))
+           .agg(F.array_sort(F.collect_list(row)).alias("rows"))
+           .withColumn("ps", F.col("rows").getField("pg"))
+           .drop("rows"))
+    fold = F.expr(f"""
+        aggregate(
+          ps,
+          named_struct('st', CAST(array() AS ARRAY<STRING>),
+                       'h1', CAST(0 AS BIGINT),
+                       'h2', CAST(0 AS BIGINT)),
+          (acc, p) -> named_struct(
+            'st', concat(array(p), filter(acc.st, q -> q != p)),
+            'h1', acc.h1 + IF(array_position(acc.st, p) > 0
+                              AND array_position(acc.st, p) <= {c1},
+                              1, 0),
+            'h2', acc.h2 + IF(array_position(acc.st, p) > 0
+                              AND array_position(acc.st, p) <= {c2},
+                              1, 0)),
+          acc -> named_struct('h1', acc.h1, 'h2', acc.h2,
+                              'np', size(acc.st)))
+    """)
+    return (per.withColumn("_f", fold)
+            .select(F.col("k").alias(group_col),
+                    F.size("ps").cast("bigint").alias("n_accesses"),
+                    F.col("_f.h1").alias(f"hits_c{c1}"),
+                    F.col("_f.h2").alias(f"hits_c{c2}"),
+                    F.col("_f.np").cast("bigint").alias("distinct_pages"))
+            .orderBy(group_col))
