@@ -1980,6 +1980,7 @@ from bano_spark import queries_wave74 as _w74  # noqa: E402
 from bano_spark import queries_wave75 as _w75  # noqa: E402
 from bano_spark import queries_wave76 as _w76  # noqa: E402
 from bano_spark import queries_wave77 as _w77  # noqa: E402
+from bano_spark import queries_wave78 as _w78  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2123,6 +2124,8 @@ _QUERIES.update(_w76.QUERIES)
 _ORACLES.update(_w76.ORACLES)
 _QUERIES.update(_w77.QUERIES)
 _ORACLES.update(_w77.ORACLES)
+_QUERIES.update(_w78.QUERIES)
+_ORACLES.update(_w78.ORACLES)
 
 
 # ---------------------------------------------------------------------------

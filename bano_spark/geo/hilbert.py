@@ -86,3 +86,19 @@ h{lvl} AS (
     parts.append(f"""
 SELECT {id_cols}, dd AS hilbert_d FROM h0""")
     return "".join(parts)
+
+
+def morton_expr_sql(x: str, y: str, order: int, dialect: str) -> str:
+    """Morton (Z-order) index as a single integer expression over
+    integer grid coordinates in [0, 2^order) — bit interleave spelled
+    with div/mod so the identical text runs in Spark SQL and DuckDB.
+    The comparison partner for the Hilbert index: Z-order is cheaper
+    to compute but jumps 2^k cells at quadrant seams, which the
+    wave-78 locality audit quantifies."""
+    d = " div " if dialect == "spark" else " // "
+    terms = []
+    for i in range(order):
+        s = 1 << i
+        terms.append(f"(({x}{d}{s}) % 2) * {4 ** i}")
+        terms.append(f"(({y}{d}{s}) % 2) * {2 * 4 ** i}")
+    return "(" + " + ".join(terms) + ")"
