@@ -1983,6 +1983,7 @@ from bano_spark import queries_wave77 as _w77  # noqa: E402
 from bano_spark import queries_wave78 as _w78  # noqa: E402
 from bano_spark import queries_wave79 as _w79  # noqa: E402
 from bano_spark import queries_wave80 as _w80  # noqa: E402
+from bano_spark import queries_wave81 as _w81  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2132,6 +2133,8 @@ _QUERIES.update(_w79.QUERIES)
 _ORACLES.update(_w79.ORACLES)
 _QUERIES.update(_w80.QUERIES)
 _ORACLES.update(_w80.ORACLES)
+_QUERIES.update(_w81.QUERIES)
+_ORACLES.update(_w81.ORACLES)
 
 
 # ---------------------------------------------------------------------------
