@@ -1984,6 +1984,7 @@ from bano_spark import queries_wave78 as _w78  # noqa: E402
 from bano_spark import queries_wave79 as _w79  # noqa: E402
 from bano_spark import queries_wave80 as _w80  # noqa: E402
 from bano_spark import queries_wave81 as _w81  # noqa: E402
+from bano_spark import queries_wave82 as _w82  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2135,6 +2136,8 @@ _QUERIES.update(_w80.QUERIES)
 _ORACLES.update(_w80.ORACLES)
 _QUERIES.update(_w81.QUERIES)
 _ORACLES.update(_w81.ORACLES)
+_QUERIES.update(_w82.QUERIES)
+_ORACLES.update(_w82.ORACLES)
 
 
 # ---------------------------------------------------------------------------
