@@ -1985,6 +1985,7 @@ from bano_spark import queries_wave79 as _w79  # noqa: E402
 from bano_spark import queries_wave80 as _w80  # noqa: E402
 from bano_spark import queries_wave81 as _w81  # noqa: E402
 from bano_spark import queries_wave82 as _w82  # noqa: E402
+from bano_spark import queries_wave83 as _w83  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2138,6 +2139,8 @@ _QUERIES.update(_w81.QUERIES)
 _ORACLES.update(_w81.ORACLES)
 _QUERIES.update(_w82.QUERIES)
 _ORACLES.update(_w82.ORACLES)
+_QUERIES.update(_w83.QUERIES)
+_ORACLES.update(_w83.ORACLES)
 
 
 # ---------------------------------------------------------------------------
