@@ -1986,6 +1986,7 @@ from bano_spark import queries_wave80 as _w80  # noqa: E402
 from bano_spark import queries_wave81 as _w81  # noqa: E402
 from bano_spark import queries_wave82 as _w82  # noqa: E402
 from bano_spark import queries_wave83 as _w83  # noqa: E402
+from bano_spark import queries_wave84 as _w84  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2141,6 +2142,8 @@ _QUERIES.update(_w82.QUERIES)
 _ORACLES.update(_w82.ORACLES)
 _QUERIES.update(_w83.QUERIES)
 _ORACLES.update(_w83.ORACLES)
+_QUERIES.update(_w84.QUERIES)
+_ORACLES.update(_w84.ORACLES)
 
 
 # ---------------------------------------------------------------------------
