@@ -689,3 +689,68 @@ def kanonymity_audit(docs: DataFrame, quasi_cols: list[str], k: int, *,
                         F.round(F.col("suppressed_rows")
                                 / F.col("n_rows"), 6))
             .orderBy(rep))
+
+
+def rfc3986_normalize(col_name: str) -> Column:
+    """RFC 3986 syntax-based normalization (the crawl-dedup /
+    Safe-Browsing-style canonical form), strictly beyond
+    ``canonical_url``: lowercase scheme+host, strip the scheme's
+    DEFAULT port only (http:80 / https:443), drop the fragment,
+    percent-decode UNRESERVED octets in the path (ALPHA / DIGIT /
+    '-' '.' '_' '~') while uppercasing the hex of every other
+    escape (%2f -> %2F stays encoded), resolve '.'/'..' dot-segments,
+    collapse duplicate and trailing slashes, drop tracking query
+    params and sort the survivors, and force '/' for an empty path.
+    Every step is a JVM-side string expression (split / transform /
+    aggregate) — no Python, no UDF; the whole normalization inlines
+    into whole-stage codegen, so at 10^12 pages it is a map-only
+    column op with zero shuffle.
+
+    Ref parity: the reference canonicalizes source addresses with
+    fixed rewrite tables before conciliation (bano/core.py,
+    sources/*.py normalize steps); this is the same role for URLs.
+    """
+    raw = f"({col_name})"
+    scheme = f"lower(substring_index({raw}, '://', 1))"
+    rest = f"substring_index(substring_index({raw}, '://', -1), '#', 1)"
+    hostport = f"substring_index(substring_index({rest}, '/', 1), '?', 1)"
+    host = f"lower(substring_index({hostport}, ':', 1))"
+    port = (f"CASE WHEN instr({hostport}, ':') > 0 "
+            f"THEN substring_index({hostport}, ':', -1) ELSE '' END")
+    portn = (f"CASE WHEN ({scheme} = 'http' AND {port} = '80') "
+             f"OR ({scheme} = 'https' AND {port} = '443') "
+             f"OR {port} = '' THEN '' ELSE concat(':', {port}) END")
+    pathq = (f"CASE WHEN instr({rest}, '/') > 0 "
+             f"THEN substring({rest}, instr({rest}, '/')) ELSE '' END")
+    path0 = f"substring_index({pathq}, '?', 1)"
+    query0 = (f"CASE WHEN instr({pathq}, '?') > 0 "
+              f"THEN substring_index({pathq}, '?', -1) ELSE '' END")
+    # percent-decode unreserved octets / uppercase surviving escapes:
+    # split on '%' — every piece after the first starts with what was
+    # an escape's hex pair (or is a literal '%' when malformed).
+    hh = "substring(p, 1, 2)"
+    code = f"CAST(conv({hh}, 16, 10) AS INT)"
+    unres = (f"(({code} BETWEEN 48 AND 57) OR ({code} BETWEEN 65 AND 90)"
+             f" OR ({code} BETWEEN 97 AND 122)"
+             f" OR {code} IN (45, 46, 95, 126))")
+    piece = (f"CASE WHEN NOT {hh} RLIKE '^[0-9A-Fa-f]{{2}}$' "
+             f"THEN concat('%', p) "
+             f"WHEN {unres} THEN concat(char({code}), substring(p, 3)) "
+             f"ELSE concat('%', upper({hh}), substring(p, 3)) END")
+    parts = f"split({path0}, '%')"
+    dec = (f"concat(element_at({parts}, 1), "
+           f"array_join(transform(slice({parts}, 2, size({parts})), "
+           f"p -> {piece}), ''))")
+    # dot-segment resolution + duplicate/trailing-slash collapse.
+    pathn = (f"aggregate(split({dec}, '/'), '', (acc, s) -> "
+             f"CASE WHEN s = '' OR s = '.' THEN acc "
+             f"WHEN s = '..' THEN regexp_replace(acc, '/[^/]*$', '') "
+             f"ELSE concat(acc, '/', s) END)")
+    pathf = f"CASE WHEN {pathn} = '' THEN '/' ELSE {pathn} END"
+    kept = (f"array_join(array_sort(filter(split({query0}, '&'), "
+            f"p -> p != '' AND NOT p RLIKE '{TRACKING_PARAMS_RE}')), "
+            f"'&')")
+    return F.expr(
+        f"concat({scheme}, '://', {host}, {portn}, {pathf}, "
+        f"CASE WHEN {kept} = '' THEN '' "
+        f"ELSE concat('?', {kept}) END)")
