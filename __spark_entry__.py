@@ -1988,6 +1988,7 @@ from bano_spark import queries_wave82 as _w82  # noqa: E402
 from bano_spark import queries_wave83 as _w83  # noqa: E402
 from bano_spark import queries_wave84 as _w84  # noqa: E402
 from bano_spark import queries_wave85 as _w85  # noqa: E402
+from bano_spark import queries_wave86 as _w86  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2147,6 +2148,8 @@ _QUERIES.update(_w84.QUERIES)
 _ORACLES.update(_w84.ORACLES)
 _QUERIES.update(_w85.QUERIES)
 _ORACLES.update(_w85.ORACLES)
+_QUERIES.update(_w86.QUERIES)
+_ORACLES.update(_w86.ORACLES)
 
 
 # ---------------------------------------------------------------------------
