@@ -1989,6 +1989,7 @@ from bano_spark import queries_wave83 as _w83  # noqa: E402
 from bano_spark import queries_wave84 as _w84  # noqa: E402
 from bano_spark import queries_wave85 as _w85  # noqa: E402
 from bano_spark import queries_wave86 as _w86  # noqa: E402
+from bano_spark import queries_wave87 as _w87  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2150,6 +2151,8 @@ _QUERIES.update(_w85.QUERIES)
 _ORACLES.update(_w85.ORACLES)
 _QUERIES.update(_w86.QUERIES)
 _ORACLES.update(_w86.ORACLES)
+_QUERIES.update(_w87.QUERIES)
+_ORACLES.update(_w87.ORACLES)
 
 
 # ---------------------------------------------------------------------------
