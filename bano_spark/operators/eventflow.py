@@ -413,3 +413,156 @@ def lz78_complexity(events: DataFrame, *, key_col: str = "user_id",
                     F.col("z.dict_size").cast("bigint")
                     .alias("dict_size"))
             .orderBy(key_col))
+
+
+def _epoch_micro(ts_col: str) -> "Column":
+    t = F.col(ts_col).cast("timestamp_ntz")
+    sec = (F.datediff(F.to_date(t), F.lit("1970-01-01")).cast("long")
+           * 86400 + F.hour(t) * 3600 + F.minute(t) * 60 + F.second(t))
+    return sec * 1000000 + F.col("event_id") % 1000000
+
+
+def shapley_attribution(events: DataFrame, channels: list[str],
+                        conversion_type: str, lookback_s: int, *,
+                        user_col: str = "user_id",
+                        ts_col: str = "ts",
+                        type_col: str = "event_type") -> DataFrame:
+    """EXACT Shapley-value multi-touch attribution over channel
+    coalitions (Shapley 1953; the marketing formulation of Dalessandro
+    et al. 2012): each conversion contributes its SET of touched
+    channels (within the lookback window); the coalition value v(S) =
+    number of conversions whose touch-set is contained in S; channel
+    i's credit is phi_i = sum_{S not containing i} w_{|S|}
+    (v(S+i) - v(S)) with w_s = s!(n-1-s)!/n!.
+
+    With n = len(channels) the whole computation collapses to integer
+    arithmetic on the 2^n mask-count table: phi_i = num_i / n!, where
+    num_i is an integer — bit-identical everywhere; the division
+    happens once at the end.  Returns (channel, shapley_num,
+    shapley_credit, n_conversions) with sum(credit) = v(full) by the
+    efficiency axiom.
+
+    Scale shape: one window pass tags every conversion with its n-bit
+    touch mask (n conditional aggs over the SAME range frame); a hash
+    aggregate reduces 10^12 conversions to <= 2^n mask counts; the
+    subset/Shapley algebra then runs on 2^n-row relations (joins over
+    bitmask containment) — constant-size, broadcast-everything."""
+    from pyspark.sql import Window
+
+    n = len(channels)
+    assert n <= 8
+    fact = [1] * (n + 1)
+    for i in range(1, n + 1):
+        fact[i] = fact[i - 1] * i
+    # integer coefficients n! * w_s for s = |S|
+    coef = [fact[s] * fact[n - 1 - s] for s in range(n)]
+
+    ep = _epoch_micro(ts_col)
+    e = events.select(user_col, F.col(type_col).alias("_ty"),
+                      ep.alias("_ep"))
+    w = (Window.partitionBy(user_col).orderBy("_ep")
+         .rangeBetween(-int(lookback_s) * 1000000, -1))
+    bits = [F.coalesce(
+        F.max(F.when(F.col("_ty") == c, 1).otherwise(0)).over(w),
+        F.lit(0)) * (1 << i) for i, c in enumerate(channels)]
+    conv = (e.withColumn("_mask", sum(bits))
+            .filter(F.col("_ty") == conversion_type))
+    cm = (conv.groupBy(F.col("_mask").cast("int").alias("m"))
+          .agg(F.count("*").cast("bigint").alias("c")))
+    full = (1 << n) - 1
+    subsets = events.sparkSession.range(full + 1) \
+        .select(F.col("id").cast("int").alias("s"))
+    v = (subsets.join(F.broadcast(cm),
+                      (F.col("m").bitwiseAND(F.col("s")) == F.col("m")),
+                      "left")
+         .groupBy("s").agg(F.coalesce(F.sum("c"), F.lit(0))
+                           .cast("bigint").alias("v")))
+    chan = events.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(channels)], "i int, channel string")
+    pairs = (chan.crossJoin(v.select(F.col("s"), F.col("v")))
+             .filter(F.shiftleft(F.lit(1), F.col("i"))
+                     .bitwiseAND(F.col("s")) == 0))
+    vs1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    coef_expr = F.element_at(
+        F.array(*[F.lit(c) for c in coef]), F.bit_count("s") + 1)
+    numdf = (pairs.join(
+        F.broadcast(vs1),
+        F.col("s1") == F.col("s")
+        + F.shiftleft(F.lit(1), F.col("i")))
+        .groupBy("i", "channel")
+        .agg(F.sum(coef_expr * (F.col("v1") - F.col("v")))
+             .cast("bigint").alias("shapley_num")))
+    nconv = conv.agg(F.count("*").cast("bigint").alias("n_conversions"))
+    return (numdf.crossJoin(F.broadcast(nconv))
+            .select("channel", "shapley_num",
+                    (F.round(F.col("shapley_num")
+                             / F.lit(float(fact[n])), 6) + F.lit(0.0))
+                    .alias("shapley_credit"), "n_conversions")
+            .orderBy("channel"))
+
+
+def position_attribution(events: DataFrame, channels: list[str],
+                         conversion_type: str, lookback_s: int, *,
+                         user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         type_col: str = "event_type") -> DataFrame:
+    """U-shaped (position-based 40/20/40) attribution with a
+    DETERMINISTIC float reduction: per-touch weights are w = 1 (single
+    touch), 0.5/0.5 (two touches), else 0.4 first / 0.4 last /
+    0.2/(k-2) per middle.  Credits are first reduced to the EXACT
+    integer count table (channel, k, pos_class, n) and only then
+    folded — in sorted (k, pos_class) order — into a per-channel
+    double, so the addition order is fixed on any topology/engine.
+
+    Scale shape: conversions x touches is a per-user range join
+    (bounded by the lookback window, never corpus-sized), one window
+    ranks touches within each conversion, one hash aggregate produces
+    the bounded count table, and the final fold runs over a
+    collect_list bounded by distinct (k, pos_class) — O(window size).
+    Returns (channel, n_touches, credit)."""
+    from pyspark.sql import Window
+
+    ep = _epoch_micro(ts_col)
+    e = events.select(user_col, F.col(type_col).alias("_ty"),
+                      ep.alias("_ep"))
+    conv = (e.filter(F.col("_ty") == conversion_type)
+            .select(F.col(user_col).alias("_u"),
+                    F.col("_ep").alias("_tc")))
+    touch = (e.filter(F.col("_ty").isin(channels))
+             .select(F.col(user_col).alias("_u"),
+                     F.col("_ty").alias("channel"),
+                     F.col("_ep").alias("_tt")))
+    j = conv.join(touch, "_u").filter(
+        (F.col("_tt") < F.col("_tc"))
+        & (F.col("_tt") >= F.col("_tc") - lookback_s * 1000000))
+    w = Window.partitionBy("_u", "_tc").orderBy("_tt")
+    ranked = (j.withColumn("rn", F.row_number().over(w))
+              .withColumn("k", F.count("*").over(
+                  Window.partitionBy("_u", "_tc"))))
+    pos = (F.when(F.col("k") == 1, F.lit("only"))
+           .when(F.col("rn") == 1, F.lit("first"))
+           .when(F.col("rn") == F.col("k"), F.lit("last"))
+           .otherwise(F.lit("middle")))
+    counts = (ranked.groupBy("channel", F.col("k").cast("bigint")
+                             .alias("k"), pos.alias("pc"))
+              .agg(F.count("*").cast("bigint").alias("n")))
+    per = (counts.groupBy("channel")
+           .agg(F.sum("n").cast("bigint").alias("n_touches"),
+                F.array_sort(F.collect_list(
+                    F.struct("k", "pc", "n"))).alias("xs")))
+    # CAST every literal: a bare 0.2 in Spark SQL is DECIMAL, and
+    # decimal division would round differently from the oracle's
+    # double division.
+    credit = F.expr("""
+        aggregate(xs, CAST(0.0 AS DOUBLE),
+          (acc, r) -> acc + r.n * CASE
+            WHEN r.pc = 'only' THEN CAST(1.0 AS DOUBLE)
+            WHEN r.pc IN ('first', 'last')
+              THEN IF(r.k = 2, CAST(0.5 AS DOUBLE),
+                      CAST(0.4 AS DOUBLE))
+            ELSE CAST(0.2 AS DOUBLE) / (r.k - 2) END,
+          acc -> acc)
+    """)
+    return (per.select("channel", "n_touches",
+                       (F.round(credit, 6) + F.lit(0.0)).alias("credit"))
+            .orderBy("channel"))
