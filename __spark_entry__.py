@@ -1990,6 +1990,8 @@ from bano_spark import queries_wave84 as _w84  # noqa: E402
 from bano_spark import queries_wave85 as _w85  # noqa: E402
 from bano_spark import queries_wave86 as _w86  # noqa: E402
 from bano_spark import queries_wave87 as _w87  # noqa: E402
+from bano_spark import queries_wave88 as _w88  # noqa: E402
+from bano_spark import queries_wave89 as _w89  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2153,6 +2155,10 @@ _QUERIES.update(_w86.QUERIES)
 _ORACLES.update(_w86.ORACLES)
 _QUERIES.update(_w87.QUERIES)
 _ORACLES.update(_w87.ORACLES)
+_QUERIES.update(_w88.QUERIES)
+_ORACLES.update(_w88.ORACLES)
+_QUERIES.update(_w89.QUERIES)
+_ORACLES.update(_w89.ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -480,15 +480,13 @@ def shapley_attribution(events: DataFrame, channels: list[str],
     chan = events.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(channels)], "i int, channel string")
     pairs = (chan.crossJoin(v.select(F.col("s"), F.col("v")))
-             .filter(F.shiftleft(F.lit(1), F.col("i"))
-                     .bitwiseAND(F.col("s")) == 0))
+             .filter(F.expr("(shiftleft(1, i) & s) = 0")))
     vs1 = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
     coef_expr = F.element_at(
         F.array(*[F.lit(c) for c in coef]), F.bit_count("s") + 1)
     numdf = (pairs.join(
         F.broadcast(vs1),
-        F.col("s1") == F.col("s")
-        + F.shiftleft(F.lit(1), F.col("i")))
+        F.col("s1") == F.col("s") + F.expr("shiftleft(1, i)"))
         .groupBy("i", "channel")
         .agg(F.sum(coef_expr * (F.col("v1") - F.col("v")))
              .cast("bigint").alias("shapley_num")))
