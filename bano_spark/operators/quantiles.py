@@ -1864,3 +1864,56 @@ def bootstrap_median_ci(df: DataFrame, group_col: str, value_col: str,
                 F.expr("element_at(ms, 32)").cast("bigint")
                 .alias("median_mid")))
     return out.orderBy(group_col)
+
+
+def wasserstein_1d(df: DataFrame, group_col: str, side_col: str,
+                   value_col: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between the two
+    sides of ``side_col`` ('a'/'b') within each group — the
+    distribution-drift measure:  W1 = integral |F_a - F_b| dx =
+    sum_i |F_a(x_i) - F_b(x_i)| (x_{i+1} - x_i) over the merged
+    support.  Multiplying through by n_a*n_b keeps the whole sum
+    INTEGER (|C_a*n_b - C_b*n_a| * dx); one final division produces
+    the distance — bit-identical everywhere.
+
+    Ref parity: the reference compares per-commune address-count
+    distributions across sources before conciliation (stats.sql,
+    munin bano_rapproche); W1 is the principled drift metric for the
+    same comparison.
+
+    Scale shape: one hash aggregate to (group, x, side counts), one
+    window per group over its <= |support| distinct values (bounded
+    by the value domain, not the data), one final group aggregate.
+    Returns (group, n_a, n_b, w1_num, w1)."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    counts = (df.groupBy(g.alias("g"), F.col(value_col).alias("x"))
+              .agg(F.sum(F.when(F.col(side_col) == "a", 1).otherwise(0))
+                   .cast("bigint").alias("ca"),
+                   F.sum(F.when(F.col(side_col) == "b", 1).otherwise(0))
+                   .cast("bigint").alias("cb")))
+    w = Window.partitionBy("g").orderBy("x")
+    tot = Window.partitionBy("g")
+    # NB: Spark column names are case-insensitive — a cumulative
+    # column named "CA" would silently REPLACE "ca".
+    cum = (counts
+           .withColumn("cum_a", F.sum("ca").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("cum_b", F.sum("cb").over(
+               w.rowsBetween(Window.unboundedPreceding, 0)))
+           .withColumn("na", F.sum("ca").over(tot))
+           .withColumn("nb", F.sum("cb").over(tot))
+           .withColumn("dx", F.coalesce(F.lead("x").over(w) - F.col("x"),
+                                        F.lit(0))))
+    term = F.abs(F.col("cum_a") * F.col("nb")
+                 - F.col("cum_b") * F.col("na")) * F.col("dx")
+    return (cum.groupBy(F.col("g").alias(group_col))
+            .agg(F.max("na").cast("bigint").alias("n_a"),
+                 F.max("nb").cast("bigint").alias("n_b"),
+                 F.sum(term).cast("bigint").alias("w1_num"))
+            .withColumn("w1", F.round(
+                F.col("w1_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"), 6)
+                + F.lit(0.0))
+            .orderBy(group_col))

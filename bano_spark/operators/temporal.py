@@ -1637,3 +1637,65 @@ def huffman_cost(df: DataFrame, group_col: str,
         fold.alias("huffman_bits"),
         F.round(ent, round_to).alias("entropy_bits"))
         .orderBy(group_col))
+
+
+def matrix_profile_ed(series: DataFrame, group_col: str, seq_col: str,
+                      value_col: str, m: int = 4) -> DataFrame:
+    """Matrix-profile motif + discord discovery per group (Yeh et al.
+    2016, the ICDM matrix-profile paper) under EXACT squared Euclidean
+    distance on integer series: for every length-m subsequence, the
+    profile value is the min distance to any non-trivial match
+    (|i - j| >= m exclusion zone); the MOTIF is the globally closest
+    pair, the DISCORD the subsequence with the largest profile value.
+    Integer distances make every comparison exact; ties break to the
+    smallest (d2, i, j).
+
+    Scale shape: subsequences come from m-1 LEAD columns over the
+    per-group window (no collect); the candidate pairs are a per-group
+    self-join bounded by the per-group series length (n^2 pairs INSIDE
+    a group, never across groups — cap n upstream for long series or
+    switch to the STOMP recurrence); the profile is one hash aggregate
+    and motif/discord are per-group argmins over bounded windows.
+    Returns (group, n_subs, motif_i, motif_j, motif_d2, discord_i,
+    discord_d2)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(seq_col)
+    v = F.col(value_col).cast("bigint")
+    cols = [v.alias("v0")] + [F.lead(v, k).over(w).alias(f"v{k}")
+                              for k in range(1, m)]
+    subs = (series.select(F.col(group_col).alias("g"),
+                          F.row_number().over(w).alias("i"), *cols)
+            .filter(F.col(f"v{m - 1}").isNotNull()))
+    a = subs.alias("a")
+    b = subs.alias("b")
+    d2 = sum((F.col(f"a.v{k}") - F.col(f"b.v{k}"))
+             * (F.col(f"a.v{k}") - F.col(f"b.v{k}")) for k in range(m))
+    pairs = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.abs(F.col("a.i") - F.col("b.i")) >= m))
+             .select(F.col("a.g").alias("g"), F.col("a.i").alias("i"),
+                     F.col("b.i").alias("j"),
+                     d2.cast("bigint").alias("d2")))
+    profile = (pairs.groupBy("g", "i")
+               .agg(F.min(F.struct("d2", "j")).alias("p"))
+               .select("g", "i", F.col("p.d2").alias("pd2")))
+    wd = Window.partitionBy("g").orderBy(F.col("pd2").desc(),
+                                         F.col("i").asc())
+    discord = (profile.withColumn("rn", F.row_number().over(wd))
+               .filter(F.col("rn") == 1)
+               .select("g", F.col("i").alias("discord_i"),
+                       F.col("pd2").alias("discord_d2")))
+    wm = Window.partitionBy("g").orderBy("d2", "i", "j")
+    motif = (pairs.filter(F.col("i") < F.col("j"))
+             .withColumn("rn", F.row_number().over(wm))
+             .filter(F.col("rn") == 1)
+             .select("g", F.col("i").alias("motif_i"),
+                     F.col("j").alias("motif_j"),
+                     F.col("d2").alias("motif_d2")))
+    nsubs = subs.groupBy("g").agg(F.count("*").cast("bigint")
+                                  .alias("n_subs"))
+    return (nsubs.join(motif, "g").join(discord, "g")
+            .select(F.col("g").alias(group_col), "n_subs",
+                    "motif_i", "motif_j", "motif_d2",
+                    "discord_i", "discord_d2")
+            .orderBy(group_col))
