@@ -1994,6 +1994,7 @@ from bano_spark import queries_wave88 as _w88  # noqa: E402
 from bano_spark import queries_wave89 as _w89  # noqa: E402
 from bano_spark import queries_wave90 as _w90  # noqa: E402
 from bano_spark import queries_wave91 as _w91  # noqa: E402
+from bano_spark import queries_wave92 as _w92  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2165,6 +2166,8 @@ _QUERIES.update(_w90.QUERIES)
 _ORACLES.update(_w90.ORACLES)
 _QUERIES.update(_w91.QUERIES)
 _ORACLES.update(_w91.ORACLES)
+_QUERIES.update(_w92.QUERIES)
+_ORACLES.update(_w92.ORACLES)
 
 
 # ---------------------------------------------------------------------------

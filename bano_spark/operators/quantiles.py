@@ -1917,3 +1917,62 @@ def wasserstein_1d(df: DataFrame, group_col: str, side_col: str,
                 / (F.col("n_a") * F.col("n_b")).cast("double"), 6)
                 + F.lit(0.0))
             .orderBy(group_col))
+
+
+def split_conformal(df: DataFrame, group_col: str, split_col: str,
+                    id_col: str, value_col: str, *,
+                    alpha_num: int = 1, alpha_den: int = 10
+                    ) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    2018) per group, kept EXACT: the predictor is the calibration
+    mean S/n, so the conformity score |y - S/n| scales to the INTEGER
+    |y*n - S|; the conformal quantile is the k-th smallest scaled
+    score with k = ceil((n+1)(1-alpha)), taken by a window ranked
+    WITHIN the group (bounded partitions); test coverage compares
+    integers.  Guarantee: coverage >= 1 - alpha in expectation.
+
+    ``split_col`` is 'cal' / 'test'.  Returns (group, n_cal, n_test,
+    q_scaled, q, coverage).
+
+    Scale shape: two hash aggregates + one per-group ranking window +
+    one broadcast join of the O(groups) quantile table back onto the
+    test rows — no global sort, no Python."""
+    from pyspark.sql import Window
+
+    y = F.col(value_col).cast("bigint")
+    cal = df.filter(F.col(split_col) == "cal").select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("rid"),
+        y.alias("y"))
+    test = df.filter(F.col(split_col) == "test").select(
+        F.col(group_col).alias("g"), y.alias("y"))
+    stats = (cal.groupBy("g")
+             .agg(F.sum("y").cast("bigint").alias("S"),
+                  F.count("*").cast("bigint").alias("n_cal")))
+    scored = (cal.join(stats, "g")
+              .withColumn("r", F.abs(F.col("y") * F.col("n_cal")
+                                     - F.col("S"))))
+    w = Window.partitionBy("g").orderBy("r", "rid")
+    # k = ceil((n+1)(1-a)) with rational a — integer div, never a
+    # floored double quotient
+    kk = F.expr(
+        f"((n_cal + 1) * ({alpha_den - alpha_num}) + {alpha_den - 1}) "
+        f"div {alpha_den}").cast("bigint")
+    ranked = (scored.withColumn("rn", F.row_number().over(w))
+              .withColumn("k", F.least(kk, F.col("n_cal"))))
+    q = (ranked.filter(F.col("rn") == F.col("k"))
+         .select("g", F.col("r").alias("q_scaled"), "S", "n_cal"))
+    cov = (test.join(F.broadcast(q), "g")
+           .groupBy("g", "q_scaled", "S", "n_cal")
+           .agg(F.count("*").cast("bigint").alias("n_test"),
+                F.sum(F.when(F.abs(F.col("y") * F.col("n_cal")
+                                   - F.col("S"))
+                             <= F.col("q_scaled"), 1).otherwise(0))
+                .cast("bigint").alias("n_covered")))
+    return (cov.select(F.col("g").alias(group_col), "n_cal", "n_test",
+                       "q_scaled",
+                       (F.round(F.col("q_scaled")
+                                / F.col("n_cal").cast("double"), 6)
+                        + F.lit(0.0)).alias("q"),
+                       (F.round(F.col("n_covered") / F.col("n_test"), 6)
+                        + F.lit(0.0)).alias("coverage"))
+            .orderBy(group_col))

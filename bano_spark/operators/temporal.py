@@ -1699,3 +1699,62 @@ def matrix_profile_ed(series: DataFrame, group_col: str, seq_col: str,
                     "motif_i", "motif_j", "motif_d2",
                     "discord_i", "discord_d2")
             .orderBy(group_col))
+
+
+def page_hinkley(series: DataFrame, group_col: str, seq_col: str,
+                 value_col: str, *, delta: float = 0.5,
+                 lam: float = 20.0) -> DataFrame:
+    """Page-Hinkley mean-increase drift detection per group (Page
+    1954; the streaming-drift baseline in MOA/river): with running
+    mean x̄_t INCLUDING the current point, m_t = m_{t-1} +
+    (x_t - x̄_t - delta), M_t = min m, alarm at the first t where
+    m_t - M_t > lambda.  The fold runs in one fixed order per group
+    (seq ascending), so every double is bit-identical across engines
+    and topologies.  Returns (group, n, ph_final, max_dev,
+    first_alarm) — first_alarm 0 when no alarm fired.
+
+    Ref parity: the reference flags communes whose matched-address
+    counts drift between runs (munin bano_rapproche thresholds);
+    Page-Hinkley is the sequential version with a false-alarm bound.
+
+    Scale shape: session-fold contract — one shuffle to the group,
+    one bounded collect, O(1) fold state, no Python."""
+    row = F.struct(F.col(seq_col).cast("bigint").alias("o"),
+                   F.col(value_col).cast("double").alias("x"))
+    per = (series.groupBy(F.col(group_col).alias("g"))
+           .agg(F.array_sort(F.collect_list(row)).alias("xs")))
+    fold = F.expr(f"""
+        aggregate(
+          xs,
+          named_struct('s', CAST(0.0 AS DOUBLE), 't', CAST(0 AS BIGINT),
+                       'm', CAST(0.0 AS DOUBLE),
+                       'mn', CAST(0.0 AS DOUBLE),
+                       'mx', CAST(0.0 AS DOUBLE),
+                       'al', CAST(0 AS BIGINT)),
+          (acc, r) -> aggregate(
+            array(named_struct(
+              's', acc.s + r.x, 't', acc.t + 1,
+              'm', acc.m + (r.x - (acc.s + r.x) / (acc.t + 1)
+                            - CAST({delta} AS DOUBLE)))),
+            acc,
+            (a, u) -> named_struct(
+              's', u.s, 't', u.t, 'm', u.m,
+              'mn', least(a.mn, u.m),
+              'mx', greatest(a.mx, u.m - least(a.mn, u.m)),
+              'al', IF(a.al > 0, a.al,
+                       IF(u.m - least(a.mn, u.m)
+                            > CAST({lam} AS DOUBLE), u.t,
+                          CAST(0 AS BIGINT)))),
+            a -> a),
+          acc -> acc)
+    """)
+    return (per.select(F.col("g").alias(group_col),
+                       F.size("xs").cast("bigint").alias("n"),
+                       fold.alias("st"))
+            .select(group_col, "n",
+                    (F.round(F.col("st.m"), 6) + F.lit(0.0))
+                    .alias("ph_final"),
+                    (F.round(F.col("st.mx"), 6) + F.lit(0.0))
+                    .alias("max_dev"),
+                    F.col("st.al").alias("first_alarm"))
+            .orderBy(group_col))
