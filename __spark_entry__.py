@@ -2000,6 +2000,7 @@ from bano_spark import queries_wave94 as _w94  # noqa: E402
 from bano_spark import queries_wave95 as _w95  # noqa: E402
 from bano_spark import queries_wave96 as _w96  # noqa: E402
 from bano_spark import queries_wave97 as _w97  # noqa: E402
+from bano_spark import queries_wave98 as _w98  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2183,6 +2184,8 @@ _QUERIES.update(_w96.QUERIES)
 _ORACLES.update(_w96.ORACLES)
 _QUERIES.update(_w97.QUERIES)
 _ORACLES.update(_w97.ORACLES)
+_QUERIES.update(_w98.QUERIES)
+_ORACLES.update(_w98.ORACLES)
 
 
 # ---------------------------------------------------------------------------
