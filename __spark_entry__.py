@@ -2002,6 +2002,7 @@ from bano_spark import queries_wave96 as _w96  # noqa: E402
 from bano_spark import queries_wave97 as _w97  # noqa: E402
 from bano_spark import queries_wave98 as _w98  # noqa: E402
 from bano_spark import queries_wave99 as _w99  # noqa: E402
+from bano_spark import queries_wave100 as _w100  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2189,6 +2190,8 @@ _QUERIES.update(_w98.QUERIES)
 _ORACLES.update(_w98.ORACLES)
 _QUERIES.update(_w99.QUERIES)
 _ORACLES.update(_w99.ORACLES)
+_QUERIES.update(_w100.QUERIES)
+_ORACLES.update(_w100.ORACLES)
 
 
 # ---------------------------------------------------------------------------
