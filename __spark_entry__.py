@@ -2003,6 +2003,7 @@ from bano_spark import queries_wave97 as _w97  # noqa: E402
 from bano_spark import queries_wave98 as _w98  # noqa: E402
 from bano_spark import queries_wave99 as _w99  # noqa: E402
 from bano_spark import queries_wave100 as _w100  # noqa: E402
+from bano_spark import queries_wave101 as _w101  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2192,6 +2193,8 @@ _QUERIES.update(_w99.QUERIES)
 _ORACLES.update(_w99.ORACLES)
 _QUERIES.update(_w100.QUERIES)
 _ORACLES.update(_w100.ORACLES)
+_QUERIES.update(_w101.QUERIES)
+_ORACLES.update(_w101.ORACLES)
 
 
 # ---------------------------------------------------------------------------
