@@ -2004,6 +2004,7 @@ from bano_spark import queries_wave98 as _w98  # noqa: E402
 from bano_spark import queries_wave99 as _w99  # noqa: E402
 from bano_spark import queries_wave100 as _w100  # noqa: E402
 from bano_spark import queries_wave101 as _w101  # noqa: E402
+from bano_spark import queries_wave102 as _w102  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2195,6 +2196,8 @@ _QUERIES.update(_w100.QUERIES)
 _ORACLES.update(_w100.ORACLES)
 _QUERIES.update(_w101.QUERIES)
 _ORACLES.update(_w101.ORACLES)
+_QUERIES.update(_w102.QUERIES)
+_ORACLES.update(_w102.ORACLES)
 
 
 # ---------------------------------------------------------------------------
