@@ -2006,6 +2006,7 @@ from bano_spark import queries_wave100 as _w100  # noqa: E402
 from bano_spark import queries_wave101 as _w101  # noqa: E402
 from bano_spark import queries_wave102 as _w102  # noqa: E402
 from bano_spark import queries_wave103 as _w103  # noqa: E402
+from bano_spark import queries_wave104 as _w104  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2201,6 +2202,8 @@ _QUERIES.update(_w102.QUERIES)
 _ORACLES.update(_w102.ORACLES)
 _QUERIES.update(_w103.QUERIES)
 _ORACLES.update(_w103.ORACLES)
+_QUERIES.update(_w104.QUERIES)
+_ORACLES.update(_w104.ORACLES)
 
 
 # ---------------------------------------------------------------------------
