@@ -2007,6 +2007,7 @@ from bano_spark import queries_wave101 as _w101  # noqa: E402
 from bano_spark import queries_wave102 as _w102  # noqa: E402
 from bano_spark import queries_wave103 as _w103  # noqa: E402
 from bano_spark import queries_wave104 as _w104  # noqa: E402
+from bano_spark import queries_wave105 as _w105  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2204,6 +2205,8 @@ _QUERIES.update(_w103.QUERIES)
 _ORACLES.update(_w103.ORACLES)
 _QUERIES.update(_w104.QUERIES)
 _ORACLES.update(_w104.ORACLES)
+_QUERIES.update(_w105.QUERIES)
+_ORACLES.update(_w105.ORACLES)
 
 
 # ---------------------------------------------------------------------------
