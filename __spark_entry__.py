@@ -2010,6 +2010,7 @@ from bano_spark import queries_wave104 as _w104  # noqa: E402
 from bano_spark import queries_wave105 as _w105  # noqa: E402
 from bano_spark import queries_wave106 as _w106  # noqa: E402
 from bano_spark import queries_wave107 as _w107  # noqa: E402
+from bano_spark import queries_wave108 as _w108  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2213,6 +2214,8 @@ _QUERIES.update(_w106.QUERIES)
 _ORACLES.update(_w106.ORACLES)
 _QUERIES.update(_w107.QUERIES)
 _ORACLES.update(_w107.ORACLES)
+_QUERIES.update(_w108.QUERIES)
+_ORACLES.update(_w108.ORACLES)
 
 
 # ---------------------------------------------------------------------------
