@@ -2013,6 +2013,7 @@ from bano_spark import queries_wave107 as _w107  # noqa: E402
 from bano_spark import queries_wave108 as _w108  # noqa: E402
 from bano_spark import queries_wave109 as _w109  # noqa: E402
 from bano_spark import queries_wave110 as _w110  # noqa: E402
+from bano_spark import queries_wave111 as _w111  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2222,6 +2223,8 @@ _QUERIES.update(_w109.QUERIES)
 _ORACLES.update(_w109.ORACLES)
 _QUERIES.update(_w110.QUERIES)
 _ORACLES.update(_w110.ORACLES)
+_QUERIES.update(_w111.QUERIES)
+_ORACLES.update(_w111.ORACLES)
 
 
 # ---------------------------------------------------------------------------
