@@ -2014,6 +2014,7 @@ from bano_spark import queries_wave108 as _w108  # noqa: E402
 from bano_spark import queries_wave109 as _w109  # noqa: E402
 from bano_spark import queries_wave110 as _w110  # noqa: E402
 from bano_spark import queries_wave111 as _w111  # noqa: E402
+from bano_spark import queries_wave112 as _w112  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2225,6 +2226,8 @@ _QUERIES.update(_w110.QUERIES)
 _ORACLES.update(_w110.ORACLES)
 _QUERIES.update(_w111.QUERIES)
 _ORACLES.update(_w111.ORACLES)
+_QUERIES.update(_w112.QUERIES)
+_ORACLES.update(_w112.ORACLES)
 
 
 # ---------------------------------------------------------------------------
