@@ -2015,6 +2015,7 @@ from bano_spark import queries_wave109 as _w109  # noqa: E402
 from bano_spark import queries_wave110 as _w110  # noqa: E402
 from bano_spark import queries_wave111 as _w111  # noqa: E402
 from bano_spark import queries_wave112 as _w112  # noqa: E402
+from bano_spark import queries_wave113 as _w113  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2228,6 +2229,8 @@ _QUERIES.update(_w111.QUERIES)
 _ORACLES.update(_w111.ORACLES)
 _QUERIES.update(_w112.QUERIES)
 _ORACLES.update(_w112.ORACLES)
+_QUERIES.update(_w113.QUERIES)
+_ORACLES.update(_w113.ORACLES)
 
 
 # ---------------------------------------------------------------------------
