@@ -2016,6 +2016,7 @@ from bano_spark import queries_wave110 as _w110  # noqa: E402
 from bano_spark import queries_wave111 as _w111  # noqa: E402
 from bano_spark import queries_wave112 as _w112  # noqa: E402
 from bano_spark import queries_wave113 as _w113  # noqa: E402
+from bano_spark import queries_wave114 as _w114  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2231,6 +2232,8 @@ _QUERIES.update(_w112.QUERIES)
 _ORACLES.update(_w112.ORACLES)
 _QUERIES.update(_w113.QUERIES)
 _ORACLES.update(_w113.ORACLES)
+_QUERIES.update(_w114.QUERIES)
+_ORACLES.update(_w114.ORACLES)
 
 
 # ---------------------------------------------------------------------------
