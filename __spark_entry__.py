@@ -2017,6 +2017,7 @@ from bano_spark import queries_wave111 as _w111  # noqa: E402
 from bano_spark import queries_wave112 as _w112  # noqa: E402
 from bano_spark import queries_wave113 as _w113  # noqa: E402
 from bano_spark import queries_wave114 as _w114  # noqa: E402
+from bano_spark import queries_wave115 as _w115  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2234,6 +2235,8 @@ _QUERIES.update(_w113.QUERIES)
 _ORACLES.update(_w113.ORACLES)
 _QUERIES.update(_w114.QUERIES)
 _ORACLES.update(_w114.ORACLES)
+_QUERIES.update(_w115.QUERIES)
+_ORACLES.update(_w115.ORACLES)
 
 
 # ---------------------------------------------------------------------------
