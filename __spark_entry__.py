@@ -2018,6 +2018,7 @@ from bano_spark import queries_wave112 as _w112  # noqa: E402
 from bano_spark import queries_wave113 as _w113  # noqa: E402
 from bano_spark import queries_wave114 as _w114  # noqa: E402
 from bano_spark import queries_wave115 as _w115  # noqa: E402
+from bano_spark import queries_wave116 as _w116  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2237,6 +2238,8 @@ _QUERIES.update(_w114.QUERIES)
 _ORACLES.update(_w114.ORACLES)
 _QUERIES.update(_w115.QUERIES)
 _ORACLES.update(_w115.ORACLES)
+_QUERIES.update(_w116.QUERIES)
+_ORACLES.update(_w116.ORACLES)
 
 
 # ---------------------------------------------------------------------------
