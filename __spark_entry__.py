@@ -2019,6 +2019,7 @@ from bano_spark import queries_wave113 as _w113  # noqa: E402
 from bano_spark import queries_wave114 as _w114  # noqa: E402
 from bano_spark import queries_wave115 as _w115  # noqa: E402
 from bano_spark import queries_wave116 as _w116  # noqa: E402
+from bano_spark import queries_wave117 as _w117  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2240,6 +2241,8 @@ _QUERIES.update(_w115.QUERIES)
 _ORACLES.update(_w115.ORACLES)
 _QUERIES.update(_w116.QUERIES)
 _ORACLES.update(_w116.ORACLES)
+_QUERIES.update(_w117.QUERIES)
+_ORACLES.update(_w117.ORACLES)
 
 
 # ---------------------------------------------------------------------------
