@@ -2022,6 +2022,7 @@ from bano_spark import queries_wave116 as _w116  # noqa: E402
 from bano_spark import queries_wave117 as _w117  # noqa: E402
 from bano_spark import queries_wave118 as _w118  # noqa: E402
 from bano_spark import queries_wave119 as _w119  # noqa: E402
+from bano_spark import queries_wave120 as _w120  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2249,6 +2250,8 @@ _QUERIES.update(_w118.QUERIES)
 _ORACLES.update(_w118.ORACLES)
 _QUERIES.update(_w119.QUERIES)
 _ORACLES.update(_w119.ORACLES)
+_QUERIES.update(_w120.QUERIES)
+_ORACLES.update(_w120.ORACLES)
 
 
 # ---------------------------------------------------------------------------
