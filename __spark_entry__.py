@@ -2024,6 +2024,7 @@ from bano_spark import queries_wave118 as _w118  # noqa: E402
 from bano_spark import queries_wave119 as _w119  # noqa: E402
 from bano_spark import queries_wave120 as _w120  # noqa: E402
 from bano_spark import queries_wave121 as _w121  # noqa: E402
+from bano_spark import queries_wave122 as _w122  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2255,6 +2256,8 @@ _QUERIES.update(_w120.QUERIES)
 _ORACLES.update(_w120.ORACLES)
 _QUERIES.update(_w121.QUERIES)
 _ORACLES.update(_w121.ORACLES)
+_QUERIES.update(_w122.QUERIES)
+_ORACLES.update(_w122.ORACLES)
 
 
 # ---------------------------------------------------------------------------
