@@ -2029,6 +2029,7 @@ from bano_spark import queries_wave123 as _w123  # noqa: E402
 from bano_spark import queries_wave124 as _w124  # noqa: E402
 from bano_spark import queries_wave125 as _w125  # noqa: E402
 from bano_spark import queries_wave126 as _w126  # noqa: E402
+from bano_spark import queries_wave127 as _w127  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2270,6 +2271,8 @@ _QUERIES.update(_w125.QUERIES)
 _ORACLES.update(_w125.ORACLES)
 _QUERIES.update(_w126.QUERIES)
 _ORACLES.update(_w126.ORACLES)
+_QUERIES.update(_w127.QUERIES)
+_ORACLES.update(_w127.ORACLES)
 
 
 # ---------------------------------------------------------------------------
