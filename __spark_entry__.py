@@ -2031,6 +2031,7 @@ from bano_spark import queries_wave125 as _w125  # noqa: E402
 from bano_spark import queries_wave126 as _w126  # noqa: E402
 from bano_spark import queries_wave127 as _w127  # noqa: E402
 from bano_spark import queries_wave128 as _w128  # noqa: E402
+from bano_spark import queries_wave129 as _w129  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2276,6 +2277,8 @@ _QUERIES.update(_w127.QUERIES)
 _ORACLES.update(_w127.ORACLES)
 _QUERIES.update(_w128.QUERIES)
 _ORACLES.update(_w128.ORACLES)
+_QUERIES.update(_w129.QUERIES)
+_ORACLES.update(_w129.ORACLES)
 
 
 # ---------------------------------------------------------------------------
