@@ -2032,6 +2032,7 @@ from bano_spark import queries_wave126 as _w126  # noqa: E402
 from bano_spark import queries_wave127 as _w127  # noqa: E402
 from bano_spark import queries_wave128 as _w128  # noqa: E402
 from bano_spark import queries_wave129 as _w129  # noqa: E402
+from bano_spark import queries_wave130 as _w130  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2279,6 +2280,8 @@ _QUERIES.update(_w128.QUERIES)
 _ORACLES.update(_w128.ORACLES)
 _QUERIES.update(_w129.QUERIES)
 _ORACLES.update(_w129.ORACLES)
+_QUERIES.update(_w130.QUERIES)
+_ORACLES.update(_w130.ORACLES)
 
 
 # ---------------------------------------------------------------------------
