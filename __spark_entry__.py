@@ -2033,6 +2033,7 @@ from bano_spark import queries_wave127 as _w127  # noqa: E402
 from bano_spark import queries_wave128 as _w128  # noqa: E402
 from bano_spark import queries_wave129 as _w129  # noqa: E402
 from bano_spark import queries_wave130 as _w130  # noqa: E402
+from bano_spark import queries_wave131 as _w131  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2282,6 +2283,8 @@ _QUERIES.update(_w129.QUERIES)
 _ORACLES.update(_w129.ORACLES)
 _QUERIES.update(_w130.QUERIES)
 _ORACLES.update(_w130.ORACLES)
+_QUERIES.update(_w131.QUERIES)
+_ORACLES.update(_w131.ORACLES)
 
 
 # ---------------------------------------------------------------------------
