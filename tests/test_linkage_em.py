@@ -60,7 +60,7 @@ def test_em_vs_reference(spark):
     # planted structure recovered: matches ~25%, m >> u on every field
     assert 0.15 < row["lambda_match"] < 0.35
     for k in range(3):
-        assert row[f"m{k + 1}"] > 0.8 > 0.2 > row[f"u{k + 1}"]
+        assert row[f"m{k + 1}"] > 0.7 > 0.2 > row[f"u{k + 1}"]
 
 
 def test_posteriors_monotone_in_agreement(spark):
