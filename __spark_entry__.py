@@ -2034,6 +2034,7 @@ from bano_spark import queries_wave128 as _w128  # noqa: E402
 from bano_spark import queries_wave129 as _w129  # noqa: E402
 from bano_spark import queries_wave130 as _w130  # noqa: E402
 from bano_spark import queries_wave131 as _w131  # noqa: E402
+from bano_spark import queries_wave132 as _w132  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2285,6 +2286,8 @@ _QUERIES.update(_w130.QUERIES)
 _ORACLES.update(_w130.ORACLES)
 _QUERIES.update(_w131.QUERIES)
 _ORACLES.update(_w131.ORACLES)
+_QUERIES.update(_w132.QUERIES)
+_ORACLES.update(_w132.ORACLES)
 
 
 # ---------------------------------------------------------------------------
