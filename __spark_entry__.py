@@ -2035,6 +2035,7 @@ from bano_spark import queries_wave129 as _w129  # noqa: E402
 from bano_spark import queries_wave130 as _w130  # noqa: E402
 from bano_spark import queries_wave131 as _w131  # noqa: E402
 from bano_spark import queries_wave132 as _w132  # noqa: E402
+from bano_spark import queries_wave133 as _w133  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2288,6 +2289,8 @@ _QUERIES.update(_w131.QUERIES)
 _ORACLES.update(_w131.ORACLES)
 _QUERIES.update(_w132.QUERIES)
 _ORACLES.update(_w132.ORACLES)
+_QUERIES.update(_w133.QUERIES)
+_ORACLES.update(_w133.ORACLES)
 
 
 # ---------------------------------------------------------------------------
