@@ -2036,6 +2036,7 @@ from bano_spark import queries_wave130 as _w130  # noqa: E402
 from bano_spark import queries_wave131 as _w131  # noqa: E402
 from bano_spark import queries_wave132 as _w132  # noqa: E402
 from bano_spark import queries_wave133 as _w133  # noqa: E402
+from bano_spark import queries_wave134 as _w134  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2291,6 +2292,8 @@ _QUERIES.update(_w132.QUERIES)
 _ORACLES.update(_w132.ORACLES)
 _QUERIES.update(_w133.QUERIES)
 _ORACLES.update(_w133.ORACLES)
+_QUERIES.update(_w134.QUERIES)
+_ORACLES.update(_w134.ORACLES)
 
 
 # ---------------------------------------------------------------------------
