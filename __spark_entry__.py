@@ -2037,6 +2037,7 @@ from bano_spark import queries_wave131 as _w131  # noqa: E402
 from bano_spark import queries_wave132 as _w132  # noqa: E402
 from bano_spark import queries_wave133 as _w133  # noqa: E402
 from bano_spark import queries_wave134 as _w134  # noqa: E402
+from bano_spark import queries_wave135 as _w135  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2294,6 +2295,8 @@ _QUERIES.update(_w133.QUERIES)
 _ORACLES.update(_w133.ORACLES)
 _QUERIES.update(_w134.QUERIES)
 _ORACLES.update(_w134.ORACLES)
+_QUERIES.update(_w135.QUERIES)
+_ORACLES.update(_w135.ORACLES)
 
 
 # ---------------------------------------------------------------------------
