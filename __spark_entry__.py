@@ -2038,6 +2038,7 @@ from bano_spark import queries_wave132 as _w132  # noqa: E402
 from bano_spark import queries_wave133 as _w133  # noqa: E402
 from bano_spark import queries_wave134 as _w134  # noqa: E402
 from bano_spark import queries_wave135 as _w135  # noqa: E402
+from bano_spark import queries_wave136 as _w136  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2297,6 +2298,8 @@ _QUERIES.update(_w134.QUERIES)
 _ORACLES.update(_w134.ORACLES)
 _QUERIES.update(_w135.QUERIES)
 _ORACLES.update(_w135.ORACLES)
+_QUERIES.update(_w136.QUERIES)
+_ORACLES.update(_w136.ORACLES)
 
 
 # ---------------------------------------------------------------------------
