@@ -2040,6 +2040,7 @@ from bano_spark import queries_wave134 as _w134  # noqa: E402
 from bano_spark import queries_wave135 as _w135  # noqa: E402
 from bano_spark import queries_wave136 as _w136  # noqa: E402
 from bano_spark import queries_wave137 as _w137  # noqa: E402
+from bano_spark import queries_wave138 as _w138  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2303,6 +2304,8 @@ _QUERIES.update(_w136.QUERIES)
 _ORACLES.update(_w136.ORACLES)
 _QUERIES.update(_w137.QUERIES)
 _ORACLES.update(_w137.ORACLES)
+_QUERIES.update(_w138.QUERIES)
+_ORACLES.update(_w138.ORACLES)
 
 
 # ---------------------------------------------------------------------------
