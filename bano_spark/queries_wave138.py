@@ -75,8 +75,9 @@ SELECT grp, CAST(len(fr) AS BIGINT) AS n_distinct,
        round(e[len(fr)], 6) AS sse_voptimal,
        round({ew_sql(_B, 'duckdb', 'fr', 'p', 'pp')}, 6)
          AS sse_equalwidth,
-       round(({ew_sql(_B, 'duckdb', 'fr', 'p', 'pp')}) / e[len(fr)], 6)
-         AS improvement
+       round(CASE WHEN e[len(fr)] <> 0.0
+             THEN ({ew_sql(_B, 'duckdb', 'fr', 'p', 'pp')}) / e[len(fr)]
+             END, 6) AS improvement
 FROM dp ORDER BY grp
 """
 

@@ -35,9 +35,19 @@ def _ref(vals, B):
     return E, D, ew
 
 
+_M31 = 2147483648
+
+
 def _vals(n=2000):
-    return [((i * 37 + 3) % 8) ** 2 + (i * 53 + 7) % 5
-            for i in range(n)]
+    # hash-noisy frequencies (a pure congruence cycle gives perfectly
+    # equal cluster frequencies -> vo = 0 -> NULL improvement, which
+    # test_zero_sse_improvement_null pins explicitly)
+    out = []
+    for i in range(n):
+        u1 = (i * 2654435761 + 13) % _M31
+        u2 = (i * 1103515245 + 12345) % _M31
+        out.append((u1 % 8) ** 2 + u2 % 5)
+    return out
 
 
 def test_dp_vs_reference(spark):
@@ -73,3 +83,13 @@ def test_b_buckets_cover_clusters_exactly(spark):
             voptimal_b_curve(df, "grp", "v", [2, 3]).collect()}
     assert rows[3] == 0.0
     assert rows[2] > 0.0
+
+
+def test_zero_sse_improvement_null(spark):
+    # 2 values, B = 2: vo = 0 -> improvement NULL (guarded division)
+    vals = [1] * 30 + [5] * 70
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "grp: string, v: bigint")
+    row = voptimal_sse(df, "grp", "v", B=2).collect()[0]
+    assert row["sse_voptimal"] == 0.0
+    assert row["improvement"] is None
