@@ -2042,6 +2042,7 @@ from bano_spark import queries_wave136 as _w136  # noqa: E402
 from bano_spark import queries_wave137 as _w137  # noqa: E402
 from bano_spark import queries_wave138 as _w138  # noqa: E402
 from bano_spark import queries_wave139 as _w139  # noqa: E402
+from bano_spark import queries_wave140 as _w140  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2309,6 +2310,8 @@ _QUERIES.update(_w138.QUERIES)
 _ORACLES.update(_w138.ORACLES)
 _QUERIES.update(_w139.QUERIES)
 _ORACLES.update(_w139.ORACLES)
+_QUERIES.update(_w140.QUERIES)
+_ORACLES.update(_w140.ORACLES)
 
 
 # ---------------------------------------------------------------------------
