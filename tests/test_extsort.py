@@ -59,7 +59,10 @@ def test_global_runs_cross_chunk_boundaries(spark):
 
 
 def test_merge_passes_exact_ceil_log(spark):
-    vals = [((i * 2654435761 + 13) % _M31) % 1000 for i in range(3000)]
+    # shift bits before mod: a raw linear congruence steps by a
+    # constant (+113 mod 1000) and produces few, long runs
+    vals = [(((i * 2654435761 + 13) % _M31) >> 7) % 1000
+            for i in range(3000)]
     df = spark.createDataFrame(list(enumerate(vals)),
                                "o: bigint, v: bigint")
     rows = {r["fan_in"]: r for r in
