@@ -87,11 +87,15 @@ def bloom_fpr_audit(inserts: DataFrame, probes: DataFrame, key: str, *,
     nb = words.agg(F.sum(F.expr("bit_count(bits)"))
                    .cast("bigint").alias("bs"))
     a = flagged.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"),
-                    F.sum("fp").cast("bigint").alias("false_positives"))
+                    F.coalesce(F.sum("fp"), F.lit(0)).cast("bigint")
+                    .alias("false_positives"))
     ni = ins.agg(F.count(F.lit(1)).cast("bigint").alias("n_inserted"))
     out = a.crossJoin(F.broadcast(ni)).crossJoin(F.broadcast(nb))
-    fpr = (F.col("false_positives").cast("double")
-           / F.col("n_probes").cast("double"))
+    # guarded: an empty probe set (all probes were members) yields
+    # NULL rates rather than an ANSI 0/0 error
+    fpr = F.when(F.col("n_probes") > 0,
+                 F.col("false_positives").cast("double")
+                 / F.col("n_probes").cast("double"))
     t1 = (F.lit(1.0) - F.exp(-F.lit(float(k))
                              * F.col("n_inserted").cast("double")
                              / F.lit(float(m))))

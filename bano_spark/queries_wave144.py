@@ -95,18 +95,21 @@ fl AS (
   FROM j0 JOIN j1 ON j0.kk = j1.kk JOIN j2 ON j0.kk = j2.kk),
 agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n_probes,
-         CAST(sum(fp) AS BIGINT) AS false_positives
+         CAST(COALESCE(sum(fp), 0) AS BIGINT) AS false_positives
   FROM fl),
 ni AS (SELECT CAST(count(*) AS BIGINT) AS n_inserted FROM ins),
 nb AS (SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS bs FROM words)
 SELECT n_inserted, {_M} AS m, {_K} AS k, bs AS bits_set,
        n_probes, false_positives,
-       round(CAST(false_positives AS DOUBLE)
-             / CAST(n_probes AS DOUBLE), 6) AS fpr_empirical,
+       round(CASE WHEN n_probes > 0 THEN
+             CAST(false_positives AS DOUBLE)
+             / CAST(n_probes AS DOUBLE) END, 6) AS fpr_empirical,
        round({_THEO} * {_THEO} * {_THEO}, 6) AS fpr_theoretical,
-       (CAST(false_positives AS DOUBLE) / CAST(n_probes AS DOUBLE)
+       (CASE WHEN n_probes > 0 THEN CAST(false_positives AS DOUBLE)
+          / CAST(n_probes AS DOUBLE) END
           < 2.0 * ({_THEO} * {_THEO} * {_THEO}) + 0.001)
-       AND (CAST(false_positives AS DOUBLE) / CAST(n_probes AS DOUBLE)
+       AND (CASE WHEN n_probes > 0 THEN CAST(false_positives AS DOUBLE)
+          / CAST(n_probes AS DOUBLE) END
           > 0.25 * ({_THEO} * {_THEO} * {_THEO}) - 0.001)
          AS within_2x
 FROM agg CROSS JOIN ni CROSS JOIN nb

@@ -57,3 +57,4 @@ def test_members_always_hit(spark):
     row = bloom_fpr_audit(_df(spark, ins), _df(spark, ins), "kk",
                           m=4096, k=3).collect()[0]
     assert row["n_probes"] == 0 and row["false_positives"] == 0
+    assert row["fpr_empirical"] is None
