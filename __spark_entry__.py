@@ -2047,6 +2047,7 @@ from bano_spark import queries_wave141 as _w141  # noqa: E402
 from bano_spark import queries_wave142 as _w142  # noqa: E402
 from bano_spark import queries_wave143 as _w143  # noqa: E402
 from bano_spark import queries_wave144 as _w144  # noqa: E402
+from bano_spark import queries_wave145 as _w145  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2324,6 +2325,8 @@ _QUERIES.update(_w143.QUERIES)
 _ORACLES.update(_w143.ORACLES)
 _QUERIES.update(_w144.QUERIES)
 _ORACLES.update(_w144.ORACLES)
+_QUERIES.update(_w145.QUERIES)
+_ORACLES.update(_w145.ORACLES)
 
 
 # ---------------------------------------------------------------------------
