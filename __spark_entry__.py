@@ -2048,6 +2048,7 @@ from bano_spark import queries_wave142 as _w142  # noqa: E402
 from bano_spark import queries_wave143 as _w143  # noqa: E402
 from bano_spark import queries_wave144 as _w144  # noqa: E402
 from bano_spark import queries_wave145 as _w145  # noqa: E402
+from bano_spark import queries_wave146 as _w146  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2327,6 +2328,8 @@ _QUERIES.update(_w144.QUERIES)
 _ORACLES.update(_w144.ORACLES)
 _QUERIES.update(_w145.QUERIES)
 _ORACLES.update(_w145.ORACLES)
+_QUERIES.update(_w146.QUERIES)
+_ORACLES.update(_w146.ORACLES)
 
 
 # ---------------------------------------------------------------------------
