@@ -2049,6 +2049,7 @@ from bano_spark import queries_wave143 as _w143  # noqa: E402
 from bano_spark import queries_wave144 as _w144  # noqa: E402
 from bano_spark import queries_wave145 as _w145  # noqa: E402
 from bano_spark import queries_wave146 as _w146  # noqa: E402
+from bano_spark import queries_wave147 as _w147  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2330,6 +2331,8 @@ _QUERIES.update(_w145.QUERIES)
 _ORACLES.update(_w145.ORACLES)
 _QUERIES.update(_w146.QUERIES)
 _ORACLES.update(_w146.ORACLES)
+_QUERIES.update(_w147.QUERIES)
+_ORACLES.update(_w147.ORACLES)
 
 
 # ---------------------------------------------------------------------------
