@@ -2050,6 +2050,7 @@ from bano_spark import queries_wave144 as _w144  # noqa: E402
 from bano_spark import queries_wave145 as _w145  # noqa: E402
 from bano_spark import queries_wave146 as _w146  # noqa: E402
 from bano_spark import queries_wave147 as _w147  # noqa: E402
+from bano_spark import queries_wave148 as _w148  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2333,6 +2334,8 @@ _QUERIES.update(_w146.QUERIES)
 _ORACLES.update(_w146.ORACLES)
 _QUERIES.update(_w147.QUERIES)
 _ORACLES.update(_w147.ORACLES)
+_QUERIES.update(_w148.QUERIES)
+_ORACLES.update(_w148.ORACLES)
 
 
 # ---------------------------------------------------------------------------
