@@ -59,11 +59,9 @@ def test_outlier_chunk_ranked_last(spark):
 def test_separation_direction(spark):
     texts = []
     for d in range(6):
-        words = []
-        for i in range(72):
-            words.append(["query", "table", "join", "scan",
-                          f"rare{d}_{i % 13}"][(i * 5 + d) % 5])
-        texts.append((d, " ".join(words), "src"))
+        common = ("query table join scan " * 3).strip()
+        junk = " ".join(f"junk{d}_{i}" for i in range(12))
+        texts.append((d, " ".join([common] * 4 + [junk]), "src"))
     df = spark.createDataFrame(texts, "doc_id: bigint, text: string, "
                                       "source: string")
     row = summary_rollup(df, k=2).collect()[0]
