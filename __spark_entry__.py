@@ -2052,6 +2052,7 @@ from bano_spark import queries_wave146 as _w146  # noqa: E402
 from bano_spark import queries_wave147 as _w147  # noqa: E402
 from bano_spark import queries_wave148 as _w148  # noqa: E402
 from bano_spark import queries_wave149 as _w149  # noqa: E402
+from bano_spark import queries_wave150 as _w150  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2339,6 +2340,8 @@ _QUERIES.update(_w148.QUERIES)
 _ORACLES.update(_w148.ORACLES)
 _QUERIES.update(_w149.QUERIES)
 _ORACLES.update(_w149.ORACLES)
+_QUERIES.update(_w150.QUERIES)
+_ORACLES.update(_w150.ORACLES)
 
 
 # ---------------------------------------------------------------------------
