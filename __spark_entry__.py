@@ -2053,6 +2053,7 @@ from bano_spark import queries_wave147 as _w147  # noqa: E402
 from bano_spark import queries_wave148 as _w148  # noqa: E402
 from bano_spark import queries_wave149 as _w149  # noqa: E402
 from bano_spark import queries_wave150 as _w150  # noqa: E402
+from bano_spark import queries_wave151 as _w151  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2342,6 +2343,8 @@ _QUERIES.update(_w149.QUERIES)
 _ORACLES.update(_w149.ORACLES)
 _QUERIES.update(_w150.QUERIES)
 _ORACLES.update(_w150.ORACLES)
+_QUERIES.update(_w151.QUERIES)
+_ORACLES.update(_w151.ORACLES)
 
 
 # ---------------------------------------------------------------------------
