@@ -2054,6 +2054,7 @@ from bano_spark import queries_wave148 as _w148  # noqa: E402
 from bano_spark import queries_wave149 as _w149  # noqa: E402
 from bano_spark import queries_wave150 as _w150  # noqa: E402
 from bano_spark import queries_wave151 as _w151  # noqa: E402
+from bano_spark import queries_wave152 as _w152  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2345,6 +2346,8 @@ _QUERIES.update(_w150.QUERIES)
 _ORACLES.update(_w150.ORACLES)
 _QUERIES.update(_w151.QUERIES)
 _ORACLES.update(_w151.ORACLES)
+_QUERIES.update(_w152.QUERIES)
+_ORACLES.update(_w152.ORACLES)
 
 
 # ---------------------------------------------------------------------------
