@@ -32,8 +32,13 @@ _M31 = 2147483648
 
 
 def _pos(key: str, j: int, m: int) -> str:
+    # key is reduced mod 2^31 BEFORE the multiply: |key%2^31| < 2^31
+    # and a < 2^32, so the product < 2^63 provably fits BIGINT on
+    # both engines. Without the reduction, |key| > ~3.47e9 silently
+    # wraps in Spark (non-ANSI int64) while DuckDB promotes to
+    # HUGEINT — a cross-engine divergence for large key domains.
     a, b = HASHES[j]
-    return f"(({key} * {a} + {b}) % {_M31}) % {m}"
+    return f"((({key} % {_M31}) * {a} + {b}) % {_M31}) % {m}"
 
 
 def bloom_words(inserts: DataFrame, key: str, *, m: int = 4096,

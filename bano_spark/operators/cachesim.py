@@ -72,13 +72,28 @@ def cache_replay(df: DataFrame, grp: str, t_col: str, key_col: str, *,
                  capacity: int = 4, policy: str = "opt") -> DataFrame:
     """Replay each group's access trace under `policy` ('opt'|'lru')
     with `capacity` slots. Returns (grp, n_accesses, n_keys, hits,
-    hit_ratio)."""
+    hit_ratio).
+
+    Key domain precondition (enforced, loud): keys must lie in
+    [0, 2^53]. The slot vector stores keys as doubles with -1.0 as
+    the empty-slot sentinel, so a legitimate key of -1 would alias an
+    empty slot and keys beyond 2^53 would lose exactness — either
+    silently corrupts hit detection. Out-of-domain keys raise at
+    execution time via raise_error() rather than mis-replaying.
+    """
     if policy not in ("opt", "lru"):
         raise ValueError("cache_replay: policy must be 'opt' or 'lru'")
     if not 1 <= capacity <= 16:
         raise ValueError("cache_replay: capacity must be in 1..16")
-    g, t, k = F.col(grp), F.col(t_col).cast("double"), \
-        F.col(key_col).cast("double")
+    g, t = F.col(grp), F.col(t_col).cast("double")
+    # domain guard: negative keys alias the -1.0 empty sentinel and
+    # >2^53 keys lose exactness as doubles — fail loudly per row
+    k = F.expr(
+        f"CASE WHEN {key_col} >= 0 AND {key_col} <= 9007199254740992 "
+        f"THEN CAST({key_col} AS DOUBLE) "
+        f"ELSE CAST(raise_error(concat('cache_replay: key out of "
+        f"[0, 2^53] domain: ', CAST({key_col} AS STRING))) "
+        f"AS DOUBLE) END")
     w = Window.partitionBy(grp, key_col).orderBy(t_col)
     d = df.select(
         g.alias("g"), t.alias("t"), k.alias("k"),

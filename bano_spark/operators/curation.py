@@ -3,8 +3,8 @@ training-data pipeline materializes per document, composing the
 engine's curation primitives into ONE auditable table: language
 gate -> quality gate (length + lexical diversity) -> prefix-cluster
 dedup (keep the smallest doc_id per 5-word prefix) -> per-source
-token budget (greedy by length) — with the FIRST failing stage
-recorded as the drop reason (the lineage a curation run must emit;
+token budget (PREFIX CUTOFF by length, see below) — with the FIRST
+failing stage recorded as the drop reason (the lineage a curation run must emit;
 cf. gopher_quality_flags / dedup_exact / token_budget_selection /
 source_mixing for the single-stage versions).
 
@@ -13,6 +13,18 @@ is the cross-multiplied compare distinct*10 >= words*3 (no
 division), the budget is a per-source cumulative window over the
 deterministic (n_chars DESC, doc_id) order with an integer cap.
 Stage precedence is fixed: lang > quality > duplicate > budget.
+
+Budget semantics — prefix cutoff, NOT greedy bin-fill: the cumulative
+word sum runs over ALL dedup-surviving docs in (n_chars DESC, doc_id)
+order, and a doc is kept iff the running total THROUGH it is within
+the budget. A doc that overflows the budget still consumes budget for
+every doc after it, so a later, smaller doc that would individually
+fit is also dropped. This is the deterministic single-window shape
+(one pass, engine/oracle identical); true greedy fill ("skip the
+overflowing doc, keep summing over kept docs only") is a sequential
+fold over the per-source doc list — see the repo's bounded-state
+aggregate() folds (e.g. operators/cachesim.py) for that pattern if
+first-fit semantics are ever required.
 
 Scale shape: one explode aggregate for word stats, one groupBy for
 prefix clusters, one per-source window for the budget — each stage a

@@ -9,10 +9,15 @@ pattern): counting GLOBAL natural runs needs every adjacent pair
 compared, but a global lag window is a single-partition funnel. So
 the sequence is CHUNKED on a key prefix (id DIV chunk): within-chunk
 breaks come from per-chunk lag windows (partition-bounded), and the
-chunk-boundary breaks from an EQUI-JOIN of chunk c's last value with
-chunk c+1's first (min_by/max_by on the unique order key) — runs =
-1 + sum(in-chunk breaks) + sum(boundary breaks), exactly, with no
-global exchange before the final scalar aggregate.
+chunk-boundary breaks compare each chunk's last value with the NEXT
+NON-EMPTY chunk's first value (min_by/max_by on the unique order
+key, then one lead window over the chunk-summary table ordered by
+c) — runs = 1 + sum(in-chunk breaks) + sum(boundary breaks),
+exactly, even when the order key is sparse enough that whole chunks
+are empty (a naive c -> c+1 equi-join would skip the c -> c+2
+boundary and undercount). The only global exchange before the
+scalar aggregate is the lead window over the summary table, which
+is 1/chunk the input rows (raise `chunk` for very large inputs).
 
 Merge passes: p(k) = ceil(log_k runs) computed EXACTLY by an integer
 fold (double k's power until it covers runs — no log/ceil float
@@ -68,9 +73,10 @@ def merge_pass_advisor(df: DataFrame, order: str, val: str, *,
              F.min_by("v", "o").alias("fv"),
              F.max_by("v", "o").alias("lv"),
              F.count(F.lit(1)).cast("bigint").alias("cn")))
-    nxt = per.select((F.col("c") - 1).alias("c"),
-                     F.col("fv").alias("nfv"))
-    j = per.join(nxt, "c", "left")
+    # next NON-EMPTY chunk's first value: lead over the chunk-summary
+    # table (1/chunk of input rows) — a (c, c+1) equi-join would miss
+    # the boundary across an empty chunk and undercount n_runs
+    j = per.withColumn("nfv", F.lead("fv").over(Window.orderBy("c")))
     tot = j.agg(
         F.sum("cn").cast("bigint").alias("n_rows"),
         (F.lit(1) + F.sum("cb")

@@ -31,7 +31,18 @@ def burn_rate_alerts(df: DataFrame, id_col: str, err_col: str, *,
                      long_w: int = 1000, fast_thr: float = 14.4,
                      slow_thr: float = 6.0) -> DataFrame:
     """Per short bucket: (short_bucket, n_short, err_short,
-    burn_short, burn_long, page)."""
+    burn_short, burn_long, page).
+
+    Requires ``long_w % short_w == 0`` (asserted): otherwise a short
+    bucket straddles two long buckets, which both duplicates the
+    short_bucket output rows and makes their relative order
+    nondeterministic under the short_bucket-only sort.
+    """
+    if long_w % short_w != 0:
+        raise ValueError(
+            f"long_w ({long_w}) must be a multiple of short_w "
+            f"({short_w}): a short bucket must map to exactly one "
+            "long bucket")
     budget = 1.0 - slo
     d = df.select(F.expr(f"{id_col} DIV {short_w}").alias("sb"),
                   F.expr(f"{id_col} DIV {long_w}").alias("lb"),

@@ -98,8 +98,7 @@ per AS (
          CAST(count(*) AS BIGINT) AS cn
   FROM w1 GROUP BY c),
 j AS (
-  SELECT p.*, n.nfv FROM per p
-  LEFT JOIN (SELECT c - 1 AS c, fv AS nfv FROM per) n USING (c)),
+  SELECT per.*, lead(fv) OVER (ORDER BY c) AS nfv FROM per),
 tot AS (
   SELECT CAST(sum(cn) AS BIGINT) AS n_rows,
          CAST(1 + sum(cb) + sum(CASE WHEN nfv < lv THEN 1 ELSE 0 END)
@@ -120,9 +119,10 @@ ORDER BY fan_in
 
 @register("merge_pass_advisor", _Q2_ORACLE)
 def q_merge_pass_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global run count via chunked windows + a boundary equi-join
-    (no global exchange before the scalar aggregate), then exact
-    integer merge-pass planning per fan-in."""
+    """Global run count via chunked windows + a next-non-empty-chunk
+    boundary lead over the chunk-summary table (robust to sparse
+    order keys with empty chunks), then exact integer merge-pass
+    planning per fan-in."""
     spark.read.parquet(f"{sf_dir}/events.parquet") \
         .createOrReplaceTempView("events")
     return merge_pass_advisor(spark.sql(_GFIX), "o", "v",

@@ -46,8 +46,12 @@ FROM events WHERE event_id % 2 = 1"""
 
 
 def _pos(j: int) -> str:
+    # mirrors operators/bloom_audit._pos: kk reduced mod 2^31 before
+    # the multiply so the product fits int64 on both engines (DuckDB
+    # would otherwise promote to HUGEINT where Spark wraps)
     a, b = HASHES[j]
-    return f"CAST(((kk * {a} + {b}) % {_M31}) % {_M} AS BIGINT)"
+    return (f"CAST((((kk % {_M31}) * {a} + {b}) % {_M31}) % {_M} "
+            f"AS BIGINT)")
 
 
 _WORDS_CTE = f"""

@@ -101,3 +101,15 @@ def test_ring_tokens_deterministic():
     assert ring_tokens(3) == ring_tokens(3)
     assert len(ring_tokens(5, 8)) == 40
     assert all(0 <= p < _M31 for p, _ in ring_tokens(5, 8))
+
+
+def test_key_domain_guard_raises(spark):
+    # a key of -1 would alias the empty-slot sentinel; the domain
+    # guard must fail loudly instead of silently mis-replaying
+    # (ADVICE r4, cachesim.py)
+    import pytest
+    from pyspark.errors import PySparkException
+    df = spark.createDataFrame([("g", 0, -1), ("g", 1, 2)],
+                               "grp: string, t: bigint, k: bigint")
+    with pytest.raises(PySparkException):
+        cache_replay(df, "grp", "t", "k").collect()

@@ -58,6 +58,28 @@ def test_global_runs_cross_chunk_boundaries(spark):
     assert all(r["passes"] == 0 for r in rows2)
 
 
+def test_sparse_order_key_empty_chunks(spark):
+    # order keys 0..9 and 2000..2009 with chunk=512: chunks 1..2 are
+    # EMPTY, so the boundary to compare is chunk 0 -> chunk 3. The
+    # second block starts below the first block's end (a break), so
+    # the global count must be runs(concatenated sequence) — a naive
+    # (c, c+1) equi-join never compares across the gap and
+    # undercounts (ADVICE r4, extsort.py).
+    vals1 = [10 + i for i in range(10)]       # ascending, ends at 19
+    vals2 = [5 + i for i in range(10)]        # restarts at 5: break
+    rows = ([(i, v) for i, v in enumerate(vals1)]
+            + [(2000 + i, v) for i, v in enumerate(vals2)])
+    df = spark.createDataFrame(rows, "o: bigint, v: bigint")
+    got = merge_pass_advisor(df, "o", "v").collect()
+    assert got[0]["n_runs"] == _runs(vals1 + vals2) == 2
+    # ascending across the gap: still one run
+    rows_up = ([(i, i) for i in range(10)]
+               + [(2000 + i, 100 + i) for i in range(10)])
+    df_up = spark.createDataFrame(rows_up, "o: bigint, v: bigint")
+    assert merge_pass_advisor(df_up, "o", "v").collect()[0]["n_runs"] \
+        == 1
+
+
 def test_merge_passes_exact_ceil_log(spark):
     # shift bits before mod: a raw linear congruence steps by a
     # constant (+113 mod 1000) and produces few, long runs

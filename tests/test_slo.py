@@ -46,3 +46,12 @@ def test_budget_report(spark):
     assert row["errors"] == 10 and row["n"] == 1000
     assert row["budget_used"] == pytest.approx(1.0, rel=1e-9)
     assert row["budget_left_frac"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_non_multiple_windows_rejected(spark):
+    # long_w must be a multiple of short_w: otherwise a short bucket
+    # straddles two long buckets and the short_bucket-only sort is
+    # nondeterministic (ADVICE r4, slo.py)
+    with pytest.raises(ValueError, match="multiple of short_w"):
+        burn_rate_alerts(_df(spark, [0, 1]), "id", "err",
+                         short_w=300, long_w=1000)
