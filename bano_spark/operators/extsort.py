@@ -11,13 +11,15 @@ the sequence is CHUNKED on a key prefix (id DIV chunk): within-chunk
 breaks come from per-chunk lag windows (partition-bounded), and the
 chunk-boundary breaks compare each chunk's last value with the NEXT
 NON-EMPTY chunk's first value (min_by/max_by on the unique order
-key, then one lead window over the chunk-summary table ordered by
-c) — runs = 1 + sum(in-chunk breaks) + sum(boundary breaks),
+key) — runs = 1 + sum(in-chunk breaks) + sum(boundary breaks),
 exactly, even when the order key is sparse enough that whole chunks
 are empty (a naive c -> c+1 equi-join would skip the c -> c+2
-boundary and undercount). The only global exchange before the
-scalar aggregate is the lead window over the summary table, which
-is 1/chunk the input rows (raise `chunk` for very large inputs).
+boundary and undercount). The boundary pass is the repo's bounded
+aggregate-slice idiom: ONE scalar aggregate collects the sorted
+(c, first, last) chunk-summary array — O(n/chunk) entries, 24 B
+each; raise `chunk` so it fits (chunk=2^20 at 10^12 rows is a 24 MB
+state) — and an integer fold counts next.first < cur.last over
+consecutive entries. No global sort/window exchange anywhere.
 
 Merge passes: p(k) = ceil(log_k runs) computed EXACTLY by an integer
 fold (double k's power until it covers runs — no log/ceil float
@@ -73,15 +75,27 @@ def merge_pass_advisor(df: DataFrame, order: str, val: str, *,
              F.min_by("v", "o").alias("fv"),
              F.max_by("v", "o").alias("lv"),
              F.count(F.lit(1)).cast("bigint").alias("cn")))
-    # next NON-EMPTY chunk's first value: lead over the chunk-summary
-    # table (1/chunk of input rows) — a (c, c+1) equi-join would miss
-    # the boundary across an empty chunk and undercount n_runs
-    j = per.withColumn("nfv", F.lead("fv").over(Window.orderBy("c")))
-    tot = j.agg(
+    # boundary breaks between consecutive NON-EMPTY chunks — a
+    # (c, c+1) equi-join would miss the boundary across an empty
+    # chunk and undercount n_runs; a global lead window would be a
+    # single-partition funnel. Instead: one scalar aggregate collects
+    # the sorted chunk-summary array (O(n/chunk), disclosed) and an
+    # integer fold counts next.fv < cur.lv pairs.
+    tot = per.agg(
         F.sum("cn").cast("bigint").alias("n_rows"),
-        (F.lit(1) + F.sum("cb")
-         + F.sum(F.when(F.col("nfv") < F.col("lv"), 1).otherwise(0)))
-        .cast("bigint").alias("n_runs"))
+        F.sum("cb").cast("bigint").alias("icb"),
+        F.array_sort(F.collect_list(F.struct("c", "fv", "lv")))
+        .alias("bnd"))
+    # sequence(2, 1) counts DOWN in Spark — guard the <2-chunk case
+    bb = ("IF(size(bnd) < 2, CAST(0 AS BIGINT), "
+          "aggregate(sequence(2, size(bnd)), CAST(0 AS BIGINT), "
+          "(s, i) -> s + IF(element_at(bnd, i).fv "
+          "< element_at(bnd, i - 1).lv, "
+          "CAST(1 AS BIGINT), CAST(0 AS BIGINT))))")
+    tot = tot.select(
+        "n_rows",
+        (F.lit(1) + F.col("icb") + F.expr(bb)).cast("bigint")
+        .alias("n_runs"))
     structs = []
     for k in fanins:
         # exact ceil(log_k runs): double k's power until >= runs

@@ -84,25 +84,25 @@ def _sh_pass_sql(tag: str, src: str, side: str, bound: str) -> str:
     ins_c = _ins(side, bound, "x", "y")
     ins_p = _ins(side, bound, "px", "py")
     return f"""
-{tag}_e AS (
+{tag}_e AS MATERIALIZED (
   SELECT poly_id, tx, ty, pos, x, y,
          lag(x) OVER (PARTITION BY poly_id, tx, ty ORDER BY pos) AS px,
          lag(y) OVER (PARTITION BY poly_id, tx, ty ORDER BY pos) AS py
   FROM {src}),
-{tag}_m AS (
+{tag}_m AS MATERIALIZED (
   SELECT poly_id, tx, ty, pos, 1 AS sub, {ix} AS x, {iy} AS y
   FROM {tag}_e WHERE pos > 1 AND (({ins_c}) <> ({ins_p}))
   UNION ALL
   SELECT poly_id, tx, ty, pos, 2 AS sub, x, y
   FROM {tag}_e WHERE pos > 1 AND ({ins_c})),
-{tag}_r AS (
+{tag}_r AS MATERIALIZED (
   SELECT poly_id, tx, ty,
          CAST(row_number() OVER (PARTITION BY poly_id, tx, ty
                                  ORDER BY pos, sub) AS BIGINT) AS pos,
          CAST(count(*) OVER (PARTITION BY poly_id, tx, ty) AS BIGINT) AS n,
          x, y
   FROM {tag}_m),
-{tag} AS (
+{tag} AS MATERIALIZED (
   SELECT poly_id, tx, ty, pos, x, y FROM {tag}_r WHERE n >= 3
   UNION ALL
   SELECT poly_id, tx, ty, n + 1 AS pos, x, y

@@ -32,6 +32,42 @@ def patch_readme(n_q: int, n_o: int) -> None:
     open(p, "w").write(s)
 
 
+def stamp_markers(n_q: int) -> None:
+    """Replace every <!-- gen:nq -->N<!-- /gen:nq --> span in the
+    top-level docs with the live registry count (VERDICT r4 item 3:
+    three straight rounds of hand-count drift — counts must be
+    generator-emitted)."""
+    for fname in ("README.md", "BASELINE.md", "SURVEY.md", "BENCH.md",
+                  "SCALE.md", "EXPLAIN.md"):
+        p = os.path.join(ROOT, fname)
+        if not os.path.exists(p):
+            continue
+        s = open(p).read()
+        s2 = re.sub(r"<!-- gen:nq -->\d+<!-- /gen:nq -->",
+                    f"<!-- gen:nq -->{n_q}<!-- /gen:nq -->", s)
+        if s2 != s:
+            open(p, "w").write(s2)
+
+
+def unmarked_registered_claims() -> list[tuple[str, int, str]]:
+    """Any '<number> registered quer...' text in the top-level docs
+    that is NOT inside a gen:nq marker and NOT one of the regexes
+    patch_readme rewrites is hand-maintained drift waiting to happen —
+    flag it."""
+    out = []
+    for fname in ("README.md", "BASELINE.md", "SURVEY.md", "BENCH.md",
+                  "SCALE.md"):
+        p = os.path.join(ROOT, fname)
+        if not os.path.exists(p):
+            continue
+        for i, line in enumerate(open(p), 1):
+            if re.search(r"\d+ registered\s*quer", line) and \
+                    "gen:nq" not in line and \
+                    not re.search(r"\*\*\d+ registered\s*quer", line):
+                out.append((fname, i, line.strip()))
+    return out
+
+
 def claimed_query_names() -> dict[str, list[str]]:
     """Backticked names in the LAST column of coverage tables (rows of
     '| family | operators | queries |'-shaped tables) in README.md and
@@ -66,7 +102,15 @@ def main() -> None:
     oracles = E.oracle_sql()
     n_q, n_o = len(qs), len(oracles)
     patch_readme(n_q, n_o)
-    print(f"registry: {n_q} queries, {n_o} oracles — README patched")
+    stamp_markers(n_q)
+    print(f"registry: {n_q} queries, {n_o} oracles — README patched, "
+          f"gen:nq markers stamped")
+
+    drift = unmarked_registered_claims()
+    for fname, i, line in drift:
+        print(f"UNMARKED COUNT: {fname}:{i}: {line}")
+    if drift:
+        raise SystemExit(1)
 
     bad = []
     for fname, names in claimed_query_names().items():
