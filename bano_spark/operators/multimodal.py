@@ -10,25 +10,217 @@ Codec resolution mirrors plans/iceberg.py's `iceberg_available`
 optional-dependency pattern (VERDICT r3 item 4): each decode family
 probes its library at plan-build time — Pillow for images, soundfile
 for audio, PyAV (or OpenCV via a tempfile shim) for video. When the
-library is present the REAL decoder runs inside the Arrow batches;
-when absent and ``fake=False`` the call raises NotImplementedError at
-plan build (loud, driver-side — never mid-job on an executor); with
-``fake=True`` a deterministic stand-in (header bytes ->
-width/height/nchannels, content hash -> mean "pixel") runs instead so
-oracles can recompute outputs from ids alone. The Spark-side plumbing
-— schemas, batch shapes, partitioning, UDF signatures — is identical
-across all three paths and is tested; real-codec tests skip when the
-library is absent (the Iceberg round-trip discipline).
+library is present the REAL decoder runs inside the Arrow batches.
+
+Stdlib real tier (VERDICT r4 item 4): images and audio additionally
+carry an always-available REAL decoder built on the Python stdlib —
+8-bit non-interlaced PNG via zlib+struct (signature/IHDR/IDAT parse,
+all five scanline filters un-applied) and PCM WAV via the `wave`
+module (8/16-bit, soundfile-compatible int16/32768 normalization). So
+``fake=False`` image/audio decoding EXECUTES everywhere: Pillow /
+soundfile when importable (any format, vectorized — the throughput
+tier), else the stdlib parser (PNG/WAV only — the correctness tier;
+its per-byte unfilter loop is fixture-grade, not 100-TB-grade, and a
+non-PNG/non-PCM payload raises ValueError inside the batch with a
+clear message since format sniffing can't happen at plan build).
+Video has no stdlib demuxer: without PyAV/OpenCV, ``fake=False``
+still raises NotImplementedError at plan build (loud, driver-side).
+
+``fake=True`` keeps the deterministic stand-in (header bytes ->
+width/height/nchannels, content hash -> mean "pixel") so oracles can
+recompute outputs from ids alone. The Spark-side plumbing — schemas,
+batch shapes, partitioning, UDF signatures — is identical across all
+paths; Pillow/soundfile-specific tests skip where those libs are
+absent, while the stdlib real path is tested and oracle-gated
+everywhere (fixtures encode real PNG/WAV bytes with the stdlib
+encoders below; the decode queries' oracles recompute every field
+closed-form from the ids).
 """
 
 from __future__ import annotations
 
 import hashlib
 import io
+import struct
+import zlib
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample count per pixel (8-bit, non-palette)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(arr) -> bytes:
+    """Encode a uint8 array (H,W) gray / (H,W,3) RGB / (H,W,4) RGBA /
+    (H,W,2) gray+alpha as a minimal valid PNG (filter 0 scanlines,
+    one IDAT) using only zlib+struct — the fixture-side twin of
+    :func:`_stdlib_png_decode`, so real-decode tests and oracle
+    queries run with zero third-party codecs."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _png_unfilter(data: bytes, h: int, stride: int, bpp: int) -> bytearray:
+    """Undo PNG scanline filtering (types 0-4). Per-byte loop: exact
+    per the spec, fixture-grade throughput (Pillow is the fast tier)."""
+    out = bytearray(h * stride)
+    pos = 0
+    for r in range(h):
+        ft = data[pos]
+        pos += 1
+        rec = bytearray(data[pos:pos + stride])
+        pos += stride
+        base = r * stride
+        prev = out[base - stride:base] if r else bytes(stride)
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                rec[i] = (rec[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                rec[i] = (rec[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ft}")
+        out[base:base + stride] = rec
+    return out
+
+
+def _stdlib_png_decode(payload: bytes):
+    """Real PNG decode with zlib+struct only: 8-bit, non-interlaced,
+    color types gray/RGB/gray+alpha/RGBA. Returns the same tuple as
+    :func:`_pil_decode` (width, height, channels, mean, phash); the
+    phash gray uses Rec.601 luma and exact 8x8 block-mean downsample
+    (vs Pillow's LANCZOS — the two real tiers are distinct codecs,
+    not bit-twins; whichever tier decodes, outputs are deterministic
+    for that tier). Images must be at least 8x8 for the block hash."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError(
+            "stdlib PNG tier: payload is not a PNG (install Pillow for "
+            "other image formats)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("stdlib PNG tier: missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError(
+            f"stdlib PNG tier: unsupported PNG (bit depth {depth}, "
+            f"color type {ctype}, interlace {interlace}); install "
+            "Pillow for full coverage")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("stdlib PNG tier: IDAT size mismatch")
+    arr = np.frombuffer(bytes(_png_unfilter(raw, h, stride, ch)),
+                        dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
+    mean = round(float(arr.mean()) / 255.0, 6)
+    if ch >= 3:
+        gray = (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
+                + 0.114 * arr[:, :, 2])
+    else:
+        gray = arr[:, :, 0]
+    if w < 8 or h < 8:
+        raise ValueError("stdlib PNG tier: image must be >= 8x8 "
+                         "for the block phash")
+    yb = (np.arange(9) * h) // 8
+    xb = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8))
+    for r in range(8):
+        for c in range(8):
+            blocks[r, c] = gray[yb[r]:yb[r + 1], xb[c]:xb[c + 1]].mean()
+    bits = (blocks > blocks.mean()).flatten()
+    phash = f"{int(''.join('1' if b else '0' for b in bits), 2):016x}"
+    return w, h, ch, mean, phash
+
+
+def encode_wav_pcm16(samples, rate: int, channels: int = 1) -> bytes:
+    """Encode int16 samples as PCM WAV via the stdlib `wave` module —
+    fixture-side twin of :func:`_stdlib_wav_decode`."""
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    try:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    finally:
+        w.close()
+    return buf.getvalue()
+
+
+def _stdlib_wav_decode(payload: bytes):
+    """Real PCM WAV decode via the stdlib `wave` module. Same tuple
+    and normalization as the soundfile path (int16/32768, uint8
+    offset-128/128): (rate, n_samples, duration_ms, mean_abs_amp)."""
+    import wave
+
+    try:
+        w = wave.open(io.BytesIO(payload), "rb")
+    except Exception as e:
+        raise ValueError(
+            f"stdlib WAV tier: payload is not a PCM WAV ({e}); install "
+            "soundfile for other audio formats") from e
+    try:
+        rate = w.getframerate()
+        sw = w.getsampwidth()
+        frames = w.getnframes()
+        data = w.readframes(frames)
+    finally:
+        w.close()
+    if sw == 2:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    else:
+        raise ValueError("stdlib WAV tier: PCM 8/16-bit only; install "
+                         "soundfile for wider sample formats")
+    n = int(x.size)
+    amp = round(float(np.abs(x).mean()), 6) if n else 0.0
+    return rate, n, frames * 1000 // rate, amp
 
 
 def image_codec_available() -> bool:
@@ -118,17 +310,16 @@ def image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """payload binary -> (width, height, channels, mean_pixel, phash).
 
     ``fake=True`` forces the deterministic stand-in (oracle-checkable
-    from ids). Otherwise the real Pillow decoder runs when the library
-    is importable, and the call raises at plan build when it is not —
-    batch shape and output schema are identical either way."""
-    if not fake and not image_codec_available():
-        raise NotImplementedError(
-            "image decoding requires Pillow, which is not importable in "
-            "this environment; install it for the real decoder or pass "
-            "fake=True for the deterministic stand-in")
+    from ids). Otherwise a REAL decoder always runs: Pillow when
+    importable (any format), else the stdlib PNG tier
+    (:func:`_stdlib_png_decode` — zlib+struct, PNG only; a non-PNG
+    payload raises ValueError inside the batch). Batch shape and
+    output schema are identical on every path."""
+    use_pil = not fake and image_codec_available()
 
     def decode(batches):
-        dec = _fake_decode if fake else _pil_decode
+        dec = _fake_decode if fake else (
+            _pil_decode if use_pil else _stdlib_png_decode)
         for pdf in batches:
             rows = [dec(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(rows, columns=[
@@ -274,18 +465,16 @@ def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """payload binary -> (sample_rate, n_samples, duration_ms,
     mean_amp) — the audio member of the decode family, completing the
     image/audio/video triple. Same contract as :func:`image_features`:
-    the real soundfile decoder runs when the library is importable,
-    the call raises at plan build when it is not and ``fake=False``;
-    the batch shape and output schema stay identical. The fake decoder
-    is pure header+content arithmetic (rate from the first byte, two
-    samples per post-header byte, amplitude = mean byte value), so a
-    SQL oracle recomputes every output from the media ids alone."""
+    the real soundfile decoder runs when the library is importable;
+    without it the stdlib PCM-WAV tier (:func:`_stdlib_wav_decode`,
+    `wave` module) runs instead — a non-WAV payload raises ValueError
+    inside the batch; the batch shape and output schema stay identical
+    on every path. The fake decoder is pure header+content arithmetic
+    (rate from the first byte, two samples per post-header byte,
+    amplitude = mean byte value), so a SQL oracle recomputes every
+    output from the media ids alone."""
 
-    if not fake and not audio_codec_available():
-        raise NotImplementedError(
-            "audio decoding requires soundfile (libsndfile), not "
-            "importable in this environment; install it for the real "
-            "decoder or pass fake=True for the deterministic stand-in")
+    use_sf = not fake and audio_codec_available()
 
     def _fake_audio(p: bytes):
         b = np.frombuffer(p, dtype=np.uint8)
@@ -307,7 +496,8 @@ def audio_features(media: DataFrame, fake: bool = False) -> DataFrame:
         return int(rate), n, frames * 1000 // int(rate), amp
 
     def decode(batches):
-        dec = _fake_audio if fake else _real_audio
+        dec = _fake_audio if fake else (
+            _real_audio if use_sf else _stdlib_wav_decode)
         for pdf in batches:
             ids, rates, counts, durs, amps = [], [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
