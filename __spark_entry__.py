@@ -2056,6 +2056,7 @@ from bano_spark import queries_wave150 as _w150  # noqa: E402
 from bano_spark import queries_wave151 as _w151  # noqa: E402
 from bano_spark import queries_wave152 as _w152  # noqa: E402
 from bano_spark import queries_wave153 as _w153  # noqa: E402
+from bano_spark import queries_wave154 as _w154  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2351,6 +2352,8 @@ _QUERIES.update(_w152.QUERIES)
 _ORACLES.update(_w152.ORACLES)
 _QUERIES.update(_w153.QUERIES)
 _ORACLES.update(_w153.ORACLES)
+_QUERIES.update(_w154.QUERIES)
+_ORACLES.update(_w154.ORACLES)
 
 
 # ---------------------------------------------------------------------------

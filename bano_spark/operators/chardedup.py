@@ -98,32 +98,42 @@ def char_dup_spans(docs: DataFrame, text_col: str = "text",
                     .cast("bigint").alias("longest_dup_span")))
 
 
-def char_winnow_anchors(docs: DataFrame, text_col: str = "text",
+def winnow_anchor_table(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 16,
                         w: int = 8) -> DataFrame:
-    """Per doc: n_grams, n_anchors (winnowing-selected positions),
-    n_dup_anchors (anchor hashes shared with >= 1 other doc). True
-    winnowing: each w-window of consecutive gram hashes selects its
+    """(id, anchor) — the winnowing-selected k-gram hashes per doc
+    (distinct). Each w-window of consecutive gram hashes selects its
     (hash, pos)-argmin — encoded as min(hash || zero-padded pos) over
     a CURRENT..w-1 FOLLOWING keyed window, then DISTINCT — so the
     Schleimer guarantee holds: sharing any substring of w + k - 1
-    chars implies sharing an anchor hash."""
+    chars implies sharing an anchor hash. Shared by
+    char_winnow_anchors and the corpus_dedup_e2e composition."""
     grams = _char_grams(docs, text_col, id_col, k)
     key = F.concat(F.col("g"), F.lpad(F.col("pos").cast("string"), 8, "0"))
     w_fwd = (Window.partitionBy(id_col).orderBy("pos")
              .rowsBetween(Window.currentRow, w - 1))
+    return (grams
+            .withColumn("k2", key)
+            .withColumn("nxt", F.count(F.lit(1)).over(w_fwd))
+            .withColumn("wmin", F.min("k2").over(w_fwd))
+            # only FULL windows select; a doc with fewer than w
+            # grams keeps one anchor: its global (hash, pos) min,
+            # read off the pos-1 truncated window
+            .filter((F.col("nxt") == w) | (F.col("pos") == 1))
+            .select(id_col, F.substring("wmin", 1, 32).alias("anchor"))
+            .distinct())
+
+
+def char_winnow_anchors(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 16,
+                        w: int = 8) -> DataFrame:
+    """Per doc: n_grams, n_anchors (winnowing-selected positions),
+    n_dup_anchors (anchor hashes shared with >= 1 other doc); see
+    winnow_anchor_table for the selection rule."""
+    grams = _char_grams(docs, text_col, id_col, k)
     n_grams = grams.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"))
-    anchors = (grams
-               .withColumn("k2", key)
-               .withColumn("nxt", F.count(F.lit(1)).over(w_fwd))
-               .withColumn("wmin", F.min("k2").over(w_fwd))
-               # only FULL windows select; a doc with fewer than w
-               # grams keeps one anchor: its global (hash, pos) min,
-               # read off the pos-1 truncated window
-               .filter((F.col("nxt") == w) | (F.col("pos") == 1))
-               .select(id_col, F.substring("wmin", 1, 32).alias("anchor"))
-               .distinct())
+    anchors = winnow_anchor_table(docs, text_col, id_col, k, w)
     per_anchor = anchors.groupBy("anchor").agg(
         F.countDistinct(id_col).alias("n_docs"))
     per_doc = (anchors.join(per_anchor, "anchor")
