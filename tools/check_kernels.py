@@ -556,6 +556,45 @@ def replay_vincenty_vs_haversine(sf_dir: str):
                           "delta_m": 0.04}}
 
 
+# ------------------------------------------------ wave 155 (DCT, bonus)
+
+
+def replay_dct2_spectral_compaction(sf_dir: str):
+    """Orthonormal DCT-II via an np.cos basis and np.dot — fully
+    independent of the engines' shared literal table and index-order
+    folds (different cos evaluations, different summation order)."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    ev = ev.sort_values(["ts", "event_id"])
+    N, K = 32, 8
+    n_ = np.arange(N)
+    T = np.cos(np.pi * (n_[None, :] + 0.5) * n_[:, None] / N)
+    T[0] *= math.sqrt(1.0 / N)
+    T[1:] *= math.sqrt(2.0 / N)
+    rows = []
+    for uid, grp in ev.groupby("user_id", sort=True):
+        vs = grp["value"].to_numpy(dtype=np.float64)
+        if vs.size < N:
+            continue
+        x = vs[:N]
+        c = T @ x
+        et = float(x @ x)
+        rows.append((int(uid), N,
+                     *[float(_r6(c[k])) for k in range(K)],
+                     float(_r6(et)),
+                     float(_r6(float(c[:K] @ c[:K]) / et)),
+                     bool(abs(float(c @ c) - et) <= 1e-9 * et)))
+    df = pd.DataFrame(rows, columns=["user_id", "n",
+                                     *[f"c{k}" for k in range(K)],
+                                     "energy", "compaction",
+                                     "parseval_ok"])
+    ftol = {f"c{k}": FTOL for k in range(K)}
+    ftol.update({"energy": 1e-4, "compaction": FTOL})
+    # energy ~ O(1e6) for 32 values up to 490: absolute 1e-4 is
+    # ~1e-10 relative — still far below any formula error
+    return df, {"keys": ["user_id"], "float": ftol}
+
+
 # ---------------------------------------------------------------- harness
 
 REPLAYS = {
@@ -575,6 +614,7 @@ REPLAYS = {
     # geodesic expressions)
     "holt_smoothing": replay_holt_smoothing,
     "vincenty_vs_haversine": replay_vincenty_vs_haversine,
+    "dct2_spectral_compaction": replay_dct2_spectral_compaction,
 }
 
 
