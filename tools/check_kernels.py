@@ -595,6 +595,56 @@ def replay_dct2_spectral_compaction(sf_dir: str):
     return df, {"keys": ["user_id"], "float": ftol}
 
 
+# -------------------------------------------- wave-4 hex lattice (bonus)
+
+
+def replay_hex_kring_smooth(sf_dir: str):
+    """Hex binning verified GEOMETRICALLY: each point is assigned to
+    the axial cell whose center is nearest in the plane (scanning a
+    5x5 candidate neighborhood) — independent of the engines' shared
+    cube-rounding formula chain. Ring means then follow the textbook
+    hex-distance definition. Fixture points sit strictly off cell
+    edges (+0.5/+0.25 offsets), so nearest-center is unambiguous."""
+    ids = _events(sf_dir)["event_id"].to_numpy(dtype=np.int64)
+    u = _u(ids, 2654435761, 0)
+    x = np.where(u % 16 < 10,
+                 1000003.0 + (u % 16) * 10000.0,
+                 1000003.0 + 10 * 10000.0 + ((u // 16) % 9) * 10000.0) \
+        + (u // 144) % 9000 + 0.5
+    y = 2000003.0 + (u // 1296000) % 9000 + 0.25
+    size = 700.0
+    s3 = math.sqrt(3.0)
+    fq = (s3 / 3.0 * x - y / 3.0) / size
+    fr = (2.0 / 3.0 * y) / size
+    q0, r0 = np.floor(fq).astype(np.int64), np.floor(fr).astype(np.int64)
+    best_q = np.zeros_like(q0)
+    best_r = np.zeros_like(r0)
+    best_d = np.full(x.shape, np.inf)
+    for dq in range(-2, 3):
+        for dr in range(-2, 3):
+            q, r = q0 + dq, r0 + dr
+            cx = size * s3 * (q + r / 2.0)
+            cy = size * 1.5 * r
+            d = (x - cx) ** 2 + (y - cy) ** 2
+            m = d < best_d
+            best_d[m] = d[m]
+            best_q[m], best_r[m] = q[m], r[m]
+    cells = sorted(set(zip(best_q.tolist(), best_r.tolist())))
+    vals = {(q, r): ((q * 7 + r * 13 + 100000000) % 100) / 10.0
+            for q, r in cells}
+    rows = []
+    for q, r in cells:
+        ring = [vals[(q + dq, r + dr)]
+                for dq in (-1, 0, 1) for dr in (-1, 0, 1)
+                if max(abs(dq), abs(dr), abs(dq + dr)) <= 1
+                and (q + dq, r + dr) in vals]
+        rows.append((q, r, len(ring),
+                     float(_r6(sum(ring) / len(ring)))))
+    df = pd.DataFrame(rows, columns=["hq", "hr", "n_neighbors",
+                                     "ring_mean"])
+    return df, {"keys": ["hq", "hr"], "float": {"ring_mean": FTOL}}
+
+
 # ---------------------------------------------------------------- harness
 
 REPLAYS = {
@@ -615,6 +665,7 @@ REPLAYS = {
     "holt_smoothing": replay_holt_smoothing,
     "vincenty_vs_haversine": replay_vincenty_vs_haversine,
     "dct2_spectral_compaction": replay_dct2_spectral_compaction,
+    "hex_kring_smooth": replay_hex_kring_smooth,
 }
 
 
