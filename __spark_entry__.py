@@ -2058,6 +2058,7 @@ from bano_spark import queries_wave152 as _w152  # noqa: E402
 from bano_spark import queries_wave153 as _w153  # noqa: E402
 from bano_spark import queries_wave154 as _w154  # noqa: E402
 from bano_spark import queries_wave155 as _w155  # noqa: E402
+from bano_spark import queries_wave156 as _w156  # noqa: E402
 
 _QUERIES.update(_w4.QUERIES)
 _ORACLES.update(_w4.ORACLES)
@@ -2357,6 +2358,8 @@ _QUERIES.update(_w154.QUERIES)
 _ORACLES.update(_w154.ORACLES)
 _QUERIES.update(_w155.QUERIES)
 _ORACLES.update(_w155.ORACLES)
+_QUERIES.update(_w156.QUERIES)
+_ORACLES.update(_w156.ORACLES)
 
 
 # ---------------------------------------------------------------------------

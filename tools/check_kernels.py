@@ -645,6 +645,55 @@ def replay_hex_kring_smooth(sf_dir: str):
     return df, {"keys": ["hq", "hr"], "float": {"ring_mean": FTOL}}
 
 
+# ------------------------------------------- wave 156 (FWHT, bonus)
+
+
+def _fwht_butterfly(x: np.ndarray) -> np.ndarray:
+    """In-place recursive-butterfly fast Walsh-Hadamard transform —
+    O(n log n) add/sub passes, a DIFFERENT algorithm from the
+    engines' literal H-matrix product."""
+    y = x.copy()
+    h = 1
+    n = y.shape[-1]
+    while h < n:
+        y = y.reshape(-1, n)
+        for i in range(0, n, h * 2):
+            a = y[:, i:i + h].copy()
+            b = y[:, i + h:i + 2 * h].copy()
+            y[:, i:i + h] = a + b
+            y[:, i + h:i + 2 * h] = a - b
+        h *= 2
+    return y.reshape(x.shape)
+
+
+def replay_fwht_rotation_audit(sf_dir: str):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    emb = emb.sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    m = ids % 25 == 0
+    X = np.stack([np.asarray(e, dtype=np.float64)
+                  for e in emb["embedding"][m]])
+    n = X.shape[1]
+    HX = _fwht_butterfly(X)
+    et = np.einsum("ij,ij->i", X, X)
+    li = np.abs(X).max(axis=1)
+    lr = np.abs(HX).max(axis=1) / n
+    ef = np.einsum("ij,ij->i", HX, HX)
+    rows = [(int(v), n, float(_r6(et[i])), float(_r6(li[i])),
+             float(_r6(lr[i])), float(_r6(li[i] / lr[i])),
+             bool(abs(ef[i] - n * et[i]) <= 1e-9 * n * et[i]))
+            for i, v in enumerate(ids[m])]
+    df = pd.DataFrame(rows, columns=["vec_id", "n", "energy",
+                                     "linf_input", "linf_rotated",
+                                     "flatten_ratio", "parseval_ok"])
+    # NOTE: the butterfly computes the SAME H x (Sylvester order maps
+    # to the natural butterfly order), just via log2(n) passes
+    return df, {"keys": ["vec_id"],
+                "float": {"energy": 1e-4, "linf_input": FTOL,
+                          "linf_rotated": FTOL, "flatten_ratio": FTOL}}
+
+
 # ---------------------------------------------------------------- harness
 
 REPLAYS = {
@@ -666,6 +715,7 @@ REPLAYS = {
     "vincenty_vs_haversine": replay_vincenty_vs_haversine,
     "dct2_spectral_compaction": replay_dct2_spectral_compaction,
     "hex_kring_smooth": replay_hex_kring_smooth,
+    "fwht_rotation_audit": replay_fwht_rotation_audit,
 }
 
 
